@@ -1,13 +1,141 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.analytics.Queries
+import graft.etl.{Clean, Dims, Facts}
+import graft.io.Tables
+
+/** Driver contract — see SURVEY.md §7 + TESTDATA.md.
+  *
+  * Every implemented operator from SURVEY.md §2 appears in `queries`; where
+  * the semantics are ANSI-SQL-expressible the same computation appears in
+  * `oracleSql` for the driver's DuckDB differential check. Column names are
+  * aligned between the two on purpose — the driver sorts columns by name
+  * before hashing.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query (Q2 top-10, exercising scan/clean/join/agg/sort/limit)
+    * on sf0.001; driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Queries.q2TopParts(
+      Tables.lineitem(spark, dir), Tables.orders(spark, dir), Tables.part(spark, dir))
+  }
+
+  /** The dirty-data unit fixture from the reference's own test
+    * (`filmETLs.ipynb#cell3:2-8`, FIXTURES.md §A): one null-row, one exact
+    * duplicate; cleaning keeps rows 16001/16002.
+    */
+  private def cleanFixture(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val dirty = Seq(
+      (16000, None,                          1525,  130, ts("2025-05-25 10:00:00")),
+      (16001, Some(ts("2025-05-23 12:00:00")), 99999, 130, ts("2025-05-24 13:00:00")),
+      (16002, Some(ts("2025-05-22 11:00:00")), 1525,  130, ts("2025-05-25 10:00:00")),
+      (16002, Some(ts("2025-05-22 11:00:00")), 1525,  130, ts("2025-05-25 10:00:00"))
+    ).toDF("rental_id", "rental_date", "inventory_id", "customer_id", "return_date")
+    Clean.clean(dirty)
+  }
+
+  /** One entry per implemented operator group from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- dimension ETLs (S1 + P1 + C1 + C2) ---
+    "dim_customer" -> ((s, d) => Dims.dimCustomer(Tables.customer(s, d))),
+    "dim_supplier" -> ((s, d) => Dims.dimSupplier(Tables.supplier(s, d))),
+    "dim_part"     -> ((s, d) => Dims.dimPart(Tables.part(s, d))),
+    "dim_order"    -> ((s, d) => Dims.dimOrder(Tables.orders(s, d))),
+    // --- dim_date generator (S5 + P3 + P5) ---
+    "dim_date"     -> ((s, _) => Dims.dimDate(s)),
+    // --- fact ETLs (J1 + P3 + A1; P5 + P6 + A2) ---
+    "fact_daily_inventory" -> ((s, d) =>
+      Facts.factDailyInventory(Tables.lineitem(s, d), Tables.orders(s, d))),
+    "fact_monthly_payment" -> ((s, d) =>
+      Facts.factMonthlyPayment(Tables.orders(s, d))),
+    // --- analytics reads (Q1: P4+P7+A4; Q2: J2+A3+O1; Q3: F1+P4+A5) ---
+    "q1_monthly_revenue" -> ((s, d) => Queries.q1MonthlyRevenue(Tables.orders(s, d))),
+    "q2_top_parts"       -> ((s, d) =>
+      Queries.q2TopParts(Tables.lineitem(s, d), Tables.orders(s, d), Tables.part(s, d))),
+    "q3_daily_series"    -> ((s, d) =>
+      Queries.q3DailySeries(Tables.lineitem(s, d), Tables.orders(s, d))),
+    // --- clean combinator on the reference's own fixture (S4 + C1 + C2) ---
+    "clean_fixture" -> ((s, _) => cleanFixture(s))
+  )
+
+  /** DuckDB twins of each query, same column names (driver compares by
+    * sorted column name + value hash).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "dim_customer" ->
+      """SELECT DISTINCT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL AND c_nationkey IS NOT NULL""".stripMargin,
+    "dim_supplier" ->
+      """SELECT DISTINCT s_suppkey, s_name, s_nationkey FROM supplier
+        |WHERE s_suppkey IS NOT NULL AND s_name IS NOT NULL AND s_nationkey IS NOT NULL""".stripMargin,
+    "dim_part" ->
+      """SELECT DISTINCT p_partkey, p_name, p_brand, p_type FROM part
+        |WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL AND p_brand IS NOT NULL AND p_type IS NOT NULL""".stripMargin,
+    "dim_order" ->
+      """SELECT DISTINCT o_orderkey, o_orderdate, o_custkey FROM orders
+        |WHERE o_orderkey IS NOT NULL AND o_orderdate IS NOT NULL AND o_custkey IS NOT NULL""".stripMargin,
+    "dim_date" ->
+      """SELECT CAST(strftime(d, '%Y%m%d') AS INTEGER) AS date_id,
+        |       CAST(d AS DATE) AS full_date,
+        |       CAST(month(d) AS INTEGER) AS month,
+        |       CAST(year(d) AS INTEGER) AS year
+        |FROM generate_series(DATE '1995-01-01', DATE '2001-12-31', INTERVAL 1 DAY) AS t(d)""".stripMargin,
+    "fact_daily_inventory" ->
+      """SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS INTEGER) AS date_id,
+        |       l_partkey, l_suppkey, COUNT(*) AS inventory_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "fact_monthly_payment" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(year(o_orderdate)*10000 + month(o_orderdate)*100 + 1 AS INTEGER) AS date_id,
+        |       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monthly_payment_total
+        |FROM orders GROUP BY 1, 2, 3""".stripMargin,
+    "q1_monthly_revenue" ->
+      """WITH fact AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(year(o_orderdate)*10000 + month(o_orderdate)*100 + 1 AS INTEGER) AS date_id,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monthly_payment_total
+        |  FROM orders GROUP BY 1, 2, 3)
+        |SELECT CAST(strptime(CAST(date_id AS VARCHAR), '%Y%m%d') AS DATE) AS month_start,
+        |       CAST(SUM(monthly_payment_total) AS DECIMAL(18,2)) AS monthly_revenue
+        |FROM fact GROUP BY 1""".stripMargin,
+    "q2_top_parts" ->
+      """WITH fact AS (
+        |  SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS INTEGER) AS date_id,
+        |         l_partkey, l_suppkey, COUNT(*) AS inventory_count
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2, 3)
+        |SELECT p_name, CAST(SUM(inventory_count) AS BIGINT) AS total_inventory
+        |FROM fact JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_name
+        |ORDER BY total_inventory DESC, p_name
+        |LIMIT 10""".stripMargin,
+    "q3_daily_series" ->
+      """WITH fact AS (
+        |  SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS INTEGER) AS date_id,
+        |         l_partkey, l_suppkey, COUNT(*) AS inventory_count
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2, 3)
+        |SELECT CAST(strptime(CAST(date_id AS VARCHAR), '%Y%m%d') AS DATE) AS date,
+        |       CAST(SUM(inventory_count) AS BIGINT) AS inventory_count
+        |FROM fact WHERE l_suppkey = 1
+        |GROUP BY 1""".stripMargin,
+    "clean_fixture" ->
+      """WITH dirty(rental_id, rental_date, inventory_id, customer_id, return_date) AS (VALUES
+        |  (16000, CAST(NULL AS TIMESTAMP), 1525, 130, TIMESTAMP '2025-05-25 10:00:00'),
+        |  (16001, TIMESTAMP '2025-05-23 12:00:00', 99999, 130, TIMESTAMP '2025-05-24 13:00:00'),
+        |  (16002, TIMESTAMP '2025-05-22 11:00:00', 1525, 130, TIMESTAMP '2025-05-25 10:00:00'),
+        |  (16002, TIMESTAMP '2025-05-22 11:00:00', 1525, 130, TIMESTAMP '2025-05-25 10:00:00'))
+        |SELECT DISTINCT rental_id, rental_date, inventory_id, customer_id, return_date
+        |FROM dirty
+        |WHERE rental_id IS NOT NULL AND rental_date IS NOT NULL
+        |  AND inventory_id IS NOT NULL AND customer_id IS NOT NULL AND return_date IS NOT NULL""".stripMargin
+  )
 }

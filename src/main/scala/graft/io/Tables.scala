@@ -1,0 +1,68 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table catalog over the driver fixtures (`TESTDATA.md`).
+  *
+  * The reference reads projected column subsets of MySQL tables via
+  * SQLAlchemy (`filmETLs.ipynb#cell4:3`, `rentalFilmDAG.py:37`); our engine
+  * reads the equivalent relations from parquet. Parquet is self-describing,
+  * so schemas come from the file footers — [[expectedColumns]] documents the
+  * contract and lets callers assert it.
+  *
+  * Scale note (100 TB posture): `spark.read.parquet` on a directory of
+  * files partitions by `spark.sql.files.maxPartitionBytes` (128 MB default),
+  * so the same call distributes across a real cluster unchanged. Column
+  * pruning + predicate pushdown reach the scan automatically when callers
+  * stay declarative (`select`/`filter` before any wide op).
+  */
+object Tables {
+
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Columns each fixture table is expected to expose (FIXTURES.md §B). */
+  val expectedColumns: Map[String, Seq[String]] = Map(
+    "region"     -> Seq("r_regionkey", "r_name"),
+    "nation"     -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer"   -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "supplier"   -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part"       -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    "orders"     -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"),
+    "lineitem"   -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+    "events"     -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents"  -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "embedding", "label"))
+
+  /** Scan one fixture table. Equivalent of the reference's projected
+    * `pd.read_sql` (SURVEY.md §2 S1) — callers `.select(...)` immediately so
+    * Catalyst prunes the parquet scan to just the needed columns.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Append/overwrite sink (SURVEY.md §2 K1). The reference appends via
+    * `to_sql(..., if_exists='append')` (`filmETLs.ipynb#cell4:5`), which is
+    * non-idempotent on re-run; we deliberately default to overwrite
+    * (SURVEY.md §7.4.6). Partitioning by a low-cardinality key (e.g.
+    * `date_id`) keeps 100 TB fact writes prunable for downstream readers.
+    */
+  def write(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+            mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+}

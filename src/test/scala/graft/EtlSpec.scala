@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.{Dims, Facts}
+import graft.io.Tables
+
+class EtlSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+  import spark.implicits._
+
+  test("dim_date: continuous daily calendar with YYYYMMDD surrogate keys") {
+    val dd = Dims.dimDate(spark).cache()
+    assert(dd.count() === 2557) // 1995-01-01..2001-12-31 incl. two leap years
+    // P3/P4 round-trip: date_id parses back to full_date
+    val bad = dd.filter(
+      to_date($"date_id".cast("string"), "yyyyMMdd") =!= $"full_date").count()
+    assert(bad === 0)
+    assert(dd.select("date_id").distinct().count() === 2557)
+    dd.unpersist()
+  }
+
+  test("dims: projected, cleaned, key-unique on fixture data") {
+    val dc = Dims.dimCustomer(Tables.customer(spark, sfDir))
+    assert(dc.columns.toSeq === Seq("c_custkey", "c_name", "c_nationkey"))
+    assert(dc.count() === dc.select("c_custkey").distinct().count())
+  }
+
+  test("fact_daily_inventory: counts sum to cleaned join input rows") {
+    val li  = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val fact = Facts.factDailyInventory(li, ord).cache()
+    val joinRows = li.join(ord, li("l_orderkey") === ord("o_orderkey")).count()
+    val summed = fact.agg(sum("inventory_count")).as[Long].head()
+    assert(summed === joinRows)
+    assert(fact.count() <= joinRows)
+    fact.unpersist()
+  }
+
+  test("fact_monthly_payment: one group per order (orderkey unique in orders)") {
+    val ord = Tables.orders(spark, sfDir)
+    val fact = Facts.factMonthlyPayment(ord)
+    // Mirrors the reference's 16 044 → 16 044 identity (BASELINE.md): the
+    // group key includes the event key, so grain == source grain.
+    assert(fact.count() === ord.count())
+    // date_id is first-of-month encoded
+    val badDay = fact.filter($"date_id" % 100 =!= 1).count()
+    assert(badDay === 0)
+  }
+}
