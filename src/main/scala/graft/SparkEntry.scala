@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.Queries
+import graft.analytics.{Breadth, Queries}
 import graft.etl.{Clean, Dims, Facts}
 import graft.io.Tables
 
@@ -62,7 +62,21 @@ object SparkEntry {
     "q3_daily_series"    -> ((s, d) =>
       Queries.q3DailySeries(Tables.lineitem(s, d), Tables.orders(s, d))),
     // --- clean combinator on the reference's own fixture (S4 + C1 + C2) ---
-    "clean_fixture" -> ((s, _) => cleanFixture(s))
+    "clean_fixture" -> ((s, _) => cleanFixture(s)),
+    // --- operator breadth beyond the reference (north star: complete engine) ---
+    "q_pricing_summary" -> ((s, d) => Breadth.pricingSummary(Tables.lineitem(s, d))),
+    "q_region_revenue"  -> ((s, d) => Breadth.regionRevenue(
+      Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q_top_customers"   -> ((s, d) => Breadth.topCustomers(Tables.orders(s, d), Tables.customer(s, d))),
+    "q_window_top_parts" -> ((s, d) => Breadth.windowTopParts(Tables.lineitem(s, d))),
+    "q_running_revenue"  -> ((s, d) => Breadth.runningRevenue(Tables.orders(s, d))),
+    "q_semi_join"       -> ((s, d) => Breadth.customersWithOrders(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_anti_join"       -> ((s, d) => Breadth.customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_rollup_revenue"  -> ((s, d) => Breadth.revenueRollup(Tables.orders(s, d))),
+    "q_monthly_active"  -> ((s, d) => Breadth.monthlyActiveCustomers(Tables.orders(s, d))),
+    "q_nation_set_ops"  -> ((s, d) => Breadth.nationSetOps(Tables.customer(s, d), Tables.supplier(s, d))),
+    "q_events_hourly"   -> ((s, d) => Breadth.eventsHourly(Tables.events(s, d))),
+    "q_event_sessions"  -> ((s, d) => Breadth.eventSessions(Tables.events(s, d)))
   )
 
   /** DuckDB twins of each query, same column names (driver compares by
@@ -136,6 +150,90 @@ object SparkEntry {
         |SELECT DISTINCT rental_id, rental_date, inventory_id, customer_id, return_date
         |FROM dirty
         |WHERE rental_id IS NOT NULL AND rental_date IS NOT NULL
-        |  AND inventory_id IS NOT NULL AND customer_id IS NOT NULL AND return_date IS NOT NULL""".stripMargin
+        |  AND inventory_id IS NOT NULL AND customer_id IS NOT NULL AND return_date IS NOT NULL""".stripMargin,
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS sum_disc_price,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+    "q_region_revenue" ->
+      """SELECT r_name, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+    "q_top_customers" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+        |  FROM orders GROUP BY 1
+        |  ORDER BY total_spend DESC, o_custkey LIMIT 10)
+        |SELECT o_custkey, c_name, total_spend
+        |FROM spend JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q_window_top_parts" ->
+      """WITH per_part AS (
+        |  SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT l_suppkey, l_partkey, qty,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY qty DESC, l_partkey) AS INTEGER) AS rn
+        |  FROM per_part) t
+        |WHERE rn <= 3""".stripMargin,
+    "q_running_revenue" ->
+      """WITH monthly AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month_start,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monthly_revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT month_start, CAST(monthly_revenue AS DECIMAL(18,2)) AS monthly_revenue,
+        |       CAST(SUM(monthly_revenue) OVER (ORDER BY month_start
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS cumulative_revenue
+        |FROM monthly""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_rollup_revenue" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       CAST(month(o_orderdate) AS INTEGER) AS o_month,
+        |       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        |FROM orders
+        |GROUP BY ROLLUP(1, 2)""".stripMargin,
+    "q_monthly_active" ->
+      """SELECT date_trunc('month', o_orderdate) AS month_start,
+        |       COUNT(DISTINCT o_custkey) AS active_customers,
+        |       COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_nation_set_ops" ->
+      """WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+        |     s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        |SELECT nationkey, 'union' AS set_op FROM (SELECT nationkey FROM c UNION SELECT nationkey FROM s)
+        |UNION ALL
+        |SELECT nationkey, 'intersect' AS set_op FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+        |UNION ALL
+        |SELECT nationkey, 'except' AS set_op FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       COUNT(*) AS n_events,
+        |       SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_event_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id,
+        |         CASE WHEN prev_ms IS NULL THEN 0
+        |              WHEN epoch_ms(ts) - prev_ms > 1800000 THEN 1 ELSE 0 END AS is_new
+        |  FROM x)
+        |SELECT user_id, CAST(SUM(is_new) + 1 AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        |FROM y GROUP BY 1""".stripMargin
   )
 }

@@ -1,0 +1,159 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Operator-breadth queries beyond the reference's own surface (SURVEY.md
+  * §2.1 lists what the reference lacks; BASELINE.json's north star asks for
+  * a complete engine anyway): multi-way joins, windows, semi/anti joins,
+  * grouping rollups, distinct aggregation, set operations, and
+  * stream-shaped event analytics.
+  *
+  * Determinism rules shared with the oracle (SURVEY.md §7.4.5): money/value
+  * sums go through DECIMAL(18,2) so results are exact and independent of
+  * partial-aggregation order; every LIMIT carries a total ordering.
+  */
+object Breadth {
+
+  private def dec(c: String) = col(c).cast(DecimalType(18, 2))
+
+  /** TPC-H Q1-style pricing summary: multi-measure hash agg over the
+    * biggest table. Map-side partial aggregation keeps the shuffle tiny
+    * (4 groups) at any scale.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec("l_quantity")).as("sum_qty"),
+        sum(dec("l_extendedprice")).as("sum_base_price"),
+        sum((dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          .cast(DecimalType(18, 4))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** Multi-way star join: revenue per region. nation/region are tiny →
+    * Catalyst broadcasts them; orders⋈customer is the only real shuffle.
+    */
+  def regionRevenue(orders: DataFrame, customer: DataFrame,
+                    nation: DataFrame, region: DataFrame): DataFrame =
+    orders.select("o_custkey", "o_totalprice")
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(sum(dec("o_totalprice")).as("revenue"))
+
+  /** Top-K with join-back: 10 biggest customers by lifetime spend. The agg
+    * runs before the join so only K rows join to the dim.
+    */
+  def topCustomers(orders: DataFrame, customer: DataFrame, k: Int = 10): DataFrame = {
+    val spend = orders.groupBy("o_custkey")
+      .agg(sum(dec("o_totalprice")).as("total_spend"))
+      .orderBy(desc("total_spend"), asc("o_custkey"))
+      .limit(k)
+    spend.join(customer.select("c_custkey", "c_name"),
+        spend("o_custkey") === customer("c_custkey"))
+      .select("o_custkey", "c_name", "total_spend")
+  }
+
+  /** Window function: top-3 parts per supplier by shipped quantity
+    * (rank over a partitioned window, deterministic tie-break).
+    */
+  def windowTopParts(lineitem: DataFrame, n: Int = 3): DataFrame = {
+    val perPart = lineitem.groupBy("l_suppkey", "l_partkey")
+      .agg(sum(dec("l_quantity")).as("qty"))
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(desc("qty"), asc("l_partkey"))
+    perPart.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+  }
+
+  /** Window function: cumulative revenue over months (running total frame).
+    * The month grain is tiny, so the single-partition window is fine even
+    * at 100 TB — the heavy lifting happened in the agg below it.
+    */
+  def runningRevenue(orders: DataFrame): DataFrame = {
+    // trunc() (not date_trunc) → DateType, matching the oracle's DATE grain
+    val monthly = orders
+      .groupBy(trunc(col("o_orderdate"), "month").as("month_start"))
+      .agg(sum(dec("o_totalprice")).as("monthly_revenue"))
+    val w = Window.orderBy("month_start")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly.withColumn("cumulative_revenue",
+      sum("monthly_revenue").over(w).cast(DecimalType(18, 2)))
+  }
+
+  /** Left-semi join (EXISTS): customers that ordered in 1995. */
+  def customersWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select("c_custkey", "c_name")
+      .join(orders.filter(year(col("o_orderdate")) === 1995)
+        .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+
+  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select("c_custkey", "c_name")
+      .join(orders.select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+
+  /** ROLLUP(year, month): subtotals + grand total in one pass. */
+  def revenueRollup(orders: DataFrame): DataFrame =
+    orders
+      .select(year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        col("o_totalprice"))
+      .rollup("o_year", "o_month")
+      .agg(sum(dec("o_totalprice")).as("revenue"))
+
+  /** Distinct aggregation: active customers and orders per month. */
+  def monthlyActiveCustomers(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(trunc(col("o_orderdate"), "month").as("month_start"))
+      .agg(countDistinct(col("o_custkey")).as("active_customers"),
+        count(lit(1)).as("n_orders"))
+
+  /** Set ops: nation keys present among customers vs suppliers. */
+  def nationSetOps(customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val c = customer.select(col("c_nationkey").as("nationkey")).distinct()
+    val s = supplier.select(col("s_nationkey").as("nationkey")).distinct()
+    c.union(s).distinct().withColumn("set_op", lit("union"))
+      .union(c.intersect(s).withColumn("set_op", lit("intersect")))
+      .union(c.except(s).withColumn("set_op", lit("except")))
+  }
+
+  /** Stream-shaped batch: hourly tumbling-window event rollup. The exact
+    * same grouping runs incrementally under Structured Streaming (see
+    * graft.streaming.EventStreams) — this is the batch twin the oracle can
+    * check.
+    */
+  def eventsHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec("value")).as("total_value"))
+
+  /** Sessionization via windows: per-user session count with a 30-minute
+    * inactivity gap. Partition-by-user windows scale horizontally; state
+    * never leaves the executor that owns the user.
+    */
+  def eventSessions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ms").isNull, 0)
+          .when(unix_millis(col("ts")) - col("prev_ms") > gapMinutes * 60000L, 1)
+          .otherwise(0))
+      .groupBy("user_id")
+      .agg((sum("is_new") + 1).cast("long").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+}

@@ -50,7 +50,23 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's reader rejects
+    * ([PARQUET_TYPE_ILLEGAL]); read it as raw nanos via the legacy flag and
+    * floor-convert to a microsecond TimestampType column (matching how
+    * DuckDB/most engines narrow ns → µs). Integer `div` — a double division
+    * would lose precision above 2^53 ns.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
