@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.{Breadth, Queries}
+import graft.dedup.Dedup
 import graft.etl.{Clean, Dims, Facts}
 import graft.io.Tables
+import graft.text.TextOps
 
 /** Driver contract — see SURVEY.md §7 + TESTDATA.md.
   *
@@ -76,7 +78,17 @@ object SparkEntry {
     "q_monthly_active"  -> ((s, d) => Breadth.monthlyActiveCustomers(Tables.orders(s, d))),
     "q_nation_set_ops"  -> ((s, d) => Breadth.nationSetOps(Tables.customer(s, d), Tables.supplier(s, d))),
     "q_events_hourly"   -> ((s, d) => Breadth.eventsHourly(Tables.events(s, d))),
-    "q_event_sessions"  -> ((s, d) => Breadth.eventSessions(Tables.events(s, d)))
+    "q_event_sessions"  -> ((s, d) => Breadth.eventSessions(Tables.events(s, d))),
+    // --- text analysis (north star: training-data pipeline ops) ---
+    "text_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
+    "text_quality"     -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
+    "text_langid"      -> ((s, d) => TextOps.langId(Tables.documents(s, d))),      // rows-only
+    "text_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))), // rows-only
+    // --- deduplication (north star) ---
+    "dedup_exact"         -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
+    "dedup_minhash"       -> ((s, d) => Dedup.minhashDedup(Tables.documents(s, d))),  // rows-only
+    "dedup_simhash"       -> ((s, d) => Dedup.simhashDedup(Tables.documents(s, d))),  // rows-only
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d)))
   )
 
   /** DuckDB twins of each query, same column names (driver compares by
@@ -234,6 +246,55 @@ object SparkEntry {
         |              WHEN epoch_ms(ts) - prev_ms > 1800000 THEN 1 ELSE 0 END AS is_new
         |  FROM x)
         |SELECT user_id, CAST(SUM(is_new) + 1 AS BIGINT) AS n_sessions, COUNT(*) AS n_events
-        |FROM y GROUP BY 1""".stripMargin
+        |FROM y GROUP BY 1""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id, n_chars,
+        |       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_subwords
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, n_chars,
+        |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+        |         CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS INTEGER) AS n_punct
+        |  FROM documents),
+        |counted AS (
+        |  SELECT doc_id, n_chars, CAST(len(toks) AS INTEGER) AS n_tokens, n_punct,
+        |         CAST(len(list_filter(toks, x -> list_contains(
+        |           ['the','a','an','of','to','in','is','and','or','for','on',
+        |            'with','as','at','by','it','be','this','that','are'], x))) AS INTEGER) AS n_stopwords
+        |  FROM base)
+        |SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords,
+        |       CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+        |       CASE WHEN n_tokens > 0 THEN CAST(n_stopwords AS DOUBLE) / n_tokens ELSE 0.0 END AS stopword_ratio,
+        |       least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) *
+        |         (1.0 - CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) AS quality_score
+        |FROM counted""".stripMargin,
+    "dedup_exact" ->
+      """SELECT sha256(text) AS text_sha, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) END) AS g
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, len(g) AS n_grams FROM grams),
+        |inv AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+        |rare AS (SELECT gram FROM inv GROUP BY 1 HAVING COUNT(*) <= 10000),
+        |f AS (SELECT inv.doc_id, inv.gram FROM inv JOIN rare USING (gram)),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        |  FROM f a JOIN f b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       CAST(shared AS DOUBLE) / (sa.n_grams + sb.n_grams - shared) AS jaccard
+        |FROM shared
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(shared AS DOUBLE) / (sa.n_grams + sb.n_grams - shared) >= 0.3""".stripMargin
   )
 }

@@ -1,0 +1,126 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (BASELINE.json north star; beyond the reference's surface, which has no
+  * string processing at all — SURVEY.md §2.1).
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * (split / higher-order array functions / regexp) — no UDFs, so the whole
+  * pipeline stays inside WholeStageCodegen and scales linearly with
+  * executors. Double-valued ratios are single IEEE divisions of exact
+  * integer counts, so results are bit-identical across engines and
+  * parallelism levels.
+  */
+object TextOps {
+
+  /** Whitespace tokens of trimmed text (empty text → empty array). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** ASCII punctuation as an explicit range class — identical bytes in Java
+    * regex and RE2, avoiding engine-specific \p{Punct} definitions.
+    */
+  val PunctClass = "[!-/:-@\\[-`{-~]"
+
+  /** Token counting: whitespace tokens plus a BPE-ish subword proxy
+    * (runs of letters / digits / single other chars), per document.
+    */
+  def tokenCount(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      col("n_chars"),
+      size(tokens(col("text"))).as("n_tokens"),
+      // BPE-ish: letter-runs, digit-runs, and isolated symbols each count
+      size(filter(split(col("text"), "(?<=[a-zA-Z])(?=[^a-zA-Z])|(?<=[0-9])(?=[^0-9])|\\s+"),
+        t => length(t) > 0)).as("n_subwords"))
+
+  /** English-ish stopword list used by the quality score. */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "in", "is", "and", "or", "for", "on",
+    "with", "as", "at", "by", "it", "be", "this", "that", "are")
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, and a
+    * composite score in [0,1]. Heuristics follow published web-corpus
+    * filters (C4/Gopher-style length+symbol+stopword rules).
+    */
+  def quality(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val stopArr = array(Stopwords.map(lit): _*)
+    documents.select(
+      col("doc_id"),
+      col("n_chars"),
+      size(toks).as("n_tokens"),
+      (length(col("text")) - length(regexp_replace(col("text"), PunctClass, "")))
+        .as("n_punct"),
+      size(filter(toks, t => array_contains(stopArr, t))).as("n_stopwords"))
+      .withColumn("punct_ratio",
+        when(col("n_chars") > 0, col("n_punct").cast("double") / col("n_chars"))
+          .otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(col("n_tokens") > 0, col("n_stopwords").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .withColumn("quality_score",
+        least(col("n_tokens").cast("double") / 100.0, lit(1.0))
+          * (lit(1.0) - col("punct_ratio")))
+  }
+
+  /** Marker vocabulary for the n-gram/stopword language-ID heuristic. */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "to", "in", "that", "it", "with", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "en", "un", "una", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "eine", "mit", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "une", "dans", "que", "pour"))
+
+  /** Language identification: CJK script detection plus marker-stopword
+    * voting, entirely in native expressions (argmax over per-language hit
+    * counts). Returns (doc_id, lang_pred, lang_score) where lang_score is
+    * the winning marker-hit fraction. Docs with no signal → "und".
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val baseCols = Seq(
+      col("doc_id"), col("text"),
+      size(toks).as("n_tokens"),
+      length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", "")).as("n_cjk"))
+    val hitExprs = LangMarkers.map { case (lang, markers) =>
+      val arr = array(markers.map(lit): _*)
+      size(filter(toks, t => array_contains(arr, t))).as(s"hits_$lang")
+    }
+    val scored = documents.select(baseCols ++ hitExprs: _*)
+    val hitCols = LangMarkers.map { case (l, _) => col(s"hits_$l") }
+    val best = greatest(hitCols: _*)
+    // deterministic argmax: first language (in LangMarkers order) with the
+    // max hit count; CJK characters dominate all marker votes
+    val pick = LangMarkers.foldRight(lit("und")) { case ((lang, _), elseCol) =>
+      when(col(s"hits_$lang") === best && best > 0, lit(lang)).otherwise(elseCol)
+    }
+    scored.select(
+      col("doc_id"),
+      when(col("n_cjk") * 2 > length(col("text")), lit("zh")).otherwise(pick)
+        .as("lang_pred"),
+      when(col("n_tokens") > 0, best.cast("double") / col("n_tokens"))
+        .otherwise(lit(0.0)).as("lang_score"))
+  }
+
+  /** Document fingerprinting via rolling char-k-gram hashes (winnowing
+    * style): min and max xxhash64 over all k-grams plus the gram count.
+    * One scan, no shuffle; the fingerprint is a stable 64-bit id usable as
+    * a cheap near-dup blocking key at any scale.
+    */
+  def fingerprint(documents: DataFrame, k: Int = 8): DataFrame = {
+    // substring with a per-element start index needs the SQL form — the
+    // 3-arg Column helper only takes literal positions
+    val gramHashes = expr(
+      s"transform(sequence(1, greatest(length(text) - ${k - 1}, 1)), " +
+      s"i -> xxhash64(substring(text, i, $k)))")
+    documents.select(
+      col("doc_id"),
+      array_min(gramHashes).as("fp_min"),
+      array_max(gramHashes).as("fp_max"),
+      size(gramHashes).as("n_grams"))
+  }
+}

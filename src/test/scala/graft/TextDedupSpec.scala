@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.io.Tables
+import graft.text.TextOps
+
+class TextDedupSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").withColumn("n_chars",
+      org.apache.spark.sql.functions.length($"text").cast("long"))
+
+  test("langId picks the right language on real-language samples") {
+    val fixture = docs(
+      1L -> "the cat is on the mat and it is happy with the sun",
+      2L -> "el perro y la casa de los amigos es que una maravilla",
+      3L -> "der hund und die katze das ist ein gutes leben mit freunden",
+      4L -> "le chien et les amis dans la maison est une belle vie pour tous",
+      5L -> "今天天气很好我们一起去公园散步吧然后吃晚饭",
+      6L -> "xyzzy qwerty plugh")
+    val got = TextOps.langId(fixture).select("doc_id", "lang_pred")
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "en"); assert(got(2L) === "es"); assert(got(3L) === "de")
+    assert(got(4L) === "fr"); assert(got(5L) === "zh"); assert(got(6L) === "und")
+  }
+
+  test("quality: ratios bounded, clean prose scores above symbol soup") {
+    val fixture = docs(
+      1L -> "the quick brown fox jumps over the lazy dog and runs to the hills with a smile on its face today",
+      2L -> "@@@ ### $$$ %%% ^^^ &&& *** ((( )))")
+    val q = TextOps.quality(fixture).select("doc_id", "quality_score", "punct_ratio")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(q(1L)._1 > q(2L)._1)
+    assert(q(2L)._2 > 0.5)
+    val all = TextOps.quality(Tables.documents(spark, sfDir))
+    assert(all.filter($"punct_ratio" < 0 || $"punct_ratio" > 1 ||
+      $"stopword_ratio" < 0 || $"stopword_ratio" > 1 ||
+      $"quality_score" < 0 || $"quality_score" > 1).count() === 0)
+  }
+
+  test("exact dedup finds planted duplicates") {
+    val fixture = docs(1L -> "alpha beta gamma", 2L -> "alpha beta gamma",
+      3L -> "delta epsilon zeta")
+    val got = Dedup.exactDedup(fixture).select("doc_id", "n_copies")
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) === 2L) // survivor is min doc_id
+    assert(got(3L) === 1L)
+    assert(!got.contains(2L))
+  }
+
+  test("minhash finds planted near-duplicates and skips unrelated docs") {
+    val base = "the data pipeline reads parquet files and aggregates daily " +
+      "metrics for every customer region then writes results back to storage"
+    val nearDup = base.replace("daily", "weekly")
+    val fixture = docs(1L -> base, 2L -> nearDup,
+      3L -> "completely different content about cooking pasta with tomato sauce and fresh basil leaves in a large pot")
+    val got = Dedup.minhashDedup(fixture, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups within threshold") {
+    val base = "spark executes distributed queries over columnar storage " +
+      "with whole stage code generation and adaptive execution"
+    val fixture = docs(1L -> base, 2L -> base,
+      3L -> (base + " extra trailing tokens appended"),
+      4L -> "unrelated short text about gardening tulips roses and daffodils in spring weather")
+    val got = Dedup.simhashDedup(fixture, maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(got.find(r => (r._1, r._2) == ((1L, 2L))).get._3 === 0)
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard: symmetric-set identity on identical docs") {
+    val fixture = docs(1L -> "a b c d e f", 2L -> "a b c d e f",
+      3L -> "x y z w v u")
+    val got = Dedup.ngramJaccard(fixture, threshold = 0.99)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("fingerprint: equal texts share fingerprints, runs on fixture data") {
+    val fixture = docs(1L -> "abcdefghijklmnop", 2L -> "abcdefghijklmnop")
+    val fps = TextOps.fingerprint(fixture).select("fp_min", "fp_max")
+      .as[(Long, Long)].collect()
+    assert(fps(0) === fps(1))
+    assert(TextOps.fingerprint(Tables.documents(spark, sfDir)).count() > 0)
+  }
+}
