@@ -6,6 +6,7 @@ import graft.analytics.{Breadth, Queries}
 import graft.dedup.Dedup
 import graft.etl.{Clean, Dims, Facts}
 import graft.io.Tables
+import graft.similarity.Ann
 import graft.text.TextOps
 
 /** Driver contract — see SURVEY.md §7 + TESTDATA.md.
@@ -88,7 +89,14 @@ object SparkEntry {
     "dedup_exact"         -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "dedup_minhash"       -> ((s, d) => Dedup.minhashDedup(Tables.documents(s, d))),  // rows-only
     "dedup_simhash"       -> ((s, d) => Dedup.simhashDedup(Tables.documents(s, d))),  // rows-only
-    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d)))
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    // --- similarity search over embeddings (north star) ---
+    "ann_topk_brute" -> ((s, d) => Ann.bruteForceTopK(Tables.embeddings(s, d))),
+    "ann_topk_lsh"   -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),   // rows-only
+    "ann_topk_ivf"   -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),   // rows-only
+    // synthetic corpus peaks near cosine 0.5 → 0.35 keeps output non-empty
+    "embed_neardup"  -> ((s, d) =>
+      Ann.nearDupPairs(Tables.embeddings(s, d), threshold = 0.35))          // rows-only
   )
 
   /** DuckDB twins of each query, same column names (driver compares by
@@ -295,6 +303,22 @@ object SparkEntry {
         |FROM shared
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE CAST(shared AS DOUBLE) / (sa.n_grams + sb.n_grams - shared) >= 0.3""".stripMargin
+        |WHERE CAST(shared AS DOUBLE) / (sa.n_grams + sb.n_grams - shared) >= 0.3""".stripMargin,
+    "ann_topk_brute" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |         round(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i])) /
+        |               (sqrt(list_sum(list_transform(qv, x -> x*x))) *
+        |                sqrt(list_sum(list_transform(v, x -> x*x)))), 6) AS cosine
+        |  FROM q, e WHERE vec_id <> query_id)
+        |SELECT query_id, vec_id, cosine, rank FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5""".stripMargin
   )
 }

@@ -1,0 +1,155 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), BASELINE.json north star.
+  *
+  * Three tiers:
+  *  1. [[bruteForceTopK]] — exact cosine top-k; the correctness baseline.
+  *     Broadcast the (small) query set against the partitioned corpus, so
+  *     the corpus never shuffles; per-query top-k via ranked windows.
+  *  2. [[lshTopK]] — random-hyperplane (sign-random-projection) LSH:
+  *     candidates must share a bucket in ≥1 of `tables` hash tables; only
+  *     candidates get exact re-ranking. The bucket join is an equi-join on
+  *     (table, bucket) — at 100 TB this is the difference between a cross
+  *     join (impossible) and a keyed shuffle (routine).
+  *  3. [[ivfTopK]] — inverted-file index: corpus vectors are assigned to
+  *     their nearest centroid; queries probe the `nprobe` nearest
+  *     centroids' posting lists only.
+  *
+  * All vector math is higher-order array expressions (`zip_with` +
+  * `aggregate` left-folds) — deterministic summation order, codegen'd, no
+  * UDFs. Cosines exposed to oracles are rounded to 1e-6 so cross-engine
+  * float-fold differences can't flip a comparison.
+  */
+object Ann {
+
+  /** Elementwise dot product as a deterministic left fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Corpus relation (vec_id, v) with embeddings widened to double. */
+  private def corpus(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+
+  /** Exact cosine top-k of every corpus vector for each query vector
+    * (queries = vec_id < nQueries, self-matches excluded). Returns
+    * (query_id, vec_id, cosine, rank).
+    */
+  def bruteForceTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val e = corpus(embeddings)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Sign of dot(v, r_j) for the j-th Rademacher (±1) hyperplane; the
+    * plane's components are derived from xxhash64(j, dim) so no literal
+    * plane matrix ships with the plan.
+    */
+  private def planeBit(v: Column, j: Int, dim: Int): Column = {
+    val signed = zip_with(v, sequence(lit(0), lit(dim - 1)),
+      (x, d) => x * (lit(1.0) - lit(2.0) * pmod(xxhash64(lit(j), d), lit(2)).cast("double")))
+    (aggregate(signed, lit(0.0), (acc, x) => acc + x) > 0).cast("int")
+  }
+
+  /** Bucket id per hash table: `bits` sign-bits packed into an int. */
+  private def bucketCol(v: Column, table: Int, bits: Int, dim: Int): Column =
+    (0 until bits).map { i =>
+      (planeBit(v, table * bits + i, dim) * lit(1 << i)): Column
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate top-k with exact re-ranking of candidates.
+    * Recall rises with `tables`, precision of buckets with `bits`.
+    */
+  def lshTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
+              tables: Int = 8, bits: Int = 8, dim: Int = 64): DataFrame = {
+    val e = corpus(embeddings)
+    val buckets = e.select(col("vec_id"), col("v"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("t"), bucketCol(col("v"), t, bits, dim).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val qb = buckets.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("t").as("qt"), col("bucket").as("qbucket"))
+    val cand = buckets.join(broadcast(qb),
+        col("t") === col("qt") && col("bucket") === col("qbucket") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
+      .dropDuplicates("query_id", "vec_id")
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    cand.select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF: deterministic centroid sample (vec_id ≡ 0 mod `centroidStep`),
+    * corpus assigned to nearest centroid, queries probe `nprobe` nearest
+    * centroids. Returns the same (query_id, vec_id, cosine, rank) shape.
+    */
+  def ivfTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
+              centroidStep: Int = 29, nprobe: Int = 3): DataFrame = {
+    val e = corpus(embeddings)
+    val cents = e.filter(pmod(col("vec_id"), lit(centroidStep)) === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+
+    def nearest(points: DataFrame, idCol: String, vCol: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(idCol).orderBy(desc("csim"), asc("cent_id"))
+      points.join(broadcast(cents))
+        .select(col(idCol), col(vCol), col("cent_id"),
+          cosine(col(vCol), col("cv")).as("csim"))
+        .withColumn("crank", row_number().over(w)).filter(col("crank") <= n)
+        .drop("csim", "crank")
+    }
+
+    val assigned = nearest(e, "vec_id", "v", 1) // posting lists
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probes = nearest(q, "query_id", "qv", nprobe)
+    val cand = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    cand.select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH blocking (all `tables`
+    * buckets must be computed anyway, any shared bucket makes a candidate)
+    * then exact cosine ≥ threshold. doc pairs ordered vec_a < vec_b.
+    */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
+                   tables: Int = 8, bits: Int = 8, dim: Int = 64): DataFrame = {
+    val e = corpus(embeddings)
+    val buckets = e.select(col("vec_id"), col("v"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("t"), bucketCol(col("v"), t, bits, dim).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("vec_a", "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.Tables
+import graft.similarity.Ann
+
+class AnnSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+  import spark.implicits._
+
+  /** Deterministic fixture: 3 tight clusters of near-identical vectors plus
+    * uniform noise — planted structure the ANN variants must recover.
+    */
+  private lazy val planted = {
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    def base() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    def jitter(v: Array[Float]) = v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val clusters = Seq.fill(3)(base())
+    val rows =
+      clusters.zipWithIndex.flatMap { case (c, ci) =>
+        (0 until 4).map(j => ((ci * 4 + j).toLong, jitter(c)))
+      } ++ (12 until 60).map(i => (i.toLong, base()))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("brute force: finds planted cluster mates as top neighbors") {
+    val got = Ann.bruteForceTopK(planted, k = 3, nQueries = 12)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect()
+    // query 0 belongs to cluster {0,1,2,3}: its top-3 must be exactly the mates
+    val q0 = got.filter(_._1 == 0L).map(_._2).toSet
+    assert(q0 === Set(1L, 2L, 3L))
+  }
+
+  test("lsh: high recall on planted clusters vs brute force") {
+    val exact = Ann.bruteForceTopK(planted, k = 3, nQueries = 12)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.lshTopK(planted, k = 3, nQueries = 12)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall too low")
+  }
+
+  test("ivf: recovers cluster mates for planted queries") {
+    val exact = Ann.bruteForceTopK(planted, k = 3, nQueries = 12)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.ivfTopK(planted, k = 3, nQueries = 12, centroidStep = 7, nprobe = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
+  test("near-dup pairs: planted near-identical vectors found, noise absent") {
+    val got = Ann.nearDupPairs(planted, threshold = 0.95)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // all within-cluster pairs of cluster 0 should surface
+    assert(got.contains((0L, 1L)) && got.contains((0L, 2L)) && got.contains((2L, 3L)))
+    // noise vectors (>= 12) shouldn't pair with anything at 0.95
+    assert(!got.exists(p => p._1 >= 12L && p._2 >= 12L))
+  }
+
+  test("fixture corpus: brute force returns k rows per query") {
+    val got = Ann.bruteForceTopK(Tables.embeddings(spark, sfDir), k = 5, nQueries = 10)
+    assert(got.count() === 50)
+  }
+}
