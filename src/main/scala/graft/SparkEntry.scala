@@ -6,6 +6,7 @@ import graft.analytics.{Breadth, Queries}
 import graft.dedup.Dedup
 import graft.etl.{Clean, Dims, Facts}
 import graft.io.Tables
+import graft.multimodal.Multimodal
 import graft.similarity.Ann
 import graft.text.TextOps
 
@@ -96,7 +97,16 @@ object SparkEntry {
     "ann_topk_ivf"   -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),   // rows-only
     // synthetic corpus peaks near cosine 0.5 → 0.35 keeps output non-empty
     "embed_neardup"  -> ((s, d) =>
-      Ann.nearDupPairs(Tables.embeddings(s, d), threshold = 0.35))          // rows-only
+      Ann.nearDupPairs(Tables.embeddings(s, d), threshold = 0.35)),         // rows-only
+    // --- multimodal binary columns (north star; codec decode is stubbed) ---
+    "mm_features" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.decodeFeatures(
+        Multimodal.packSynthetic(Tables.documents(s, d))
+          .as[Multimodal.MediaRecord]).toDF()
+    }), // rows-only
+    "mm_frames" -> ((s, d) =>
+      Multimodal.frameSample(Multimodal.packSynthetic(Tables.documents(s, d))))
   )
 
   /** DuckDB twins of each query, same column names (driver compares by
@@ -319,6 +329,19 @@ object SparkEntry {
         |  SELECT *, CAST(ROW_NUMBER() OVER (
         |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
         |  FROM scored) t
-        |WHERE rank <= 5""".stripMargin
+        |WHERE rank <= 5""".stripMargin,
+    "mm_frames" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id,
+        |         (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+        |         text
+        |  FROM documents),
+        |frames AS (
+        |  SELECT media_id, kind, i AS frame_idx,
+        |         encode(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_bytes,
+        |         length(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS flen
+        |  FROM media, range(0, 4) t(i))
+        |SELECT media_id, kind, CAST(frame_idx AS INTEGER) AS frame_idx, frame_bytes
+        |FROM frames WHERE flen > 0""".stripMargin
   )
 }

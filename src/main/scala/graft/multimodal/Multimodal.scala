@@ -1,0 +1,102 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (BASELINE.json north star): image/audio/video
+  * are opaque `binary` columns with typed metadata; per-item processing
+  * happens in batched partition-local functions.
+  *
+  * The actual codec work (JPEG decode, audio resample, video demux) needs
+  * native libraries this container doesn't ship — those steps are STUBBED
+  * behind [[decodeStub]] with a deterministic fake. Everything around the
+  * stub is real and tested: the schema, the binary packing, the
+  * mapPartitions batch shape (the Scala analogue of `mapInPandas` — one
+  * iterator per partition so per-partition codec init happens once), and
+  * the frame-sampling/resizing plumbing over byte ranges.
+  */
+object Multimodal {
+
+  case class MediaRecord(media_id: Long, kind: String, content: Array[Byte],
+                         width: Int, height: Int, format: String)
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                           byte_mean: Double, byte_entropy: Double, phash: Long)
+
+  /** Pack a deterministic synthetic media table from `documents`: UTF-8
+    * bytes of the text play the role of the encoded payload, with
+    * kind/format/dimensions derived from doc_id. At 100 TB the same shape
+    * holds — payload bytes in parquet binary, metadata columns prunable
+    * without touching payloads.
+    */
+  def packSynthetic(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("content"),
+      (pmod(col("doc_id"), lit(4)) * 160 + 320).cast("int").as("width"),
+      (pmod(col("doc_id"), lit(4)) * 90 + 180).cast("int").as("height"),
+      element_at(array(lit("jpeg"), lit("wav"), lit("mp4")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"))
+
+  /** STUB for the real codec decode: derives features from raw payload
+    * bytes (mean, empirical byte entropy, xxhash-based perceptual-hash
+    * stand-in). A production build swaps only this function's body for a
+    * real decoder; the partition/batch plumbing stays.
+    */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    val bytes = r.content
+    val n = bytes.length
+    val hist = new Array[Long](256)
+    var sum = 0L
+    bytes.foreach { b => val u = b & 0xff; hist(u) += 1; sum += u }
+    val mean = if (n == 0) 0.0 else sum.toDouble / n
+    val entropy = if (n == 0) 0.0 else {
+      var h = 0.0
+      hist.foreach { c =>
+        if (c > 0) { val p = c.toDouble / n; h -= p * math.log(p) / math.log(2) }
+      }
+      h
+    }
+    val phash = scala.util.hashing.MurmurHash3.bytesHash(bytes, 42).toLong
+    MediaFeatures(r.media_id, r.kind, n, mean, entropy, phash)
+  }
+
+  /** Batched feature extraction: mapPartitions so a real decoder would be
+    * initialised once per partition (the Scala `mapInPandas` shape), then
+    * applied per record. Fully distributed; output is a narrow typed
+    * feature table.
+    */
+  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    media.mapPartitions { it =>
+      // per-partition init of the (stubbed) codec would go here
+      it.map(decodeStub)
+    }
+  }
+
+  /** Frame sampling: slice the payload into up-to-`n` fixed-size byte
+    * "frames" (the demuxer stand-in). Pure expressions — substring works on
+    * binary — so sampling never leaves codegen and empty tails are dropped.
+    */
+  def frameSample(media: DataFrame, n: Int = 4, frameBytes: Int = 64): DataFrame =
+    media.select(col("media_id"), col("kind"),
+      posexplode(expr(
+        s"filter(transform(sequence(0, ${n - 1}), " +
+        s"i -> substring(content, i * $frameBytes + 1, $frameBytes)), " +
+        "f -> length(f) > 0)")).as(Seq("frame_idx", "frame_bytes")))
+
+  /** Resize stand-in: deterministic decimation, keeping every `factor`-th
+    * byte of the payload (what a real implementation would do per pixel
+    * row after decode). Shows binary → binary transforms stay columnar.
+    */
+  def resizeStub(media: DataFrame, factor: Int = 4): DataFrame =
+    media.select(col("media_id"), col("kind"),
+      col("width"), col("height"),
+      (col("width") / factor).cast("int").as("out_width"),
+      (col("height") / factor).cast("int").as("out_height"),
+      expr(s"""filter(transform(sequence(1, length(content), $factor),
+        i -> substring(content, i, 1)), f -> length(f) > 0)""").as("sampled")
+      ).withColumn("resized", expr("aggregate(sampled, cast('' as binary), (acc, x) -> acc || x)"))
+      .drop("sampled")
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming surface over the `events` stream-shaped table.
+  *
+  * The reference has no streaming (SURVEY.md §2.1 — Airflow's @daily
+  * schedule is batch re-execution), but the north star asks for
+  * stream-capable event processing. Each transform here is plan-identical
+  * between `read` and `readStream` inputs — the batch twins in
+  * `analytics.Breadth` (eventsHourly / eventSessions) are what the DuckDB
+  * oracle checks, and these incremental versions run the same logic with
+  * watermarked state.
+  *
+  * Scale: windowed aggregations shuffle by (window, key) with partial
+  * aggregation; per-user state in [[runningUserCounts]] lives in the state
+  * store partition that owns the user — nothing accumulates on the driver.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double, props: String)
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Hourly tumbling-window rollup per event type — streaming twin of
+    * `Breadth.eventsHourly`. Late data beyond `watermark` is dropped and
+    * the window state is reclaimed.
+    */
+  def hourlyRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Session windows (30-minute inactivity gap) per user via the built-in
+    * `session_window` — streaming twin of `Breadth.eventSessions`' grain.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("session"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).as("total_value"))
+      .select(col("user_id"), col("session.start").as("session_start"),
+        col("session.end").as("session_end"), col("n_events"), col("total_value"))
+
+  /** Arbitrary stateful processing: per-user running totals via
+    * `mapGroupsWithState` — the escape hatch for stateful logic windows
+    * can't express. Update-mode output, one row per user per trigger.
+    */
+  def runningUserCounts(events: Dataset[Event]): Dataset[UserRunning] = {
+    implicit val stateEnc = Encoders.product[UserRunning]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n_events
+          var v = prev.total_value
+          it.foreach { e => n += 1; v += e.value }
+          val next = UserRunning(uid, n, v)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.Breadth
+import graft.io.Tables
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private lazy val eventRows: Seq[Event] =
+    Tables.events(spark, sfDir).as[Event].collect().toSeq
+
+  test("streaming hourly rollup converges to the batch twin") {
+    val stream = MemoryStream[Event]
+    stream.addData(eventRows)
+    val q = EventStreams.hourlyRollup(stream.toDF())
+      .writeStream.format("memory").queryName("hr").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("hr")
+      .select("window_start", "event_type", "n_events", "total_value")
+      .collect().map(_.toSeq).toSet
+    val batch = Breadth.eventsHourly(Tables.events(spark, sfDir))
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
+  test("session windows produce per-user sessions") {
+    val stream = MemoryStream[Event]
+    stream.addData(eventRows)
+    val q = EventStreams.sessionWindows(stream.toDF())
+      .writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sess")
+    assert(got.count() > 0)
+    assert(got.filter($"session_end" < $"session_start").count() === 0)
+  }
+
+  test("mapGroupsWithState accumulates across triggers") {
+    val stream = MemoryStream[Event]
+    val q = EventStreams.runningUserCounts(stream.toDS())
+      .writeStream.format("memory").queryName("running").outputMode("update").start()
+    val u = eventRows.head.user_id
+    val mine = eventRows.filter(_.user_id == u)
+    try {
+      stream.addData(mine.take(3)); q.processAllAvailable()
+      stream.addData(mine.slice(3, 5)); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("running").filter($"user_id" === u)
+      .select("n_events").as[Long].collect()
+    assert(rows.max === math.min(5, mine.size).toLong)
+  }
+}
