@@ -90,7 +90,8 @@ object SparkEntry {
     "dedup_exact"         -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "dedup_minhash"       -> ((s, d) => Dedup.minhashDedup(Tables.documents(s, d))),  // rows-only
     "dedup_simhash"       -> ((s, d) => Dedup.simhashDedup(Tables.documents(s, d))),  // rows-only
-    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(Tables.documents(s, d), threshold = 0.5)),
     // --- similarity search over embeddings (north star) ---
     "ann_topk_brute" -> ((s, d) => Ann.bruteForceTopK(Tables.embeddings(s, d))),
     "ann_topk_lsh"   -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),   // rows-only
@@ -297,8 +298,8 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
         |grams AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
-        |    ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) END) AS g
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
         |  FROM toks),
         |sizes AS (SELECT doc_id, len(g) AS n_grams FROM grams),
         |inv AS (SELECT doc_id, unnest(g) AS gram FROM grams),
@@ -313,7 +314,7 @@ object SparkEntry {
         |FROM shared
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE CAST(shared AS DOUBLE) / (sa.n_grams + sb.n_grams - shared) >= 0.3""".stripMargin,
+        |WHERE CAST(shared AS DOUBLE) / (sa.n_grams + sb.n_grams - shared) >= 0.5""".stripMargin,
     "ann_topk_brute" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
