@@ -7,6 +7,7 @@ import graft.dedup.Dedup
 import graft.etl.{Clean, Dims, Facts}
 import graft.io.Tables
 import graft.multimodal.Multimodal
+import graft.operators.AsOfJoin
 import graft.similarity.Ann
 import graft.text.TextOps
 
@@ -107,7 +108,16 @@ object SparkEntry {
           .as[Multimodal.MediaRecord]).toDF()
     }), // rows-only
     "mm_frames" -> ((s, d) =>
-      Multimodal.frameSample(Multimodal.packSynthetic(Tables.documents(s, d))))
+      Multimodal.frameSample(Multimodal.packSynthetic(Tables.documents(s, d)))),
+    // --- as-of join: each event matched to the customer's latest prior order ---
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
+      val ord = AsOfJoin.latestPerKeyTs(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        "o_custkey", "o_orderdate", "o_orderkey")
+      AsOfJoin.asOf(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate",
+        Seq("o_orderkey", "o_orderdate", "o_totalprice"))
+    })
   )
 
   /** DuckDB twins of each query, same column names (driver compares by
@@ -343,6 +353,17 @@ object SparkEntry {
         |         length(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS flen
         |  FROM media, range(0, 4) t(i))
         |SELECT media_id, kind, CAST(frame_idx AS INTEGER) AS frame_idx, frame_bytes
-        |FROM frames WHERE flen > 0""".stripMargin
+        |FROM frames WHERE flen > 0""".stripMargin,
+    "q_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM (
+        |    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+        |           ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |                              ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) t WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |       r.o_orderkey, r.o_orderdate, r.o_totalprice
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin
   )
 }

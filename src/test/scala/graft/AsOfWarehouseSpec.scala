@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.Warehouse
+import graft.operators.AsOfJoin
+
+class AsOfWarehouseSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOf: backward match, exact-match inclusive, null when no prior row") {
+    val trades = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")),
+      (2L, 100L, ts("2024-01-01 10:05:00")),
+      (3L, 100L, ts("2024-01-01 09:00:00")), // before any quote → null
+      (4L, 200L, ts("2024-01-01 10:00:00"))  // exact-ts match
+    ).toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      (100L, ts("2024-01-01 09:30:00"), 10.0),
+      (100L, ts("2024-01-01 10:03:00"), 11.0),
+      (200L, ts("2024-01-01 10:00:00"), 20.0)
+    ).toDF("qsym", "qt", "price")
+
+    val got = AsOfJoin.asOf(trades, quotes, "sym", "qsym", "t", "qt", Seq("price"))
+      .select("trade_id", "price").as[(Long, Option[Double])].collect().toMap
+    assert(got(1L) === Some(10.0)) // latest quote at-or-before 10:00
+    assert(got(2L) === Some(11.0)) // picks the 10:03 quote
+    assert(got(3L) === None)       // nothing before 09:00
+    assert(got(4L) === Some(20.0)) // exact timestamp included
+  }
+
+  test("latestPerKeyTs keeps exactly one deterministic row per (key, ts)") {
+    val df = Seq((1L, ts("2024-01-01 00:00:00"), 5L), (1L, ts("2024-01-01 00:00:00"), 9L),
+      (2L, ts("2024-01-01 00:00:00"), 1L)).toDF("k", "t", "v")
+    val got = AsOfJoin.latestPerKeyTs(df, "k", "t", "v").select("k", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 9L, 2L -> 1L))
+  }
+
+  test("warehouse build: dims then facts, invariant cardinalities, partitioned facts") {
+    val out = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    val reports = Warehouse.buildAll(spark, sfDir, out)
+    val byName = reports.map(r => r.table -> r.rows).toMap
+    // structural invariants from BASELINE.md / SURVEY.md §6
+    assert(byName("dim_date") === 2557L)
+    assert(byName("fact_monthly_payment") === byName("dim_order")) // grain identity
+    assert(byName("fact_daily_inventory") <= 6000L)
+    // facts written partitioned by year → partition dirs exist
+    val dirs = new java.io.File(s"$out/fact_daily_inventory").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("year=")))
+    // partition pruning: a year-filtered read back touches one partition
+    val pruned = spark.read.parquet(s"$out/fact_daily_inventory")
+      .filter($"year" === 1995)
+    assert(pruned.count() > 0)
+  }
+}
