@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+import graft.io.Tables
+import graft.similarity.Ann
+
+class VectorExprSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+  import spark.implicits._
+
+  test("native cosine_sim is bit-identical to the fold composition") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val pairs = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .limit(5000)
+      .select(
+        VectorFunctions.cosine_sim($"a.v", $"b.v").as("native"),
+        Ann.cosineFold($"a.v", $"b.v").as("fold"))
+    assert(pairs.filter($"native" =!= $"fold").count() === 0)
+  }
+
+  test("cosine_sim: known values, zero-norm yields null, float input widens") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)), // orthogonal → 0
+      (Array(1.0f, 2.0f), Array(2.0f, 4.0f)), // parallel → 1
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f))  // zero norm → null
+    ).toDF("a", "b")
+    val got = df.select(VectorFunctions.cosine_sim($"a", $"b")).as[Option[Double]].collect()
+    assert(math.abs(got(0).get - 0.0) < 1e-12)
+    assert(math.abs(got(1).get - 1.0) < 1e-12)
+    assert(got(2).isEmpty)
+  }
+
+  test("SQL registration: cosine_sim usable from spark.sql") {
+    VectorFunctions.register(spark)
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb")
+    val n = spark.sql(
+      """SELECT cosine_sim(CAST(a.embedding AS ARRAY<DOUBLE>),
+        |                  CAST(b.embedding AS ARRAY<DOUBLE>)) AS c
+        |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        |LIMIT 100""".stripMargin).filter("c IS NOT NULL").count()
+    assert(n === 100)
+  }
+}
