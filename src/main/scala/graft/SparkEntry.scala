@@ -82,6 +82,11 @@ object SparkEntry {
     "q_nation_set_ops"  -> ((s, d) => Breadth.nationSetOps(Tables.customer(s, d), Tables.supplier(s, d))),
     "q_events_hourly"   -> ((s, d) => Breadth.eventsHourly(Tables.events(s, d))),
     "q_event_sessions"  -> ((s, d) => Breadth.eventSessions(Tables.events(s, d))),
+    "q_percentiles"     -> ((s, d) => Breadth.quantitypercentiles(Tables.lineitem(s, d))),
+    "q_pivot_status"    -> ((s, d) => Breadth.revenuePivot(Tables.orders(s, d))),
+    "q_range_join"      -> ((s, d) => Breadth.priceBands(Tables.part(s, d), s)),
+    "q_scalar_subquery" -> ((s, d) => Breadth.aboveAvgCustomers(s, Tables.customer(s, d))),
+    "q_approx_distinct" -> ((s, d) => Breadth.approxDistinct(Tables.orders(s, d))), // rows-only
     // --- text analysis (north star: training-data pipeline ops) ---
     "text_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
     "text_quality"     -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
@@ -276,6 +281,31 @@ object SparkEntry {
         |  FROM x)
         |SELECT user_id, CAST(SUM(is_new) + 1 AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM y GROUP BY 1""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |       round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+        |       round(quantile_cont(l_quantity, 0.99), 6) AS p99
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_pivot_status" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS rev_open,
+        |       SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS rev_fulfilled,
+        |       SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS rev_pending
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_range_join" ->
+      """WITH bands(tier, lo, hi) AS (VALUES
+        |  ('tier0', 0.0, 920.0), ('tier1', 920.0, 940.0), ('tier2', 940.0, 960.0),
+        |  ('tier3', 960.0, 980.0), ('tier4', 980.0, 1e18))
+        |SELECT tier, COUNT(*) AS n_parts,
+        |       SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS total_price
+        |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY 1""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id, n_chars,
         |       CAST(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -139,6 +139,74 @@ object Breadth {
       .agg(count(lit(1)).as("n_events"),
         sum(dec("value")).as("total_value"))
 
+  /** Exact interpolated percentiles of line-item quantity per return flag.
+    * Spark's `percentile` and DuckDB's `quantile_cont` both use the
+    * (n−1)·p linear-interpolation definition — deterministic on exact
+    * inputs, so the oracle compares directly.
+    */
+  def quantitypercentiles(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy("l_returnflag").agg(
+      expr("round(percentile(l_quantity, 0.5), 6)").as("p50"),
+      expr("round(percentile(l_quantity, 0.9), 6)").as("p90"),
+      expr("round(percentile(l_quantity, 0.99), 6)").as("p99"))
+
+  /** Pivot: yearly revenue spread across order-status columns. Spark's
+    * `pivot` with an explicit value list (no extra distinct-scan job)
+    * compiles to the same conditional-aggregation plan as the oracle's
+    * CASE sums.
+    */
+  def revenuePivot(orders: DataFrame): DataFrame =
+    orders
+      .select(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"),
+        dec("o_totalprice").as("p"))
+      .groupBy("o_year")
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(sum(col("p")))
+      .withColumnRenamed("O", "rev_open")
+      .withColumnRenamed("F", "rev_fulfilled")
+      .withColumnRenamed("P", "rev_pending")
+
+  /** Range (theta) join: parts matched into literal price bands. The band
+    * table is tiny → broadcast nested-loop on the range predicate, the
+    * right 100 TB plan (the big side never shuffles; each row tests a
+    * handful of broadcast band bounds).
+    */
+  def priceBands(part: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    // bands bracket the fixture's 900..1000 retail-price range
+    val bands = Seq(
+      ("tier0", 0.0, 920.0), ("tier1", 920.0, 940.0), ("tier2", 940.0, 960.0),
+      ("tier3", 960.0, 980.0), ("tier4", 980.0, 1e18)
+    ).toDF("tier", "lo", "hi")
+    part.join(broadcast(bands),
+        col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(dec("p_retailprice")).as("total_price"))
+  }
+
+  /** Correlated scalar subquery (Catalyst decorrelates it into a join):
+    * customers whose balance exceeds their nation's average. The exact SQL
+    * text also runs on the oracle — same semantics, two engines.
+    */
+  def aboveAvgCustomers(spark: SparkSession, customer: DataFrame): DataFrame = {
+    customer.createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+        |FROM customer_v c
+        |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer_v c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
+  }
+
+  /** HLL++ approximate distinct counts next to exact ones — the sketch the
+    * engine reaches for when exact distinct shuffles too much at scale.
+    * Not oracle-comparable (estimator-specific), structurally tested.
+    */
+  def approxDistinct(orders: DataFrame): DataFrame =
+    orders.groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
+        countDistinct(col("o_custkey")).as("exact_customers"))
+
   /** Sessionization via windows: per-user session count with a 30-minute
     * inactivity gap. Partition-by-user windows scale horizontally; state
     * never leaves the executor that owns the user.
