@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.Tables
+import graft.operators.SkewJoin
+
+/** Scale techniques: salting equivalence and bucketed co-located joins. */
+class ScaleTechniquesSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+  import spark.implicits._
+
+  test("saltedJoin: row-identical to the plain inner join") {
+    val li  = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain  = li.join(ord, "l_orderkey")
+    val salted = SkewJoin.saltedJoin(li, ord, "l_orderkey", nSalts = 8)
+      .select(plain.columns.map(col): _*)
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("saltedSum: equal to direct aggregation") {
+    val li = Tables.lineitem(spark, sfDir)
+    val direct = li.groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_rows"), sum("l_quantity").cast("decimal(18,2)").as("s"))
+    val salted = SkewJoin.saltedSum(
+      li.select("l_suppkey", "l_quantity").withColumn("l_quantity",
+        $"l_quantity".cast("decimal(18,2)")), "l_suppkey", "l_quantity")
+      .select($"l_suppkey", $"n_rows", $"sum_l_quantity".cast("decimal(18,2)").as("s"))
+    assert(direct.exceptAll(salted).isEmpty && salted.exceptAll(direct).isEmpty)
+  }
+
+  test("bucketed tables: co-located join plans without a shuffle exchange") {
+    // disable auto-broadcast so the exchange-free plan is due to bucketing
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_b")
+    Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("ord_b")
+    val joined = spark.table("li_b").join(spark.table("ord_b"),
+      $"l_orderkey" === $"o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
