@@ -47,6 +47,12 @@ object Dedup {
 
   /** Distinct word n-gram shingles of a token array (short docs collapse to
     * one whole-document shingle).
+    *
+    * IMPORTANT: pass a *materialized attribute* (a column projected in a
+    * previous select), not the raw `split(...)` expression — Spark does no
+    * common-subexpression elimination inside higher-order-function lambdas,
+    * so an inline split would re-tokenize the document for every
+    * `element_at` call (measured ~20s vs ~1s at sf0.1).
     */
   def wordShingles(toks: Column, n: Int): Column = {
     val grams = when(size(toks) < n, array(concat_ws(" ", toks)))
@@ -67,8 +73,8 @@ object Dedup {
     */
   def minhashSignatures(documents: DataFrame, shingleN: Int, numHashes: Int): DataFrame = {
     val staged = documents
-      .select(col("doc_id"),
-        wordShingles(TextOps.tokens(col("text")), shingleN).as("shingles"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), wordShingles(col("toks"), shingleN).as("shingles"))
       .select(col("doc_id"),
         transform(col("shingles"), s => pmod(xxhash64(s), lit(MersennePrime31)))
           .as("folded"))
@@ -184,7 +190,8 @@ object Dedup {
   def ngramJaccard(documents: DataFrame, n: Int = 3, threshold: Double = 0.3,
                    maxDocsPerGram: Int = 1000000): DataFrame = {
     val grams = documents
-      .select(col("doc_id"), wordShingles(TextOps.tokens(col("text")), n).as("grams"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), wordShingles(col("toks"), n).as("grams"))
       .select(col("doc_id"), col("grams"), size(col("grams")).as("n_grams"))
     val inv = grams.select(col("doc_id"), col("n_grams"), explode(col("grams")).as("gram"))
     val dfs = inv.groupBy("gram").agg(count(lit(1)).as("df"))
