@@ -87,6 +87,7 @@ object SparkEntry {
     "q_range_join"      -> ((s, d) => Breadth.priceBands(Tables.part(s, d), s)),
     "q_scalar_subquery" -> ((s, d) => Breadth.aboveAvgCustomers(s, Tables.customer(s, d))),
     "q_approx_distinct" -> ((s, d) => Breadth.approxDistinct(Tables.orders(s, d))), // rows-only
+    "q_json_extract"    -> ((s, d) => Breadth.jsonExtract(Tables.events(s, d))),
     // --- text analysis (north star: training-data pipeline ops) ---
     "text_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
     "text_quality"     -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
@@ -281,6 +282,12 @@ object SparkEntry {
         |  FROM x)
         |SELECT user_id, CAST(SUM(is_new) + 1 AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM y GROUP BY 1""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type,
+        |       CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+        |       COUNT(*) AS n_events,
+        |       CAST(MAX(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_quantity, 0.5), 6) AS p50,

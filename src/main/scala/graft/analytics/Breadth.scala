@@ -198,6 +198,21 @@ object Breadth {
         |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
   }
 
+  /** JSON column processing: typed extraction from the events `props`
+    * payload via `from_json` (schema-directed, codegen'd — not string
+    * get_json_object probing), then aggregation on the extracted field.
+    */
+  def jsonExtract(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).cast("long").as("sum_k"),
+        count(lit(1)).as("n_events"),
+        max(col("k")).as("max_k"))
+
   /** HLL++ approximate distinct counts next to exact ones — the sketch the
     * engine reaches for when exact distinct shuffles too much at scale.
     * Not oracle-comparable (estimator-specific), structurally tested.

@@ -42,6 +42,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.filter($"session_end" < $"session_start").count() === 0)
   }
 
+  test("stream-static join: streaming events enriched with a static dim") {
+    val stat = Tables.customer(spark, sfDir)
+      .select($"c_custkey".as("user_id"), $"c_mktsegment")
+    val stream = MemoryStream[Event]
+    stream.addData(eventRows.take(200))
+    val joined = stream.toDF().join(stat, Seq("user_id"), "inner")
+      .groupBy("c_mktsegment")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val q = joined.writeStream.format("memory").queryName("ss")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ss")
+    assert(got.count() > 0)
+    val streamedTotal = got.agg(org.apache.spark.sql.functions.sum("n"))
+      .collect()(0).getLong(0)
+    val batchTotal = eventRows.take(200).toDF()
+      .join(stat, Seq("user_id"), "inner").count()
+    assert(streamedTotal === batchTotal)
+  }
+
   test("mapGroupsWithState accumulates across triggers") {
     val stream = MemoryStream[Event]
     val q = EventStreams.runningUserCounts(stream.toDS())
