@@ -7,7 +7,7 @@ import graft.dedup.Dedup
 import graft.etl.{Clean, Dims, Facts}
 import graft.io.Tables
 import graft.multimodal.Multimodal
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, Sampling}
 import graft.similarity.Ann
 import graft.text.TextOps
 
@@ -123,7 +123,11 @@ object SparkEntry {
         "o_custkey", "o_orderdate", "o_orderkey")
       AsOfJoin.asOf(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate",
         Seq("o_orderkey", "o_orderdate", "o_totalprice"))
-    })
+    }),
+    // --- deterministic per-class sampling (train/eval split primitive) ---
+    "q_sample_per_class" -> ((s, d) =>
+      Sampling.hashSamplePerGroup(
+        Tables.embeddings(s, d).select("vec_id", "label"), "label", "vec_id", 5))
   )
 
   /** DuckDB twins of each query, same column names (driver compares by
@@ -401,6 +405,13 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, e.ts,
         |       r.o_orderkey, r.o_orderdate, r.o_totalprice
         |FROM events e ASOF LEFT JOIN r
-        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin
+        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin,
+    "q_sample_per_class" ->
+      """SELECT vec_id, label FROM (
+        |  SELECT vec_id, label,
+        |         ROW_NUMBER() OVER (PARTITION BY label
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |  FROM embeddings) t
+        |WHERE rn <= 5""".stripMargin
   )
 }

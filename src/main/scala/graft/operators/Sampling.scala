@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Sampling operators for training-data pipelines.
+  *
+  * [[hashSamplePerGroup]] is the scale-preferred form: rank rows inside
+  * each group by a content hash and keep the first k — deterministic
+  * (same rows every run, every topology), uniform-ish, and embarrassingly
+  * parallel (one shuffle by group key, standard windowed top-k). This is
+  * how large corpora pin reproducible train/eval splits.
+  *
+  * [[ReservoirSample]] is the classic single-pass reservoir as a typed
+  * `Aggregator` (custom-UDAF surface): mergeable buffers make it correct
+  * under partial aggregation, but the sample depends on encounter order,
+  * so it trades determinism for a strict one-pass guarantee.
+  */
+object Sampling {
+
+  /** Keep k rows per group, chosen by md5-of-id order (deterministic,
+    * engine-agnostic — the same SQL runs on the DuckDB oracle).
+    */
+  def hashSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+                         k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Bottom-k uniform sample of long ids as a typed Aggregator (the
+    * custom-UDAF surface). Every id gets a deterministic pseudo-random key
+    * (splitmix64 of seed⊕id); the sample is the k ids with the smallest
+    * keys. Exactly uniform over distinct ids, fully deterministic, and the
+    * merge (union → k smallest) is associative+commutative, so partial
+    * aggregation is correct by construction.
+    */
+  class BottomKSample(k: Int, seed: Long = 42L)
+      extends Aggregator[Long, Array[Long], Array[Long]] with Serializable {
+
+    private def key(x: Long): Long = {
+      var z = (seed ^ x) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+
+    // buffer holds ids, kept at size ≤ k, ordered by key
+    override def zero: Array[Long] = Array.empty[Long]
+
+    override def reduce(buf: Array[Long], x: Long): Array[Long] =
+      merge(buf, Array(x))
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      (a ++ b).distinct.sortBy(key).take(k)
+
+    override def finish(r: Array[Long]): Array[Long] = r.sorted
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+}
