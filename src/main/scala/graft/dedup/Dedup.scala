@@ -201,12 +201,21 @@ object Dedup {
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(asc("df"), asc("gram"))))
       .filter(col("rn") <= prefixLen)
-      .select("doc_id", "gram", "n_grams")
+      .select("doc_id", "gram", "n_grams", "rn")
+    // PPJoin positional bound: at a shared prefix gram at positions
+    // (rn_a, rn_b), the overlap can't exceed 1 + min(remaining suffixes);
+    // J ≥ t needs overlap ≥ ⌈t/(1+t)·(|a|+|b|)⌉ — prune pairs that can't
+    // reach it.
+    val alpha = ceil(lit(threshold / (1 + threshold)) *
+      (col("a.n_grams") + col("b.n_grams")))
+    val ubound = lit(1) + least(
+      col("a.n_grams") - col("a.rn"), col("b.n_grams") - col("b.rn"))
     val cand = prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id") &&
           col("b.n_grams") >= col("a.n_grams") * threshold &&
-          col("a.n_grams") >= col("b.n_grams") * threshold)
+          col("a.n_grams") >= col("b.n_grams") * threshold &&
+          ubound >= alpha)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
