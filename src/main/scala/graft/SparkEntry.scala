@@ -75,6 +75,7 @@ object SparkEntry {
     "q_top_customers"   -> ((s, d) => Breadth.topCustomers(Tables.orders(s, d), Tables.customer(s, d))),
     "q_window_top_parts" -> ((s, d) => Breadth.windowTopParts(Tables.lineitem(s, d))),
     "q_running_revenue"  -> ((s, d) => Breadth.runningRevenue(Tables.orders(s, d))),
+    "q_moving_revenue"   -> ((s, d) => Breadth.movingRevenue(Tables.orders(s, d))),
     "q_semi_join"       -> ((s, d) => Breadth.customersWithOrders(Tables.customer(s, d), Tables.orders(s, d))),
     "q_anti_join"       -> ((s, d) => Breadth.customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))),
     "q_rollup_revenue"  -> ((s, d) => Breadth.revenueRollup(Tables.orders(s, d))),
@@ -242,6 +243,16 @@ object SparkEntry {
         |SELECT month_start, CAST(monthly_revenue AS DECIMAL(18,2)) AS monthly_revenue,
         |       CAST(SUM(monthly_revenue) OVER (ORDER BY month_start
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS cumulative_revenue
+        |FROM monthly""".stripMargin,
+    "q_moving_revenue" ->
+      """WITH monthly AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month_start,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monthly_revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT month_start,
+        |       CAST(monthly_revenue AS DECIMAL(18,2)) AS monthly_revenue,
+        |       CAST(SUM(monthly_revenue) OVER (ORDER BY month_start
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS rev_3mo
         |FROM monthly""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer

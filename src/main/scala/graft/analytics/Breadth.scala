@@ -89,6 +89,19 @@ object Breadth {
       sum("monthly_revenue").over(w).cast(DecimalType(18, 2)))
   }
 
+  /** Sliding window frame: trailing-3-month revenue (ROWS BETWEEN
+    * 2 PRECEDING AND CURRENT ROW) over the monthly series.
+    */
+  def movingRevenue(orders: DataFrame): DataFrame = {
+    val monthly = orders
+      .groupBy(trunc(col("o_orderdate"), "month").as("month_start"))
+      .agg(sum(dec("o_totalprice")).as("monthly_revenue"))
+    val w = Window.orderBy("month_start").rowsBetween(-2, Window.currentRow)
+    monthly.select(col("month_start"),
+      col("monthly_revenue").cast(DecimalType(18, 2)).as("monthly_revenue"),
+      sum("monthly_revenue").over(w).cast(DecimalType(18, 2)).as("rev_3mo"))
+  }
+
   /** Left-semi join (EXISTS): customers that ordered in 1995. */
   def customersWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
     customer.select("c_custkey", "c_name")
