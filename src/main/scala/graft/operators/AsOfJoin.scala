@@ -45,7 +45,10 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val payload = struct(rightPayload.map(col): _*)
 
-    val taggedRight = right.select(
+    // a null-ts/null-key right row would sort before every real row and be
+    // carried as a bogus "earliest" match — as-of semantics exclude them
+    val cleanRight = right.filter(col(rightTs).isNotNull && col(rightKey).isNotNull)
+    val taggedRight = cleanRight.select(
       Seq(col(rightKey).as("__key"), col(rightTs).as("__ts"),
         lit(0).as("__side"), payload.as("__payload")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)

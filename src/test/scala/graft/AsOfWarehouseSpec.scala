@@ -32,6 +32,17 @@ class AsOfWarehouseSpec extends AnyFunSuite {
     assert(got(4L) === Some(20.0)) // exact timestamp included
   }
 
+  test("asOf: null-timestamp right rows never match") {
+    val trades = Seq((1L, 100L, ts("2024-01-01 09:00:00"))).toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      (100L, Option.empty[java.sql.Timestamp], 99.0),
+      (100L, Some(ts("2024-01-01 10:00:00")), 10.0) // after the trade
+    ).toDF("qsym", "qt", "price")
+    val got = AsOfJoin.asOf(trades, quotes, "sym", "qsym", "t", "qt", Seq("price"))
+      .select("trade_id", "price").as[(Long, Option[Double])].collect().toMap
+    assert(got(1L) === None)
+  }
+
   test("latestPerKeyTs keeps exactly one deterministic row per (key, ts)") {
     val df = Seq((1L, ts("2024-01-01 00:00:00"), 5L), (1L, ts("2024-01-01 00:00:00"), 9L),
       (2L, ts("2024-01-01 00:00:00"), 1L)).toDF("k", "t", "v")
