@@ -70,6 +70,26 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** CSV source with an explicit schema. Schema inference is deliberately
+    * not offered: at 100 TB inference costs an extra full scan and can
+    * produce run-dependent types — declare the schema (SURVEY.md §1.2).
+    */
+  def readCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType,
+              header: Boolean = true): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** JSON-lines source with an explicit schema (same no-inference rule;
+    * unparseable records land in the PERMISSIVE null row rather than
+    * failing the job).
+    */
+  def readJson(spark: SparkSession, path: String,
+               schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
   /** Append/overwrite sink (SURVEY.md §2 K1). The reference appends via
     * `to_sql(..., if_exists='append')` (`filmETLs.ipynb#cell4:5`), which is
     * non-idempotent on re-run; we deliberately default to overwrite
