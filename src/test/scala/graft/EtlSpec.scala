@@ -38,6 +38,22 @@ class EtlSpec extends AnyFunSuite {
     fact.unpersist()
   }
 
+  test("null group keys: Spark keeps them; clean-before-group removes them (SURVEY §7.4.4)") {
+    val df = Seq((Some(1), 10), (None, 20), (Some(1), 30)).toDF("k", "v")
+    // raw groupBy retains the null-key group (unlike pandas)
+    assert(df.groupBy("k").count().count() === 2)
+    // the reference's clean-first ordering makes the semantics match
+    assert(graft.etl.Clean.clean(df).groupBy("k").count().count() === 1)
+  }
+
+  test("J1 invariant: inner join row count == |left| when right key is unique and covering") {
+    val li  = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    assert(ord.count() === ord.select("o_orderkey").distinct().count()) // unique
+    val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey")).count()
+    assert(joined === li.count()) // every lineitem has its order
+  }
+
   test("fact_monthly_payment: one group per order (orderkey unique in orders)") {
     val ord = Tables.orders(spark, sfDir)
     val fact = Facts.factMonthlyPayment(ord)
