@@ -128,7 +128,10 @@ object SparkEntry {
     // --- deterministic per-class sampling (train/eval split primitive) ---
     "q_sample_per_class" -> ((s, d) =>
       Sampling.hashSamplePerGroup(
-        Tables.embeddings(s, d).select("vec_id", "label"), "label", "vec_id", 5))
+        Tables.embeddings(s, d).select("vec_id", "label"), "label", "vec_id", 5)),
+    // --- end-to-end curation composite (quality → dedup → near-dup → sample) ---
+    "pipeline_curate" -> ((s, d) =>
+      graft.pipeline.Curation.curate(Tables.documents(s, d)))           // rows-only
   )
 
   /** DuckDB twins of each query, same column names (driver compares by

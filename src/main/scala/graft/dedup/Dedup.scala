@@ -189,9 +189,14 @@ object Dedup {
     */
   def ngramJaccard(documents: DataFrame, n: Int = 3, threshold: Double = 0.3,
                    maxDocsPerGram: Int = 1000000): DataFrame = {
+    // grams are folded to 8-byte xxhash64 ids up front: every downstream
+    // join/array op then moves and compares longs, not ~25-char strings
+    // (injective up to 2^-64 collisions, so Jaccard values are unchanged)
     val grams = documents
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), wordShingles(col("toks"), n).as("grams"))
+      .select(col("doc_id"), wordShingles(col("toks"), n).as("sgrams"))
+      .select(col("doc_id"),
+        array_distinct(transform(col("sgrams"), g => xxhash64(g))).as("grams"))
       .select(col("doc_id"), col("grams"), size(col("grams")).as("n_grams"))
     val inv = grams.select(col("doc_id"), col("n_grams"), explode(col("grams")).as("gram"))
     val dfs = inv.groupBy("gram").agg(count(lit(1)).as("df"))

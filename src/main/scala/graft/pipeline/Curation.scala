@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.operators.Sampling
+import graft.text.TextOps
+
+/** End-to-end training-data curation: the composite pipeline the
+  * individual operators exist for, in the canonical order —
+  *
+  *   1. quality filter   (cheap, no shuffle — shrink first)
+  *   2. exact dedup      (hash group-by — removes the bulk)
+  *   3. near-dup removal (MinHash-LSH pairs → drop the higher doc_id of
+  *                        each surviving pair)
+  *   4. per-source deterministic sampling (reproducible splits)
+  *
+  * Order matters at 100 TB: each stage strictly shrinks the data the next
+  * (more expensive) stage sees, and exact-dedup-before-minhash is what
+  * keeps degenerate LSH buckets (billions of identical docs) from ever
+  * forming (SCALE.md).
+  */
+object Curation {
+
+  /** Returns the curated corpus: (doc_id, text, source, quality_score). */
+  def curate(documents: DataFrame,
+             minQuality: Double = 0.2,
+             nearDupThreshold: Double = 0.7,
+             samplePerSource: Int = 1000000): DataFrame = {
+    // 1. quality gate
+    val scored = TextOps.quality(documents)
+      .filter(col("quality_score") >= minQuality)
+      .select("doc_id")
+    val quality = documents.join(scored, "doc_id")
+
+    // 2. exact dedup: keep the surviving (min) doc_id per content hash
+    val keepExact = Dedup.exactDedup(quality).select("doc_id")
+    val exact = quality.join(keepExact, "doc_id")
+
+    // 3. near-dup removal: minhash pairs vote out the larger doc_id
+    val losers = Dedup.minhashDedup(exact, threshold = nearDupThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val nearDeduped = exact.join(losers, Seq("doc_id"), "left_anti")
+
+    // 4. reproducible per-source cap
+    Sampling.hashSamplePerGroup(nearDeduped, "source", "doc_id", samplePerSource)
+      .select("doc_id", "text", "source", "n_chars")
+  }
+}
