@@ -51,4 +51,23 @@ object Warehouse {
 
     dims ++ facts
   }
+
+  /** Incremental maintenance: recompute and overwrite ONLY the partitions
+    * present in `updated` (dynamic partition overwrite), leaving all other
+    * partitions byte-identical. This is the idempotent replacement for the
+    * reference's `if_exists='append'` daily re-run (`rentalFilmDAG.py:39`
+    * etc.), which double-loads on retry — the exact failure Airflow's
+    * retry policy (`rentalFilmDAG.py:103-104`) would trigger. At 100 TB a
+    * daily run rewrites one year=.../day's partition, not the table.
+    */
+  def overwritePartitions(spark: SparkSession, updated: DataFrame,
+                          path: String, partitionCol: String): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try updated.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 }

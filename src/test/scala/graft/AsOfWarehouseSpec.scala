@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.etl.Warehouse
+import graft.io.Tables
 import graft.operators.AsOfJoin
 
 class AsOfWarehouseSpec extends AnyFunSuite {
@@ -49,6 +50,28 @@ class AsOfWarehouseSpec extends AnyFunSuite {
     val got = AsOfJoin.latestPerKeyTs(df, "k", "t", "v").select("k", "v")
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 9L, 2L -> 1L))
+  }
+
+  test("overwritePartitions: rewrites only the touched partition, idempotently") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_dyn").toString
+    val fact = graft.etl.Facts.factDailyInventory(
+      Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir))
+      .withColumn("year", ($"date_id" / 10000).cast("int")).cache()
+    fact.write.mode("overwrite").partitionBy("year").parquet(out)
+    val before = spark.read.parquet(out)
+    val before1996 = before.filter($"year" === 1996).count()
+    val beforeTotal = before.count()
+
+    // recompute 1995 only, run the incremental overwrite twice (retry)
+    val y1995 = fact.filter($"year" === 1995)
+    graft.etl.Warehouse.overwritePartitions(spark, y1995, out, "year")
+    graft.etl.Warehouse.overwritePartitions(spark, y1995, out, "year")
+
+    val after = spark.read.parquet(out)
+    assert(after.count() === beforeTotal)                       // no double-load
+    assert(after.filter($"year" === 1996).count() === before1996) // untouched
+    fact.unpersist()
   }
 
   test("warehouse build: dims then facts, invariant cardinalities, partitioned facts") {
