@@ -36,7 +36,12 @@ object Curation {
 
     // 2. exact dedup: keep the surviving (min) doc_id per content hash
     val keepExact = Dedup.exactDedup(quality).select("doc_id")
+    // persisted: the minhash band self-join + anti-join below reference
+    // this relation ~5×, and each reference would otherwise re-derive the
+    // whole quality+dedup lineage (at cluster scale: a stage-boundary
+    // write; locally: MEMORY_AND_DISK). Caller may clearCache() after.
     val exact = quality.join(keepExact, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 3. near-dup removal: minhash pairs vote out the larger doc_id
     val losers = Dedup.minhashDedup(exact, threshold = nearDupThreshold)
