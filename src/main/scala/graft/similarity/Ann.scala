@@ -65,13 +65,20 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Sign of dot(v, r_j) for the j-th Rademacher (±1) hyperplane; the
-    * plane's components are derived from xxhash64(j, dim) so no literal
-    * plane matrix ships with the plan.
+  /** Deterministic Rademacher (±1) hyperplanes, one array per plane.
+    * Precomputed driver-side and shipped as literals: hashing (plane, dim)
+    * at runtime would recompute a constant per row per element — 4096
+    * redundant hash calls per row at dim 64 × 64 planes.
     */
+  private def planeSigns(j: Int, dim: Int): Array[Double] = {
+    val rnd = new scala.util.Random(1000003L * j + 42L)
+    Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Sign of dot(v, r_j) for the j-th Rademacher hyperplane. */
   private def planeBit(v: Column, j: Int, dim: Int): Column = {
-    val signed = zip_with(v, sequence(lit(0), lit(dim - 1)),
-      (x, d) => x * (lit(1.0) - lit(2.0) * pmod(xxhash64(lit(j), d), lit(2)).cast("double")))
+    val plane = array(planeSigns(j, dim).map(lit): _*)
+    val signed = zip_with(v, plane, (x, s) => x * s)
     (aggregate(signed, lit(0.0), (acc, x) => acc + x) > 0).cast("int")
   }
 
