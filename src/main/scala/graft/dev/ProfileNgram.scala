@@ -29,11 +29,15 @@ object ProfileNgram {
     val grams = documents
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), Dedup.wordShingles(col("toks"), 3).as("grams"))
+      .select(col("doc_id"),
+        array_distinct(transform(col("grams"), g => xxhash64(g))).as("grams"))
       .select(col("doc_id"), col("grams"), size(col("grams")).as("n_grams"))
+      .persist()
     t("grams count")(grams.count())
     val inv = grams.select(col("doc_id"), col("n_grams"), explode(col("grams")).as("gram"))
+      .persist()
     t("inv count")(inv.count())
-    val dfs = inv.groupBy("gram").agg(count(lit(1)).as("df"))
+    val dfs = inv.groupBy("gram").agg(count(lit(1)).as("df")).persist()
     t("dfs count")(dfs.count())
     val prefixLen = col("n_grams") - ceil(col("n_grams") * threshold) + 1
     val prefixes = inv.join(dfs, "gram")
@@ -41,6 +45,7 @@ object ProfileNgram {
         Window.partitionBy("doc_id").orderBy(asc("df"), asc("gram"))))
       .filter(col("rn") <= prefixLen)
       .select("doc_id", "gram", "n_grams")
+      .persist()
     t("prefixes count")(prefixes.count())
     val cand = prefixes.as("a")
       .join(prefixes.as("b"),
