@@ -30,7 +30,12 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop any intermediates a query persisted and collect garbage so
+      // the next query's timing isn't billed for this one's heap
+      spark.catalog.clearCache()
+      System.gc()
+      dt
     }
 
     // warmup: pay JVM/classloading/codegen startup outside the timings

@@ -100,11 +100,14 @@ object Dedup {
     val r = numHashes / bands
     val sigs = minhashSignatures(documents, shingleN, numHashes)
 
+    // persisted: both sides of the band self-join reference this — without
+    // it each side re-derives the full signature computation
     val banded = sigs.select(col("doc_id"), col("signature"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"), xxhash64(slice(col("signature"), b * r + 1, r)).as("bh"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("signature"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     banded.as("a")
       .join(banded.as("b"),
@@ -151,7 +154,10 @@ object Dedup {
     */
   def simhashDedup(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk blocking guarantees recall only to hamming 3")
+    // persisted: both sides of the chunk self-join would otherwise re-run
+    // the explode + 64-buffer sketch aggregation
     val sk = simhashSketch(documents).select(col("doc_id"), col("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sk.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
