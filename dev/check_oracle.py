@@ -54,6 +54,16 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {gc} vs oracle {ec}")
             n_bad += 1
             continue
+        # strict dtype comparison (duckdb DESCRIBE both sides)
+        gt = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchall()}
+        et = {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+        tdiffs = {c: (gt.get(c), et.get(c)) for c in set(gt) | set(et)
+                  if gt.get(c) != et.get(c)}
+        if tdiffs:
+            print(f"FAIL {name}: dtype mismatch {tdiffs}")
+            n_bad += 1
+            continue
         if len(gr) != len(er):
             print(f"FAIL {name}: {len(gr)} rows vs oracle {len(er)}")
             n_bad += 1

@@ -164,7 +164,7 @@ object SparkEntry {
     "fact_monthly_payment" ->
       """SELECT o_custkey, o_orderkey,
         |       CAST(year(o_orderdate)*10000 + month(o_orderdate)*100 + 1 AS INTEGER) AS date_id,
-        |       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monthly_payment_total
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS monthly_payment_total
         |FROM orders GROUP BY 1, 2, 3""".stripMargin,
     "q1_monthly_revenue" ->
       """WITH fact AS (
@@ -208,15 +208,15 @@ object SparkEntry {
         |  AND inventory_id IS NOT NULL AND customer_id IS NOT NULL AND return_date IS NOT NULL""".stripMargin,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
         |       COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY 1, 2""".stripMargin,
     "q_region_revenue" ->
-      """SELECT r_name, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      """SELECT r_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -224,14 +224,14 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     "q_top_customers" ->
       """WITH spend AS (
-        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+        |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_spend
         |  FROM orders GROUP BY 1
         |  ORDER BY total_spend DESC, o_custkey LIMIT 10)
         |SELECT o_custkey, c_name, total_spend
         |FROM spend JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "q_window_top_parts" ->
       """WITH per_part AS (
-        |  SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  SELECT l_suppkey, l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
         |  FROM lineitem GROUP BY 1, 2)
         |SELECT * FROM (
         |  SELECT l_suppkey, l_partkey, qty,
@@ -267,7 +267,7 @@ object SparkEntry {
     "q_rollup_revenue" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
         |       CAST(month(o_orderdate) AS INTEGER) AS o_month,
-        |       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
         |FROM orders
         |GROUP BY ROLLUP(1, 2)""".stripMargin,
     "q_monthly_active" ->
@@ -286,7 +286,7 @@ object SparkEntry {
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       COUNT(*) AS n_events,
-        |       SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_event_sessions" ->
       """WITH x AS (
@@ -314,16 +314,16 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1""".stripMargin,
     "q_pivot_status" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-        |       SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS rev_open,
-        |       SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS rev_fulfilled,
-        |       SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS rev_pending
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS rev_open,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS rev_fulfilled,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS rev_pending
         |FROM orders GROUP BY 1""".stripMargin,
     "q_range_join" ->
       """WITH bands(tier, lo, hi) AS (VALUES
         |  ('tier0', 0.0, 920.0), ('tier1', 920.0, 940.0), ('tier2', 940.0, 960.0),
         |  ('tier3', 960.0, 980.0), ('tier4', 980.0, 1e18))
         |SELECT tier, COUNT(*) AS n_parts,
-        |       SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS total_price
+        |       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
         |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
         |GROUP BY 1""".stripMargin,
     "q_scalar_subquery" ->

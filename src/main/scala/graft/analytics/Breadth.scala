@@ -28,10 +28,10 @@ object Breadth {
       .filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec("l_quantity")).as("sum_qty"),
-        sum(dec("l_extendedprice")).as("sum_base_price"),
+        sum(dec("l_quantity")).cast(DecimalType(18, 2)).as("sum_qty"),
+        sum(dec("l_extendedprice")).cast(DecimalType(18, 2)).as("sum_base_price"),
         sum((dec("l_extendedprice") * (lit(1) - dec("l_discount")))
-          .cast(DecimalType(18, 4))).as("sum_disc_price"),
+          .cast(DecimalType(18, 4))).cast(DecimalType(18, 4)).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
   /** Multi-way star join: revenue per region. nation/region are tiny →
@@ -47,14 +47,14 @@ object Breadth {
       .join(broadcast(region.select("r_regionkey", "r_name")),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name")
-      .agg(sum(dec("o_totalprice")).as("revenue"))
+      .agg(sum(dec("o_totalprice")).cast(DecimalType(18, 2)).as("revenue"))
 
   /** Top-K with join-back: 10 biggest customers by lifetime spend. The agg
     * runs before the join so only K rows join to the dim.
     */
   def topCustomers(orders: DataFrame, customer: DataFrame, k: Int = 10): DataFrame = {
     val spend = orders.groupBy("o_custkey")
-      .agg(sum(dec("o_totalprice")).as("total_spend"))
+      .agg(sum(dec("o_totalprice")).cast(DecimalType(18, 2)).as("total_spend"))
       .orderBy(desc("total_spend"), asc("o_custkey"))
       .limit(k)
     spend.join(customer.select("c_custkey", "c_name"),
@@ -67,7 +67,7 @@ object Breadth {
     */
   def windowTopParts(lineitem: DataFrame, n: Int = 3): DataFrame = {
     val perPart = lineitem.groupBy("l_suppkey", "l_partkey")
-      .agg(sum(dec("l_quantity")).as("qty"))
+      .agg(sum(dec("l_quantity")).cast(DecimalType(18, 2)).as("qty"))
     val w = Window.partitionBy("l_suppkey")
       .orderBy(desc("qty"), asc("l_partkey"))
     perPart.withColumn("rn", row_number().over(w))
@@ -85,8 +85,10 @@ object Breadth {
       .agg(sum(dec("o_totalprice")).as("monthly_revenue"))
     val w = Window.orderBy("month_start")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    monthly.withColumn("cumulative_revenue",
-      sum("monthly_revenue").over(w).cast(DecimalType(18, 2)))
+    monthly
+      .withColumn("monthly_revenue", col("monthly_revenue").cast(DecimalType(18, 2)))
+      .withColumn("cumulative_revenue",
+        sum("monthly_revenue").over(w).cast(DecimalType(18, 2)))
   }
 
   /** Sliding window frame: trailing-3-month revenue (ROWS BETWEEN
@@ -122,7 +124,7 @@ object Breadth {
         month(col("o_orderdate")).as("o_month"),
         col("o_totalprice"))
       .rollup("o_year", "o_month")
-      .agg(sum(dec("o_totalprice")).as("revenue"))
+      .agg(sum(dec("o_totalprice")).cast(DecimalType(18, 2)).as("revenue"))
 
   /** Distinct aggregation: active customers and orders per month. */
   def monthlyActiveCustomers(orders: DataFrame): DataFrame =
@@ -150,7 +152,7 @@ object Breadth {
       .groupBy(date_trunc("hour", col("ts")).as("window_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(dec("value")).as("total_value"))
+        sum(dec("value")).cast(DecimalType(18, 2)).as("total_value"))
 
   /** Exact interpolated percentiles of line-item quantity per return flag.
     * Spark's `percentile` and DuckDB's `quantile_cont` both use the
@@ -178,6 +180,10 @@ object Breadth {
       .withColumnRenamed("O", "rev_open")
       .withColumnRenamed("F", "rev_fulfilled")
       .withColumnRenamed("P", "rev_pending")
+      .select(col("o_year"),
+        col("rev_open").cast(DecimalType(18, 2)).as("rev_open"),
+        col("rev_fulfilled").cast(DecimalType(18, 2)).as("rev_fulfilled"),
+        col("rev_pending").cast(DecimalType(18, 2)).as("rev_pending"))
 
   /** Range (theta) join: parts matched into literal price bands. The band
     * table is tiny → broadcast nested-loop on the range predicate, the
@@ -195,7 +201,7 @@ object Breadth {
         col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
       .groupBy("tier")
       .agg(count(lit(1)).as("n_parts"),
-        sum(dec("p_retailprice")).as("total_price"))
+        sum(dec("p_retailprice")).cast(DecimalType(18, 2)).as("total_price"))
   }
 
   /** Correlated scalar subquery (Catalyst decorrelates it into a join):

@@ -58,7 +58,7 @@ object Facts {
           .cast("int"))                                           // P5 + P6
       .groupBy("o_custkey", "o_orderkey", "date_id")
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
-        .as("monthly_payment_total"))                             // A2
+        .cast(DecimalType(18, 2)).as("monthly_payment_total"))                             // A2
     Clean.clean(fact)
   }
 }
