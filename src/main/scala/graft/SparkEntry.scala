@@ -92,7 +92,7 @@ object SparkEntry {
     // --- text analysis (north star: training-data pipeline ops) ---
     "text_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
     "text_quality"     -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
-    "text_langid"      -> ((s, d) => TextOps.langId(Tables.documents(s, d))),      // rows-only
+    "text_langid"      -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))), // rows-only
     // --- deduplication (north star) ---
     "dedup_exact"         -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
@@ -356,6 +356,31 @@ object SparkEntry {
         |       least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) *
         |         (1.0 - CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) AS quality_score
         |FROM counted""".stripMargin,
+    "text_langid" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens, length(text) AS tlen,
+        |         length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS n_cjk,
+        |         len(list_filter(toks, x -> list_contains(['the','and','of','is','to','in','that','it','with','for'], x))) AS h_en,
+        |         len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los','las','en','un','una','es'], x))) AS h_es,
+        |         len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','ein','eine','mit','zu'], x))) AS h_de,
+        |         len(list_filter(toks, x -> list_contains(['le','la','les','et','des','est','une','dans','que','pour'], x))) AS h_fr
+        |  FROM base)
+        |SELECT doc_id,
+        |       CASE WHEN n_cjk * 2 > tlen THEN 'zh'
+        |            WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+        |            WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+        |            WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+        |            WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+        |            ELSE 'fr' END AS lang_pred,
+        |       CASE WHEN n_tokens > 0
+        |            THEN CAST(greatest(h_en, h_es, h_de, h_fr) AS DOUBLE) / n_tokens
+        |            ELSE 0.0 END AS lang_score
+        |FROM hits""".stripMargin,
     "dedup_exact" ->
       """SELECT sha256(text) AS text_sha, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
