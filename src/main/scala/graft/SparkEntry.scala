@@ -79,6 +79,9 @@ object SparkEntry {
     "q_semi_join"       -> ((s, d) => Breadth.customersWithOrders(Tables.customer(s, d), Tables.orders(s, d))),
     "q_anti_join"       -> ((s, d) => Breadth.customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))),
     "q_rollup_revenue"  -> ((s, d) => Breadth.revenueRollup(Tables.orders(s, d))),
+    "q_cube_revenue"    -> ((s, d) => Breadth.revenueCube(Tables.orders(s, d))),
+    "q_mom_delta"       -> ((s, d) => Breadth.momDelta(Tables.orders(s, d))),
+    "q_string_ops"      -> ((s, d) => Breadth.stringOps(Tables.customer(s, d))),
     "q_monthly_active"  -> ((s, d) => Breadth.monthlyActiveCustomers(Tables.orders(s, d))),
     "q_nation_set_ops"  -> ((s, d) => Breadth.nationSetOps(Tables.customer(s, d), Tables.supplier(s, d))),
     "q_events_hourly"   -> ((s, d) => Breadth.eventsHourly(Tables.events(s, d))),
@@ -270,6 +273,29 @@ object SparkEntry {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
         |FROM orders
         |GROUP BY ROLLUP(1, 2)""".stripMargin,
+    "q_cube_revenue" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+        |       COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_mom_delta" ->
+      """WITH monthly AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month_start,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS monthly_revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT month_start, monthly_revenue,
+        |       CAST(LAG(monthly_revenue, 1) OVER (ORDER BY month_start) AS DECIMAL(18,2)) AS prev_revenue,
+        |       CAST(monthly_revenue - LAG(monthly_revenue, 1) OVER (ORDER BY month_start) AS DECIMAL(18,2)) AS mom_delta
+        |FROM monthly""".stripMargin,
+    "q_string_ops" ->
+      """SELECT c_custkey,
+        |       upper(c_name) AS name_upper,
+        |       substring(c_name, 1, 8) AS name_prefix,
+        |       CAST(length(c_name) AS INTEGER) AS name_len,
+        |       regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+        |       concat(c_mktsegment, '#', CAST(c_custkey AS VARCHAR)) AS seg_key
+        |FROM customer""".stripMargin,
     "q_monthly_active" ->
       """SELECT date_trunc('month', o_orderdate) AS month_start,
         |       COUNT(DISTINCT o_custkey) AS active_customers,

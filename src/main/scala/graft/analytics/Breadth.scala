@@ -126,6 +126,44 @@ object Breadth {
       .rollup("o_year", "o_month")
       .agg(sum(dec("o_totalprice")).cast(DecimalType(18, 2)).as("revenue"))
 
+  /** CUBE over two categorical dims: every subtotal combination in one
+    * pass (ROLLUP's superset).
+    */
+  def revenueCube(orders: DataFrame): DataFrame =
+    orders
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(sum(dec("o_totalprice")).cast(DecimalType(18, 2)).as("revenue"),
+        count(lit(1)).as("n_orders"))
+
+  /** lead/lag analytics: month-over-month revenue delta (first month's
+    * delta is NULL, like the oracle's LAG default).
+    */
+  def momDelta(orders: DataFrame): DataFrame = {
+    val monthly = orders
+      .groupBy(trunc(col("o_orderdate"), "month").as("month_start"))
+      .agg(sum(dec("o_totalprice")).cast(DecimalType(18, 2)).as("monthly_revenue"))
+    val w = Window.orderBy("month_start")
+    monthly
+      .withColumn("prev_revenue",
+        lag("monthly_revenue", 1).over(w).cast(DecimalType(18, 2)))
+      .withColumn("mom_delta",
+        (col("monthly_revenue") - col("prev_revenue")).cast(DecimalType(18, 2)))
+  }
+
+  /** String-function breadth: case mapping, substring, length, regex
+    * extraction, concat — one projection, all codegen'd.
+    */
+  def stringOps(customer: DataFrame): DataFrame =
+    customer.select(
+      col("c_custkey"),
+      upper(col("c_name")).as("name_upper"),
+      substring(col("c_name"), 1, 8).as("name_prefix"),
+      length(col("c_name")).as("name_len"),
+      regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_digits"),
+      concat(col("c_mktsegment"), lit("#"), col("c_custkey").cast("string"))
+        .as("seg_key"))
+
   /** Distinct aggregation: active customers and orders per month. */
   def monthlyActiveCustomers(orders: DataFrame): DataFrame =
     orders
