@@ -46,6 +46,52 @@ class DifferentialPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("eventSessions matches the sequential reference on random event streams") {
+    import graft.analytics.Breadth
+    for (round <- 1 to 3) {
+      val events = (1 to 300).map { i =>
+        (i.toLong,
+          new java.sql.Timestamp(1700000000000L + rnd.nextInt(600) * 60000L),
+          (rnd.nextInt(8) + 1).toLong)
+      }
+      val df = events.toDF("event_id", "ts", "user_id")
+      val got = Breadth.eventSessions(df, gapMinutes = 30)
+        .select("user_id", "n_sessions", "n_events")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+      val expected = events.groupBy(_._3).map { case (uid, es) =>
+        val sorted = es.sortBy(e => (e._2.getTime, e._1))
+        val sessions = 1 + sorted.sliding(2).count {
+          case Seq(a, b) => b._2.getTime - a._2.getTime > 30 * 60000L
+          case _ => false
+        }
+        uid -> (sessions.toLong, es.size.toLong)
+      }
+      assert(got === expected, s"round $round mismatch")
+    }
+  }
+
+  test("simhashDedup finds every pair the brute-force hamming scan finds (recall)") {
+    val vocab = Array("spark", "query", "table", "join", "scan", "batch", "row",
+      "sort", "hash", "merge")
+    for (round <- 1 to 2) {
+      val docs = (1 to 40).map { i =>
+        val len = 10 + rnd.nextInt(20)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val sketches = Dedup.simhashSketch(df)
+        .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+      val bruteForce = (for {
+        (ia, _) <- docs; (ib, _) <- docs if ia < ib
+        h = java.lang.Long.bitCount(sketches(ia) ^ sketches(ib)) if h <= 3
+      } yield (ia, ib)).toSet
+      val got = Dedup.simhashDedup(df, maxHamming = 3)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(got === bruteForce, s"round $round: pigeonhole blocking lost pairs")
+    }
+  }
+
   test("ngramJaccard matches the all-pairs reference on random corpora") {
     val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
     for (round <- 1 to 3) {
