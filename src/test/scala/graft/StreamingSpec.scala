@@ -63,6 +63,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedTotal === batchTotal)
   }
 
+  test("session_window agrees with the lag-based sessionizer on counts") {
+    val batch = Tables.events(spark, sfDir)
+    // batch-mode session_window: same grouping the streaming query uses
+    val viaWindow = batch
+      .groupBy(org.apache.spark.sql.functions.session_window($"ts", "30 minutes"),
+        $"user_id")
+      .count()
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_sessions"))
+      .as[(Long, Long)].collect().toMap
+    val viaLag = graft.analytics.Breadth.eventSessions(batch)
+      .select("user_id", "n_sessions").as[(Long, Long)].collect().toMap
+    assert(viaWindow === viaLag)
+  }
+
   test("mapGroupsWithState accumulates across triggers") {
     val stream = MemoryStream[Event]
     val q = EventStreams.runningUserCounts(stream.toDS())
