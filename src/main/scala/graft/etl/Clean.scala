@@ -1,6 +1,7 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions.{count, lit}
 
 /** Data-cleaning combinator: the Spark-native equivalent of the reference's
   * `clean_dataframe` (`filmETLs.ipynb#cell2:1-25`, `rentalFilmDAG.py:27-33`):
@@ -29,6 +30,18 @@ object Clean {
     * `original_shape[0] - cleaned_shape[0]` (`filmETLs.ipynb#cell2:12-23`).
     * Use only where the audit number is actually needed.
     */
+  /** C1 + C2 + C3 without the extra counting job: the input row count is
+    * attached as an `Observation` metric collected during whatever action
+    * the caller runs anyway (SURVEY.md §7.3). After an action,
+    * `removed = obs.get("rows_in") - <output rows>`. At 100 TB this halves
+    * the audit's cost versus [[cleanCounted]]'s extra pass.
+    */
+  def cleanObserved(df: DataFrame, label: String = "clean_audit"): (DataFrame, Observation) = {
+    val obs = new Observation(label)
+    val observed = df.observe(obs, count(lit(1)).as("rows_in"))
+    (clean(observed), obs)
+  }
+
   def cleanCounted(df: DataFrame, label: String = "table"): (DataFrame, Long) = {
     val before  = df.count()
     val cleaned = clean(df)
