@@ -25,16 +25,19 @@ object Bench {
 
     def materialize(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop any intermediates a query persisted and collect garbage so
-      // the next query's timing isn't billed for this one's heap
-      spark.catalog.clearCache()
-      System.gc()
+      val dt =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+        } finally {
+          // drop any intermediates a query persisted (even on failure) and
+          // collect garbage so the next timing isn't billed for this heap
+          spark.catalog.clearCache()
+          System.gc()
+        }
       dt
     }
 

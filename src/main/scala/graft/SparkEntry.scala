@@ -419,7 +419,7 @@ object SparkEntry {
         |  FROM toks),
         |sizes AS (SELECT doc_id, len(g) AS n_grams FROM grams),
         |inv AS (SELECT doc_id, unnest(g) AS gram FROM grams),
-        |rare AS (SELECT gram FROM inv GROUP BY 1 HAVING COUNT(*) <= 10000),
+        |rare AS (SELECT gram FROM inv GROUP BY 1 HAVING COUNT(*) <= 1000000),
         |f AS (SELECT inv.doc_id, inv.gram FROM inv JOIN rare USING (gram)),
         |shared AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared

@@ -19,16 +19,17 @@ import graft.io.Tables
   */
 object Warehouse {
 
-  case class BuildReport(table: String, rows: Long, removed: Long)
+  case class BuildReport(table: String, rows: Long)
 
   /** Build the star schema from `inDir` fixtures into `outDir` parquet.
-    * Returns per-table row counts + cleaning audit (C3), mirroring the
-    * reference's `[table] Cleaned: N rows removed` log.
+    * Returns per-table loaded row counts. (The C3 cleaning audit is a
+    * per-frame concern — use `Clean.cleanCounted`/`cleanObserved` around
+    * individual builders when the removed-count is needed.)
     */
   def buildAll(spark: SparkSession, inDir: String, outDir: String): Seq[BuildReport] = {
     def write(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): BuildReport = {
       Tables.write(df, s"$outDir/$name", partitionBy)
-      BuildReport(name, spark.read.parquet(s"$outDir/$name").count(), -1)
+      BuildReport(name, spark.read.parquet(s"$outDir/$name").count())
     }
 
     // --- dimensions (reference cells 4-8) ---

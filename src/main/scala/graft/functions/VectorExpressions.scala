@@ -16,9 +16,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * (three `zip_with`/`aggregate` folds — one dot product, two norms) walks
   * the arrays three times through lambda-function dispatch, this expression
   * emits one fused Java loop under whole-stage codegen, accumulating dot
-  * and both norms in a single pass. Semantics match the fold version
-  * bit-for-bit: strictly left-to-right IEEE additions, so DuckDB-oracle
-  * parity is unchanged. Zero-norm inputs yield NULL (cosine undefined).
+  * and both norms in a single pass. For equal-length, nonzero-norm inputs
+  * the additions are strictly left-to-right IEEE — bit-identical to the
+  * fold, so DuckDB-oracle parity is unchanged. Edge cases are defined
+  * (not fold-identical): length mismatch → NULL (the fold null-pads to a
+  * null result too), zero norm → NULL (the fold yields NaN from 0/0).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
@@ -41,7 +43,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
       val xi = x.getDouble(i); val yi = y.getDouble(i)
@@ -54,18 +57,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, nx = 0.0, ny = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xi = $a.getDouble(i);
-         |  double yi = $b.getDouble(i);
-         |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
-         |}
-         |double denom = Math.sqrt(nx) * Math.sqrt(ny);
-         |if (denom == 0.0) {
+         |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = dot / denom;
+         |  int n = $a.numElements();
+         |  double dot = 0.0, nx = 0.0, ny = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    double xi = $a.getDouble(i);
+         |    double yi = $b.getDouble(i);
+         |    dot += xi * yi; nx += xi * xi; ny += yi * yi;
+         |  }
+         |  double denom = Math.sqrt(nx) * Math.sqrt(ny);
+         |  if (denom == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = dot / denom;
+         |  }
          |}
        """.stripMargin
     })
@@ -78,7 +85,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
 /** Column/SQL surface for the vector expressions. */
 object VectorFunctions {
 
-  private def widen(e: Expression): Expression = e.dataType match {
+  private[functions] def widen(e: Expression): Expression = e.dataType match {
     case ArrayType(DoubleType, _) => e
     case _ => Cast(e, ArrayType(DoubleType))
   }
@@ -103,14 +110,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(
-        exprs.map(x => x.dataType match {
-          case ArrayType(DoubleType, _) => x
-          case _ => Cast(x, ArrayType(DoubleType))
-        }).head,
-        exprs.map(x => x.dataType match {
-          case ArrayType(DoubleType, _) => x
-          case _ => Cast(x, ArrayType(DoubleType))
-        })(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "cosine_sim takes exactly two arguments")
+        CosineSimilarity(VectorFunctions.widen(exprs(0)), VectorFunctions.widen(exprs(1)))
+      }))
   }
 }

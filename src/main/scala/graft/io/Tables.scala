@@ -55,6 +55,13 @@ object Tables {
     * floor-convert to a microsecond TimestampType column (matching how
     * DuckDB/most engines narrow ns → µs). Integer `div` — a double division
     * would lose precision above 2^53 ns.
+    *
+    * SESSION-CONFIG SIDE EFFECT, by design: the `nanosAsLong` flag stays
+    * set for the session (restoring it immediately could break this lazy
+    * DataFrame's own execution). Consequence: later reads of *other*
+    * nanos-timestamped parquet in the same session get LongType nanos
+    * instead of an error — callers reading such tables should convert the
+    * same way this method does.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -95,7 +95,7 @@ object Multimodal {
       col("width"), col("height"),
       (col("width") / factor).cast("int").as("out_width"),
       (col("height") / factor).cast("int").as("out_height"),
-      expr(s"""filter(transform(sequence(1, length(content), $factor),
+      expr(s"""filter(transform(sequence(1, greatest(length(content), 1), $factor),
         i -> substring(content, i, 1)), f -> length(f) > 0)""").as("sampled")
       ).withColumn("resized", expr("aggregate(sampled, cast('' as binary), (acc, x) -> acc || x)"))
       .drop("sampled")

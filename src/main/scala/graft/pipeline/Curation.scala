@@ -23,15 +23,17 @@ import graft.text.TextOps
   */
 object Curation {
 
-  /** Returns the curated corpus: (doc_id, text, source, quality_score). */
+  /** Returns the curated corpus:
+    * (doc_id, text, source, n_chars, quality_score).
+    */
   def curate(documents: DataFrame,
              minQuality: Double = 0.2,
              nearDupThreshold: Double = 0.7,
              samplePerSource: Int = 1000000): DataFrame = {
-    // 1. quality gate
+    // 1. quality gate (score carried through to the output)
     val scored = TextOps.quality(documents)
       .filter(col("quality_score") >= minQuality)
-      .select("doc_id")
+      .select("doc_id", "quality_score")
     val quality = documents.join(scored, "doc_id")
 
     // 2. exact dedup: keep the surviving (min) doc_id per content hash
@@ -50,6 +52,6 @@ object Curation {
 
     // 4. reproducible per-source cap
     Sampling.hashSamplePerGroup(nearDeduped, "source", "doc_id", samplePerSource)
-      .select("doc_id", "text", "source", "n_chars")
+      .select("doc_id", "text", "source", "n_chars", "quality_score")
   }
 }

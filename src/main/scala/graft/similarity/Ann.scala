@@ -75,10 +75,15 @@ object Ann {
     Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
-  /** Sign of dot(v, r_j) for the j-th Rademacher hyperplane. */
+  /** Sign of dot(v, r_j) for the j-th Rademacher hyperplane. Vectors are
+    * sliced/zero-padded to `dim` so a dimension mismatch degrades to a
+    * projection over the common dims instead of null buckets that silently
+    * empty every join.
+    */
   private def planeBit(v: Column, j: Int, dim: Int): Column = {
     val plane = array(planeSigns(j, dim).map(lit): _*)
-    val signed = zip_with(v, plane, (x, s) => x * s)
+    val signed = zip_with(slice(v, 1, dim), plane,
+      (x, s) => coalesce(x * s, lit(0.0)))
     (aggregate(signed, lit(0.0), (acc, x) => acc + x) > 0).cast("int")
   }
 

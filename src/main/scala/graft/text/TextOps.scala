@@ -34,9 +34,11 @@ object TextOps {
       col("doc_id"),
       col("n_chars"),
       size(tokens(col("text"))).as("n_tokens"),
-      // BPE-ish: letter-runs, digit-runs, and isolated symbols each count
-      size(filter(split(col("text"), "(?<=[a-zA-Z])(?=[^a-zA-Z])|(?<=[0-9])(?=[^0-9])|\\s+"),
-        t => length(t) > 0)).as("n_subwords"))
+      // BPE-ish: letter-runs, digit-runs, and isolated symbols each count.
+      // Same extraction regex as the DuckDB oracle (lookarounds would
+      // diverge between Java regex and RE2 on punctuation-adjacent text).
+      size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)"))
+        .as("n_subwords"))
 
   /** English-ish stopword list used by the quality score. */
   val Stopwords: Seq[String] = Seq(
