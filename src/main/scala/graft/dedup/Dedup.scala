@@ -195,6 +195,9 @@ object Dedup {
     */
   def ngramJaccard(documents: DataFrame, n: Int = 3, threshold: Double = 0.3,
                    maxDocsPerGram: Int = 1000000): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    require(threshold > 0 && threshold <= 1,
+      "threshold must be in (0, 1] — prefix filtering is undefined at 0")
     // grams are folded to 8-byte xxhash64 ids up front: every downstream
     // join/array op then moves and compares longs, not ~25-char strings
     // (injective up to 2^-64 collisions, so Jaccard values are unchanged)

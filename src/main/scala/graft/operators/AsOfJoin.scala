@@ -42,6 +42,10 @@ object AsOfJoin {
            leftKey: String, rightKey: String,
            leftTs: String, rightTs: String,
            rightPayload: Seq[String]): DataFrame = {
+    require(rightPayload.nonEmpty, "rightPayload must name at least one column")
+    val clashes = rightPayload.toSet intersect left.columns.toSet
+    require(clashes.isEmpty,
+      s"rightPayload columns clash with left columns: ${clashes.mkString(", ")} — rename before joining")
     val leftCols = left.columns.toSeq
     val payload = struct(rightPayload.map(col): _*)
 

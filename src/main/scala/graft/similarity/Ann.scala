@@ -55,6 +55,7 @@ object Ann {
     * (query_id, vec_id, cosine, rank).
     */
   def bruteForceTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    require(k > 0 && nQueries > 0, "k and nQueries must be positive")
     val e = corpus(embeddings)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))

@@ -44,6 +44,15 @@ class AsOfWarehouseSpec extends AnyFunSuite {
     assert(got(1L) === None)
   }
 
+  test("asOf rejects payload columns that clash with left columns") {
+    val l = Seq((1L, 1L, ts("2024-01-01 00:00:00"))).toDF("id", "k", "t")
+    val r = Seq((1L, ts("2024-01-01 00:00:00"), 1.0)).toDF("rk", "rt", "t")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(l, r, "k", "rk", "t", "rt", Seq("t"))
+    }
+    assert(e.getMessage.contains("clash"))
+  }
+
   test("latestPerKeyTs keeps exactly one deterministic row per (key, ts)") {
     val df = Seq((1L, ts("2024-01-01 00:00:00"), 5L), (1L, ts("2024-01-01 00:00:00"), 9L),
       (2L, ts("2024-01-01 00:00:00"), 1L)).toDF("k", "t", "v")
