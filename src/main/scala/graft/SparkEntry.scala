@@ -85,6 +85,7 @@ object SparkEntry {
     "q_monthly_active"  -> ((s, d) => Breadth.monthlyActiveCustomers(Tables.orders(s, d))),
     "q_nation_set_ops"  -> ((s, d) => Breadth.nationSetOps(Tables.customer(s, d), Tables.supplier(s, d))),
     "q_events_hourly"   -> ((s, d) => Breadth.eventsHourly(Tables.events(s, d))),
+    "q_top_event_type"  -> ((s, d) => Breadth.topEventTypePerHour(Tables.events(s, d))),
     "q_event_sessions"  -> ((s, d) => Breadth.eventSessions(Tables.events(s, d))),
     "q_percentiles"     -> ((s, d) => Breadth.quantitypercentiles(Tables.lineitem(s, d))),
     "q_pivot_status"    -> ((s, d) => Breadth.revenuePivot(Tables.orders(s, d))),
@@ -314,6 +315,16 @@ object SparkEntry {
         |       COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_top_event_type" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |         COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_start, event_type, n_events FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+        |           ORDER BY n_events DESC, event_type) AS rn
+        |  FROM hourly) t
+        |WHERE rn = 1""".stripMargin,
     "q_event_sessions" ->
       """WITH x AS (
         |  SELECT user_id, ts, event_id,

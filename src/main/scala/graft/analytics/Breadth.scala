@@ -279,6 +279,19 @@ object Breadth {
       .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
         countDistinct(col("o_custkey")).as("exact_customers"))
 
+  /** Per-window argmax: the busiest event type in each hour (time bucket +
+    * count + ranked window in one plan).
+    */
+  def topEventTypePerHour(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("window_start")
+      .orderBy(desc("n_events"), asc("event_type"))
+    hourly.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
   /** Sessionization via windows: per-user session count with a 30-minute
     * inactivity gap. Partition-by-user windows scale horizontally; state
     * never leaves the executor that owns the user.
