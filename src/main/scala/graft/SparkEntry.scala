@@ -80,6 +80,7 @@ object SparkEntry {
     "q_anti_join"       -> ((s, d) => Breadth.customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))),
     "q_rollup_revenue"  -> ((s, d) => Breadth.revenueRollup(Tables.orders(s, d))),
     "q_cube_revenue"    -> ((s, d) => Breadth.revenueCube(Tables.orders(s, d))),
+    "q_balance_quartiles" -> ((s, d) => Breadth.balanceQuartiles(Tables.customer(s, d))),
     "q_mom_delta"       -> ((s, d) => Breadth.momDelta(Tables.orders(s, d))),
     "q_string_ops"      -> ((s, d) => Breadth.stringOps(Tables.customer(s, d))),
     "q_monthly_active"  -> ((s, d) => Breadth.monthlyActiveCustomers(Tables.orders(s, d))),
@@ -274,6 +275,10 @@ object SparkEntry {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
         |FROM orders
         |GROUP BY ROLLUP(1, 2)""".stripMargin,
+    "q_balance_quartiles" ->
+      """SELECT c_custkey, c_acctbal,
+        |       CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
+        |FROM customer""".stripMargin,
     "q_cube_revenue" ->
       """SELECT o_orderstatus, o_orderpriority,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,

@@ -126,6 +126,15 @@ object Breadth {
       .rollup("o_year", "o_month")
       .agg(sum(dec("o_totalprice")).cast(DecimalType(18, 2)).as("revenue"))
 
+  /** ntile quartiles: customers bucketed by account balance (total order
+    * via the custkey tie-break keeps bucket membership deterministic).
+    */
+  def balanceQuartiles(customer: DataFrame): DataFrame = {
+    val w = Window.orderBy(asc("c_acctbal"), asc("c_custkey"))
+    customer.select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w))
+  }
+
   /** CUBE over two categorical dims: every subtotal combination in one
     * pass (ROLLUP's superset).
     */
