@@ -121,24 +121,42 @@ object Ann {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** IVF: deterministic centroid sample (vec_id ≡ 0 mod `centroidStep`),
-    * corpus assigned to nearest centroid, queries probe `nprobe` nearest
-    * centroids. Returns the same (query_id, vec_id, cosine, rank) shape.
+  /** Centroid relation for the IVF index: a deterministic corpus sample
+    * (vec_id ≡ 0 mod `centroidStep`).
+    */
+  private def ivfCentroids(e: DataFrame, centroidStep: Int): DataFrame =
+    e.filter(pmod(col("vec_id"), lit(centroidStep)) === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+
+  private def nearestCentroids(cents: DataFrame, points: DataFrame,
+                               idCol: String, vCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(desc("csim"), asc("cent_id"))
+    points.join(broadcast(cents))
+      .select(col(idCol), col(vCol), col("cent_id"),
+        cosine(col(vCol), col("cv")).as("csim"))
+      .withColumn("crank", row_number().over(w)).filter(col("crank") <= n)
+      .drop("csim", "crank")
+  }
+
+  /** IVF index build: assign every corpus vector to its nearest centroid.
+    * Returns (vec_id, v, cent_id) — written out `partitionBy("cent_id")`,
+    * this is the posting-list layout whose probes are partition-pruned
+    * reads (demonstrated in ScaleTechniquesSpec).
+    */
+  def ivfAssign(embeddings: DataFrame, centroidStep: Int = 29): DataFrame = {
+    val e = corpus(embeddings)
+    nearestCentroids(ivfCentroids(e, centroidStep), e, "vec_id", "v", 1)
+  }
+
+  /** IVF search: queries probe the `nprobe` nearest centroids' posting
+    * lists. Returns the same (query_id, vec_id, cosine, rank) shape.
     */
   def ivfTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
               centroidStep: Int = 29, nprobe: Int = 3): DataFrame = {
     val e = corpus(embeddings)
-    val cents = e.filter(pmod(col("vec_id"), lit(centroidStep)) === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-
-    def nearest(points: DataFrame, idCol: String, vCol: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(idCol).orderBy(desc("csim"), asc("cent_id"))
-      points.join(broadcast(cents))
-        .select(col(idCol), col(vCol), col("cent_id"),
-          cosine(col(vCol), col("cv")).as("csim"))
-        .withColumn("crank", row_number().over(w)).filter(col("crank") <= n)
-        .drop("csim", "crank")
-    }
+    val cents = ivfCentroids(e, centroidStep)
+    def nearest(points: DataFrame, idCol: String, vCol: String, n: Int): DataFrame =
+      nearestCentroids(cents, points, idCol, vCol, n)
 
     val assigned = nearest(e, "vec_id", "v", 1) // posting lists
     val q = e.filter(col("vec_id") < nQueries)

@@ -33,6 +33,23 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(direct.exceptAll(salted).isEmpty && salted.exceptAll(direct).isEmpty)
   }
 
+  test("IVF posting lists partitioned by centroid: probes are partition-pruned") {
+    val out = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val assigned = graft.similarity.Ann.ivfAssign(
+      Tables.embeddings(spark, sfDir), centroidStep = 29)
+    assigned.write.mode("overwrite").partitionBy("cent_id").parquet(out)
+    val nPartitions = new java.io.File(out).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cent_id="))
+    assert(nPartitions > 1)
+    // a probe of 2 centroids must plan with partition filters on cent_id
+    val probe = spark.read.parquet(out).filter($"cent_id".isin(0, 29))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cent_id"),
+      s"expected cent_id partition pruning in:\n$plan")
+    assert(probe.count() > 0)
+    assert(probe.select("cent_id").distinct().count() <= 2)
+  }
+
   test("bucketed tables: co-located join plans without a shuffle exchange") {
     // disable auto-broadcast so the exchange-free plan is due to bucketing
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
