@@ -64,6 +64,21 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhash estimate tracks true jaccard on planted pairs") {
+    val base = "the data pipeline reads parquet files and aggregates daily " +
+      "metrics for every customer region then writes results back to storage"
+    val nearDup = base.replace("daily", "weekly")
+    val fixture = docs(1L -> base, 2L -> nearDup)
+    def shingles(t: String) =
+      t.split("\\s+").toSeq.sliding(3).map(_.mkString(" ")).toSet
+    val sa = shingles(base); val sb = shingles(nearDup)
+    val trueJ = (sa intersect sb).size.toDouble / (sa union sb).size
+    val est = Dedup.minhashDedup(fixture, threshold = 0.0)
+      .select("est_jaccard").as[Double].head()
+    // 32 hashes → σ = sqrt(J(1-J)/32) ≈ 0.08; allow 2.5σ
+    assert(math.abs(est - trueJ) <= 0.2, s"est $est vs true $trueJ")
+  }
+
   test("simhash: identical docs at hamming 0, near-dups within threshold") {
     val base = "spark executes distributed queries over columnar storage " +
       "with whole stage code generation and adaptive execution"
