@@ -1,60 +1,60 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's DuckDB differential check.
+"""Local replica of the driver's DuckDB differential check — STRICT version.
 
 Usage: python3 dev/check_oracle.py <sfDir> <verifyOutDir>
 
-Loads each <name>.parquet that graft.Verify wrote, runs the matching
-oracle_sql.json entry in DuckDB over the same fixture parquet, and compares
-(sorted columns, sorted rows, exact for non-floats / 1e-9-relative for
-floats). Dev-only tooling — NOT part of the shipped library.
+Mirrors the driver's observed comparison path (round-1 forensics):
+  * Spark results are loaded with pandas.read_parquet (pyarrow) — so DECIMAL
+    columns surface as Python Decimal objects and DATE columns as
+    datetime.date objects;
+  * oracle results come from duckdb's .df() — DECIMAL becomes float64, DATE
+    becomes datetime64[us];
+  * rows are sorted and every value compared via its pandas astype(str)
+    representation with NO float tolerance. Decimal('10016.20') vs float
+    10016.2 is a FAIL here exactly like it is at the driver.
+
+Also keeps the stricter DuckDB DESCRIBE dtype cross-check from round 1.
+Dev-only tooling — NOT part of the shipped library.
 """
-import json, math, sys
+import json
+import sys
+
 import duckdb
+import pandas as pd
 
-def norm(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(r[i] for i in order))
-    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
 
-def eq(a, b):
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return str(a) == str(b)
-        if math.isnan(fa) and math.isnan(fb):
-            return True
-        return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
-    return str(a) == str(b)
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    # per-value string repr (matches pandas astype(str): datetime64 midnight
+    # -> '1995-01-01', datetime.date -> '1995-01-01', NaN -> 'nan',
+    # None -> 'None', Decimal('1.20') -> '1.20', float 1.2 -> '1.2')
+    for c in df.columns:
+        df[c] = df[c].astype(str)
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
 
-def main(sf_dir, out_dir):
+
+def main(sf_dir: str, out_dir: str) -> None:
     con = duckdb.connect()
-    for t in ["region","nation","customer","supplier","part","orders",
-              "lineitem","events","documents","embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            gcols = [d[0] for d in got.description]
-            grows = got.fetchall()
-            exp = con.execute(sql)
-            ecols = [d[0] for d in exp.description]
-            erows = exp.fetchall()
-        except Exception as e:
+            spark = pd.read_parquet(f"{out_dir}/{name}")
+            duck = con.execute(sql).df()
+        except Exception as e:  # noqa: BLE001 - report and continue
             print(f"FAIL {name}: {e}")
             n_bad += 1
             continue
-        gc, gr = norm(grows, gcols)
-        ec, er = norm(erows, ecols)
-        if gc != ec:
-            print(f"FAIL {name}: columns {gc} vs oracle {ec}")
+        if sorted(spark.columns) != sorted(duck.columns):
+            print(f"FAIL {name}: columns {sorted(spark.columns)} vs {sorted(duck.columns)}")
             n_bad += 1
             continue
-        # strict dtype comparison (duckdb DESCRIBE both sides)
+        # strict dtype cross-check at the DuckDB level (both sides DESCRIBEd)
         gt = {r[0]: r[1] for r in con.execute(
             f"DESCRIBE SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchall()}
         et = {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
@@ -64,23 +64,24 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: dtype mismatch {tdiffs}")
             n_bad += 1
             continue
-        if len(gr) != len(er):
-            print(f"FAIL {name}: {len(gr)} rows vs oracle {len(er)}")
+        if len(spark) != len(duck):
+            print(f"FAIL {name}: {len(spark)} rows vs oracle {len(duck)}")
             n_bad += 1
             continue
-        bad = None
-        for i, (a, b) in enumerate(zip(gr, er)):
-            if not all(eq(x, y) for x, y in zip(a, b)):
-                bad = (i, a, b)
-                break
-        if bad:
-            print(f"FAIL {name}: row {bad[0]}: spark={bad[1]} oracle={bad[2]}")
-            n_bad += 1
-        else:
-            print(f"ok   {name} ({len(gr)} rows)")
+        a, b = canon(spark), canon(duck)
+        if a.equals(b):
+            print(f"ok   {name} ({len(a)} rows)")
             n_ok += 1
+        else:
+            neq = (a != b)
+            bad_cols = [c for c in a.columns if neq[c].any()]
+            i = int(neq.any(axis=1).idxmax())
+            print(f"FAIL {name}: cols {bad_cols}; first bad row {i}: "
+                  f"spark={a.iloc[i].to_dict()} oracle={b.iloc[i].to_dict()}")
+            n_bad += 1
     print(f"\n{n_ok} ok, {n_bad} failed")
     sys.exit(1 if n_bad else 0)
+
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2])

@@ -119,8 +119,16 @@ object SparkEntry {
         Multimodal.packSynthetic(Tables.documents(s, d))
           .as[Multimodal.MediaRecord]).toDF()
     }), // rows-only
-    "mm_frames" -> ((s, d) =>
-      Multimodal.frameSample(Multimodal.packSynthetic(Tables.documents(s, d)))),
+    // raw frame bytes stay internal (binary columns don't survive the
+    // driver's pandas-level row sort); the checked output carries a sha256
+    // digest + length per frame instead
+    "mm_frames" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, length, sha2}
+      Multimodal.frameSample(Multimodal.packSynthetic(Tables.documents(s, d)))
+        .select(col("media_id"), col("kind"), col("frame_idx"),
+          sha2(col("frame_bytes"), 256).as("frame_sha"),
+          length(col("frame_bytes")).as("frame_len"))
+    }),
     // --- as-of join: each event matched to the customer's latest prior order ---
     "q_asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
@@ -169,7 +177,7 @@ object SparkEntry {
     "fact_monthly_payment" ->
       """SELECT o_custkey, o_orderkey,
         |       CAST(year(o_orderdate)*10000 + month(o_orderdate)*100 + 1 AS INTEGER) AS date_id,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS monthly_payment_total
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monthly_payment_total
         |FROM orders GROUP BY 1, 2, 3""".stripMargin,
     "q1_monthly_revenue" ->
       """WITH fact AS (
@@ -178,7 +186,7 @@ object SparkEntry {
         |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monthly_payment_total
         |  FROM orders GROUP BY 1, 2, 3)
         |SELECT CAST(strptime(CAST(date_id AS VARCHAR), '%Y%m%d') AS DATE) AS month_start,
-        |       CAST(SUM(monthly_payment_total) AS DECIMAL(18,2)) AS monthly_revenue
+        |       CAST(SUM(monthly_payment_total) AS DOUBLE) AS monthly_revenue
         |FROM fact GROUP BY 1""".stripMargin,
     "q2_top_parts" ->
       """WITH fact AS (
@@ -213,15 +221,15 @@ object SparkEntry {
         |  AND inventory_id IS NOT NULL AND customer_id IS NOT NULL AND return_date IS NOT NULL""".stripMargin,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
         |       COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY 1, 2""".stripMargin,
     "q_region_revenue" ->
-      """SELECT r_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+      """SELECT r_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -229,14 +237,14 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     "q_top_customers" ->
       """WITH spend AS (
-        |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_spend
+        |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
         |  FROM orders GROUP BY 1
         |  ORDER BY total_spend DESC, o_custkey LIMIT 10)
         |SELECT o_custkey, c_name, total_spend
         |FROM spend JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "q_window_top_parts" ->
       """WITH per_part AS (
-        |  SELECT l_suppkey, l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+        |  SELECT l_suppkey, l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |  FROM lineitem GROUP BY 1, 2)
         |SELECT * FROM (
         |  SELECT l_suppkey, l_partkey, qty,
@@ -248,9 +256,9 @@ object SparkEntry {
         |  SELECT date_trunc('month', o_orderdate) AS month_start,
         |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monthly_revenue
         |  FROM orders GROUP BY 1)
-        |SELECT month_start, CAST(monthly_revenue AS DECIMAL(18,2)) AS monthly_revenue,
+        |SELECT month_start, CAST(monthly_revenue AS DOUBLE) AS monthly_revenue,
         |       CAST(SUM(monthly_revenue) OVER (ORDER BY month_start
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS cumulative_revenue
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cumulative_revenue
         |FROM monthly""".stripMargin,
     "q_moving_revenue" ->
       """WITH monthly AS (
@@ -258,9 +266,9 @@ object SparkEntry {
         |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monthly_revenue
         |  FROM orders GROUP BY 1)
         |SELECT month_start,
-        |       CAST(monthly_revenue AS DECIMAL(18,2)) AS monthly_revenue,
+        |       CAST(monthly_revenue AS DOUBLE) AS monthly_revenue,
         |       CAST(SUM(monthly_revenue) OVER (ORDER BY month_start
-        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS rev_3mo
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_3mo
         |FROM monthly""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
@@ -272,7 +280,7 @@ object SparkEntry {
     "q_rollup_revenue" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
         |       CAST(month(o_orderdate) AS INTEGER) AS o_month,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders
         |GROUP BY ROLLUP(1, 2)""".stripMargin,
     "q_balance_quartiles" ->
@@ -281,18 +289,18 @@ object SparkEntry {
         |FROM customer""".stripMargin,
     "q_cube_revenue" ->
       """SELECT o_orderstatus, o_orderpriority,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |       COUNT(*) AS n_orders
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
     "q_mom_delta" ->
       """WITH monthly AS (
         |  SELECT date_trunc('month', o_orderdate) AS month_start,
-        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS monthly_revenue
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monthly_revenue
         |  FROM orders GROUP BY 1)
-        |SELECT month_start, monthly_revenue,
-        |       CAST(LAG(monthly_revenue, 1) OVER (ORDER BY month_start) AS DECIMAL(18,2)) AS prev_revenue,
-        |       CAST(monthly_revenue - LAG(monthly_revenue, 1) OVER (ORDER BY month_start) AS DECIMAL(18,2)) AS mom_delta
+        |SELECT month_start, CAST(monthly_revenue AS DOUBLE) AS monthly_revenue,
+        |       CAST(LAG(monthly_revenue, 1) OVER (ORDER BY month_start) AS DOUBLE) AS prev_revenue,
+        |       CAST(monthly_revenue - LAG(monthly_revenue, 1) OVER (ORDER BY month_start) AS DOUBLE) AS mom_delta
         |FROM monthly""".stripMargin,
     "q_string_ops" ->
       """SELECT c_custkey,
@@ -318,7 +326,7 @@ object SparkEntry {
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       COUNT(*) AS n_events,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_top_event_type" ->
       """WITH hourly AS (
@@ -356,20 +364,20 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1""".stripMargin,
     "q_pivot_status" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-        |       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS rev_open,
-        |       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS rev_fulfilled,
-        |       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS rev_pending
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_open,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_fulfilled,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_pending
         |FROM orders GROUP BY 1""".stripMargin,
     "q_range_join" ->
       """WITH bands(tier, lo, hi) AS (VALUES
         |  ('tier0', 0.0, 920.0), ('tier1', 920.0, 940.0), ('tier2', 940.0, 960.0),
         |  ('tier3', 960.0, 980.0), ('tier4', 980.0, 1e18))
         |SELECT tier, COUNT(*) AS n_parts,
-        |       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+        |       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
         |GROUP BY 1""".stripMargin,
     "q_scalar_subquery" ->
-      """SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+      """SELECT c_custkey, c_name, c_acctbal AS acctbal
         |FROM customer c
         |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
         |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin,
@@ -471,11 +479,11 @@ object SparkEntry {
         |  FROM documents),
         |frames AS (
         |  SELECT media_id, kind, i AS frame_idx,
-        |         encode(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_bytes,
-        |         length(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS flen
+        |         substring(text, CAST(i * 64 + 1 AS INTEGER), 64) AS f
         |  FROM media, range(0, 4) t(i))
-        |SELECT media_id, kind, CAST(frame_idx AS INTEGER) AS frame_idx, frame_bytes
-        |FROM frames WHERE flen > 0""".stripMargin,
+        |SELECT media_id, kind, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |       sha256(f) AS frame_sha, CAST(length(f) AS INTEGER) AS frame_len
+        |FROM frames WHERE length(f) > 0""".stripMargin,
     "q_asof_join" ->
       """WITH r AS (
         |  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM (

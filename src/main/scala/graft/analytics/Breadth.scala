@@ -13,7 +13,13 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Determinism rules shared with the oracle (SURVEY.md §7.4.5): money/value
   * sums go through DECIMAL(18,2) so results are exact and independent of
-  * partial-aggregation order; every LIMIT carries a total ordering.
+  * partial-aggregation order; every LIMIT carries a total ordering. The
+  * FINAL value is cast to DOUBLE — an exact decimal converts to double with
+  * one correctly-rounded step in both Spark (BigDecimal.doubleValue) and
+  * DuckDB (verified bit-identical on 150k sums), so the driver's
+  * hash compare sees the same float64 from both engines, while a decimal
+  * output column would surface as Python Decimal objects ('10016.20') vs
+  * DuckDB float64 ('10016.2') and hash-mismatch on representation.
   */
 object Breadth {
 
@@ -28,10 +34,10 @@ object Breadth {
       .filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec("l_quantity")).cast(DecimalType(18, 2)).as("sum_qty"),
-        sum(dec("l_extendedprice")).cast(DecimalType(18, 2)).as("sum_base_price"),
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
         sum((dec("l_extendedprice") * (lit(1) - dec("l_discount")))
-          .cast(DecimalType(18, 4))).cast(DecimalType(18, 4)).as("sum_disc_price"),
+          .cast(DecimalType(18, 4))).cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
   /** Multi-way star join: revenue per region. nation/region are tiny →
@@ -47,14 +53,14 @@ object Breadth {
       .join(broadcast(region.select("r_regionkey", "r_name")),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name")
-      .agg(sum(dec("o_totalprice")).cast(DecimalType(18, 2)).as("revenue"))
+      .agg(sum(dec("o_totalprice")).cast("double").as("revenue"))
 
   /** Top-K with join-back: 10 biggest customers by lifetime spend. The agg
     * runs before the join so only K rows join to the dim.
     */
   def topCustomers(orders: DataFrame, customer: DataFrame, k: Int = 10): DataFrame = {
     val spend = orders.groupBy("o_custkey")
-      .agg(sum(dec("o_totalprice")).cast(DecimalType(18, 2)).as("total_spend"))
+      .agg(sum(dec("o_totalprice")).cast("double").as("total_spend"))
       .orderBy(desc("total_spend"), asc("o_custkey"))
       .limit(k)
     spend.join(customer.select("c_custkey", "c_name"),
@@ -67,7 +73,7 @@ object Breadth {
     */
   def windowTopParts(lineitem: DataFrame, n: Int = 3): DataFrame = {
     val perPart = lineitem.groupBy("l_suppkey", "l_partkey")
-      .agg(sum(dec("l_quantity")).cast(DecimalType(18, 2)).as("qty"))
+      .agg(sum(dec("l_quantity")).cast("double").as("qty"))
     val w = Window.partitionBy("l_suppkey")
       .orderBy(desc("qty"), asc("l_partkey"))
     perPart.withColumn("rn", row_number().over(w))
@@ -86,9 +92,9 @@ object Breadth {
     val w = Window.orderBy("month_start")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     monthly
-      .withColumn("monthly_revenue", col("monthly_revenue").cast(DecimalType(18, 2)))
       .withColumn("cumulative_revenue",
-        sum("monthly_revenue").over(w).cast(DecimalType(18, 2)))
+        sum("monthly_revenue").over(w).cast("double"))
+      .withColumn("monthly_revenue", col("monthly_revenue").cast("double"))
   }
 
   /** Sliding window frame: trailing-3-month revenue (ROWS BETWEEN
@@ -100,8 +106,8 @@ object Breadth {
       .agg(sum(dec("o_totalprice")).as("monthly_revenue"))
     val w = Window.orderBy("month_start").rowsBetween(-2, Window.currentRow)
     monthly.select(col("month_start"),
-      col("monthly_revenue").cast(DecimalType(18, 2)).as("monthly_revenue"),
-      sum("monthly_revenue").over(w).cast(DecimalType(18, 2)).as("rev_3mo"))
+      col("monthly_revenue").cast("double").as("monthly_revenue"),
+      sum("monthly_revenue").over(w).cast("double").as("rev_3mo"))
   }
 
   /** Left-semi join (EXISTS): customers that ordered in 1995. */
@@ -124,7 +130,7 @@ object Breadth {
         month(col("o_orderdate")).as("o_month"),
         col("o_totalprice"))
       .rollup("o_year", "o_month")
-      .agg(sum(dec("o_totalprice")).cast(DecimalType(18, 2)).as("revenue"))
+      .agg(sum(dec("o_totalprice")).cast("double").as("revenue"))
 
   /** ntile quartiles: customers bucketed by account balance (total order
     * via the custkey tie-break keeps bucket membership deterministic).
@@ -142,7 +148,7 @@ object Breadth {
     orders
       .select(col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
       .cube("o_orderstatus", "o_orderpriority")
-      .agg(sum(dec("o_totalprice")).cast(DecimalType(18, 2)).as("revenue"),
+      .agg(sum(dec("o_totalprice")).cast("double").as("revenue"),
         count(lit(1)).as("n_orders"))
 
   /** lead/lag analytics: month-over-month revenue delta (first month's
@@ -151,13 +157,14 @@ object Breadth {
   def momDelta(orders: DataFrame): DataFrame = {
     val monthly = orders
       .groupBy(trunc(col("o_orderdate"), "month").as("month_start"))
-      .agg(sum(dec("o_totalprice")).cast(DecimalType(18, 2)).as("monthly_revenue"))
+      .agg(sum(dec("o_totalprice")).as("monthly_revenue"))
     val w = Window.orderBy("month_start")
     monthly
-      .withColumn("prev_revenue",
-        lag("monthly_revenue", 1).over(w).cast(DecimalType(18, 2)))
+      .withColumn("prev_revenue", lag("monthly_revenue", 1).over(w))
       .withColumn("mom_delta",
-        (col("monthly_revenue") - col("prev_revenue")).cast(DecimalType(18, 2)))
+        (col("monthly_revenue") - col("prev_revenue")).cast("double"))
+      .withColumn("monthly_revenue", col("monthly_revenue").cast("double"))
+      .withColumn("prev_revenue", col("prev_revenue").cast("double"))
   }
 
   /** String-function breadth: case mapping, substring, length, regex
@@ -199,7 +206,7 @@ object Breadth {
       .groupBy(date_trunc("hour", col("ts")).as("window_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(dec("value")).cast(DecimalType(18, 2)).as("total_value"))
+        sum(dec("value")).cast("double").as("total_value"))
 
   /** Exact interpolated percentiles of line-item quantity per return flag.
     * Spark's `percentile` and DuckDB's `quantile_cont` both use the
@@ -228,9 +235,9 @@ object Breadth {
       .withColumnRenamed("F", "rev_fulfilled")
       .withColumnRenamed("P", "rev_pending")
       .select(col("o_year"),
-        col("rev_open").cast(DecimalType(18, 2)).as("rev_open"),
-        col("rev_fulfilled").cast(DecimalType(18, 2)).as("rev_fulfilled"),
-        col("rev_pending").cast(DecimalType(18, 2)).as("rev_pending"))
+        col("rev_open").cast("double").as("rev_open"),
+        col("rev_fulfilled").cast("double").as("rev_fulfilled"),
+        col("rev_pending").cast("double").as("rev_pending"))
 
   /** Range (theta) join: parts matched into literal price bands. The band
     * table is tiny → broadcast nested-loop on the range predicate, the
@@ -248,7 +255,7 @@ object Breadth {
         col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
       .groupBy("tier")
       .agg(count(lit(1)).as("n_parts"),
-        sum(dec("p_retailprice")).cast(DecimalType(18, 2)).as("total_price"))
+        sum(dec("p_retailprice")).cast("double").as("total_price"))
   }
 
   /** Correlated scalar subquery (Catalyst decorrelates it into a join):
@@ -258,7 +265,7 @@ object Breadth {
   def aboveAvgCustomers(spark: SparkSession, customer: DataFrame): DataFrame = {
     customer.createOrReplaceTempView("customer_v")
     spark.sql(
-      """SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+      """SELECT c_custkey, c_name, c_acctbal AS acctbal
         |FROM customer_v c
         |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer_v c2
         |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)

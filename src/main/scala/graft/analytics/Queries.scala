@@ -28,8 +28,10 @@ object Queries {
       .withColumn("month_start",
         to_date(col("date_id").cast("string"), "yyyyMMdd"))       // P4
       .groupBy("month_start")                                      // P7 grain
-      .agg(sum("monthly_payment_total").cast(DecimalType(18, 2))
-        .as("monthly_revenue"))                                    // A4
+      // the fact's doubles are exact cent values (≤ 15 significant digits),
+      // so the decimal round-trip re-sums them exactly in any order
+      .agg(sum(col("monthly_payment_total").cast(DecimalType(18, 2)))
+        .cast("double").as("monthly_revenue"))                     // A4
   }
 
   /** Q2 — top-10 parts by activity (`filmETLs.ipynb#cell12:2-9`):

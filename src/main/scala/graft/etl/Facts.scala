@@ -48,7 +48,9 @@ object Facts {
     * "fixed" (SURVEY.md §7.4.7). The measure is summed as DECIMAL(18,2) so
     * the result is exact and independent of partial-aggregation order —
     * double-precision sums would drift between run topologies (and vs the
-    * DuckDB oracle).
+    * DuckDB oracle). The exact sum is then emitted as DOUBLE (one
+    * correctly-rounded conversion, bit-identical across engines) so the
+    * driver's pandas-level hash sees float64 on both sides.
     */
   def factMonthlyPayment(orders: DataFrame): DataFrame = {
     val fact = orders
@@ -58,7 +60,7 @@ object Facts {
           .cast("int"))                                           // P5 + P6
       .groupBy("o_custkey", "o_orderkey", "date_id")
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
-        .cast(DecimalType(18, 2)).as("monthly_payment_total"))                             // A2
+        .cast("double").as("monthly_payment_total"))              // A2
     Clean.clean(fact)
   }
 }

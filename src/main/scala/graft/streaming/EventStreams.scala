@@ -34,7 +34,7 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("total_value"))
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
@@ -47,7 +47,7 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap).as("session"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("total_value"))
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
       .select(col("user_id"), col("session.start").as("session_start"),
         col("session.end").as("session_end"), col("n_events"), col("total_value"))
 
