@@ -20,6 +20,18 @@ import graft.text.TextOps
   * so the shuffle volume per 100 TB of text is GBs, not TBs. All logic is
   * built-in expressions (higher-order array functions + xxhash64/sha2) —
   * fully codegen'd, no UDFs, no driver-side state.
+  *
+  * CACHING CONTRACT (applies to [[minhashDedup]], [[simhashDedup]],
+  * [[ngramJaccard]], and the similarity/pipeline operators in
+  * `graft.similarity.Ann` / `graft.pipeline.Curation`): self-join-shaped
+  * operators persist their shared intermediate (MEMORY_AND_DISK) because
+  * both join sides reference it — the result is lazy, so the operator
+  * itself cannot know when it is safe to unpersist. After consuming the
+  * returned DataFrame (collect/write), the caller releases the cache with
+  * `spark.catalog.clearCache()` (what Bench/Verify do between queries) or
+  * by unpersisting. In a long-lived session, skipping this accumulates
+  * cached blocks until executor storage evicts them under pressure —
+  * safe but wasteful.
   */
 object Dedup {
 

@@ -20,7 +20,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * the additions are strictly left-to-right IEEE — bit-identical to the
   * fold, so DuckDB-oracle parity is unchanged. Edge cases are defined
   * (not fold-identical): length mismatch → NULL (the fold null-pads to a
-  * null result too), zero norm → NULL (the fold yields NaN from 0/0).
+  * null result too), zero norm → NULL (the fold yields NaN from 0/0), and
+  * a NULL element in either array → NULL (the fold's null-propagating
+  * arithmetic agrees; reading such an element as 0.0 would silently skew
+  * the similarity instead).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
@@ -47,6 +50,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
     }
@@ -62,13 +66,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  int n = $a.numElements();
          |  double dot = 0.0, nx = 0.0, ny = 0.0;
+         |  boolean anyNull = false;
          |  for (int i = 0; i < n; i++) {
+         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { anyNull = true; break; }
          |    double xi = $a.getDouble(i);
          |    double yi = $b.getDouble(i);
          |    dot += xi * yi; nx += xi * xi; ny += yi * yi;
          |  }
          |  double denom = Math.sqrt(nx) * Math.sqrt(ny);
-         |  if (denom == 0.0) {
+         |  if (anyNull || denom == 0.0) {
          |    ${ev.isNull} = true;
          |  } else {
          |    ${ev.value} = dot / denom;

@@ -56,15 +56,19 @@ object Tables {
     * DuckDB/most engines narrow ns → µs). Integer `div` — a double division
     * would lose precision above 2^53 ns.
     *
-    * SESSION-CONFIG SIDE EFFECT, by design: the `nanosAsLong` flag stays
-    * set for the session (restoring it immediately could break this lazy
-    * DataFrame's own execution). Consequence: later reads of *other*
-    * nanos-timestamped parquet in the same session get LongType nanos
-    * instead of an error — callers reading such tables should convert the
-    * same way this method does.
+    * CONFIG CONTRACT: the session should be built with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (Bench/Verify/test
+    * builders all do). As a convenience for ad-hoc sessions this method
+    * sets the flag if it is still unset — a deliberate, documented session
+    * side effect: later reads of *other* nanos-timestamped parquet in the
+    * same session then get LongType nanos instead of an error, and should
+    * convert the same way this method does. A session that explicitly set
+    * the flag to false is left alone (the read then fails with Spark's
+    * PARQUET_TYPE_ILLEGAL, which is what that setting asks for).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

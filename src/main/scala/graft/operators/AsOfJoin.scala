@@ -29,6 +29,8 @@ object AsOfJoin {
     * greatest `tieBreak` value.
     */
   def latestPerKeyTs(df: DataFrame, key: String, ts: String, tieBreak: String): DataFrame = {
+    require(!df.columns.contains("__rn"),
+      "input already has a __rn column — rename it before calling latestPerKeyTs")
     val w = Window.partitionBy(key, ts).orderBy(desc(tieBreak))
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
@@ -38,6 +40,12 @@ object AsOfJoin {
     * @param rightPayload right columns to attach (left keeps all columns);
     *                     names must not clash with left's.
     */
+  /** Internal column names used by the union/window plumbing; inputs must
+    * not use them (checked below) or the tagged union would produce
+    * ambiguous columns and silently wrong matches.
+    */
+  private val ReservedCols = Set("__key", "__ts", "__side", "__payload", "__match")
+
   def asOf(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTs: String, rightTs: String,
@@ -46,6 +54,10 @@ object AsOfJoin {
     val clashes = rightPayload.toSet intersect left.columns.toSet
     require(clashes.isEmpty,
       s"rightPayload columns clash with left columns: ${clashes.mkString(", ")} — rename before joining")
+    val reservedHits = (left.columns.toSet ++ rightPayload) intersect ReservedCols
+    require(reservedHits.isEmpty,
+      s"columns ${reservedHits.mkString(", ")} collide with asOf's reserved internal names " +
+        s"(${ReservedCols.mkString(", ")}) — rename before joining")
     val leftCols = left.columns.toSeq
     val payload = struct(rightPayload.map(col): _*)
 

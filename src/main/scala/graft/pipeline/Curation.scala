@@ -20,6 +20,10 @@ import graft.text.TextOps
   * (more expensive) stage sees, and exact-dedup-before-minhash is what
   * keeps degenerate LSH buckets (billions of identical docs) from ever
   * forming (SCALE.md).
+  *
+  * CACHING CONTRACT: persists the post-exact-dedup corpus (and MinHash
+  * persists its band relation); the caller releases caches after consuming
+  * the result — see the full note on [[graft.dedup.Dedup]].
   */
 object Curation {
 

@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   * `aggregate` left-folds) — deterministic summation order, codegen'd, no
   * UDFs. Cosines exposed to oracles are rounded to 1e-6 so cross-engine
   * float-fold differences can't flip a comparison.
+  *
+  * CACHING CONTRACT: [[lshTopK]] and [[nearDupPairs]] persist the bucket
+  * relation their self-joins share; callers release it after consuming the
+  * result (`spark.catalog.clearCache()` or unpersist) — see the full note
+  * on [[graft.dedup.Dedup]].
   */
 object Ann {
 

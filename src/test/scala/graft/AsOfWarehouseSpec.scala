@@ -53,6 +53,15 @@ class AsOfWarehouseSpec extends AnyFunSuite {
     assert(e.getMessage.contains("clash"))
   }
 
+  test("asOf rejects inputs using its reserved internal column names") {
+    val l = Seq((1L, 1L, ts("2024-01-01 00:00:00"), "x")).toDF("id", "k", "t", "__ts")
+    val r = Seq((1L, ts("2024-01-01 00:00:00"), 1.0)).toDF("rk", "rt", "price")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(l, r, "k", "rk", "t", "rt", Seq("price"))
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
   test("latestPerKeyTs keeps exactly one deterministic row per (key, ts)") {
     val df = Seq((1L, ts("2024-01-01 00:00:00"), 5L), (1L, ts("2024-01-01 00:00:00"), 9L),
       (2L, ts("2024-01-01 00:00:00"), 1L)).toDF("k", "t", "v")

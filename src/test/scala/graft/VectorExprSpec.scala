@@ -33,6 +33,23 @@ class VectorExprSpec extends AnyFunSuite {
     assert(got(2).isEmpty)
   }
 
+  test("cosine_sim: a null element in either array yields null") {
+    val df = Seq(
+      (Seq[Option[Double]](Some(1.0), None), Seq[Option[Double]](Some(1.0), Some(2.0))),
+      (Seq[Option[Double]](Some(1.0), Some(2.0)), Seq[Option[Double]](None, Some(2.0))),
+      (Seq[Option[Double]](Some(1.0), Some(0.0)), Seq[Option[Double]](Some(1.0), Some(0.0)))
+    ).toDF("a", "b")
+    val got = df.select(VectorFunctions.cosine_sim($"a", $"b")).as[Option[Double]].collect()
+    assert(got(0).isEmpty && got(1).isEmpty)
+    assert(math.abs(got(2).get - 1.0) < 1e-12)
+    // same via spark.sql → exercises the codegen path independently
+    VectorFunctions.register(spark)
+    val sqlGot = spark.sql(
+      "SELECT cosine_sim(array(1.0d, cast(null as double)), array(1.0d, 2.0d))")
+      .as[Option[Double]].head()
+    assert(sqlGot.isEmpty)
+  }
+
   test("SQL registration: cosine_sim usable from spark.sql") {
     VectorFunctions.register(spark)
     Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb")
