@@ -98,27 +98,30 @@ object SparkEntry {
     "text_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
     "text_quality"     -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
     "text_langid"      -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
-    "text_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))), // rows-only
+    "text_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     // --- deduplication (north star) ---
     "dedup_exact"         -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
-    "dedup_minhash"       -> ((s, d) => Dedup.minhashDedup(Tables.documents(s, d))),  // rows-only
-    "dedup_simhash"       -> ((s, d) => Dedup.simhashDedup(Tables.documents(s, d))),  // rows-only
+    "dedup_minhash"       -> ((s, d) => Dedup.minhashDedup(Tables.documents(s, d))),
+    "dedup_simhash"       -> ((s, d) => Dedup.simhashDedup(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), threshold = 0.5)),
     // --- similarity search over embeddings (north star) ---
     "ann_topk_brute" -> ((s, d) => Ann.bruteForceTopK(Tables.embeddings(s, d))),
-    "ann_topk_lsh"   -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),   // rows-only
-    "ann_topk_ivf"   -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),   // rows-only
+    "ann_topk_lsh"   -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
+    "ann_topk_ivf"   -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),
     // synthetic corpus peaks near cosine 0.5 → 0.35 keeps output non-empty
     "embed_neardup"  -> ((s, d) =>
-      Ann.nearDupPairs(Tables.embeddings(s, d), threshold = 0.35)),         // rows-only
+      Ann.nearDupPairs(Tables.embeddings(s, d), threshold = 0.35)),
     // --- multimodal binary columns (north star; codec decode is stubbed) ---
+    // checked projection: byte_entropy stays library-only (multi-term float
+    // fold, engine-specific ulps); everything else replays exactly in DuckDB
     "mm_features" -> ((s, d) => {
       import s.implicits._
       Multimodal.decodeFeatures(
         Multimodal.packSynthetic(Tables.documents(s, d))
           .as[Multimodal.MediaRecord]).toDF()
-    }), // rows-only
+        .select("media_id", "kind", "n_bytes", "byte_mean", "phash")
+    }),
     // raw frame bytes stay internal (binary columns don't survive the
     // driver's pandas-level row sort); the checked output carries a sha256
     // digest + length per frame instead
@@ -144,7 +147,7 @@ object SparkEntry {
         Tables.embeddings(s, d).select("vec_id", "label"), "label", "vec_id", 5)),
     // --- end-to-end curation composite (quality → dedup → near-dup → sample) ---
     "pipeline_curate" -> ((s, d) =>
-      graft.pipeline.Curation.curate(Tables.documents(s, d)))           // rows-only
+      graft.pipeline.Curation.curate(Tables.documents(s, d)))
   )
 
   /** DuckDB twins of each query, same column names (driver compares by
@@ -501,6 +504,238 @@ object SparkEntry {
         |         ROW_NUMBER() OVER (PARTITION BY label
         |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
         |  FROM embeddings) t
-        |WHERE rn <= 5""".stripMargin
+        |WHERE rn <= 5""".stripMargin,
+    // every hash below is md5-derived (md5Base60), so the sketches replay
+    // exactly in DuckDB — see Dedup.md5Base60
+    "text_fingerprint" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+        |         i -> md5(substring(text, CAST(i AS INTEGER), 8))) AS gh
+        |  FROM documents)
+        |SELECT doc_id, list_aggregate(gh, 'min') AS fp_min,
+        |       list_aggregate(gh, 'max') AS fp_max,
+        |       CAST(len(gh) AS INTEGER) AS n_grams
+        |FROM g""".stripMargin,
+    "dedup_minhash" -> {
+      val perms = Dedup.seedTriples(32)
+        .map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
+      s"""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+        |  FROM toks),
+        |bases AS (
+        |  SELECT doc_id, ('0x' || substring(md5(gram), 1, 15))::BIGINT % 2147483647 AS h
+        |  FROM (SELECT doc_id, unnest(g) AS gram FROM grams)),
+        |perms(perm, a, b) AS (VALUES $perms),
+        |sig AS (
+        |  SELECT doc_id, perm, MIN((a * h + b) % 2147483647) AS s
+        |  FROM bases CROSS JOIN perms GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, perm // 4 AS band,
+        |         string_agg(CAST(s AS VARCHAR), ',' ORDER BY perm) AS bh
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, est_jaccard FROM (
+        |  SELECT doc_a, doc_b,
+        |         SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 32.0 AS est_jaccard
+        |  FROM cand JOIN sig sa ON sa.doc_id = doc_a
+        |            JOIN sig sb ON sb.doc_id = doc_b AND sa.perm = sb.perm
+        |  GROUP BY 1, 2) t
+        |WHERE est_jaccard >= 0.5""".stripMargin
+    },
+    "dedup_simhash" -> {
+      val bitSums = (0 until Dedup.SimhashBits)
+        .map(j => s"SUM(CASE WHEN (v >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+        .mkString(",\n")
+      val simExpr = (0 until Dedup.SimhashBits)
+        .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\\s+') END) AS token
+        |  FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substring(md5(token), 1, 15))::BIGINT AS v FROM toks),
+        |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY 1),
+        |sk AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM bits),
+        |ch AS (SELECT doc_id, simhash, c, (simhash >> CAST(c * 15 AS INTEGER)) & 32767 AS cv
+        |       FROM sk CROSS JOIN range(4) t(c)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.simhash AS sha, b.simhash AS shb
+        |  FROM ch a JOIN ch b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS INTEGER) AS hamming
+        |FROM pairs WHERE bit_count(xor(sha, shb)) <= 3""".stripMargin
+    },
+    "ann_topk_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 29 = 0),
+        |assign AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT e.vec_id, c.cent_id,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |             round(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i])) /
+        |             (sqrt(list_sum(list_transform(v, x -> x*x))) *
+        |              sqrt(list_sum(list_transform(cv, x -> x*x)))), 6) DESC, c.cent_id) AS rn
+        |    FROM e CROSS JOIN cents c) t WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT query_id, cent_id FROM (
+        |    SELECT q.query_id, c.cent_id,
+        |           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        |             round(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*cv[i])) /
+        |             (sqrt(list_sum(list_transform(qv, x -> x*x))) *
+        |              sqrt(list_sum(list_transform(cv, x -> x*x)))), 6) DESC, c.cent_id) AS rn
+        |    FROM q CROSS JOIN cents c) t WHERE rn <= 3),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, a.vec_id
+        |  FROM probes p JOIN assign a USING (cent_id)
+        |  WHERE a.vec_id <> p.query_id),
+        |scored AS (
+        |  SELECT cd.query_id, cd.vec_id,
+        |         round(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i])) /
+        |             (sqrt(list_sum(list_transform(qv, x -> x*x))) *
+        |              sqrt(list_sum(list_transform(v, x -> x*x)))), 6) AS cosine
+        |  FROM cand cd JOIN q ON q.query_id = cd.query_id
+        |               JOIN e ON e.vec_id = cd.vec_id)
+        |SELECT query_id, vec_id, cosine, rank FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5""".stripMargin,
+    "mm_features" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id,
+        |         (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+        |         text
+        |  FROM documents),
+        |chars AS (SELECT media_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch FROM media),
+        |agg AS (SELECT media_id, COUNT(*) AS n, SUM(ord(ch)) AS s FROM chars GROUP BY 1)
+        |SELECT m.media_id, m.kind, CAST(length(m.text) AS INTEGER) AS n_bytes,
+        |       CASE WHEN a.n IS NULL THEN 0.0 ELSE CAST(a.s AS DOUBLE) / a.n END AS byte_mean,
+        |       ('0x' || substring(md5(m.text), 1, 15))::BIGINT AS phash
+        |FROM media m LEFT JOIN agg a ON a.media_id = m.media_id""".stripMargin,
+    "ann_topk_lsh" -> {
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |planes(j, p) AS (VALUES $planes),
+        |bits AS (
+        |  SELECT e.vec_id, planes.j,
+        |         CASE WHEN round(list_sum(list_transform(range(1, 65),
+        |             k -> coalesce(e.v[k] * planes.p[k], 0.0))), 6) > 0
+        |              THEN 1 ELSE 0 END AS bit
+        |  FROM e CROSS JOIN planes),
+        |buckets AS (
+        |  SELECT vec_id, j // 8 AS t, SUM(bit * (1 << CAST(j % 8 AS INTEGER))) AS bucket
+        |  FROM bits GROUP BY 1, 2),
+        |qb AS (SELECT vec_id AS query_id, t, bucket FROM buckets WHERE vec_id < 10),
+        |cand AS (
+        |  SELECT DISTINCT qb.query_id, b.vec_id
+        |  FROM buckets b JOIN qb ON b.t = qb.t AND b.bucket = qb.bucket
+        |  WHERE b.vec_id <> qb.query_id),
+        |scored AS (
+        |  SELECT cd.query_id, cd.vec_id,
+        |         round(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i]*e.v[i])) /
+        |             (sqrt(list_sum(list_transform(q.v, x -> x*x))) *
+        |              sqrt(list_sum(list_transform(e.v, x -> x*x)))), 6) AS cosine
+        |  FROM cand cd JOIN e q ON q.vec_id = cd.query_id
+        |               JOIN e ON e.vec_id = cd.vec_id)
+        |SELECT query_id, vec_id, cosine, rank FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5""".stripMargin
+    },
+    "embed_neardup" -> {
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |planes(j, p) AS (VALUES $planes),
+        |bits AS (
+        |  SELECT e.vec_id, planes.j,
+        |         CASE WHEN round(list_sum(list_transform(range(1, 65),
+        |             k -> coalesce(e.v[k] * planes.p[k], 0.0))), 6) > 0
+        |              THEN 1 ELSE 0 END AS bit
+        |  FROM e CROSS JOIN planes),
+        |buckets AS (
+        |  SELECT vec_id, j // 8 AS t, SUM(bit * (1 << CAST(j % 8 AS INTEGER))) AS bucket
+        |  FROM bits GROUP BY 1, 2),
+        |prs AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM buckets a JOIN buckets b
+        |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cosine FROM (
+        |  SELECT p.vec_a, p.vec_b,
+        |         round(list_sum(list_transform(range(1, len(ea.v)+1), i -> ea.v[i]*eb.v[i])) /
+        |             (sqrt(list_sum(list_transform(ea.v, x -> x*x))) *
+        |              sqrt(list_sum(list_transform(eb.v, x -> x*x)))), 6) AS cosine
+        |  FROM prs p JOIN e ea ON ea.vec_id = p.vec_a
+        |             JOIN e eb ON eb.vec_id = p.vec_b) t
+        |WHERE cosine >= 0.35""".stripMargin
+    },
+    "pipeline_curate" -> {
+      s"""WITH qual AS (
+        |  SELECT doc_id,
+        |         least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) / 100.0, 1.0)
+        |         * (1.0 - CASE WHEN n_chars > 0
+        |               THEN CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / n_chars
+        |               ELSE 0.0 END) AS quality_score
+        |  FROM documents),
+        |keepq AS (
+        |  SELECT d.doc_id, d.text, d.source, d.n_chars, q.quality_score
+        |  FROM documents d JOIN qual q USING (doc_id) WHERE q.quality_score >= 0.2),
+        |surv AS (SELECT MIN(doc_id) AS doc_id FROM keepq GROUP BY sha256(text)),
+        |ex AS (SELECT k.* FROM keepq k JOIN surv USING (doc_id)),
+        |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM ex),
+        |grams AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+        |  FROM toks),
+        |bases AS (
+        |  SELECT doc_id, ('0x' || substring(md5(gram), 1, 15))::BIGINT % 2147483647 AS h
+        |  FROM (SELECT doc_id, unnest(g) AS gram FROM grams)),
+        |perms(perm, a, b) AS (VALUES $perms),
+        |sig AS (
+        |  SELECT doc_id, perm, MIN((a * h + b) % 2147483647) AS s
+        |  FROM bases CROSS JOIN perms GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, perm // 4 AS band,
+        |         string_agg(CAST(s AS VARCHAR), ',' ORDER BY perm) AS bh
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT doc_a, doc_b,
+        |         SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 32.0 AS ej
+        |  FROM cand JOIN sig sa ON sa.doc_id = doc_a
+        |            JOIN sig sb ON sb.doc_id = doc_b AND sa.perm = sb.perm
+        |  GROUP BY 1, 2),
+        |losers AS (SELECT DISTINCT doc_b AS doc_id FROM est WHERE ej >= 0.7)
+        |SELECT ex.doc_id, ex.text, ex.source, ex.n_chars, ex.quality_score
+        |FROM ex LEFT JOIN losers l ON ex.doc_id = l.doc_id
+        |WHERE l.doc_id IS NULL""".stripMargin
+    }
   )
+
+  /** 64-element ±1.0 list literals of the LSH planes, shared by the lsh /
+    * neardup oracles (identical planes to Ann.planeSigns).
+    */
+  private def planes: String =
+    (0 until 64).map { j =>
+      val arr = graft.similarity.Ann.planeSigns(j, 64)
+        .map(d => if (d > 0) "1.0" else "-1.0").mkString(", ")
+      s"($j, [$arr])"
+    }.mkString(", ")
+
+  /** Literal (perm, a, b) VALUES rows of the minhash permutation family. */
+  private def perms: String =
+    Dedup.seedTriples(32).map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
 }

@@ -57,6 +57,20 @@ object Dedup {
                  rnd.nextInt(Int.MaxValue - 1).toLong))
   }
 
+  /** (perm index, a, b) triples of the hash family — exposed so the DuckDB
+    * oracle can embed the exact same permutation table as SQL literals.
+    */
+  private[graft] def seedTriples(n: Int): Seq[(Int, Long, Long)] =
+    seeds(n).zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+
+  /** 60-bit integer digest of a string: the first 15 hex chars of its md5,
+    * parsed base-16. md5 is bit-identical across engines (unlike xxhash64,
+    * Spark-specific), so every sketch built on this digest can be replayed
+    * exactly by the DuckDB oracle (`('0x' || substring(md5(x),1,15))::BIGINT`).
+    */
+  private[graft] def md5Base60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Distinct word n-gram shingles of a token array (short docs collapse to
     * one whole-document shingle).
     *
@@ -75,7 +89,8 @@ object Dedup {
 
   /** (doc_id, signature): minhash signature of `numHashes` mins over the
     * universal-hash family g_i(x) = (a_i·x + b_i) mod (2^31-1),
-    * x = xxhash64(shingle) folded into [0, 2^31-1). Products stay < 2^62,
+    * x = md5Base60(shingle) folded into [0, 2^31-1) — md5-based so the
+    * DuckDB oracle reproduces identical signatures. Products stay < 2^62,
     * so the arithmetic never overflows a long.
     *
     * Staged as three explicit projections (shingles → folded hashes →
@@ -88,7 +103,7 @@ object Dedup {
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), wordShingles(col("toks"), shingleN).as("shingles"))
       .select(col("doc_id"),
-        transform(col("shingles"), s => pmod(xxhash64(s), lit(MersennePrime31)))
+        transform(col("shingles"), s => pmod(md5Base60(s), lit(MersennePrime31)))
           .as("folded"))
     val sig = array(seeds(numHashes).map { case (a, b) =>
       array_min(transform(col("folded"), h => pmod(h * a + b, lit(MersennePrime31))))
@@ -137,29 +152,35 @@ object Dedup {
 
   // ---------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash per document: tokens are hashed, each hash votes ±1 on
-    * every bit position, sign of the vote sum sets the bit. Implemented as
-    * explode → 64-buffer hash aggregation (distributed, partial-agg
-    * friendly) rather than per-row array loops.
+  /** Bit width of the SimHash sketch: 60 = the md5Base60 digest width, so
+    * every bit is derived from a digest both engines compute identically.
+    */
+  private[graft] val SimhashBits = 60
+
+  /** 60-bit SimHash per document: tokens are hashed (md5Base60 — oracle
+    * replayable), each hash votes ±1 on every bit position, sign of the
+    * vote sum sets the bit. Implemented as explode → 60-buffer hash
+    * aggregation (distributed, partial-agg friendly) rather than per-row
+    * array loops.
     */
   def simhashSketch(documents: DataFrame): DataFrame = {
     val tok = documents.select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("token"))
-      .select(col("doc_id"), xxhash64(col("token")).as("h"))
+      .select(col("doc_id"), md5Base60(col("token")).as("h"))
     val bitSums = tok.groupBy("doc_id").agg(
       count(lit(1)).as("n_tokens"),
-      (0 until 64).map { j =>
+      (0 until SimhashBits).map { j =>
         sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
           .as(s"b$j")
       }: _*)
-    val sim = (0 until 64).map { j =>
+    val sim = (0 until SimhashBits).map { j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)): Column
     }.reduce(_ bitwiseOR _)
     bitSums.select(col("doc_id"), sim.as("simhash"), col("n_tokens"))
   }
 
   /** SimHash near-duplicate pairs with hamming distance ≤ maxHamming.
-    * Pigeonhole blocking: the 64-bit sketch splits into 4 16-bit chunks —
+    * Pigeonhole blocking: the 60-bit sketch splits into 4 15-bit chunks —
     * any pair within hamming ≤ 3 shares at least one exact chunk, so the
     * candidate join is an equi-join on (chunk index, chunk value), never a
     * cross join.
@@ -167,13 +188,13 @@ object Dedup {
   def simhashDedup(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk blocking guarantees recall only to hamming 3")
     // persisted: both sides of the chunk self-join would otherwise re-run
-    // the explode + 64-buffer sketch aggregation
+    // the explode + 60-buffer sketch aggregation
     val sk = simhashSketch(documents).select(col("doc_id"), col("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sk.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("cv"))
+          shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFFL).as("cv"))
       }: _*)).as("cc"))
       .select(col("doc_id"), col("simhash"),
         col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))

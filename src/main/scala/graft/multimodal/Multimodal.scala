@@ -40,9 +40,15 @@ object Multimodal {
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"))
 
   /** STUB for the real codec decode: derives features from raw payload
-    * bytes (mean, empirical byte entropy, xxhash-based perceptual-hash
+    * bytes (mean, empirical byte entropy, md5-based perceptual-hash
     * stand-in). A production build swaps only this function's body for a
     * real decoder; the partition/batch plumbing stays.
+    *
+    * phash is the first 60 bits of md5(content) — md5 so the DuckDB oracle
+    * reproduces the value; byte_mean is a single IEEE division of exact
+    * integer sums (bit-identical everywhere). byte_entropy is a multi-term
+    * float fold (deterministic per engine, unit-tested) and is therefore
+    * excluded from the cross-engine-checked projection in SparkEntry.
     */
   def decodeStub(r: MediaRecord): MediaFeatures = {
     val bytes = r.content
@@ -58,7 +64,9 @@ object Multimodal {
       }
       h
     }
-    val phash = scala.util.hashing.MurmurHash3.bytesHash(bytes, 42).toLong
+    val md5hex = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+    val phash = java.lang.Long.parseLong(md5hex.substring(0, 15), 16)
     MediaFeatures(r.media_id, r.kind, n, mean, entropy, phash)
   }
 

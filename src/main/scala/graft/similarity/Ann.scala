@@ -74,9 +74,10 @@ object Ann {
   /** Deterministic Rademacher (±1) hyperplanes, one array per plane.
     * Precomputed driver-side and shipped as literals: hashing (plane, dim)
     * at runtime would recompute a constant per row per element — 4096
-    * redundant hash calls per row at dim 64 × 64 planes.
+    * redundant hash calls per row at dim 64 × 64 planes. Exposed inside the
+    * package so the DuckDB oracle embeds the identical planes as literals.
     */
-  private def planeSigns(j: Int, dim: Int): Array[Double] = {
+  private[graft] def planeSigns(j: Int, dim: Int): Array[Double] = {
     val rnd = new scala.util.Random(1000003L * j + 42L)
     Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
@@ -84,13 +85,15 @@ object Ann {
   /** Sign of dot(v, r_j) for the j-th Rademacher hyperplane. Vectors are
     * sliced/zero-padded to `dim` so a dimension mismatch degrades to a
     * projection over the common dims instead of null buckets that silently
-    * empty every join.
+    * empty every join. The sign is taken on the 1e-6-rounded projection so
+    * bucket membership is replayable cross-engine (a raw fold's last-ulp
+    * wiggle near zero could flip a bucket between engines).
     */
   private def planeBit(v: Column, j: Int, dim: Int): Column = {
     val plane = array(planeSigns(j, dim).map(lit): _*)
     val signed = zip_with(slice(v, 1, dim), plane,
       (x, s) => coalesce(x * s, lit(0.0)))
-    (aggregate(signed, lit(0.0), (acc, x) => acc + x) > 0).cast("int")
+    (round(aggregate(signed, lit(0.0), (acc, x) => acc + x), 6) > 0).cast("int")
   }
 
   /** Bucket id per hash table: `bits` sign-bits packed into an int. */
@@ -136,9 +139,11 @@ object Ann {
   private def nearestCentroids(cents: DataFrame, points: DataFrame,
                                idCol: String, vCol: String, n: Int): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy(desc("csim"), asc("cent_id"))
+    // ranking on the 1e-6-rounded cosine (not the raw fold) keeps centroid
+    // assignment deterministic across engines — the DuckDB oracle replays it
     points.join(broadcast(cents))
       .select(col(idCol), col(vCol), col("cent_id"),
-        cosine(col(vCol), col("cv")).as("csim"))
+        round(cosine(col(vCol), col("cv")), 6).as("csim"))
       .withColumn("crank", row_number().over(w)).filter(col("crank") <= n)
       .drop("csim", "crank")
   }

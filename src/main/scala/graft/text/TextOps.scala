@@ -109,20 +109,26 @@ object TextOps {
   }
 
   /** Document fingerprinting via rolling char-k-gram hashes (winnowing
-    * style): min and max xxhash64 over all k-grams plus the gram count.
-    * One scan, no shuffle; the fingerprint is a stable 64-bit id usable as
+    * style): min and max gram digest over all k-grams plus the gram count.
+    * One scan, no shuffle; the fingerprint is a stable content id usable as
     * a cheap near-dup blocking key at any scale.
+    *
+    * Grams are digested with md5 (hex string, compared lexicographically) —
+    * md5 is identical in every engine, so the whole operator is
+    * DuckDB-oracle-checkable end to end. A throughput-tuned deployment can
+    * swap the digest for xxhash64 without touching the shape.
     */
   def fingerprint(documents: DataFrame, k: Int = 8): DataFrame = {
     // substring with a per-element start index needs the SQL form — the
-    // 3-arg Column helper only takes literal positions
-    val gramHashes = expr(
+    // 3-arg Column helper only takes literal positions; staged as a bound
+    // attribute so min/max/size don't re-derive the transform
+    val staged = documents.select(col("doc_id"), expr(
       s"transform(sequence(1, greatest(length(text) - ${k - 1}, 1)), " +
-      s"i -> xxhash64(substring(text, i, $k)))")
-    documents.select(
+      s"i -> md5(substring(text, i, $k)))").as("gh"))
+    staged.select(
       col("doc_id"),
-      array_min(gramHashes).as("fp_min"),
-      array_max(gramHashes).as("fp_max"),
-      size(gramHashes).as("n_grams"))
+      array_min(col("gh")).as("fp_min"),
+      array_max(col("gh")).as("fp_max"),
+      size(col("gh")).as("n_grams"))
   }
 }

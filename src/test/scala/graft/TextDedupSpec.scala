@@ -104,7 +104,7 @@ class TextDedupSpec extends AnyFunSuite {
   test("fingerprint: equal texts share fingerprints, runs on fixture data") {
     val fixture = docs(1L -> "abcdefghijklmnop", 2L -> "abcdefghijklmnop")
     val fps = TextOps.fingerprint(fixture).select("fp_min", "fp_max")
-      .as[(Long, Long)].collect()
+      .as[(String, String)].collect()
     assert(fps(0) === fps(1))
     assert(TextOps.fingerprint(Tables.documents(spark, sfDir)).count() > 0)
   }
