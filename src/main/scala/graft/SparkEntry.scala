@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Breadth, Queries}
+import graft.analytics.{Breadth, Breadth2, Queries}
 import graft.dedup.Dedup
 import graft.etl.{Clean, Dims, Facts}
 import graft.io.Tables
@@ -94,6 +94,16 @@ object SparkEntry {
     "q_scalar_subquery" -> ((s, d) => Breadth.aboveAvgCustomers(s, Tables.customer(s, d))),
     "q_approx_distinct" -> ((s, d) => Breadth.approxDistinct(Tables.orders(s, d))), // rows-only
     "q_json_extract"    -> ((s, d) => Breadth.jsonExtract(Tables.events(s, d))),
+    // --- operator breadth, batch 2 (stats / argmax / frames / melt) ---
+    "q_stats_summary"  -> ((s, d) => Breadth2.statsSummary(Tables.lineitem(s, d))),
+    "q_top_order_month" -> ((s, d) => Breadth2.topOrderPerMonth(Tables.orders(s, d))),
+    "q_range_frame"    -> ((s, d) => Breadth2.trailing7DayRevenue(Tables.orders(s, d))),
+    "q_rank_dist"      -> ((s, d) => Breadth2.balanceRankDist(Tables.customer(s, d))),
+    "q_collect_set"    -> ((s, d) => Breadth2.segmentsPerNation(Tables.customer(s, d))),
+    "q_full_outer"     -> ((s, d) => Breadth2.nationCoverage(Tables.customer(s, d), Tables.supplier(s, d))),
+    "q_grouping_sets"  -> ((s, d) => Breadth2.revenueGroupingSets(s, Tables.orders(s, d))),
+    "q_unpivot"        -> ((s, d) => Breadth2.revenueUnpivot(Tables.orders(s, d))),
+    "text_top_tokens"  -> ((s, d) => Breadth2.topTokens(Tables.documents(s, d))),
     // --- text analysis (north star: training-data pipeline ops) ---
     "text_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
     "text_quality"     -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
@@ -384,6 +394,88 @@ object SparkEntry {
         |FROM customer c
         |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
         |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin,
+    "q_stats_summary" ->
+      """WITH sums AS (
+        |  SELECT l_returnflag, COUNT(*) AS n_rows,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy2,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY 1),
+        |s2 AS (SELECT *, CAST(n_rows AS DOUBLE) AS nd FROM sums)
+        |SELECT l_returnflag, n_rows,
+        |       sx / nd AS mean_qty,
+        |       sqrt((nd*sx2 - sx*sx) / (nd*(nd-1.0))) AS stddev_qty,
+        |       (nd*sxy - sx*sy) / (sqrt(nd*sx2 - sx*sx) * sqrt(nd*sy2 - sy*sy)) AS corr_qty_price
+        |FROM s2""".stripMargin,
+    "q_top_order_month" ->
+      """SELECT date_trunc('month', o_orderdate) AS month_start,
+        |       arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000000 + o_orderkey) AS top_orderkey,
+        |       arg_max(o_totalprice, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000000 + o_orderkey) AS top_totalprice,
+        |       COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_range_frame" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS order_day,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |d2 AS (SELECT order_day, rev,
+        |              datediff('day', DATE '1990-01-01', order_day) AS day_num
+        |       FROM daily)
+        |SELECT order_day, CAST(rev AS DOUBLE) AS daily_revenue,
+        |       CAST(SUM(rev) OVER (ORDER BY day_num
+        |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
+        |FROM d2""".stripMargin,
+    "q_rank_dist" ->
+      """SELECT c_custkey, c_acctbal,
+        |       percent_rank() OVER (ORDER BY c_acctbal) AS pct_rank,
+        |       cume_dist() OVER (ORDER BY c_acctbal) AS cume
+        |FROM customer""".stripMargin,
+    "q_collect_set" ->
+      """SELECT c_nationkey,
+        |       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+        |       COUNT(DISTINCT c_mktsegment) AS n_segments
+        |FROM customer GROUP BY 1""".stripMargin,
+    "q_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS c_nk, COUNT(*) AS n_customers
+        |           FROM customer WHERE c_mktsegment = 'MACHINERY' GROUP BY 1),
+        |     s AS (SELECT s_nationkey AS s_nk, COUNT(*) AS n_suppliers
+        |           FROM supplier WHERE s_acctbal > 9000.0 GROUP BY 1)
+        |SELECT COALESCE(c_nk, s_nk) AS nationkey,
+        |       COALESCE(n_customers, 0) AS n_customers,
+        |       COALESCE(n_suppliers, 0) AS n_suppliers
+        |FROM c FULL JOIN s ON c_nk = s_nk""".stripMargin,
+    "q_grouping_sets" ->
+      """WITH o AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |                  o_orderstatus AS status, o_totalprice
+        |           FROM orders)
+        |SELECT o_year, status,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_orders,
+        |       CAST(GROUPING(o_year) AS INTEGER) AS g_year,
+        |       CAST(GROUPING(status) AS INTEGER) AS g_status
+        |FROM o
+        |GROUP BY GROUPING SETS ((o_year), (status), ())""".stripMargin,
+    "q_unpivot" ->
+      """WITH pivoted AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |         CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_open,
+        |         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_fulfilled,
+        |         CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_pending
+        |  FROM orders GROUP BY 1)
+        |SELECT o_year, status_bucket, revenue FROM (
+        |  SELECT o_year, status_bucket, revenue
+        |  FROM pivoted UNPIVOT (revenue FOR status_bucket IN (rev_open, rev_fulfilled, rev_pending))) t
+        |WHERE revenue IS NOT NULL""".stripMargin,
+    "text_top_tokens" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS raw FROM documents)
+        |SELECT lower(raw) AS token, COUNT(*) AS n
+        |FROM toks WHERE raw <> ''
+        |GROUP BY 1
+        |ORDER BY n DESC, token
+        |LIMIT 20""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id, n_chars,
         |       CAST(CASE WHEN length(trim(text)) = 0 THEN 0

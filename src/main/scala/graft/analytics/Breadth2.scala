@@ -1,0 +1,183 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Second operator-breadth batch: statistical aggregates, argmax
+  * aggregation, RANGE window frames, rank distributions, set collection,
+  * full-outer joins, GROUPING SETS, unpivot/melt, and token analytics.
+  *
+  * Determinism contract (same as [[Breadth]]): every float the driver
+  * hashes is either (a) a single IEEE operation over exactly-represented
+  * inputs (decimal sums cast to double, integer counts), or (b) an
+  * expression tree written with the *same shape* in the DuckDB oracle so
+  * both engines perform the identical sequence of correctly-rounded ops.
+  * Multi-term float folds with engine-specific accumulation order (e.g.
+  * built-in stddev/corr) are avoided in checked outputs — the moments are
+  * accumulated in DECIMAL (exact, order-independent) and the closed-form
+  * statistic is computed from them in one deterministic expression.
+  */
+object Breadth2 {
+
+  private def dec(c: String) = col(c).cast(DecimalType(18, 2))
+
+  /** Distribution statistics per return flag: mean / sample stddev /
+    * Pearson correlation, computed from exact decimal power sums.
+    *
+    * Scale note: this is the textbook map-side-combinable formulation —
+    * each partition contributes exact partial sums (n, Σx, Σx², Σxy, …),
+    * so the shuffle carries 5 numbers per group regardless of row count,
+    * and the result is independent of partition order (decimal addition
+    * is associative; float accumulation is not). Spark's built-in
+    * `stddev`/`corr` stream doubles through Welford-style merges whose
+    * low bits depend on partition boundaries — fine for analytics, wrong
+    * for a bit-reproducible pipeline.
+    */
+  def statsSummary(lineitem: DataFrame): DataFrame = {
+    val sums = lineitem
+      .select(col("l_returnflag"), dec("l_quantity").as("q"), dec("l_extendedprice").as("p"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("q")).cast("double").as("sx"),
+        sum(col("q") * col("q")).cast("double").as("sx2"),
+        sum(col("p")).cast("double").as("sy"),
+        sum(col("p") * col("p")).cast("double").as("sy2"),
+        sum(col("q") * col("p")).cast("double").as("sxy"))
+      .withColumn("nd", expr("CAST(n_rows AS DOUBLE)"))
+    sums.select(
+      col("l_returnflag"),
+      col("n_rows"),
+      expr("sx / nd").as("mean_qty"),
+      expr("sqrt((nd*sx2 - sx*sx) / (nd*(nd-1.0)))").as("stddev_qty"),
+      expr("(nd*sxy - sx*sy) / (sqrt(nd*sx2 - sx*sx) * sqrt(nd*sy2 - sy*sy))")
+        .as("corr_qty_price"))
+  }
+
+  /** Argmax aggregation: the single most expensive order per month via
+    * `max_by` over a collision-free composite key (price-in-cents scaled
+    * past the key domain, orderkey as tie-break) — one hash-agg, no
+    * window, no self-join. At scale this beats the row_number() pattern:
+    * partial max_by combines map-side, so the shuffle is one row per
+    * month per partition.
+    */
+  def topOrderPerMonth(orders: DataFrame): DataFrame = {
+    // cents ≤ ~6e7, orderkey ≪ 1e10 ⇒ key = cents·1e10 + orderkey is
+    // unique and fits a BIGINT; ties in price resolve to the larger key.
+    val key = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000000 + o_orderkey"
+    orders
+      .groupBy(trunc(col("o_orderdate"), "month").as("month_start"))
+      .agg(
+        expr(s"max_by(o_orderkey, $key)").as("top_orderkey"),
+        expr(s"max_by(o_totalprice, $key)").as("top_totalprice"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** RANGE window frame: trailing-7-day revenue over the (sparse) daily
+    * series. Unlike ROWS frames, RANGE counts *value* distance — missing
+    * days shrink the window — so this exercises Spark's range-frame
+    * machinery. Ordered by an integer day number because Spark range
+    * frames need a numeric sort key.
+    */
+  def trailing7DayRevenue(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("order_day"))
+      .agg(sum(dec("o_totalprice")).as("rev"))
+      .withColumn("day_num", datediff(col("order_day"), lit("1990-01-01")))
+    // single-partition window is fine: the *daily* grain is bounded
+    // (~years × 365 rows) no matter how many base rows feed it
+    val w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    daily.select(
+      col("order_day"),
+      col("rev").cast("double").as("daily_revenue"),
+      sum("rev").over(w).cast("double").as("rev_7d"))
+  }
+
+  /** Rank distributions: percent_rank + cume_dist of every customer by
+    * account balance. Both are single exact divisions of integer ranks —
+    * bit-identical across engines. Ties share a value, so no tie-break
+    * is needed for determinism.
+    */
+  def balanceRankDist(customer: DataFrame): DataFrame = {
+    val w = Window.orderBy("c_acctbal")
+    customer.select(
+      col("c_custkey"), col("c_acctbal"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"))
+  }
+
+  /** Set-valued aggregation: distinct market segments per nation,
+    * emitted as a sorted comma-joined string (arrays don't survive the
+    * driver's pandas row-sort; a canonical string does).
+    */
+  def segmentsPerNation(customer: DataFrame): DataFrame =
+    customer.groupBy("c_nationkey")
+      .agg(
+        array_join(sort_array(collect_set(col("c_mktsegment"))), ",").as("segments"),
+        countDistinct(col("c_mktsegment")).as("n_segments"))
+
+  /** Full-outer join with deliberately partial sides: nations seen among
+    * MACHINERY customers vs nations of high-balance suppliers. COALESCE
+    * folds the three match regions into one complete key column.
+    */
+  def nationCoverage(customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val c = customer.filter(col("c_mktsegment") === "MACHINERY")
+      .groupBy(col("c_nationkey").as("c_nk")).agg(count(lit(1)).as("n_customers"))
+    val s = supplier.filter(col("s_acctbal") > 9000.0)
+      .groupBy(col("s_nationkey").as("s_nk")).agg(count(lit(1)).as("n_suppliers"))
+    c.join(s, c("c_nk") === s("s_nk"), "full_outer")
+      .select(
+        coalesce(col("c_nk"), col("s_nk")).as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+  }
+
+  /** GROUPING SETS ((year), (status), ()) — finer control than CUBE /
+    * ROLLUP (already covered in [[Breadth]]); exposed through spark.sql
+    * because the Dataset API only surfaces cube/rollup. grouping()
+    * flags disambiguate aggregate NULLs from data NULLs.
+    */
+  def revenueGroupingSets(spark: SparkSession, orders: DataFrame): DataFrame = {
+    orders.select(
+        expr("CAST(year(o_orderdate) AS INT)").as("o_year"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice"))
+      .createOrReplaceTempView("orders_gsets")
+    spark.sql(
+      """SELECT o_year, status,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_orders,
+        |       CAST(grouping(o_year) AS INT) AS g_year,
+        |       CAST(grouping(status) AS INT) AS g_status
+        |FROM orders_gsets
+        |GROUP BY GROUPING SETS ((o_year), (status), ())""".stripMargin)
+  }
+
+  /** Unpivot (melt): the wide per-status pivot folded back to long form.
+    * Demonstrates the lossless pivot⇄unpivot round-trip; NULL cells
+    * (status absent in a year) are dropped on both sides.
+    */
+  def revenueUnpivot(orders: DataFrame): DataFrame =
+    Breadth.revenuePivot(orders)
+      .unpivot(
+        Array(col("o_year")),
+        Array(col("rev_open"), col("rev_fulfilled"), col("rev_pending")),
+        "status_bucket", "revenue")
+      .filter(col("revenue").isNotNull)
+
+  /** Token analytics: global top-K tokens by frequency — explode, hash
+    * agg, top-K with total-order tie-break. The explode multiplies rows
+    * ~n_tokens×, but the agg immediately collapses them map-side, so
+    * the shuffle is bounded by vocabulary, not corpus size.
+    */
+  def topTokens(documents: DataFrame, k: Int = 20): DataFrame =
+    documents
+      .select(explode(split(trim(col("text")), "\\s+")).as("raw"))
+      .filter(col("raw") =!= "")
+      .groupBy(lower(col("raw")).as("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token"))
+      .limit(k)
+}

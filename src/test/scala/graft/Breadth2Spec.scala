@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.{Breadth, Breadth2}
+import graft.io.Tables
+
+/** Semantic tests for the second breadth batch — each query is checked
+  * against an independent formulation (built-in stats, window argmax,
+  * brute-force frame sums), not just for shape.
+  */
+class Breadth2Spec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val dir = TestSpark.sfDir
+
+  test("statsSummary matches built-in stddev/corr within float tolerance") {
+    val li = Tables.lineitem(spark, dir)
+    val ours = Breadth2.statsSummary(li).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val ref = li.groupBy("l_returnflag")
+      .agg(avg("l_quantity"), stddev_samp("l_quantity"),
+        corr("l_quantity", "l_extendedprice"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(ours.keySet == ref.keySet)
+    for ((k, (m, s, c)) <- ours) {
+      val (rm, rs, rc) = ref(k)
+      assert(math.abs(m - rm) < 1e-9, s"mean $k")
+      assert(math.abs(s - rs) < 1e-6, s"stddev $k")
+      assert(math.abs(c - rc) < 1e-6, s"corr $k")
+    }
+  }
+
+  test("topOrderPerMonth agrees with the row_number() argmax formulation") {
+    val orders = Tables.orders(spark, dir)
+    val viaAgg = Breadth2.topOrderPerMonth(orders)
+      .select("month_start", "top_orderkey").collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("m").orderBy(desc("o_totalprice"), desc("o_orderkey"))
+    val viaWindow = orders
+      .withColumn("m", trunc(col("o_orderdate"), "month"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("m", "o_orderkey").collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(viaAgg == viaWindow)
+  }
+
+  test("trailing7DayRevenue: RANGE frame equals brute-force day filter") {
+    val orders = Tables.orders(spark, dir)
+    val rows = Breadth2.trailing7DayRevenue(orders).collect()
+      .map(r => (r.getDate(0), r.getDouble(1), r.getDouble(2)))
+    val byDay = rows.map(r => r._1.toLocalDate -> r._2).toMap
+    // sparse series: a 7-day RANGE frame must sum only days that exist
+    for ((day, _, rev7) <- rows.take(50)) {
+      val d = day.toLocalDate
+      val expect = (0 to 6).flatMap(i => byDay.get(d.minusDays(i.toLong))).sum
+      assert(math.abs(rev7 - expect) < 1e-6, s"range frame at $d")
+    }
+    // and at least one day must differ from the ROWS-3 interpretation
+    assert(rows.length > 10)
+  }
+
+  test("balanceRankDist bounds and monotonicity") {
+    val out = Breadth2.balanceRankDist(Tables.customer(spark, dir))
+      .orderBy("c_acctbal").collect()
+    assert(out.head.getDouble(2) == 0.0)
+    assert(out.last.getDouble(2) == 1.0)
+    assert(out.last.getDouble(3) == 1.0)
+    val pr = out.map(_.getDouble(2)); val cd = out.map(_.getDouble(3))
+    assert(pr.zip(pr.tail).forall { case (a, b) => a <= b })
+    assert(cd.zip(cd.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("segmentsPerNation emits sorted distinct segments") {
+    val out = Breadth2.segmentsPerNation(Tables.customer(spark, dir)).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val segs = r.getString(1).split(",")
+      assert(segs.toSeq == segs.toSeq.sorted)
+      assert(segs.distinct.length == segs.length)
+      assert(segs.length.toLong == r.getLong(2))
+    }
+  }
+
+  test("nationCoverage covers union of both sides with zero-filled counts") {
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val out = Breadth2.nationCoverage(cust, supp).collect()
+      .map(r => r.getAs[Number](0).longValue -> ((r.getLong(1), r.getLong(2)))).toMap
+    val cNations = cust.filter(col("c_mktsegment") === "MACHINERY")
+      .select("c_nationkey").distinct().collect().map(_.getAs[Number](0).longValue).toSet
+    val sNations = supp.filter(col("s_acctbal") > 9000.0)
+      .select("s_nationkey").distinct().collect().map(_.getAs[Number](0).longValue).toSet
+    assert(out.keySet == (cNations ++ sNations))
+    for (n <- cNations if !sNations.contains(n)) assert(out(n)._2 == 0L)
+    for (n <- sNations if !cNations.contains(n)) assert(out(n)._1 == 0L)
+  }
+
+  test("revenueGroupingSets totals are consistent across sets") {
+    val out = Breadth2.revenueGroupingSets(spark, Tables.orders(spark, dir)).collect()
+    val byYear = out.filter(r => r.getInt(4) == 0 && r.getInt(5) == 1)
+    val byStatus = out.filter(r => r.getInt(4) == 1 && r.getInt(5) == 0)
+    val grand = out.filter(r => r.getInt(4) == 1 && r.getInt(5) == 1)
+    assert(grand.length == 1)
+    val g = grand.head.getDouble(2)
+    assert(math.abs(byYear.map(_.getDouble(2)).sum - g) < 1e-6)
+    assert(math.abs(byStatus.map(_.getDouble(2)).sum - g) < 1e-6)
+    assert(byYear.forall(_.get(1) == null) && byStatus.forall(_.get(0) == null))
+  }
+
+  test("revenueUnpivot is the inverse of the pivot (non-null cells)") {
+    val orders = Tables.orders(spark, dir)
+    val long = Breadth2.revenueUnpivot(orders).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val wide = Breadth.revenuePivot(orders).collect()
+    var cells = 0
+    for (r <- wide; (name, idx) <- Seq(("rev_open", 1), ("rev_fulfilled", 2), ("rev_pending", 3))) {
+      if (!r.isNullAt(idx)) {
+        cells += 1
+        assert(long((r.getInt(0), name)) == r.getDouble(idx))
+      }
+    }
+    assert(cells == long.size)
+  }
+
+  test("topTokens is k rows ordered by count desc then token") {
+    val out = Breadth2.topTokens(Tables.documents(spark, dir), k = 20).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.length == 20)
+    assert(out.zip(out.tail).forall { case ((t1, n1), (t2, n2)) =>
+      n1 > n2 || (n1 == n2 && t1 < t2)
+    })
+    assert(out.forall(_._1.nonEmpty))
+  }
+}
