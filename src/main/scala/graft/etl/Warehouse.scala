@@ -53,6 +53,39 @@ object Warehouse {
     dims ++ facts
   }
 
+  /** Bucketed star layout: orders and customer hash-bucketed (and
+    * sorted) on the join key via `saveAsTable` into the session catalog —
+    * no Hive metastore needed, Spark's built-in catalog tracks bucketing
+    * metadata for parquet tables. A downstream equi-join on the bucket
+    * key then reads co-located buckets and skips BOTH shuffles (and with
+    * sortBy, both sorts): at 100 TB that converts the biggest recurring
+    * join from a full-network shuffle into a local merge per bucket.
+    * Bucket count is a layout decision — size it so one bucket of the
+    * big side fits an executor's memory (e.g. 4096 buckets for a 10 TB
+    * fact ≈ 2.5 GB each); it must match on both tables to co-locate.
+    */
+  def buildBucketed(spark: SparkSession, inDir: String, buckets: Int = 8): Unit = {
+    Tables.orders(spark, inDir).write.mode("overwrite")
+      .bucketBy(buckets, "o_custkey").sortBy("o_custkey")
+      .format("parquet").saveAsTable("orders_bucketed")
+    Tables.customer(spark, inDir).write.mode("overwrite")
+      .bucketBy(buckets, "c_custkey").sortBy("c_custkey")
+      .format("parquet").saveAsTable("customer_bucketed")
+  }
+
+  /** Shuffle-free join over the bucketed layout: spend per market segment.
+    * With both sides bucketed on the key, the only exchange left in the
+    * plan is the tiny post-join aggregation by segment.
+    */
+  def bucketedSpendPerSegment(spark: SparkSession): DataFrame =
+    spark.table("orders_bucketed")
+      .join(spark.table("customer_bucketed"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double").as("segment_spend"),
+        count(lit(1)).as("n_orders"))
+
   /** Incremental maintenance: recompute and overwrite ONLY the partitions
     * present in `updated` (dynamic partition overwrite), leaving all other
     * partitions byte-identical. This is the idempotent replacement for the

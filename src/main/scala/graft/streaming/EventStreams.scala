@@ -51,6 +51,31 @@ object EventStreams {
       .select(col("user_id"), col("session.start").as("session_start"),
         col("session.end").as("session_end"), col("n_events"), col("total_value"))
 
+  /** The idempotent write inside [[idempotentParquetSink]]: each micro-batch
+    * lands in its own `batch_id=N` directory with overwrite semantics, so a
+    * replayed batch (failure between sink write and checkpoint commit)
+    * rewrites the same directory byte-for-byte instead of appending
+    * duplicates. Readers see the union via partition discovery on
+    * `batch_id`. This is the exactly-once contract Structured Streaming
+    * asks of a sink: (batchId, data) is deterministic on replay, so an
+    * idempotent write keyed by batchId closes the loop.
+    */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long, outDir: String): Unit =
+    batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  /** foreachBatch parquet sink with exactly-once semantics via
+    * batch-id-keyed overwrite. `foreachBatch` is the escape hatch for
+    * sinks Spark doesn't ship (JDBC upserts, multi-table fanout) — this
+    * instance shows the idempotence pattern those sinks must follow.
+    */
+  def idempotentParquetSink(events: DataFrame, outDir: String,
+                            checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        writeBatchIdempotent(b.toDF(), id, outDir))
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Arbitrary stateful processing: per-user running totals via
     * `mapGroupsWithState` — the escape hatch for stateful logic windows
     * can't express. Update-mode output, one row per user per trigger.
