@@ -104,6 +104,7 @@ object SparkEntry {
     "q_grouping_sets"  -> ((s, d) => Breadth2.revenueGroupingSets(s, Tables.orders(s, d))),
     "q_unpivot"        -> ((s, d) => Breadth2.revenueUnpivot(Tables.orders(s, d))),
     "text_top_tokens"  -> ((s, d) => Breadth2.topTokens(Tables.documents(s, d))),
+    "q_value_windows"  -> ((s, d) => Breadth2.orderTimeline(Tables.orders(s, d))),
     // --- text analysis (north star: training-data pipeline ops) ---
     "text_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
     "text_quality"     -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
@@ -468,6 +469,16 @@ object SparkEntry {
         |  SELECT o_year, status_bucket, revenue
         |  FROM pivoted UNPIVOT (revenue FOR status_bucket IN (rev_open, rev_fulfilled, rev_pending))) t
         |WHERE revenue IS NOT NULL""".stripMargin,
+    "q_value_windows" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |       first_value(o_orderdate) OVER w AS first_date,
+        |       last_value(o_orderdate) OVER wf AS last_date,
+        |       nth_value(o_orderdate, 2) OVER wf AS second_date,
+        |       lead(o_orderdate, 1) OVER w AS next_date
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     "text_top_tokens" ->
       """WITH toks AS (
         |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS raw FROM documents)

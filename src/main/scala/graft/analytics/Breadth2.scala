@@ -167,6 +167,23 @@ object Breadth2 {
         "status_bucket", "revenue")
       .filter(col("revenue").isNotNull)
 
+  /** Window value functions over each customer's order timeline:
+    * first/last/second order date (full-frame last_value and nth_value)
+    * and the next order (lead). The window's sort carries a unique
+    * tie-break (orderkey) — first/last/nth are frame-dependent, so an
+    * ambiguous order would be nondeterministic under ties.
+    */
+  def orderTimeline(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders.select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+      first("o_orderdate").over(w).as("first_date"),
+      last("o_orderdate").over(wf).as("last_date"),
+      nth_value(col("o_orderdate"), 2).over(wf).as("second_date"),
+      lead(col("o_orderdate"), 1).over(w).as("next_date"))
+  }
+
   /** Token analytics: global top-K tokens by frequency — explode, hash
     * agg, top-K with total-order tie-break. The explode multiplies rows
     * ~n_tokens×, but the agg immediately collapses them map-side, so

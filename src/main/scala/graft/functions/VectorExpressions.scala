@@ -60,24 +60,37 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // all locals get fresh names: two cosine_sim calls can land in the
+      // same generated function (the ANN score+rank projections do), and
+      // fixed names would fail janino compilation → silent interpreter
+      // fallback on the hottest path
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val anyNull = ctx.freshName("anyNull")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val denom = ctx.freshName("denom")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int n = $a.numElements();
-         |  double dot = 0.0, nx = 0.0, ny = 0.0;
-         |  boolean anyNull = false;
-         |  for (int i = 0; i < n; i++) {
-         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { anyNull = true; break; }
-         |    double xi = $a.getDouble(i);
-         |    double yi = $b.getDouble(i);
-         |    dot += xi * yi; nx += xi * xi; ny += yi * yi;
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  boolean $anyNull = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |  }
-         |  double denom = Math.sqrt(nx) * Math.sqrt(ny);
-         |  if (anyNull || denom == 0.0) {
+         |  double $denom = Math.sqrt($nx) * Math.sqrt($ny);
+         |  if ($anyNull || $denom == 0.0) {
          |    ${ev.isNull} = true;
          |  } else {
-         |    ${ev.value} = dot / denom;
+         |    ${ev.value} = $dot / $denom;
          |  }
          |}
        """.stripMargin

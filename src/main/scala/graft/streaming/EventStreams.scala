@@ -51,6 +51,40 @@ object EventStreams {
       .select(col("user_id"), col("session.start").as("session_start"),
         col("session.end").as("session_end"), col("n_events"), col("total_value"))
 
+  /** Streaming ingest dedup: first occurrence of each event_id within the
+    * watermark horizon passes; replays and at-least-once upstream dupes
+    * are dropped. State is one key per event inside the horizon — the
+    * watermark bounds it, so state size tracks ingest rate × horizon,
+    * not stream lifetime. This is the streaming half of the exact-dedup
+    * story (`Dedup.exactDedup` is the batch half).
+    */
+  def dedupedStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream inner join: each purchase attributed to a prior click
+    * by the same user within `horizon`. Both inputs are watermarked and
+    * the join predicate bounds event time in BOTH directions — exactly
+    * what Spark needs to expire buffered rows instead of holding join
+    * state forever. State per side ≈ rate × (watermark + horizon).
+    */
+  def clickPurchaseAttribution(events: DataFrame, watermark: String = "2 hours",
+                               horizon: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+      col("click_user") === col("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+      .select("purchase_id", "user_id", "purchase_ts", "value", "click_id", "click_ts")
+  }
+
   /** The idempotent write inside [[idempotentParquetSink]]: each micro-batch
     * lands in its own `batch_id=N` directory with overwrite semantics, so a
     * replayed batch (failure between sink write and checkpoint commit)

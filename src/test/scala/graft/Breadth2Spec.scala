@@ -126,6 +126,31 @@ class Breadth2Spec extends AnyFunSuite {
     assert(cells == long.size)
   }
 
+  test("orderTimeline value functions agree with a per-group sort") {
+    val orders = Tables.orders(spark, dir)
+    val rows = Breadth2.orderTimeline(orders).collect()
+    def ts(r: org.apache.spark.sql.Row, i: Int): java.time.LocalDateTime =
+      r.getAs[java.time.LocalDateTime](i)
+    val byCust = rows.groupBy(_.getLong(1))
+    for ((_, rs) <- byCust.take(30)) {
+      val sorted = rs.sortBy(r =>
+        (ts(r, 2).toInstant(java.time.ZoneOffset.UTC).toEpochMilli, r.getLong(0)))
+      val first = ts(sorted.head, 2)
+      val lastV = ts(sorted.last, 2)
+      for (r <- rs) {
+        assert(ts(r, 3) == first)
+        assert(ts(r, 4) == lastV)
+        if (sorted.length >= 2) assert(ts(r, 5) == ts(sorted(1), 2))
+        else assert(r.isNullAt(5))
+      }
+      // lead: next row's date in sort order, null on the last row
+      for ((r, i) <- sorted.zipWithIndex) {
+        if (i < sorted.length - 1) assert(ts(r, 6) == ts(sorted(i + 1), 2))
+        else assert(r.isNullAt(6))
+      }
+    }
+  }
+
   test("topTokens is k rows ordered by count desc then token") {
     val out = Breadth2.topTokens(Tables.documents(spark, dir), k = 20).collect()
       .map(r => (r.getString(0), r.getLong(1)))

@@ -60,4 +60,26 @@ class VectorExprSpec extends AnyFunSuite {
         |LIMIT 100""".stripMargin).filter("c IS NOT NULL").count()
     assert(n === 100)
   }
+
+  test("two cosine_sim calls in one projection survive CODEGEN_ONLY mode") {
+    // regression: fixed local names in doGenCode collided when two
+    // instances landed in the same generated function, failing janino
+    // compilation and silently falling back to interpreted projection
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val e = Tables.embeddings(spark, sfDir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val out = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id").limit(100)
+        .select(
+          VectorFunctions.cosine_sim($"a.v", $"b.v").as("c1"),
+          VectorFunctions.cosine_sim($"b.v", $"a.v").as("c2"))
+        .collect()
+      assert(out.nonEmpty)
+      assert(out.forall(r => r.getDouble(0) == r.getDouble(1)))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }
