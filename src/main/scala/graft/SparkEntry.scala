@@ -105,6 +105,8 @@ object SparkEntry {
     "q_unpivot"        -> ((s, d) => Breadth2.revenueUnpivot(Tables.orders(s, d))),
     "text_top_tokens"  -> ((s, d) => Breadth2.topTokens(Tables.documents(s, d))),
     "q_value_windows"  -> ((s, d) => Breadth2.orderTimeline(Tables.orders(s, d))),
+    "q_gap_fill"       -> ((s, d) => Breadth2.gapFillDaily(Tables.lineitem(s, d), Tables.orders(s, d))),
+    "q_distinct_agg"   -> ((s, d) => Breadth2.distinctAgg(Tables.orders(s, d))),
     // --- text analysis (north star: training-data pipeline ops) ---
     "text_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
     "text_quality"     -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
@@ -469,6 +471,25 @@ object SparkEntry {
         |  SELECT o_year, status_bucket, revenue
         |  FROM pivoted UNPIVOT (revenue FOR status_bucket IN (rev_open, rev_fulfilled, rev_pending))) t
         |WHERE revenue IS NOT NULL""".stripMargin,
+    "q_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_suppkey = 1
+        |  GROUP BY 1),
+        |bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+        |spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+        |          FROM bounds),
+        |j AS (SELECT spine.d, daily.n FROM spine LEFT JOIN daily ON spine.d = daily.d)
+        |SELECT d AS order_day, n AS n_items,
+        |       last_value(n IGNORE NULLS) OVER (ORDER BY d
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_items_filled
+        |FROM j""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_distinct_price,
+        |       COUNT(DISTINCT o_custkey) AS n_customers
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_value_windows" ->
       """SELECT o_orderkey, o_custkey, o_orderdate,
         |       first_value(o_orderdate) OVER w AS first_date,

@@ -184,6 +184,37 @@ object Breadth2 {
       lead(col("o_orderdate"), 1).over(w).as("next_date"))
   }
 
+  /** Time-series gap fill + forward fill: the sparse per-day item count
+    * for one supplier, left-joined onto a complete date spine
+    * (`sequence` + `explode` — generated distributedly, not on the
+    * driver) and forward-filled with an IGNORE NULLS last() window.
+    * The single-partition window is bounded by the calendar, not the
+    * data volume.
+    */
+  def gapFillDaily(lineitem: DataFrame, orders: DataFrame, suppkey: Long = 1L): DataFrame = {
+    val daily = lineitem.filter(col("l_suppkey") === suppkey)
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val spine = daily.agg(min("d").as("lo"), max("d").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+    val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("d"), "left")
+      .select(col("d").as("order_day"),
+        col("n").as("n_items"),
+        last("n", ignoreNulls = true).over(w).as("n_items_filled"))
+  }
+
+  /** Distinct aggregation: SUM(DISTINCT) + COUNT(DISTINCT) per year —
+    * plans through Expand with per-distinct-column partial aggregation.
+    * The decimal cast keeps SUM(DISTINCT) exact and order-independent.
+    */
+  def distinctAgg(orders: DataFrame): DataFrame =
+    orders.groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum_distinct(dec("o_totalprice")).cast("double").as("sum_distinct_price"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+
   /** Token analytics: global top-K tokens by frequency — explode, hash
     * agg, top-K with total-order tie-break. The explode multiplies rows
     * ~n_tokens×, but the agg immediately collapses them map-side, so

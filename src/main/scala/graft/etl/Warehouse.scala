@@ -53,6 +53,16 @@ object Warehouse {
     dims ++ facts
   }
 
+  /** CDC-style upsert: apply `updates` onto `base` by `key` — updated
+    * keys replace their base rows, new keys append, untouched rows pass
+    * through. Anti-join + union is the metastore-free MERGE: both sides
+    * shuffle once on the key, nothing is collected, and the result is
+    * deterministic (one row per key in `updates` wins wholesale). Pair
+    * with [[overwritePartitions]] to land the merge incrementally.
+    */
+  def upsertByKey(base: DataFrame, updates: DataFrame, key: String): DataFrame =
+    base.join(updates.select(key), Seq(key), "left_anti").unionByName(updates)
+
   /** Bucketed star layout: orders and customer hash-bucketed (and
     * sorted) on the join key via `saveAsTable` into the session catalog —
     * no Hive metastore needed, Spark's built-in catalog tracks bucketing

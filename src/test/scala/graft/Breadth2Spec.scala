@@ -151,6 +151,47 @@ class Breadth2Spec extends AnyFunSuite {
     }
   }
 
+  test("gapFillDaily: contiguous spine, nulls on gap days, forward fill carries") {
+    val out = Breadth2.gapFillDaily(
+      Tables.lineitem(spark, dir), Tables.orders(spark, dir)).orderBy("order_day").collect()
+    assert(out.nonEmpty)
+    val days = out.map(_.getDate(0).toLocalDate)
+    // spine is gap-free min..max
+    assert(days.zip(days.tail).forall { case (a, b) => a.plusDays(1) == b })
+    // endpoints are observed (non-null) by construction
+    assert(!out.head.isNullAt(1) && !out.last.isNullAt(1))
+    // series must actually be sparse, else the test proves nothing
+    assert(out.exists(_.isNullAt(1)))
+    // forward fill: filled equals the most recent non-null observation
+    var lastSeen = out.head.getLong(1)
+    for (r <- out) {
+      if (!r.isNullAt(1)) lastSeen = r.getLong(1)
+      assert(r.getLong(2) == lastSeen)
+    }
+  }
+
+  test("distinctAgg matches a dedup-then-sum formulation") {
+    val orders = Tables.orders(spark, dir)
+    val got = Breadth2.distinctAgg(orders).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val expect = orders
+      .select(year(col("o_orderdate")).as("o_year"),
+        col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("p"),
+        col("o_custkey"))
+      .distinct()  // over (year, price, custkey); then re-dedup per measure
+    val sums = expect.select("o_year", "p").distinct()
+      .groupBy("o_year").agg(sum("p").cast("double").as("s")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val counts = expect.select("o_year", "o_custkey").distinct()
+      .groupBy("o_year").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got.keySet == sums.keySet)
+    for ((y, (s, c)) <- got) {
+      assert(math.abs(s - sums(y)) < 1e-9, s"sum distinct year $y")
+      assert(c == counts(y), s"count distinct year $y")
+    }
+  }
+
   test("topTokens is k rows ordered by count desc then token") {
     val out = Breadth2.topTokens(Tables.documents(spark, dir), k = 20).collect()
       .map(r => (r.getString(0), r.getLong(1)))

@@ -48,6 +48,18 @@ class SinkWarehouseSpec extends AnyFunSuite {
     events.unpersist()
   }
 
+  test("upsertByKey: updates replace, inserts append, others pass through") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val updates = Seq((2L, "b2", 22.0), (4L, "d", 40.0))
+      .toDF("k", "name", "v")
+    val merged = Warehouse.upsertByKey(base, updates, "k").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(merged === Map(
+      1L -> (("a", 10.0)), 2L -> (("b2", 22.0)),
+      3L -> (("c", 30.0)), 4L -> (("d", 40.0))))
+  }
+
   test("bucketed join skips the shuffle on both sides") {
     Warehouse.buildBucketed(spark, sfDir, buckets = 4)
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
