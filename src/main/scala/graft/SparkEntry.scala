@@ -107,6 +107,7 @@ object SparkEntry {
     "q_value_windows"  -> ((s, d) => Breadth2.orderTimeline(Tables.orders(s, d))),
     "q_gap_fill"       -> ((s, d) => Breadth2.gapFillDaily(Tables.lineitem(s, d), Tables.orders(s, d))),
     "q_distinct_agg"   -> ((s, d) => Breadth2.distinctAgg(Tables.orders(s, d))),
+    "q_interval_join"  -> ((s, d) => Breadth2.incidentOverlap(Tables.events(s, d), s)),
     // --- text analysis (north star: training-data pipeline ops) ---
     "text_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
     "text_quality"     -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
@@ -471,6 +472,18 @@ object SparkEntry {
         |  SELECT o_year, status_bucket, revenue
         |  FROM pivoted UNPIVOT (revenue FOR status_bucket IN (rev_open, rev_fulfilled, rev_pending))) t
         |WHERE revenue IS NOT NULL""".stripMargin,
+    "q_interval_join" ->
+      """WITH spans AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         MIN(ts) AS span_start, MAX(ts) AS span_end
+        |  FROM events GROUP BY 1, 2),
+        |incidents(incident_id, i_start, i_end) AS (VALUES
+        |  ('inc_a', TIMESTAMP '2024-01-03 06:00:00', TIMESTAMP '2024-01-03 18:00:00'),
+        |  ('inc_b', TIMESTAMP '2024-01-10 00:00:00', TIMESTAMP '2024-01-12 00:00:00'),
+        |  ('inc_c', TIMESTAMP '2024-01-20 22:00:00', TIMESTAMP '2024-01-21 02:00:00'))
+        |SELECT incident_id, user_id, day, span_start, span_end
+        |FROM spans JOIN incidents
+        |  ON span_start < i_end AND i_start < span_end""".stripMargin,
     "q_gap_fill" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n

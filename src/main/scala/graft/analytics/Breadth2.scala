@@ -215,6 +215,33 @@ object Breadth2 {
         sum_distinct(dec("o_totalprice")).cast("double").as("sum_distinct_price"),
         countDistinct(col("o_custkey")).as("n_customers"))
 
+  /** Interval-overlap join: per-user daily activity spans [first,last]
+    * matched against incident windows on the standard overlap predicate
+    * (a_start < b_end AND b_start < a_end). The incident side is tiny →
+    * broadcast nested-loop; the span side never shuffles. For two BIG
+    * interval sets the scale path is binning both sides to a common
+    * grain and equi-joining on bin before the residual overlap test.
+    */
+  def incidentOverlap(events: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val spans = events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min("ts").as("span_start"), max("ts").as("span_end"))
+    val incidents = Seq(
+      ("inc_a", "2024-01-03 06:00:00", "2024-01-03 18:00:00"),
+      ("inc_b", "2024-01-10 00:00:00", "2024-01-12 00:00:00"),
+      ("inc_c", "2024-01-20 22:00:00", "2024-01-21 02:00:00"))
+      .toDF("incident_id", "s", "e")
+      .select(col("incident_id"),
+        // events.ts is TIMESTAMP (instant); sessions pin UTC, so these
+        // wall-clock literals mean the same instant in both engines
+        to_timestamp(col("s")).as("i_start"),
+        to_timestamp(col("e")).as("i_end"))
+    spans.join(broadcast(incidents),
+        col("span_start") < col("i_end") && col("i_start") < col("span_end"))
+      .select("incident_id", "user_id", "day", "span_start", "span_end")
+  }
+
   /** Token analytics: global top-K tokens by frequency — explode, hash
     * agg, top-K with total-order tie-break. The explode multiplies rows
     * ~n_tokens×, but the agg immediately collapses them map-side, so

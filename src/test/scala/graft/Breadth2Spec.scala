@@ -192,6 +192,31 @@ class Breadth2Spec extends AnyFunSuite {
     }
   }
 
+  test("incidentOverlap matches a brute-force overlap check") {
+    val events = Tables.events(spark, dir)
+    val got = Breadth2.incidentOverlap(events, spark).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDate(2).toString)).toSet
+    assert(got.nonEmpty)
+    // brute force: every (incident, user-day span) pair tested in Scala
+    // session TZ is UTC, so wall-clock strings parse to the same instants
+    def utc(s: String): Long =
+      java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val spans = events.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min("ts").as("s"), max("ts").as("e")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getTimestamp(2).getTime, r.getTimestamp(3).getTime))
+    val incidents = Seq(
+      ("inc_a", utc("2024-01-03T06:00"), utc("2024-01-03T18:00")),
+      ("inc_b", utc("2024-01-10T00:00"), utc("2024-01-12T00:00")),
+      ("inc_c", utc("2024-01-20T22:00"), utc("2024-01-21T02:00")))
+    val expect = (for {
+      (iid, is, ie) <- incidents
+      (uid, day, ss, se) <- spans
+      if ss < ie && is < se
+    } yield (iid, uid, day)).toSet
+    assert(got === expect)
+  }
+
   test("topTokens is k rows ordered by count desc then token") {
     val out = Breadth2.topTokens(Tables.documents(spark, dir), k = 20).collect()
       .map(r => (r.getString(0), r.getLong(1)))
