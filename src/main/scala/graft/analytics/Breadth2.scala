@@ -192,10 +192,17 @@ object Breadth2 {
     * data volume.
     */
   def gapFillDaily(lineitem: DataFrame, orders: DataFrame, suppkey: Long = 1L): DataFrame = {
+    // persisted: both the spine-bounds agg and the left join consume
+    // `daily`; without the cache the lineitem⋈orders aggregation runs
+    // TWICE (visible as two BroadcastHashJoins in the plan). Post-agg
+    // it is ≤ #days rows, so the cache is tiny at any input scale.
+    // Cache contract as in dedup/Curation: callers that care should
+    // clearCache() after consuming the result (Verify/Bench do).
     val daily = lineitem.filter(col("l_suppkey") === suppkey)
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .groupBy(to_date(col("o_orderdate")).as("d"))
       .agg(count(lit(1)).as("n"))
+      .persist()
     val spine = daily.agg(min("d").as("lo"), max("d").as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("d"))
     val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
