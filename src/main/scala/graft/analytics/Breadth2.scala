@@ -99,8 +99,21 @@ object Breadth2 {
     * account balance. Both are single exact divisions of integer ranks —
     * bit-identical across engines. Ties share a value, so no tie-break
     * is needed for determinism.
+    *
+    * Computed via [[graft.operators.GlobalRank]] — the unpartitioned
+    * window would collapse all rows into one partition; the rank-from-
+    * value-counts formulation keeps every shuffle keyed. The window
+    * variant below exists as the differential test reference.
     */
-  def balanceRankDist(customer: DataFrame): DataFrame = {
+  def balanceRankDist(customer: DataFrame): DataFrame =
+    graft.operators.GlobalRank
+      .rankDist(customer.select("c_custkey", "c_acctbal"), "c_acctbal")
+      .select("c_custkey", "c_acctbal", "pct_rank", "cume")
+
+  /** Single-partition window formulation of [[balanceRankDist]] — the
+    * semantics oracle for the scalable version (bit-identical results).
+    */
+  def balanceRankDistWindow(customer: DataFrame): DataFrame = {
     val w = Window.orderBy("c_acctbal")
     customer.select(
       col("c_custkey"), col("c_acctbal"),

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable global rank distributions.
+  *
+  * `percent_rank()/cume_dist() OVER (ORDER BY v)` with no PARTITION BY
+  * forces every row into ONE window partition — fine at thousands of
+  * rows, broken at billions. But both statistics depend only on each
+  * row's VALUE, not its identity: percent_rank = (#rows with smaller
+  * value) / (n-1) and cume_dist = (#rows with value ≤ v) / n, ties
+  * sharing a result by definition.
+  *
+  * So: aggregate to one row per distinct value (map-side-combining
+  * count), prefix-sum over the distinct-value relation, and join the
+  * distribution back to the rows. The only single-partition step is the
+  * prefix-sum window over DISTINCT VALUES — |domain| rows, not |data|
+  * rows (for a bounded-domain column like a price or a score it is
+  * constant in the data size). If the domain itself is huge, apply the
+  * same trick recursively or range-repartition with broadcast partition
+  * offsets; the join back is a plain shuffle join either way.
+  *
+  * Results are bit-identical to the window formulation: counts are
+  * exact longs and each statistic is one IEEE division.
+  */
+object GlobalRank {
+
+  /** Attach `pct_rank` and `cume` for the global ordering by `valueCol`
+    * to every row of `df` (equivalent to the unpartitioned
+    * percent_rank/cume_dist window, without the all-rows-one-partition
+    * collapse).
+    */
+  def rankDist(df: DataFrame, valueCol: String): DataFrame = {
+    require(!df.columns.contains("pct_rank") && !df.columns.contains("cume"),
+      "rankDist appends pct_rank/cume; input must not already define them")
+    val byVal = df.groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
+    // prefix of counts over values strictly smaller
+    val w = Window.orderBy(valueCol).rowsBetween(Window.unboundedPreceding, -1)
+    val totals = df.agg(count(lit(1)).as("n_total"))
+    val dist = byVal
+      .withColumn("before", coalesce(sum("cnt").over(w), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .select(col(valueCol),
+        when(col("n_total") === 1, 0.0)
+          .otherwise(col("before") / (col("n_total") - 1)).as("pct_rank"),
+        ((col("before") + col("cnt")) / col("n_total")).as("cume"))
+    df.join(dist, Seq(valueCol))
+  }
+}

@@ -63,6 +63,18 @@ class Breadth2Spec extends AnyFunSuite {
     assert(rows.length > 10)
   }
 
+  test("scalable rankDist is bit-identical to the window formulation") {
+    val cust = Tables.customer(spark, dir)
+    val a = Breadth2.balanceRankDist(cust).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    val b = Breadth2.balanceRankDistWindow(cust).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(a.size == b.size)
+    // exact equality on purpose: both sides are single divisions of the
+    // same exact integer counts
+    assert(a == b)
+  }
+
   test("balanceRankDist bounds and monotonicity") {
     val out = Breadth2.balanceRankDist(Tables.customer(spark, dir))
       .orderBy("c_acctbal").collect()
