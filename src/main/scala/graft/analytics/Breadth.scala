@@ -134,8 +134,19 @@ object Breadth {
 
   /** ntile quartiles: customers bucketed by account balance (total order
     * via the custkey tie-break keeps bucket membership deterministic).
+    * Ships the scalable range-partitioned plan
+    * ([[graft.operators.GlobalRank.ntileByRange]]) — the window variant
+    * below is the differential-test reference.
     */
-  def balanceQuartiles(customer: DataFrame): DataFrame = {
+  def balanceQuartiles(customer: DataFrame): DataFrame =
+    graft.operators.GlobalRank.ntileByRange(
+      customer.select(col("c_custkey"), col("c_acctbal")),
+      k = 4, sortCols = Seq("c_acctbal", "c_custkey"), tileCol = "quartile")
+
+  /** Single-partition window formulation of [[balanceQuartiles]] — the
+    * semantics oracle for the scalable version (identical buckets).
+    */
+  def balanceQuartilesWindow(customer: DataFrame): DataFrame = {
     val w = Window.orderBy(asc("c_acctbal"), asc("c_custkey"))
     customer.select(col("c_custkey"), col("c_acctbal"))
       .withColumn("quartile", ntile(4).over(w))

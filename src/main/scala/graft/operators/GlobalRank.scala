@@ -48,4 +48,50 @@ object GlobalRank {
         ((col("before") + col("cnt")) / col("n_total")).as("cume"))
     df.join(dist, Seq(valueCol))
   }
+
+  /** Global row number over a TOTAL order (sortCols must be unique in
+    * combination) without a one-partition window: range-repartition on
+    * the sort key, sort within partitions, then `zipWithIndex` — the
+    * classic two-pass distributed numbering (one counting pass, one
+    * labelling pass), each partition touching only its own rows. This is
+    * the sanctioned per-partition-imperative RDD use: the DataFrame API
+    * has no partition-offset primitive.
+    */
+  def withGlobalRowNumber(df: DataFrame, sortCols: Seq[String],
+                          rnCol: String = "rn"): DataFrame = {
+    require(!df.columns.contains(rnCol), s"input already defines $rnCol")
+    val spark = df.sparkSession
+    val cols = sortCols.map(col)
+    val sorted = df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
+    // range partitioning + local sort = global total order by construction,
+    // independent of the sampled range boundaries (sortCols are unique)
+    val schema = sorted.schema.add(rnCol, org.apache.spark.sql.types.LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Exact NTILE(k) over a global total order, built on
+    * [[withGlobalRowNumber]] — same bucket assignment as the SQL window
+    * function (first n%k buckets get the extra row), with no data-sized
+    * window partition anywhere in the plan.
+    */
+  def ntileByRange(df: DataFrame, k: Int, sortCols: Seq[String],
+                   tileCol: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val rn = "__graft_rn"
+    val withRn = withGlobalRowNumber(df, sortCols, rn)
+    val totals = withRn.agg(count(lit(1)).as("__n"))
+    withRn.crossJoin(broadcast(totals))
+      .withColumn("__base", expr(s"__n div $k"))
+      .withColumn("__rem", expr(s"__n % $k"))
+      .withColumn("__cut", col("__rem") * (col("__base") + 1))
+      .withColumn(tileCol,
+        when(col(rn) <= col("__cut"),
+          expr(s"($rn - 1) div (__base + 1) + 1"))
+          .otherwise(expr(s"__rem + ($rn - __cut - 1) div __base + 1"))
+          .cast("int"))
+      .drop(rn, "__n", "__base", "__rem", "__cut")
+  }
 }

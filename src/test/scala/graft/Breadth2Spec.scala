@@ -75,6 +75,26 @@ class Breadth2Spec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("ntileByRange matches the ntile window exactly, incl. uneven buckets") {
+    val cust = Tables.customer(spark, dir)
+    val a = Breadth.balanceQuartiles(cust).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val b = Breadth.balanceQuartilesWindow(cust).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(a == b)
+    // uneven case: n % k != 0 and n < k
+    for (n <- Seq(7, 3); k = 4) {
+      val df = spark.range(n.toLong).toDF("id")
+      val sc = graft.operators.GlobalRank
+        .ntileByRange(df, k, Seq("id"), "t").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      import org.apache.spark.sql.expressions.Window
+      val wn = df.withColumn("t", ntile(k).over(Window.orderBy("id"))).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(sc == wn, s"n=$n k=$k")
+    }
+  }
+
   test("balanceRankDist bounds and monotonicity") {
     val out = Breadth2.balanceRankDist(Tables.customer(spark, dir))
       .orderBy("c_acctbal").collect()
