@@ -108,6 +108,8 @@ object SparkEntry {
     "q_gap_fill"       -> ((s, d) => Breadth2.gapFillDaily(Tables.lineitem(s, d), Tables.orders(s, d))),
     "q_distinct_agg"   -> ((s, d) => Breadth2.distinctAgg(Tables.orders(s, d))),
     "q_interval_join"  -> ((s, d) => Breadth2.incidentOverlap(Tables.events(s, d), s)),
+    "q_rank_dense"     -> ((s, d) => Breadth2.brandPriceRanks(Tables.part(s, d))),
+    "q_array_ops"      -> ((s, d) => Breadth2.arrayOps(Tables.documents(s, d))),
     // --- text analysis (north star: training-data pipeline ops) ---
     "text_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
     "text_quality"     -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
@@ -472,6 +474,25 @@ object SparkEntry {
         |  SELECT o_year, status_bucket, revenue
         |  FROM pivoted UNPIVOT (revenue FOR status_bucket IN (rev_open, rev_fulfilled, rev_pending))) t
         |WHERE revenue IS NOT NULL""".stripMargin,
+    "q_rank_dense" ->
+      """SELECT p_brand, p_partkey, p_retailprice,
+        |       CAST(rank() OVER w AS INTEGER) AS price_rank,
+        |       CAST(dense_rank() OVER w AS INTEGER) AS price_dense
+        |FROM part
+        |WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC)""".stripMargin,
+    "q_array_ops" ->
+      """WITH base AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(toks) AS INTEGER) AS n_tokens,
+        |       CAST(len(list_filter(toks, t -> length(t) > 5)) AS INTEGER) AS n_long_tokens,
+        |       CASE WHEN len(toks) = 0 THEN 0.0
+        |            ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+        |       END AS mean_token_len,
+        |       CAST(coalesce(list_aggregate(list_transform(toks, t -> length(t)), 'max'), 0) AS INTEGER) AS max_token_len
+        |FROM base""".stripMargin,
     "q_interval_join" ->
       """WITH spans AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

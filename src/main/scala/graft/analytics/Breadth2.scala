@@ -262,6 +262,40 @@ object Breadth2 {
       .select("incident_id", "user_id", "day", "span_start", "span_end")
   }
 
+  /** rank + dense_rank within each brand by retail price (descending):
+    * the tie-sharing rank pair — under ties both are value-determined,
+    * so no tie-break is needed for deterministic VALUES (rows are
+    * identified by partkey).
+    */
+  def brandPriceRanks(part: DataFrame): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy(desc("p_retailprice"))
+    part.select(
+      col("p_brand"), col("p_partkey"), col("p_retailprice"),
+      rank().over(w).as("price_rank"),
+      dense_rank().over(w).as("price_dense"))
+  }
+
+  /** Higher-order array functions over the tokenized documents: filter /
+    * transform / aggregate run per-row inside codegen — no explode, no
+    * shuffle; the mean is one division of exact integer sums. The token
+    * split is staged as a bound attribute first: Spark performs no CSE
+    * inside lambda bodies, so inlining it would re-split per lambda.
+    */
+  def arrayOps(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+          .otherwise(split(trim(col("text")), "\\s+")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(filter(col("toks"), t => length(t) > 5)).as("n_long_tokens"),
+        when(size(col("toks")) === 0, 0.0)
+          .otherwise(
+            aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+              .cast("double") / size(col("toks"))).as("mean_token_len"),
+        coalesce(array_max(transform(col("toks"), t => length(t))), lit(0))
+          .as("max_token_len"))
+
   /** Token analytics: global top-K tokens by frequency — explode, hash
     * agg, top-K with total-order tie-break. The explode multiplies rows
     * ~n_tokens×, but the agg immediately collapses them map-side, so

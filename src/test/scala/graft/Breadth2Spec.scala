@@ -249,6 +249,46 @@ class Breadth2Spec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("brandPriceRanks: rank gaps after ties, dense_rank contiguous") {
+    val out = Breadth2.brandPriceRanks(Tables.part(spark, dir)).collect()
+    val byBrand = out.groupBy(_.getString(0))
+    for ((_, rs) <- byBrand) {
+      val sorted = rs.sortBy(r => (-r.getDouble(2), r.getInt(3)))
+      assert(sorted.head.getInt(3) == 1 && sorted.head.getInt(4) == 1)
+      // dense ranks form a contiguous 1..D set; ranks can gap but stay
+      // consistent with position of first tie member
+      val denses = sorted.map(_.getInt(4)).distinct.sorted
+      assert(denses.sameElements(1 to denses.length))
+      for ((a, b) <- sorted.zip(sorted.tail)) {
+        if (a.getDouble(2) == b.getDouble(2)) {
+          assert(a.getInt(3) == b.getInt(3) && a.getInt(4) == b.getInt(4))
+        } else {
+          assert(b.getInt(3) > a.getInt(3) && b.getInt(4) == a.getInt(4) + 1)
+        }
+      }
+    }
+  }
+
+  test("arrayOps agrees with a plain-Scala computation") {
+    val docs = Tables.documents(spark, dir)
+    val got = Breadth2.arrayOps(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getInt(4)))).toMap
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == raw.keySet)
+    for ((id, text) <- raw.take(200)) {
+      val toks = if (text.trim.isEmpty) Array.empty[String] else text.trim.split("\\s+")
+      val (n, nl, mean, mx) = got(id)
+      assert(n == toks.length)
+      assert(nl == toks.count(_.length > 5))
+      if (toks.isEmpty) assert(mean == 0.0 && mx == 0)
+      else {
+        assert(mean == toks.map(_.length.toLong).sum.toDouble / toks.length)
+        assert(mx == toks.map(_.length).max)
+      }
+    }
+  }
+
   test("topTokens is k rows ordered by count desc then token") {
     val out = Breadth2.topTokens(Tables.documents(spark, dir), k = 20).collect()
       .map(r => (r.getString(0), r.getLong(1)))
