@@ -124,4 +124,29 @@ class DifferentialPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("GlobalRank matches window rank/ntile on random tied data") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    for (round <- 1 to 3) {
+      val n = 50 + rnd.nextInt(200)
+      val k = 1 + rnd.nextInt(7)
+      // small value domain forces heavy ties
+      val rows = (1 to n).map(i => (i.toLong, rnd.nextInt(12).toDouble))
+      val df = rows.toDF("id", "v")
+
+      val prDist = graft.operators.GlobalRank.rankDist(df, "v").collect()
+        .map(r => r.getAs[Long]("id") -> ((r.getAs[Double]("pct_rank"), r.getAs[Double]("cume")))).toMap
+      val w = Window.orderBy("v")
+      val prWin = df.select(col("id"), percent_rank().over(w).as("p"), cume_dist().over(w).as("c"))
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      assert(prDist === prWin, s"rankDist round $round (n=$n)")
+
+      val tiles = graft.operators.GlobalRank.ntileByRange(df, k, Seq("v", "id"), "t")
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("t")).toMap
+      val tilesWin = df.withColumn("t", ntile(k).over(Window.orderBy("v", "id")))
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      assert(tiles === tilesWin, s"ntile round $round (n=$n k=$k)")
+    }
+  }
 }

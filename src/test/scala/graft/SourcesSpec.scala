@@ -38,4 +38,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() === 3)
     assert(back.filter($"c_custkey".isNotNull).count() === 2)
   }
+
+  test("orc round-trip preserves rows and schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    customers.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema === customers.schema)
+    assert(back.exceptAll(customers).isEmpty && customers.exceptAll(back).isEmpty)
+  }
+
+  test("text source: one string column per line, count preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_text").toString
+    customers.select($"c_name").write.mode("overwrite").text(dir)
+    val back = spark.read.text(dir)
+    assert(back.columns.toSeq === Seq("value"))
+    assert(back.count() === customers.count())
+  }
 }
