@@ -93,6 +93,8 @@ object SparkEntry {
     "q_range_join"      -> ((s, d) => Breadth.priceBands(Tables.part(s, d), s)),
     "q_scalar_subquery" -> ((s, d) => Breadth.aboveAvgCustomers(s, Tables.customer(s, d))),
     "q_approx_distinct" -> ((s, d) => Breadth.approxDistinct(Tables.orders(s, d))), // rows-only
+    "q_approx_percentiles" -> ((s, d) =>
+      Breadth.approxQuantityPercentiles(Tables.lineitem(s, d))), // rows-only (sketch)
     "q_json_extract"    -> ((s, d) => Breadth.jsonExtract(Tables.events(s, d))),
     // --- operator breadth, batch 2 (stats / argmax / frames / melt) ---
     "q_stats_summary"  -> ((s, d) => Breadth2.statsSummary(Tables.lineitem(s, d))),

@@ -230,6 +230,19 @@ object Breadth {
       expr("round(percentile(l_quantity, 0.9), 6)").as("p90"),
       expr("round(percentile(l_quantity, 0.99), 6)").as("p99"))
 
+  /** Scale path of [[quantitypercentiles]]: `approx_percentile`
+    * (mergeable quantile sketch) holds a bounded-size summary per group
+    * where exact `percentile` buffers every value — at 100 TB the exact
+    * version is a per-group OOM, the sketch is a few KB regardless of
+    * row count. Estimator-specific output → rows-only check; the spec
+    * bounds its error against the exact result.
+    */
+  def approxQuantityPercentiles(lineitem: DataFrame, accuracy: Int = 10000): DataFrame =
+    lineitem.groupBy("l_returnflag").agg(
+      expr(s"approx_percentile(l_quantity, 0.5, $accuracy)").as("p50"),
+      expr(s"approx_percentile(l_quantity, 0.9, $accuracy)").as("p90"),
+      expr(s"approx_percentile(l_quantity, 0.99, $accuracy)").as("p99"))
+
   /** Pivot: yearly revenue spread across order-status columns. Spark's
     * `pivot` with an explicit value list (no extra distinct-scan job)
     * compiles to the same conditional-aggregation plan as the oracle's

@@ -289,6 +289,22 @@ class Breadth2Spec extends AnyFunSuite {
     }
   }
 
+  test("approx percentiles land within sketch error of the exact ones") {
+    val li = Tables.lineitem(spark, dir)
+    val approx = Breadth.approxQuantityPercentiles(li).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val exact = Breadth.quantitypercentiles(li).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(approx.keySet == exact.keySet)
+    // l_quantity spans ~1..50; at accuracy 10000 the rank error is tiny,
+    // so the sketch value must sit within one quantity step of exact
+    for ((k, (a50, a90, a99)) <- approx; (e50, e90, e99) = exact(k)) {
+      assert(math.abs(a50 - e50) <= 1.0, s"p50 $k")
+      assert(math.abs(a90 - e90) <= 1.0, s"p90 $k")
+      assert(math.abs(a99 - e99) <= 1.0, s"p99 $k")
+    }
+  }
+
   test("topTokens is k rows ordered by count desc then token") {
     val out = Breadth2.topTokens(Tables.documents(spark, dir), k = 20).collect()
       .map(r => (r.getString(0), r.getLong(1)))
