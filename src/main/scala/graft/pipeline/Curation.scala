@@ -29,16 +29,30 @@ object Curation {
 
   /** Returns the curated corpus:
     * (doc_id, text, source, n_chars, quality_score).
+    *
+    * `langAllow` (optional) inserts a language gate before the quality
+    * filter — n-gram language ID is another cheap no-shuffle projection,
+    * so it belongs in the shrink-first prefix of the pipeline. Empty =
+    * no language filtering (the oracle-checked configuration).
     */
   def curate(documents: DataFrame,
              minQuality: Double = 0.2,
              nearDupThreshold: Double = 0.7,
-             samplePerSource: Int = 1000000): DataFrame = {
+             samplePerSource: Int = 1000000,
+             langAllow: Seq[String] = Nil): DataFrame = {
+    // 0. optional language gate
+    val base =
+      if (langAllow.isEmpty) documents
+      else documents.join(
+        TextOps.langId(documents)
+          .filter(col("lang_pred").isin(langAllow: _*)).select("doc_id"),
+        "doc_id")
+
     // 1. quality gate (score carried through to the output)
-    val scored = TextOps.quality(documents)
+    val scored = TextOps.quality(base)
       .filter(col("quality_score") >= minQuality)
       .select("doc_id", "quality_score")
-    val quality = documents.join(scored, "doc_id")
+    val quality = base.join(scored, "doc_id")
 
     // 2. exact dedup: keep the surviving (min) doc_id per content hash
     val keepExact = Dedup.exactDedup(quality).select("doc_id")

@@ -35,4 +35,18 @@ class CurationSpec extends AnyFunSuite {
     assert(out1.exceptAll(out2).isEmpty && out2.exceptAll(out1).isEmpty)
     out1.unpersist()
   }
+
+  test("curate langAllow gate: output equals curation of the pre-filtered corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.io.Tables.documents(spark, sfDir)
+    val gated = graft.pipeline.Curation.curate(docs, langAllow = Seq("en"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val pre = docs.join(
+      graft.text.TextOps.langId(docs).filter(col("lang_pred") === "en").select("doc_id"),
+      "doc_id")
+    val expected = graft.pipeline.Curation.curate(pre)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gated.nonEmpty && gated === expected)
+    spark.catalog.clearCache()
+  }
 }
