@@ -56,9 +56,12 @@ object Warehouse {
   /** CDC-style upsert: apply `updates` onto `base` by `key` — updated
     * keys replace their base rows, new keys append, untouched rows pass
     * through. Anti-join + union is the metastore-free MERGE: both sides
-    * shuffle once on the key, nothing is collected, and the result is
-    * deterministic (one row per key in `updates` wins wholesale). Pair
-    * with [[overwritePartitions]] to land the merge incrementally.
+    * shuffle once on the key, nothing is collected.
+    *
+    * PRECONDITION: `updates` must be key-unique — a CDC batch carrying
+    * several versions of one key keeps them all (pre-collapse with
+    * [[graft.operators.AsOfJoin.latestPerKeyTs]] or a groupBy first).
+    * Pair with [[overwritePartitions]] to land the merge incrementally.
     */
   def upsertByKey(base: DataFrame, updates: DataFrame, key: String): DataFrame =
     base.join(updates.select(key), Seq(key), "left_anti").unionByName(updates)

@@ -31,6 +31,11 @@ object GlobalRank {
     * to every row of `df` (equivalent to the unpartitioned
     * percent_rank/cume_dist window, without the all-rows-one-partition
     * collapse).
+    *
+    * PRECONDITION: `valueCol` must be non-null — the join back is on the
+    * value, and SQL equality never matches NULL, so null-valued rows
+    * would silently drop (the window version instead sorts them first).
+    * Filter or impute nulls before calling.
     */
   def rankDist(df: DataFrame, valueCol: String): DataFrame = {
     require(!df.columns.contains("pct_rank") && !df.columns.contains("cume"),
@@ -80,6 +85,9 @@ object GlobalRank {
   def ntileByRange(df: DataFrame, k: Int, sortCols: Seq[String],
                    tileCol: String): DataFrame = {
     require(k > 0, "k must be positive")
+    val reserved = Seq("__graft_rn", "__n", "__base", "__rem", "__cut")
+    require(!df.columns.exists(reserved.contains),
+      s"input must not use the reserved column names ${reserved.mkString(", ")}")
     val rn = "__graft_rn"
     val withRn = withGlobalRowNumber(df, sortCols, rn)
     val totals = withRn.agg(count(lit(1)).as("__n"))
