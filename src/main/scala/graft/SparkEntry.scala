@@ -123,6 +123,8 @@ object SparkEntry {
     "dedup_simhash"       -> ((s, d) => Dedup.simhashDedup(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), threshold = 0.5)),
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.dupClusters(Dedup.minhashDedup(Tables.documents(s, d)))),
     // --- similarity search over embeddings (north star) ---
     "ann_topk_brute" -> ((s, d) => Ann.bruteForceTopK(Tables.embeddings(s, d))),
     "ann_topk_lsh"   -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
@@ -618,6 +620,48 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(shared AS DOUBLE) / (sa.n_grams + sb.n_grams - shared) >= 0.5""".stripMargin,
+    // transitive closure of the minhash pairs via DuckDB's recursive CTE
+    // (Spark side: iterative min-label propagation — Dedup.dupClusters)
+    "dedup_clusters" -> {
+      val perms = Dedup.seedTriples(32)
+        .map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
+      s"""WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+        |  FROM toks),
+        |bases AS (
+        |  SELECT doc_id, ('0x' || substring(md5(gram), 1, 15))::BIGINT % 2147483647 AS h
+        |  FROM (SELECT doc_id, unnest(g) AS gram FROM grams)),
+        |perms(perm, a, b) AS (VALUES $perms),
+        |sig AS (
+        |  SELECT doc_id, perm, MIN((a * h + b) % 2147483647) AS s
+        |  FROM bases CROSS JOIN perms GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, perm // 4 AS band,
+        |         string_agg(CAST(s AS VARCHAR), ',' ORDER BY perm) AS bh
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT doc_a, doc_b,
+        |           SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 32.0 AS est_jaccard
+        |    FROM cand JOIN sig sa ON sa.doc_id = doc_a
+        |              JOIN sig sb ON sb.doc_id = doc_b AND sa.perm = sb.perm
+        |    GROUP BY 1, 2) t
+        |  WHERE est_jaccard >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
+        |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1""".stripMargin
+    },
     "ann_topk_brute" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -280,4 +280,63 @@ object Dedup {
           size(array_union(col("ga"), col("gb")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  // --------------------------------------------------- duplicate clusters
+
+  /** Connected components over a near-dup pair relation: every document
+    * labelled with the MINIMUM doc_id reachable through pairs — the
+    * exact transitive closure the pairwise drop-the-larger heuristic
+    * approximates. Iterative min-label propagation: each round, every
+    * node adopts the smallest label among itself and its neighbours;
+    * convergence (checked with one count per round) takes at most the
+    * component diameter — near-dup clusters are shallow, so a handful of
+    * rounds. Each round is two keyed shuffles (join + min-agg) of the
+    * EDGE relation — nothing data-sized ever sits on the driver. For
+    * graphs with pathological diameters, swap in the large-star/
+    * small-star contraction (O(log n) rounds, same join shape).
+    *
+    * Only documents that appear in `pairs` are returned (isolated docs
+    * are their own cluster trivially).
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    require(pairs.columns.contains("doc_a") && pairs.columns.contains("doc_b"),
+      "pairs must carry doc_a/doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // smallest neighbour label per node
+      val nbr = edges
+        .join(labels.select(col("doc_id").as("src"), col("cluster_id").as("l")), "src")
+        .groupBy(col("dst").as("doc_id")).agg(min("l").as("nbr_min"))
+      val next = labels.join(nbr, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val improved = next.as("n")
+        .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
+        .filter(col("n.cluster_id") < col("p.cluster_id"))
+        .limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      converged = !improved
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** One representative per duplicate cluster: the cluster id IS the
+    * minimum member, so survivors are rows whose doc_id equals their
+    * cluster label.
+    */
+  def clusterSurvivors(clusters: DataFrame): DataFrame =
+    clusters.filter(col("doc_id") === col("cluster_id")).select("doc_id")
 }

@@ -108,4 +108,43 @@ class TextDedupSpec extends AnyFunSuite {
     assert(fps(0) === fps(1))
     assert(TextOps.fingerprint(Tables.documents(spark, sfDir)).count() > 0)
   }
+
+  test("dupClusters matches union-find on random graphs") {
+    val rnd = new scala.util.Random(77)
+    for (round <- 1 to 3) {
+      val n = 30 + rnd.nextInt(40)
+      val pairs = (1 to n).map { _ =>
+        val a = rnd.nextInt(25).toLong; val b = rnd.nextInt(25).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val df = pairs.toDF("doc_a", "doc_b")
+      val got = graft.dedup.Dedup.dupClusters(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      // union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- pairs) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val expected = nodes.map { x =>
+        val root = find(x)
+        // min member of the component = root by min-union construction
+        x -> root
+      }.toMap
+      assert(got === expected, s"round $round")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("clusterSurvivors keeps exactly one doc per cluster") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val clusters = graft.dedup.Dedup.dupClusters(pairs)
+    val survivors = graft.dedup.Dedup.clusterSurvivors(clusters)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(1L, 7L))
+    spark.catalog.clearCache()
+  }
 }
