@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Breadth, Breadth2, Queries}
+import graft.analytics.{Breadth, Breadth2, Breadth3, Queries}
 import graft.dedup.Dedup
 import graft.etl.{Clean, Dims, Facts}
 import graft.io.Tables
@@ -112,6 +112,14 @@ object SparkEntry {
     "q_interval_join"  -> ((s, d) => Breadth2.incidentOverlap(Tables.events(s, d), s)),
     "q_rank_dense"     -> ((s, d) => Breadth2.brandPriceRanks(Tables.part(s, d))),
     "q_array_ops"      -> ((s, d) => Breadth2.arrayOps(Tables.documents(s, d))),
+    // --- operator breadth, batch 3 (funnel / retention / SCD2 / fuzzy / salt) ---
+    "q_funnel"      -> ((s, d) => Breadth3.funnel(Tables.events(s, d))),
+    "q_retention"   -> ((s, d) => Breadth3.retention(Tables.events(s, d))),
+    "q_scd2_status" -> ((s, d) => Breadth3.scd2StatusHistory(Tables.orders(s, d))),
+    "q_fuzzy_pairs" -> ((s, d) => Breadth3.fuzzyNamePairs(Tables.part(s, d))),
+    "q_salted_join" -> ((s, d) =>
+      Breadth3.saltedRevenue(Tables.lineitem(s, d), Tables.orders(s, d))),
+    "text_tfidf"    -> ((s, d) => Breadth3.tfidf(Tables.documents(s, d))),
     // --- text analysis (north star: training-data pipeline ops) ---
     "text_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
     "text_quality"     -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
@@ -538,6 +546,86 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
         |       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS vt FROM events
+        |          WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS ct FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.vt GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS pt FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.ct GROUP BY 1)
+        |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', COUNT(*) FROM c
+        |UNION ALL SELECT '3_purchase', COUNT(*) FROM p""".stripMargin,
+    "q_retention" ->
+      """WITH activity AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |cohort AS (
+        |  SELECT user_id, MIN(d) AS cohort_day FROM activity GROUP BY 1)
+        |SELECT cohort_day,
+        |       CAST(date_diff('day', cohort_day, d) AS INTEGER) AS day_offset,
+        |       COUNT(DISTINCT a.user_id) AS n_users
+        |FROM activity a JOIN cohort c ON a.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
+    "q_scd2_status" ->
+      """WITH obs AS (
+        |  SELECT o_custkey, o_orderstatus, CAST(o_orderdate AS DATE) AS d, o_orderkey,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |         - ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderstatus
+        |                              ORDER BY o_orderdate, o_orderkey) AS grp
+        |  FROM orders),
+        |runs AS (
+        |  SELECT o_custkey, o_orderstatus, grp,
+        |         MIN(d) AS eff_from, MIN(o_orderkey) AS first_key
+        |  FROM obs GROUP BY 1, 2, 3),
+        |chained AS (
+        |  SELECT o_custkey, o_orderstatus AS status, eff_from,
+        |         COALESCE(LEAD(eff_from) OVER (PARTITION BY o_custkey
+        |                                       ORDER BY eff_from, first_key),
+        |                  DATE '9999-12-31') AS eff_to
+        |  FROM runs)
+        |SELECT o_custkey, status, eff_from, eff_to,
+        |       CAST(eff_to = DATE '9999-12-31' AS INTEGER) AS is_current
+        |FROM chained""".stripMargin,
+    "q_fuzzy_pairs" ->
+      """SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |       a.p_name AS name_a, b.p_name AS name_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+    // oracle runs the PLAIN join — hash equality proves the salted join
+    // preserves the row multiset
+    "q_salted_join" ->
+      """SELECT o_orderpriority,
+        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                     * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)))
+        |            AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS token
+        |  FROM documents),
+        |tok AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token, tf,
+        |         round(CAST(tf AS DOUBLE)
+        |               * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, token, tf, tfidf,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                            ORDER BY tfidf DESC, token) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, tfidf,
+        |       CAST(rnk AS INTEGER) AS rnk
+        |FROM ranked WHERE rnk <= 3""".stripMargin,
     "text_top_tokens" ->
       """WITH toks AS (
         |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS raw FROM documents)

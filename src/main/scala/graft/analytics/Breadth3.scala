@@ -1,0 +1,198 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.SkewJoin
+
+/** Third operator-breadth batch: product-analytics shapes (funnel,
+  * cohort retention), SCD2 effective-dated dimension build
+  * (gaps-and-islands), TF-IDF term scoring, blocked edit-distance fuzzy
+  * matching, and a salted skew join whose result is proven equal to the
+  * plain join by the DuckDB oracle.
+  *
+  * Determinism contract matches [[Breadth]]/[[Breadth2]]: money goes
+  * through DECIMAL(18,2) (order-independent sums), the one cross-engine
+  * float fold here (TF-IDF's `tf·ln(N/df)`) is written with the same
+  * expression shape on both engines and rounded to 1e-6 before ranking,
+  * and every window/LIMIT carries a total order.
+  */
+object Breadth3 {
+
+  private def dec(c: String) = col(c).cast(DecimalType(18, 2))
+
+  // ------------------------------------------------------------- funnel
+
+  /** Staged conversion funnel over the event stream: first `view`, first
+    * `click` strictly after that view, first `purchase` strictly after
+    * that click — the standard ordered-funnel semantics (each stage must
+    * happen after the previous stage's first occurrence).
+    *
+    * Scale: three hash aggregations keyed by user_id plus two joins on
+    * user_id — all co-partitioned on the same key, so AQE plans one
+    * shuffle of each filtered event subset and the stage tables shrink
+    * monotonically. No windows, no state larger than one timestamp per
+    * user per stage.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("vt"))
+    val c = events.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("vt"))
+      .groupBy("user_id").agg(min("ts").as("ct"))
+    val p = events.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("ct"))
+      .groupBy("user_id").agg(min("ts").as("pt"))
+    v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+      .unionAll(c.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click").as("stage"), col("n_users")))
+      .unionAll(p.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("stage"), col("n_users")))
+  }
+
+  // ---------------------------------------------------------- retention
+
+  /** Cohort retention matrix: users grouped by the day of their first
+    * event; for every (cohort day, day offset) the number of distinct
+    * users from that cohort active that day.
+    *
+    * Scale: `activity` is the distinct (user, day) grid — one shuffle on
+    * user_id for the distinct + cohort min, then the matrix agg shuffles
+    * (cohort_day, day_offset) pairs whose cardinality is bounded by
+    * days², independent of user count. The user→cohort join is keyed by
+    * user_id on both sides (co-partitioned with `activity`).
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val activity = events.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val cohort = activity.groupBy("user_id").agg(min("d").as("cohort_day"))
+    activity.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), datediff(col("d"), col("cohort_day")).as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
+
+  // --------------------------------------------------------------- SCD2
+
+  /** Slowly-changing-dimension type 2 build from an observation log:
+    * each customer's o_orderstatus sequence (ordered by order date,
+    * orderkey as tie-break) is collapsed into runs (gaps-and-islands via
+    * the row_number-difference trick), and each run becomes an
+    * effective-dated row [eff_from, eff_to) with the open current row
+    * closed at 9999-12-31 — the classic warehouse SCD2 shape.
+    *
+    * Scale: both row_numbers ride the same shuffle (partition by
+    * customer), the run collapse is a hash agg on (customer, status,
+    * run), and the lead() that chains eff_to runs over the already-tiny
+    * run table. Nothing is ever a global window.
+    */
+  def scd2StatusHistory(orders: DataFrame): DataFrame = {
+    val byTime = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    val byStatus = Window.partitionBy("o_custkey", "o_orderstatus").orderBy("d", "o_orderkey")
+    val runs = orders
+      .select(col("o_custkey"), col("o_orderstatus"), to_date(col("o_orderdate")).as("d"),
+        col("o_orderkey"))
+      .withColumn("grp", row_number().over(byTime) - row_number().over(byStatus))
+      .groupBy("o_custkey", "o_orderstatus", "grp")
+      .agg(min("d").as("eff_from"), min("o_orderkey").as("first_key"))
+    // ties on eff_from (two runs starting the same day) break on the
+    // run's first orderkey — deterministic in both engines.
+    val chain = Window.partitionBy("o_custkey").orderBy("eff_from", "first_key")
+    runs
+      .withColumn("eff_to", coalesce(lead("eff_from", 1).over(chain), lit("9999-12-31").cast("date")))
+      .select(col("o_custkey"), col("o_orderstatus").as("status"),
+        col("eff_from"), col("eff_to"),
+        (col("eff_to") === lit("9999-12-31").cast("date")).cast("int").as("is_current"))
+  }
+
+  // ------------------------------------------------------------- TF-IDF
+
+  /** TF-IDF top-3 terms per document. Tokenization matches the rest of
+    * the text stack (whitespace split, lowercase, drop empties); score is
+    * `tf · ln(N/df)` rounded to 1e-6 — the rounding happens BEFORE the
+    * per-document ranking so rank order is identical cross-engine, with
+    * the token string as tie-break.
+    *
+    * Scale: tf is a (doc, token) hash agg; df reuses tf (already one row
+    * per doc-token) so document frequency is a count, not a distinct; the
+    * corpus size joins in as a broadcast scalar. The per-doc top-3 is a
+    * row_number window partitioned by doc_id — millions of small
+    * partitions, never one big one.
+    */
+  def tfidf(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("raw"))
+      .filter(col("raw") =!= "")
+      .select(col("doc_id"), lower(col("raw")).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "token", "tf", "tfidf", "rnk")
+  }
+
+  // -------------------------------------------------- fuzzy (edit-dist)
+
+  /** Blocked fuzzy duplicate detection: candidate pairs share a blocking
+    * key (p_brand) and survive if Levenshtein distance ≤ 2 — the
+    * standard blocking + edit-distance record-linkage shape (exact-name
+    * pairs come out at distance 0).
+    *
+    * Scale: a hash-partitioned self-join on the block key is the wrong
+    * plan here — a low-cardinality blocking key (25 brands) collapses
+    * onto ≤25 tasks and strands the rest of the cluster. Broadcasting
+    * the (narrow) candidate side instead keeps the stream side at full
+    * input parallelism with zero shuffle; the broadcast payload is the
+    * blocking key + name + id, not the corpus. Comparisons are then cut
+    * by a length-band prefilter (edit distance ≤ k forces |len(a) −
+    * len(b)| ≤ k) and the threshold form `levenshtein(l, r, k)`, which
+    * abandons the DP once the distance provably exceeds k. When the
+    * candidate side outgrows a broadcast, fall back to an equi-join on
+    * (block, salt) via [[SkewJoin.saltedJoin]] — same semantics, n-way
+    * parallel per block.
+    */
+  def fuzzyNamePairs(part: DataFrame, maxDist: Int = 2): DataFrame = {
+    val a = part.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = part.select(col("p_brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(broadcast(b), "p_brand")
+      .filter(col("key_a") < col("key_b") &&
+        abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      // threshold form returns -1 when the distance exceeds maxDist: the
+      // kept rows carry the exact distance, identical to plain levenshtein
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select("p_brand", "key_a", "key_b", "name_a", "name_b", "dist")
+  }
+
+  // -------------------------------------------------------- salted join
+
+  /** Revenue per order priority through a SALTED join: lineitem (the
+    * big/skewed side) joins orders on orderkey with each key spread over
+    * 16 salt buckets ([[SkewJoin.saltedJoin]]), then aggregates exact
+    * decimal revenue. The DuckDB oracle runs the PLAIN join — passing the
+    * hash-compare IS the proof that salting preserves the row multiset.
+    *
+    * Scale: this is the escape hatch when one orderkey is hot enough to
+    * stall a task even under AQE skew splitting; the salt spreads each
+    * key over nSalts tasks at the cost of replicating the (narrow) right
+    * side nSalts×.
+    */
+  def saltedRevenue(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val right = orders.select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    SkewJoin.saltedJoin(
+        lineitem.select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        right, "l_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(
+        sum((dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast(DecimalType(18, 4)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+}

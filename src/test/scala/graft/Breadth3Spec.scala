@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.Breadth3
+import graft.io.Tables
+
+class Breadth3Spec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel: stage counts are monotone non-increasing and order-aware") {
+    // u1 completes the funnel; u2 clicks BEFORE viewing (must not count
+    // as stage 2); u3 views only.
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:01:00"), "click"),
+      (1L, ts("2024-01-01 10:02:00"), "purchase"),
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 09:30:00"), "view"),
+      (3L, ts("2024-01-01 08:00:00"), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Breadth3.funnel(events).as[(String, Long)].collect().toMap
+    assert(got === Map("1_view" -> 3L, "2_click" -> 1L, "3_purchase" -> 1L))
+
+    val real = Breadth3.funnel(Tables.events(spark, sfDir))
+      .orderBy("stage").as[(String, Long)].collect()
+    assert(real.map(_._2).sliding(2).forall(p => p(0) >= p(1)),
+      s"funnel must narrow: ${real.mkString(", ")}")
+  }
+
+  test("retention: offset-0 cell equals cohort size, offsets non-negative") {
+    val r = Breadth3.retention(Tables.events(spark, sfDir))
+    assert(r.filter($"day_offset" < 0).isEmpty)
+    val cohortSizes = Breadth3.retention(Tables.events(spark, sfDir))
+      .filter($"day_offset" === 0)
+    // every user is active on their own cohort day by construction, so
+    // summing the offset-0 cells recovers the distinct-user count
+    val total = cohortSizes.agg(sum("n_users")).as[Long].head()
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(total === users)
+  }
+
+  test("scd2: periods chain, don't overlap, one current row per customer") {
+    val orders = Seq(
+      (10L, 1L, "O", ts("1995-01-01 00:00:00")),
+      (11L, 1L, "O", ts("1995-02-01 00:00:00")),
+      (12L, 1L, "F", ts("1995-03-01 00:00:00")),
+      (13L, 1L, "O", ts("1995-04-01 00:00:00")),
+      (14L, 2L, "P", ts("1995-01-15 00:00:00"))
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+    val hist = Breadth3.scd2StatusHistory(orders)
+      .orderBy("o_custkey", "eff_from")
+      .as[(Long, String, Date, Date, Int)].collect()
+    val c1 = hist.filter(_._1 == 1L)
+    assert(c1.map(_._2).toSeq === Seq("O", "F", "O"))
+    // chained: each eff_to equals the next row's eff_from
+    assert(c1.sliding(2).forall { case Array(a, b) => a._4 == b._3 })
+    assert(hist.count(_._5 == 1) === 2) // one open row per customer
+    assert(c1.last._4.toString === "9999-12-31")
+  }
+
+  test("tfidf: ubiquitous tokens score zero, distinctive tokens rank first") {
+    val docs = Seq(
+      (1L, "alpha common common"),
+      (2L, "beta common"),
+      (3L, "gamma common")
+    ).toDF("doc_id", "text")
+    val got = Breadth3.tfidf(docs).orderBy("doc_id", "rnk")
+      .as[(Long, String, Long, Double, Int)].collect()
+    // 'common' appears in all 3 docs → idf = ln(1) = 0
+    assert(got.filter(_._2 == "common").forall(_._4 === 0.0))
+    val top = got.filter(_._5 == 1).map(r => r._1 -> r._2).toMap
+    assert(top === Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+    // at most 3 terms per doc on the real corpus
+    val perDoc = Breadth3.tfidf(Tables.documents(spark, sfDir))
+      .groupBy("doc_id").count().agg(max("count")).as[Long].head()
+    assert(perDoc <= 3)
+  }
+
+  test("fuzzy pairs: finds near-identical names inside a block only") {
+    val part = Seq(
+      (1L, "small ring", "Brand#1"),
+      (2L, "small rign", "Brand#1"),  // dist 2 (transposition = 2 substitutions)
+      (3L, "small ring", "Brand#2"),  // other block — must not pair with 1
+      (4L, "totally different", "Brand#1")
+    ).toDF("p_partkey", "p_name", "p_brand")
+    val got = Breadth3.fuzzyNamePairs(part)
+      .select("key_a", "key_b", "dist").as[(Long, Long, Int)].collect()
+    assert(got.toSet === Set((1L, 2L, 2)))
+  }
+
+  test("salted revenue equals the plain-join aggregate") {
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val salted = Breadth3.saltedRevenue(li, ord)
+      .orderBy("o_orderpriority").as[(String, Double, Long)].collect()
+    val plain = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(($"l_extendedprice".cast("decimal(18,2)")
+          * (lit(1) - $"l_discount".cast("decimal(18,2)"))).cast("decimal(18,4)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority").as[(String, Double, Long)].collect()
+    assert(salted === plain)
+  }
+}
