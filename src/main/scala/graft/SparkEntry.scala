@@ -120,6 +120,9 @@ object SparkEntry {
     "q_salted_join" -> ((s, d) =>
       Breadth3.saltedRevenue(Tables.lineitem(s, d), Tables.orders(s, d))),
     "text_tfidf"    -> ((s, d) => Breadth3.tfidf(Tables.documents(s, d))),
+    "q_sliding_windows" -> ((s, d) => Breadth3.slidingEventCounts(Tables.events(s, d))),
+    "q_histogram"   -> ((s, d) => Breadth3.priceHistogram(Tables.orders(s, d))),
+    "embed_quantize" -> ((s, d) => Ann.quantizeInt8(Tables.embeddings(s, d))),
     // --- text analysis (north star: training-data pipeline ops) ---
     "text_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
     "text_quality"     -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
@@ -605,6 +608,39 @@ object SparkEntry {
         |       COUNT(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+    "q_sliding_windows" ->
+      """WITH grid AS (
+        |  SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 1800) * 1800) AS TIMESTAMP) AS w0,
+        |         event_type, value
+        |  FROM events),
+        |assigned AS (
+        |  SELECT unnest([w0, w0 - INTERVAL 30 MINUTE]) AS win_start, event_type, value
+        |  FROM grid)
+        |SELECT win_start, win_start + INTERVAL 1 HOUR AS win_end, event_type,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM assigned
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_histogram" ->
+      """WITH bounds AS (
+        |  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+        |SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20.0)), 19) AS INTEGER) AS bin,
+        |       COUNT(*) AS n_orders
+        |FROM orders CROSS JOIN bounds
+        |GROUP BY 1""".stripMargin,
+    "embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e)
+        |SELECT vec_id, amax / 127.0 AS scale,
+        |       CASE WHEN amax = 0
+        |            THEN array_to_string(list_transform(v, x -> 0), ',')
+        |            ELSE array_to_string(list_transform(v,
+        |                   x -> CAST(round(x / (amax / 127.0)) AS INTEGER)), ',')
+        |       END AS q_csv
+        |FROM m""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS token

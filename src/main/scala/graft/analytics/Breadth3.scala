@@ -171,6 +171,44 @@ object Breadth3 {
       .select("p_brand", "key_a", "key_b", "name_a", "name_b", "dist")
   }
 
+  // ------------------------------------------------------ sliding window
+
+  /** Overlapping time windows: per event type, count + value total in
+    * 1-hour windows sliding every 30 minutes (each event lands in two
+    * windows). Spark's `window()` generator expands the assignment
+    * row-locally before the aggregate — one shuffle keyed on (window,
+    * type), map-side combined, identical shape batch and streaming (the
+    * streaming twin would just add a watermark).
+    */
+  def slidingEventCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec("value")).cast("double").as("total_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  // ---------------------------------------------------------- histogram
+
+  /** Fixed-width 20-bin histogram of order totals between the global min
+    * and max. The bounds come from one scalar aggregate broadcast into a
+    * row-local bin expression — two scans, no shuffle wider than the
+    * 20-row result. Bin edges are computed with the same IEEE expression
+    * shape in the oracle so boundary values land identically.
+    */
+  def priceHistogram(orders: DataFrame, nBins: Int = 20): DataFrame = {
+    val bounds = orders.agg(
+      min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    orders.crossJoin(broadcast(bounds))
+      .select(
+        least(
+          floor((col("o_totalprice") - col("lo")) /
+            ((col("hi") - col("lo")) / lit(nBins.toDouble))),
+          lit(nBins - 1L)).cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_orders"))
+  }
+
   // -------------------------------------------------------- salted join
 
   /** Revenue per order priority through a SALTED join: lineitem (the

@@ -207,4 +207,31 @@ object Ann {
         round(cosine(col("va"), col("vb")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Symmetric int8 quantization per vector: `scale = max|x| / 127`,
+    * `q_i = round(x_i / scale)` — the standard scalar-quantization step
+    * that cuts embedding storage 4× (float32 → int8) before ANN
+    * indexing. All-zero vectors quantize to zeros with scale 0.
+    *
+    * Purely row-local (narrow, no shuffle, codegen'd array lambdas), so
+    * it scales with scan bandwidth. The quantized vector is emitted as a
+    * CSV string for the driver's row-level hash compare; `scale` is a
+    * single IEEE division of the exactly-widened float32 max — both
+    * deterministic cross-engine. The per-element divisions stage `scale`
+    * as a bound attribute first (no CSE inside higher-order lambdas —
+    * the amax fold would otherwise rerun per element).
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val vd = asDouble(col("embedding"))
+    embeddings
+      .select(col("vec_id"), vd.as("v"),
+        array_max(transform(vd, x => abs(x))).as("amax"))
+      .withColumn("scale", col("amax") / lit(127.0))
+      .select(col("vec_id"), col("scale"),
+        when(col("amax") === 0.0,
+          array_join(transform(col("v"), _ => lit(0)), ","))
+          .otherwise(array_join(
+            transform(col("v"), x => round(x / col("scale")).cast("int")), ","))
+          .as("q_csv"))
+  }
 }

@@ -95,6 +95,39 @@ class Breadth3Spec extends AnyFunSuite {
     assert(got.toSet === Set((1L, 2L, 2)))
   }
 
+  test("sliding windows: every event lands in exactly two windows") {
+    val ev = Tables.events(spark, sfDir)
+    val assigned = Breadth3.slidingEventCounts(ev).agg(sum("n_events")).as[Long].head()
+    assert(assigned === 2 * ev.count())
+    // windows are exactly 1 hour and start on the 30-min grid
+    val bad = Breadth3.slidingEventCounts(ev)
+      .filter(unix_timestamp($"win_end") - unix_timestamp($"win_start") =!= 3600 ||
+        unix_timestamp($"win_start") % 1800 =!= 0)
+    assert(bad.isEmpty)
+  }
+
+  test("histogram: bins partition all orders, ids in [0, 20)") {
+    val ord = Tables.orders(spark, sfDir)
+    val h = Breadth3.priceHistogram(ord).collect().map(r => r.getInt(0) -> r.getLong(1))
+    assert(h.map(_._2).sum === ord.count())
+    assert(h.forall { case (b, _) => b >= 0 && b < 20 })
+  }
+
+  test("int8 quantization: values bounded, max element hits ±127, zero vector safe") {
+    val fixture = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = graft.similarity.Ann.quantizeInt8(fixture)
+      .orderBy("vec_id").as[(Long, Double, String)].collect()
+    assert(got(0)._3.split(",").map(_.toInt).toSeq === Seq(64, -127, 32))
+    assert(got(1)._2 === 0.0 && got(1)._3 === "0,0,0")
+    val real = graft.similarity.Ann.quantizeInt8(Tables.embeddings(spark, sfDir))
+    val qmax = real.select(max(array_max(transform(
+      split($"q_csv", ","), x => abs(x.cast("int")))))).as[Int].head()
+    assert(qmax === 127) // the max-|x| element always quantizes to ±127
+  }
+
   test("salted revenue equals the plain-join aggregate") {
     val li = Tables.lineitem(spark, sfDir)
     val ord = Tables.orders(spark, sfDir)
