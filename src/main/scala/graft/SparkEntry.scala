@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, concat, lit, lpad}
 
 import graft.analytics.{Breadth, Breadth2, Breadth3, Queries}
 import graft.dedup.Dedup
@@ -121,6 +122,22 @@ object SparkEntry {
       Breadth3.saltedRevenue(Tables.lineitem(s, d), Tables.orders(s, d))),
     "text_tfidf"    -> ((s, d) => Breadth3.tfidf(Tables.documents(s, d))),
     "q_sliding_windows" -> ((s, d) => Breadth3.slidingEventCounts(Tables.events(s, d))),
+    "q_transitions"  -> ((s, d) => Breadth3.eventTransitions(Tables.events(s, d))),
+    "q_revenue_share" -> ((s, d) => Breadth3.nationRevenueShare(
+      Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    // contact strings are constructed identically in the oracle — the
+    // synthetic corpus carries no natural PII, the redaction op is real
+    "text_redact" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      TextOps.redact(
+        c.select(col("c_custkey"),
+          concat(col("c_name"), lit(" <user"), col("c_custkey").cast("string"),
+            lit("@example.com> ref "),
+            lpad((col("c_custkey") * 7919 % 1000000000).cast("string"), 9, "0"))
+            .as("contact")),
+        "contact")
+    }),
+    "text_chunks" -> ((s, d) => TextOps.chunk(Tables.documents(s, d))),
     "q_histogram"   -> ((s, d) => Breadth3.priceHistogram(Tables.orders(s, d))),
     "embed_quantize" -> ((s, d) => Ann.quantizeInt8(Tables.embeddings(s, d))),
     // --- text analysis (north star: training-data pipeline ops) ---
@@ -608,6 +625,51 @@ object SparkEntry {
         |       COUNT(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+    "q_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         LEAD(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT event_type AS from_type, to_type, COUNT(*) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+        |        FROM pairs GROUP BY 1)
+        |SELECT pr.from_type, pr.to_type, pr.n,
+        |       CAST(pr.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS prob
+        |FROM pairs pr JOIN tot t ON pr.from_type = t.from_type""".stripMargin,
+    "q_revenue_share" ->
+      """WITH per_nation AS (
+        |  SELECT n_name, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1),
+        |tot AS (SELECT SUM(rev_dec) AS tot_dec FROM per_nation)
+        |SELECT n_name, CAST(rev_dec AS DOUBLE) AS revenue,
+        |       CAST(rev_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE) AS share
+        |FROM per_nation CROSS JOIN tot""".stripMargin,
+    "text_redact" ->
+      s"""SELECT c_custkey,
+        |       regexp_replace(regexp_replace(
+        |         c_name || ' <user' || CAST(c_custkey AS VARCHAR)
+        |           || '@example.com> ref '
+        |           || lpad(CAST(c_custkey * 7919 % 1000000000 AS VARCHAR), 9, '0'),
+        |         '${TextOps.EmailRe}', '[EMAIL]', 'g'),
+        |         '${TextOps.DigitRunRe}', '[NUM]', 'g') AS contact
+        |FROM customer""".stripMargin,
+    "text_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |starts AS (
+        |  SELECT doc_id, t, len(t) AS n, unnest(range(0, len(t), 24)) AS start
+        |  FROM toks)
+        |SELECT doc_id, CAST(start // 24 AS INTEGER) AS chunk_id,
+        |       array_to_string(t[start+1 : start+32], ' ') AS chunk_text,
+        |       CAST(LEAST(n - start, 32) AS INTEGER) AS n_tokens
+        |FROM starts""".stripMargin,
     "q_sliding_windows" ->
       """WITH grid AS (
         |  SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 1800) * 1800) AS TIMESTAMP) AS w0,

@@ -171,6 +171,53 @@ object Breadth3 {
       .select("p_brand", "key_a", "key_b", "name_a", "name_b", "dist")
   }
 
+  // -------------------------------------------------- event transitions
+
+  /** First-order transition matrix over each user's event sequence:
+    * counts of (event_type → next event_type) plus the conditional
+    * probability P(to | from). The sequence order is (ts, event_id) — a
+    * total order, so `lead` is deterministic under concurrent events.
+    *
+    * Scale: one shuffle to sort per user (lead window partitioned by
+    * user_id), then a hash agg whose key space is |types|² = tiny; the
+    * probability join broadcasts the per-from totals. The conditional
+    * probability is one IEEE division of two exact counts.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("n_from"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("n_from").cast("double")).as("prob"))
+  }
+
+  // ------------------------------------------------------- revenue share
+
+  /** Share-of-total per nation WITHOUT the one-partition window trap:
+    * the naive `sum() OVER ()` drags every row to a single task; here
+    * the grand total is a 1-row aggregate of the already-aggregated
+    * per-nation relation, broadcast back in. Both numerator and
+    * denominator are exact decimal sums; the share is one IEEE division.
+    */
+  def nationRevenueShare(orders: DataFrame, customer: DataFrame,
+                         nation: DataFrame): DataFrame = {
+    val perNation = orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(dec("o_totalprice")).as("rev_dec"))
+    val total = perNation.agg(sum("rev_dec").as("tot_dec"))
+    perNation.crossJoin(broadcast(total))
+      .select(col("n_name"), col("rev_dec").cast("double").as("revenue"),
+        (col("rev_dec").cast("double") / col("tot_dec").cast("double")).as("share"))
+  }
+
   // ------------------------------------------------------ sliding window
 
   /** Overlapping time windows: per event type, count + value total in

@@ -131,4 +131,52 @@ object TextOps {
       array_max(col("gh")).as("fp_max"),
       size(col("gh")).as("n_grams"))
   }
+
+  /** Email pattern shared by redaction and its oracle — plain character
+    * classes only, so Java regex and RE2 agree byte-for-byte (no
+    * lookaround, no \b, no \p classes).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Long-digit-run pattern (phone/account/SSN-ish): 6+ consecutive digits. */
+  val DigitRunRe = "[0-9]{6,}"
+
+  /** PII redaction: emails → `[EMAIL]`, 6+-digit runs → `[NUM]` — the
+    * scrubbing pass a training-data pipeline runs before tokenization.
+    * Row-local regexp_replace (codegen'd, shuffle-free; scales with scan
+    * bandwidth). Email redaction runs FIRST so digit runs inside an
+    * address can't split it.
+    */
+  def redact(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn(textCol,
+      regexp_replace(
+        regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
+        DigitRunRe, "[NUM]"))
+
+  /** Fixed-size token chunking with overlap: documents are split into
+    * windows of `size` whitespace tokens starting every `stride` tokens
+    * (overlap = size − stride) — the standard context-window prep for
+    * training corpora. Empty documents yield no chunks.
+    *
+    * The token array is staged as a bound attribute before the
+    * `sequence`/`slice` expressions use it (no CSE inside higher-order
+    * expressions — an inlined split would re-run per chunk). Chunking is
+    * row-local: explode multiplies rows ~n/stride× but nothing shuffles
+    * until a downstream aggregation.
+    */
+  def chunk(documents: DataFrame, size: Int = 32, stride: Int = 24): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "need 0 < stride <= size (overlap = size - stride)")
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n", org.apache.spark.sql.functions.size(col("t")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(stride))).as("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / stride).cast("int").as("chunk_id"),
+        array_join(slice(col("t"), col("start") + 1, lit(size)), " ").as("chunk_text"),
+        least(col("n") - col("start"), lit(size)).cast("int").as("n_tokens"))
+  }
 }

@@ -128,6 +128,32 @@ class Breadth3Spec extends AnyFunSuite {
     assert(qmax === 127) // the max-|x| element always quantizes to ±127
   }
 
+  test("transitions: probabilities sum to 1 per from-state, order-aware") {
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 1L, ts("2024-01-01 10:01:00"), "click"),
+      (3L, 1L, ts("2024-01-01 10:02:00"), "view"),
+      (4L, 2L, ts("2024-01-01 10:00:00"), "view"),
+      (5L, 2L, ts("2024-01-01 10:03:00"), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = Breadth3.eventTransitions(events)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got === Set(
+      ("view", "click", 1L, 0.5), ("view", "purchase", 1L, 0.5),
+      ("click", "view", 1L, 1.0)))
+    val real = Breadth3.eventTransitions(Tables.events(spark, sfDir))
+      .groupBy("from_type").agg(sum("prob").as("s")).as[(String, Double)].collect()
+    assert(real.forall { case (_, s) => math.abs(s - 1.0) < 1e-9 })
+  }
+
+  test("revenue share sums to 1 across nations") {
+    val r = Breadth3.nationRevenueShare(Tables.orders(spark, sfDir),
+      Tables.customer(spark, sfDir), Tables.nation(spark, sfDir))
+    val s = r.agg(sum("share")).as[Double].head()
+    assert(math.abs(s - 1.0) < 1e-9)
+    assert(r.filter($"share" <= 0 || $"share" >= 1).isEmpty)
+  }
+
   test("salted revenue equals the plain-join aggregate") {
     val li = Tables.lineitem(spark, sfDir)
     val ord = Tables.orders(spark, sfDir)

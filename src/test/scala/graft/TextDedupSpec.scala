@@ -109,6 +109,37 @@ class TextDedupSpec extends AnyFunSuite {
     assert(TextOps.fingerprint(Tables.documents(spark, sfDir)).count() > 0)
   }
 
+  test("redact replaces emails and digit runs, leaves clean text alone") {
+    val fixture = Seq(
+      (1L, "reach me at jane.doe+spam@mail-host.co or 5551234567 thanks"),
+      (2L, "short 12345 run is kept"),
+      (3L, "nothing to redact here")
+    ).toDF("doc_id", "text")
+    val got = TextOps.redact(fixture, "text").as[(Long, String)].collect().toMap
+    assert(got(1L) === "reach me at [EMAIL] or [NUM] thanks")
+    assert(got(2L) === "short 12345 run is kept") // < 6 digits untouched
+    assert(got(3L) === "nothing to redact here")
+  }
+
+  test("chunking covers every token with the configured overlap") {
+    val text = (1 to 50).map(i => s"w$i").mkString(" ")
+    val fixture = Seq((1L, text), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
+    val got = TextOps.chunk(fixture, size = 32, stride = 24)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Int, String, Int)].collect()
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq === Seq(0, 1, 2))
+    assert(d1.map(_._4).toSeq === Seq(32, 26, 2)) // 50 tokens, starts 0/24/48
+    assert(d1(0)._3.split(" ").last === "w32")
+    assert(d1(1)._3.split(" ").head === "w25")    // 8-token overlap
+    assert(got.count(_._1 == 2L) === 0)           // empty doc → no chunks
+    assert(got.filter(_._1 == 3L).map(_._4).toSeq === Seq(2))
+    // every chunk respects the size bound on the real corpus
+    val over = TextOps.chunk(Tables.documents(spark, sfDir))
+      .filter(org.apache.spark.sql.functions.col("n_tokens") > 32)
+    assert(over.isEmpty)
+  }
+
   test("dupClusters matches union-find on random graphs") {
     val rnd = new scala.util.Random(77)
     for (round <- 1 to 3) {
