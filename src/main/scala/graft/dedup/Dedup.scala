@@ -286,28 +286,52 @@ object Dedup {
   /** Connected components over a near-dup pair relation: every document
     * labelled with the MINIMUM doc_id reachable through pairs — the
     * exact transitive closure the pairwise drop-the-larger heuristic
-    * approximates. Iterative min-label propagation: each round, every
-    * node adopts the smallest label among itself and its neighbours;
-    * convergence (checked with one count per round) takes at most the
-    * component diameter — near-dup clusters are shallow, so a handful of
-    * rounds. Each round is two keyed shuffles (join + min-agg) of the
-    * EDGE relation — nothing data-sized ever sits on the driver. For
-    * graphs with pathological diameters, swap in the large-star/
-    * small-star contraction (O(log n) rounds, same join shape).
+    * approximates.
     *
-    * Only documents that appear in `pairs` are returned (isolated docs
-    * are their own cluster trivially).
+    * Hybrid execution, keyed on the EDGE count (which after near-dup
+    * pairing is orders of magnitude smaller than the corpus):
+    *
+    *  - ≤ `driverThreshold` edges (default 2²⁰ ≈ 16 MB of longs): the
+    *    edge list is collected and solved with union-find in one pass —
+    *    microseconds of CPU instead of a multi-round shuffle loop. This
+    *    is the same small-graph escape hatch GraphFrames' connected
+    *    components takes; collecting the PAIR relation (not the corpus)
+    *    is bounded and deliberate.
+    *  - above it: iterative min-label propagation — each round every
+    *    node adopts the smallest label among itself and its neighbours;
+    *    rounds ≤ component diameter (near-dup clusters are shallow).
+    *    Each round is two keyed shuffles of the edge relation — nothing
+    *    data-sized ever sits on the driver. For pathological diameters,
+    *    swap in large-star/small-star contraction (O(log n) rounds,
+    *    same join shape).
+    *
+    * Both paths return identical (doc_id, cluster_id) labellings (ids
+    * widened to long); only documents appearing in `pairs` are returned
+    * (isolated docs are their own cluster trivially).
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIter: Int = 25,
+                  driverThreshold: Long = 1L << 20): DataFrame = {
     require(pairs.columns.contains("doc_a") && pairs.columns.contains("doc_b"),
       "pairs must carry doc_a/doc_b")
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val edges = pairs.select(col("doc_a").cast("long").as("src"),
+        col("doc_b").cast("long").as("dst"))
+      .union(pairs.select(col("doc_b").cast("long").as("src"),
+        col("doc_a").cast("long").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (edges.count() <= driverThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.as[(Long, Long)].collect()
+      edges.unpersist()
+      return unionFind(es).toSeq.sortBy(_._1).toDF("doc_id", "cluster_id")
+    }
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the persisted relation backing `labels` (labels itself may be a
+    // projection over it — unpersist must hit the cached plan)
+    var cached = labels
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -315,22 +339,45 @@ object Dedup {
       val nbr = edges
         .join(labels.select(col("doc_id").as("src"), col("cluster_id").as("l")), "src")
         .groupBy(col("dst").as("doc_id")).agg(min("l").as("nbr_min"))
-      val next = labels.join(nbr, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+      // old and new label side by side: convergence detection is a filter
+      // on this same persisted relation, not a second join against the
+      // previous labels
+      val step = labels.join(nbr, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster_id").as("prev"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val improved = next.as("n")
-        .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
-        .filter(col("n.cluster_id") < col("p.cluster_id"))
-        .limit(1).count() > 0
-      labels.unpersist()
-      labels = next
+      val improved = step.filter(col("cluster_id") < col("prev")).limit(1).count() > 0
+      cached.unpersist()
+      cached = step
+      labels = step.select("doc_id", "cluster_id")
       converged = !improved
       iter += 1
     }
     edges.unpersist()
     labels
+  }
+
+  /** Min-root union-find over a symmetric edge list: roots are always
+    * the smaller id, so each node's final root IS the minimum member of
+    * its component — the same labelling the distributed path converges
+    * to. Path-compressed, effectively O(E α(E)).
+    */
+  private def unionFind(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // compress the walked path (iterative — no stack depth)
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    nodes.iterator.map(x => x -> find(x)).toMap
   }
 
   /** One representative per duplicate cluster: the cluster id IS the

@@ -149,7 +149,11 @@ class TextDedupSpec extends AnyFunSuite {
         (math.min(a, b), math.max(a, b))
       }.filter(p => p._1 != p._2).distinct
       val df = pairs.toDF("doc_a", "doc_b")
+      // driver union-find path (default threshold) AND the distributed
+      // label-propagation path (threshold 0) must agree with the oracle
       val got = graft.dedup.Dedup.dupClusters(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gotDist = graft.dedup.Dedup.dupClusters(df, driverThreshold = 0).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
       // union-find reference
@@ -165,7 +169,8 @@ class TextDedupSpec extends AnyFunSuite {
         // min member of the component = root by min-union construction
         x -> root
       }.toMap
-      assert(got === expected, s"round $round")
+      assert(got === expected, s"round $round (driver path)")
+      assert(gotDist === expected, s"round $round (distributed path)")
       spark.catalog.clearCache()
     }
   }
