@@ -138,6 +138,9 @@ object SparkEntry {
         "contact")
     }),
     "text_chunks" -> ((s, d) => TextOps.chunk(Tables.documents(s, d))),
+    "q_global_shuffle" -> ((s, d) => Breadth3.globalShuffle(Tables.documents(s, d)
+      .select("doc_id"))),
+    "q_map_ops" -> ((s, d) => Breadth3.dailyCountMaps(Tables.events(s, d))),
     "q_histogram"   -> ((s, d) => Breadth3.priceHistogram(Tables.orders(s, d))),
     "embed_quantize" -> ((s, d) => Ann.quantizeInt8(Tables.embeddings(s, d))),
     // --- text analysis (north star: training-data pipeline ops) ---
@@ -659,6 +662,14 @@ object SparkEntry {
         |         '${TextOps.EmailRe}', '[EMAIL]', 'g'),
         |         '${TextOps.DigitRunRe}', '[NUM]', 'g') AS contact
         |FROM customer""".stripMargin,
+    "q_global_shuffle" ->
+      """SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS skey,
+        |       ROW_NUMBER() OVER (ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)),
+        |                          doc_id) AS shuffle_pos
+        |FROM documents""".stripMargin,
+    "q_map_ops" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "text_chunks" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t

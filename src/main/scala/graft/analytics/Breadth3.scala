@@ -138,6 +138,41 @@ object Breadth3 {
       .select("doc_id", "token", "tf", "tfidf", "rnk")
   }
 
+  // ---------------------------------------------------- global shuffle
+
+  /** Deterministic global shuffle for training-data serving: every doc
+    * gets a pseudorandom but reproducible position from a seeded md5 of
+    * its id. Ordering uses [[graft.operators.GlobalRank.withGlobalRowNumber]]
+    * — range-partition on the hash + per-partition numbering with
+    * offsets, NEVER a one-partition `row_number() OVER (ORDER BY …)`.
+    * Downstream epoch reshuffles just change the seed string.
+    */
+  def globalShuffle(documents: DataFrame, seed: String = "shuf"): DataFrame =
+    graft.operators.GlobalRank.withGlobalRowNumber(
+      documents.select(col("doc_id"),
+        md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))).as("skey")),
+      Seq("skey", "doc_id"), "shuffle_pos")
+
+  // ------------------------------------------------------------ map ops
+
+  /** Map-typed columns round-trip: daily counts per event type are
+    * packed into a `map<date,bigint>` (entries sorted for a canonical
+    * layout), then unpacked with `explode`. The packed map is the useful
+    * artifact (one row per type, O(days) entries); the exploded output
+    * is what the cross-engine oracle can hash. Map cardinality is
+    * bounded by the date range, so the collect_list is safe.
+    */
+  def dailyCountMaps(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily
+      .groupBy("event_type")
+      .agg(map_from_entries(array_sort(collect_list(struct(col("day"), col("n")))))
+        .as("m"))
+      .select(col("event_type"), explode(col("m")).as(Seq("day", "n")))
+  }
+
   // -------------------------------------------------- fuzzy (edit-dist)
 
   /** Blocked fuzzy duplicate detection: candidate pairs share a blocking
@@ -249,10 +284,13 @@ object Breadth3 {
       min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
     orders.crossJoin(broadcast(bounds))
       .select(
-        least(
-          floor((col("o_totalprice") - col("lo")) /
-            ((col("hi") - col("lo")) / lit(nBins.toDouble))),
-          lit(nBins - 1L)).cast("int").as("bin"))
+        // degenerate hi==lo (constant column) puts everything in bin 0
+        // instead of dividing by zero
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          least(
+            floor((col("o_totalprice") - col("lo")) /
+              ((col("hi") - col("lo")) / lit(nBins.toDouble))),
+            lit(nBins - 1L))).cast("int").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n_orders"))
   }
 

@@ -38,6 +38,21 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Sliding 1h/30min windows — streaming twin of
+    * `Breadth3.slidingEventCounts`: identical grouping expression, plus a
+    * watermark so state for windows older than `watermark` is evicted.
+    * Each event updates two open windows; state size is bounded by
+    * (watermark span / slide) × |event types|.
+    */
+  def slidingRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
   /** Session windows (30-minute inactivity gap) per user via the built-in
     * `session_window` — streaming twin of `Breadth.eventSessions`' grain.
     */

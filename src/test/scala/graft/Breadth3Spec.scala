@@ -154,6 +154,36 @@ class Breadth3Spec extends AnyFunSuite {
     assert(r.filter($"share" <= 0 || $"share" >= 1).isEmpty)
   }
 
+  test("histogram on a constant column puts everything in bin 0") {
+    val const = Seq.fill(10)(42.0).toDF("o_totalprice")
+    val h = Breadth3.priceHistogram(const).as[(Int, Long)].collect()
+    assert(h.toSeq === Seq((0, 10L)))
+  }
+
+  test("global shuffle is a permutation and reproducible across runs") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+    val n = docs.count()
+    val a = Breadth3.globalShuffle(docs).select("doc_id", "shuffle_pos")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val b = Breadth3.globalShuffle(docs).select("doc_id", "shuffle_pos")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq)                       // reproducible
+    assert(a.map(_._2).sorted.toSeq === (1L to n))    // exact permutation
+    // a different seed yields a different order
+    val c = Breadth3.globalShuffle(docs, seed = "epoch2")
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().sortBy(_._1)
+    assert(c.map(_._2).toSeq !== a.map(_._2).toSeq)
+  }
+
+  test("map round-trip preserves the daily count relation") {
+    val direct = Tables.events(spark, sfDir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n")).collect().map(_.toSeq).toSet
+    val viaMap = Breadth3.dailyCountMaps(Tables.events(spark, sfDir))
+      .collect().map(_.toSeq).toSet
+    assert(viaMap === direct)
+  }
+
   test("salted revenue equals the plain-join aggregate") {
     val li = Tables.lineitem(spark, sfDir)
     val ord = Tables.orders(spark, sfDir)

@@ -31,6 +31,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming sliding windows converge to the batch twin") {
+    val stream = MemoryStream[Event]
+    stream.addData(eventRows)
+    val q = EventStreams.slidingRollup(stream.toDF())
+      .writeStream.format("memory").queryName("slide").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("slide").collect().map(_.toSeq).toSet
+    val batch = graft.analytics.Breadth3.slidingEventCounts(Tables.events(spark, sfDir))
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
   test("session windows produce per-user sessions") {
     val stream = MemoryStream[Event]
     stream.addData(eventRows)
