@@ -156,6 +156,14 @@ object SparkEntry {
       Dedup.ngramJaccard(Tables.documents(s, d), threshold = 0.5)),
     "dedup_clusters" -> ((s, d) =>
       Dedup.dupClusters(Dedup.minhashDedup(Tables.documents(s, d)))),
+    // train = doc_id % 50 != 0, eval = the other 2% — a deterministic split
+    "dedup_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contamination(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        minShared = 2)
+    }),
     // --- similarity search over embeddings (north star) ---
     "ann_topk_brute" -> ((s, d) => Ann.bruteForceTopK(Tables.embeddings(s, d))),
     "ann_topk_lsh"   -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
@@ -817,6 +825,21 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(shared AS DOUBLE) / (sa.n_grams + sb.n_grams - shared) >= 0.5""".stripMargin,
+    "dedup_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+        |  FROM toks),
+        |hashes AS (
+        |  SELECT doc_id, ('0x' || substring(md5(gram), 1, 15))::BIGINT AS hv
+        |  FROM (SELECT doc_id, unnest(g) AS gram FROM grams))
+        |SELECT tr.doc_id, ev.doc_id AS eval_id, COUNT(*) AS n_shared
+        |FROM (SELECT * FROM hashes WHERE doc_id % 50 <> 0) tr
+        |JOIN (SELECT * FROM hashes WHERE doc_id % 50 = 0) ev USING (hv)
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) >= 2""".stripMargin,
     // transitive closure of the minhash pairs via DuckDB's recursive CTE
     // (Spark side: iterative min-label propagation — Dedup.dupClusters)
     "dedup_clusters" -> {

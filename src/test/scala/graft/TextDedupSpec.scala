@@ -140,6 +140,21 @@ class TextDedupSpec extends AnyFunSuite {
     assert(over.isEmpty)
   }
 
+  test("contamination flags planted eval passages, skips unrelated docs") {
+    val evalDoc = "the quick brown fox jumps over the lazy dog tonight"
+    val train = docs(
+      1L -> s"intro words here $evalDoc and a closing remark",  // contains it
+      2L -> "completely unrelated content about spark physical plans",
+      3L -> "the quick brown cat naps")                          // 1 shared gram at most
+    val eval = docs(100L -> evalDoc)
+    val got = graft.dedup.Dedup.contamination(train, eval, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSet === Set(1L))
+    assert(got.head._2 === 100L)
+    // the planted passage has 9 tokens → 7 trigrams, all shared
+    assert(got.head._3 >= 7)
+  }
+
   test("dupClusters matches union-find on random graphs") {
     val rnd = new scala.util.Random(77)
     for (round <- 1 to 3) {
