@@ -16,7 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens of trimmed text (empty text → empty array). */
+  /** Whitespace tokens of trimmed text (empty text → empty array).
+    *
+    * `trim` strips SPACES only (same default in DuckDB/ANSI SQL), so a
+    * document of only tabs/newlines tokenizes to one empty token — kept
+    * as-is because every oracle uses the identical `trim(text)` and the
+    * two engines must agree byte-for-byte. Normalize exotic whitespace
+    * upstream if the corpus can contain it.
+    */
   def tokens(text: Column): Column =
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))

@@ -66,4 +66,50 @@ class EdgeCasesSpec extends AnyFunSuite {
     val out = Breadth2.topTokens(docs, k = 100).collect()
     assert(out.length === 2)
   }
+
+  test("batch-3+ operators on empty inputs: empty results, not crashes") {
+    import java.sql.Timestamp
+    val emptyEvents = Seq.empty[(Long, Long, Timestamp, String)]
+      .toDF("event_id", "user_id", "ts", "event_type")
+    // funnel: three stages, all zero
+    val f = graft.analytics.Breadth3.funnel(emptyEvents)
+      .as[(String, Long)].collect().toMap
+    assert(f.values.forall(_ == 0L) && f.size === 3)
+    assert(graft.analytics.Breadth3.retention(emptyEvents).count() === 0)
+    assert(graft.analytics.Breadth3.eventTransitions(emptyEvents).count() === 0)
+
+    val emptyOrders = Seq.empty[(Long, Long, String, Timestamp)]
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+    assert(graft.analytics.Breadth3.scd2StatusHistory(emptyOrders).count() === 0)
+
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.text.TextOps.chunk(emptyDocs).count() === 0)
+    assert(graft.analytics.Breadth3.globalShuffle(emptyDocs.select("doc_id")).count() === 0)
+    assert(graft.dedup.Dedup.contamination(emptyDocs, emptyDocs).count() === 0)
+    spark.catalog.clearCache()
+  }
+
+  test("contamination with an empty eval set flags nothing") {
+    val train = Seq((1L, "some words here")).toDF("doc_id", "text")
+    val eval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.dedup.Dedup.contamination(train, eval).count() === 0)
+    spark.catalog.clearCache()
+  }
+
+  test("chunk of space-only documents yields no chunks") {
+    val docs = Seq((1L, "   "), (2L, "")).toDF("doc_id", "text")
+    assert(graft.text.TextOps.chunk(docs).count() === 0)
+    // tab/newline-only text is NOT trimmed by ANSI trim (spaces only, both
+    // engines) — it tokenizes to one empty token; documented in tokens()
+    val tabs = Seq((3L, "\t\n")).toDF("doc_id", "text")
+    assert(graft.text.TextOps.chunk(tabs).count() === 1)
+  }
+
+  test("scd2 of a single observation is one open row") {
+    val one = Seq((1L, 7L, "O", java.sql.Timestamp.valueOf("1995-01-01 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+    val rows = graft.analytics.Breadth3.scd2StatusHistory(one).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Int]("is_current") === 1)
+  }
 }
