@@ -149,4 +149,96 @@ class DifferentialPropertySpec extends AnyFunSuite {
       assert(tiles === tilesWin, s"ntile round $round (n=$n k=$k)")
     }
   }
+
+  test("scd2 matches the sequential run-collapse reference on random histories") {
+    for (round <- 1 to 3) {
+      val statuses = Seq("O", "F", "P")
+      val orders = (1 to 120).map { i =>
+        (i.toLong, (1 + rnd.nextInt(8)).toLong, statuses(rnd.nextInt(3)),
+          java.sql.Timestamp.valueOf(
+            s"199${rnd.nextInt(5)}-0${1 + rnd.nextInt(9)}-${10 + rnd.nextInt(18)} 00:00:00"))
+      }
+      val got = graft.analytics.Breadth3.scd2StatusHistory(
+          orders.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toString,
+          r.getDate(3).toString, r.getInt(4)))
+        .toSet
+
+      // sequential reference: sort, collapse runs, chain eff_to
+      val expected = orders.groupBy(_._2).flatMap { case (cust, os) =>
+        val sorted = os.sortBy(o => (o._4.getTime, o._1))
+        val runs = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        for (o <- sorted) {
+          val day = o._4.toLocalDateTime.toLocalDate.toString
+          if (runs.isEmpty || runs.last._1 != o._3) runs += ((o._3, day, o._1))
+        }
+        runs.zipWithIndex.map { case ((st, from, _), i) =>
+          val to = if (i + 1 < runs.size) runs(i + 1)._2 else "9999-12-31"
+          (cust, st, from, to, if (i + 1 < runs.size) 0 else 1)
+        }
+      }.toSet
+      assert(got === expected, s"round $round")
+    }
+  }
+
+  test("funnel matches the sequential reference on random event streams") {
+    for (round <- 1 to 3) {
+      val types = Seq("view", "click", "purchase", "error")
+      val events = (1 to 200).map { i =>
+        ((1 + rnd.nextInt(12)).toLong,
+          new java.sql.Timestamp(1700000000000L + rnd.nextInt(500000) * 1000L),
+          types(rnd.nextInt(4)))
+      }
+      val got = graft.analytics.Breadth3.funnel(events.toDF("user_id", "ts", "event_type"))
+        .as[(String, Long)].collect().toMap
+
+      def stageUsers(prev: Map[Long, Long], t: String): Map[Long, Long] =
+        events.groupBy(_._1).flatMap { case (u, es) =>
+          prev.get(u).flatMap { after =>
+            val hits = es.filter(e => e._3 == t && e._2.getTime > after)
+            if (hits.isEmpty) None else Some(u -> hits.map(_._2.getTime).min)
+          }
+        }
+      val v = events.groupBy(_._1).flatMap { case (u, es) =>
+        val hits = es.filter(_._3 == "view")
+        if (hits.isEmpty) None else Some(u -> hits.map(_._2.getTime).min)
+      }
+      val c = stageUsers(v, "click")
+      val p = stageUsers(c, "purchase")
+      assert(got === Map("1_view" -> v.size.toLong, "2_click" -> c.size.toLong,
+        "3_purchase" -> p.size.toLong), s"round $round")
+    }
+  }
+
+  test("chunking reconstructs every document on random token counts") {
+    for (round <- 1 to 3) {
+      val docs = (1 to 25).map { i =>
+        val n = rnd.nextInt(90) // 0..89 tokens
+        (i.toLong, (1 to n).map(j => s"t$j").mkString(" "))
+      }
+      val size = 2 + rnd.nextInt(15)
+      val stride = 1 + rnd.nextInt(size)
+      val chunks = graft.text.TextOps.chunk(docs.toDF("doc_id", "text"), size, stride)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      for ((id, text) <- docs; toks = text.split(" ").filter(_.nonEmpty)) {
+        val mine = chunks.filter(_._1 == id).sortBy(_._2)
+        if (toks.isEmpty) assert(mine.isEmpty)
+        else {
+          val starts = 0 until toks.length by stride
+          assert(mine.length === starts.size, s"doc $id size=$size stride=$stride")
+          for (((start, chunk), idx) <- starts.zip(mine).zipWithIndex) {
+            assert(chunk._2 === idx)
+            assert(chunk._3 === toks.slice(start, start + size).mkString(" "))
+            assert(chunk._4 === math.min(size, toks.length - start))
+          }
+          // overlapped reconstruction: stitching chunk heads + last tail
+          // recovers the document exactly
+          val stitched = (mine.dropRight(1).map(_._3.split(" ").take(stride))
+            :+ mine.last._3.split(" ")).flatten
+          assert(stitched.toSeq === toks.toSeq, s"doc $id reconstruct")
+        }
+      }
+    }
+  }
 }
