@@ -141,6 +141,8 @@ object SparkEntry {
     "q_global_shuffle" -> ((s, d) => Breadth3.globalShuffle(Tables.documents(s, d)
       .select("doc_id"))),
     "q_map_ops" -> ((s, d) => Breadth3.dailyCountMaps(Tables.events(s, d))),
+    "q_split" -> ((s, d) => graft.operators.Sampling.hashSplit(
+      Tables.documents(s, d).select("doc_id"), "doc_id")),
     "q_histogram"   -> ((s, d) => Breadth3.priceHistogram(Tables.orders(s, d))),
     "embed_quantize" -> ((s, d) => Ann.quantizeInt8(Tables.embeddings(s, d))),
     // --- text analysis (north star: training-data pipeline ops) ---
@@ -678,6 +680,16 @@ object SparkEntry {
     "q_map_ops" ->
       """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_split" ->
+      """SELECT doc_id,
+        |       CASE WHEN u < 0.8 THEN 'train'
+        |            WHEN u < 0.9 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |              AS DOUBLE) / 1152921504606846976.0 AS u
+        |  FROM documents)""".stripMargin,
     "text_chunks" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t

@@ -31,6 +31,30 @@ object Sampling {
       .drop("rn")
   }
 
+  /** Deterministic weighted train/val/test split: each row's id hashes
+    * (seeded md5, 60 bits) to a uniform u ∈ [0,1); cumulative weight
+    * thresholds assign the split. Reproducible across runs, engines and
+    * topologies (the same arithmetic replays in the DuckDB oracle),
+    * stable under corpus growth (a doc's split never depends on other
+    * rows), and row-local — zero shuffle, scan-bandwidth scaling. The
+    * standard way large corpora pin held-out sets.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                seed: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "weights must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
+    val u = conv(substring(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("double") / lit((1L << 60).toDouble)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val assign = splits.init.zip(cum.init)
+      .foldLeft(org.apache.spark.sql.functions.when(lit(false), lit(""))) {
+        case (acc, ((name, _), hi)) => acc.when(u < hi, name)
+      }
+      .otherwise(splits.last._1)
+    df.withColumn("split", assign)
+  }
+
   /** Bottom-k uniform sample of long ids as a typed Aggregator (the
     * custom-UDAF surface). Every id gets a deterministic pseudo-random key
     * (splitmix64 of seed⊕id); the sample is the k ids with the smallest

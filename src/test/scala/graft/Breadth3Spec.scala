@@ -184,6 +184,27 @@ class Breadth3Spec extends AnyFunSuite {
     assert(viaMap === direct)
   }
 
+  test("hashSplit: near-nominal proportions, stable under corpus growth") {
+    import graft.operators.Sampling
+    val small = spark.range(1, 2001).toDF("doc_id")
+    val big = spark.range(1, 10001).toDF("doc_id")
+    val s = Sampling.hashSplit(small, "doc_id").as[(Long, String)].collect().toMap
+    val b = Sampling.hashSplit(big, "doc_id").as[(Long, String)].collect().toMap
+    // growth never reassigns an existing doc
+    assert(s.forall { case (id, sp) => b(id) == sp })
+    val frac = s.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05)
+    assert(math.abs(frac("val") - 0.1) < 0.03)
+    assert(math.abs(frac("test") - 0.1) < 0.03)
+    // a different seed reshuffles membership
+    val s2 = Sampling.hashSplit(small, "doc_id", seed = "fold2")
+      .as[(Long, String)].collect().toMap
+    assert(s.exists { case (id, sp) => s2(id) != sp })
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(small, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("salted revenue equals the plain-join aggregate") {
     val li = Tables.lineitem(spark, sfDir)
     val ord = Tables.orders(spark, sfDir)
