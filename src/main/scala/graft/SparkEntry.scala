@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, lit, lpad}
+import org.apache.spark.sql.functions.{col, concat, element_at, lit, lpad}
 
 import graft.analytics.{Breadth, Breadth2, Breadth3, Queries}
 import graft.dedup.Dedup
@@ -143,6 +143,13 @@ object SparkEntry {
     "q_map_ops" -> ((s, d) => Breadth3.dailyCountMaps(Tables.events(s, d))),
     "q_split" -> ((s, d) => graft.operators.Sampling.hashSplit(
       Tables.documents(s, d).select("doc_id"), "doc_id")),
+    // three pseudo-sources carved from doc_id, mixed at 1.0 / 0.5 / 0.25
+    "q_mix_sources" -> ((s, d) => graft.operators.Sampling.mixSources(
+      Tables.documents(s, d).select(col("doc_id"),
+        element_at(lit(Array("books", "web", "code")), (col("doc_id") % 3 + 1).cast("int"))
+          .as("source")),
+      "source", "doc_id",
+      Map("books" -> 1.0, "web" -> 0.5, "code" -> 0.25))),
     "q_histogram"   -> ((s, d) => Breadth3.priceHistogram(Tables.orders(s, d))),
     "embed_quantize" -> ((s, d) => Ann.quantizeInt8(Tables.embeddings(s, d))),
     // --- text analysis (north star: training-data pipeline ops) ---
@@ -690,6 +697,15 @@ object SparkEntry {
         |         CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
         |              AS DOUBLE) / 1152921504606846976.0 AS u
         |  FROM documents)""".stripMargin,
+    "q_mix_sources" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id,
+        |         (['books', 'web', 'code'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS source,
+        |         CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |              AS DOUBLE) / 1152921504606846976.0 AS u
+        |  FROM documents)
+        |WHERE u < CASE source WHEN 'books' THEN 1.0 WHEN 'web' THEN 0.5
+        |                      WHEN 'code' THEN 0.25 ELSE 0.0 END""".stripMargin,
     "text_chunks" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t

@@ -55,6 +55,25 @@ object Sampling {
     df.withColumn("split", assign)
   }
 
+  /** Deterministic weighted corpus mixing: each source (a value of
+    * `sourceCol`) is down-sampled at its configured rate by the same
+    * seeded-md5 uniform as [[hashSplit]] — the "mix web at 0.5, books at
+    * 1.0" step of training-data assembly. Row-local and reproducible:
+    * re-running, re-partitioning, or growing a source never changes
+    * which existing rows survive. Unknown sources are dropped (rate 0).
+    */
+  def mixSources(df: DataFrame, sourceCol: String, idCol: String,
+                 rates: Map[String, Double], seed: String = "mix"): DataFrame = {
+    require(rates.nonEmpty && rates.values.forall(r => r >= 0 && r <= 1),
+      "rates must be in [0,1]")
+    val u = conv(substring(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("double") / lit((1L << 60).toDouble)
+    val rate = rates.foldLeft(org.apache.spark.sql.functions.when(lit(false), lit(0.0))) {
+      case (acc, (src, r)) => acc.when(col(sourceCol) === src, r)
+    }.otherwise(lit(0.0))
+    df.filter(u < rate)
+  }
+
   /** Bottom-k uniform sample of long ids as a typed Aggregator (the
     * custom-UDAF surface). Every id gets a deterministic pseudo-random key
     * (splitmix64 of seed⊕id); the sample is the k ids with the smallest

@@ -205,6 +205,28 @@ class Breadth3Spec extends AnyFunSuite {
     }
   }
 
+  test("mixSources keeps sources at their configured rates, stable on growth") {
+    import graft.operators.Sampling
+    val mk = (n: Long) => spark.range(1, n + 1).toDF("doc_id")
+      .withColumn("source",
+        when($"doc_id" % 2 === 0, "a").otherwise("b"))
+    val rates = Map("a" -> 1.0, "b" -> 0.25)
+    val small = Sampling.mixSources(mk(4000), "source", "doc_id", rates)
+      .as[(Long, String)].collect()
+    val aFrac = small.count(_._2 == "a") / 2000.0
+    val bFrac = small.count(_._2 == "b") / 2000.0
+    assert(aFrac === 1.0)                      // rate-1.0 source fully kept
+    assert(math.abs(bFrac - 0.25) < 0.05)
+    // survivors of the small corpus all survive in the bigger corpus
+    val big = Sampling.mixSources(mk(8000), "source", "doc_id", rates)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(small.map(_._1).forall(big.contains))
+    // unknown sources are dropped
+    val unk = Sampling.mixSources(
+      Seq((1L, "mystery")).toDF("doc_id", "source"), "source", "doc_id", rates)
+    assert(unk.isEmpty)
+  }
+
   test("salted revenue equals the plain-join aggregate") {
     val li = Tables.lineitem(spark, sfDir)
     val ord = Tables.orders(spark, sfDir)
