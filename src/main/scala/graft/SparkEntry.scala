@@ -165,6 +165,9 @@ object SparkEntry {
       Dedup.ngramJaccard(Tables.documents(s, d), threshold = 0.5)),
     "dedup_clusters" -> ((s, d) =>
       Dedup.dupClusters(Dedup.minhashDedup(Tables.documents(s, d)))),
+    "dedup_survivors" -> ((s, d) =>
+      Dedup.clusterSurvivors(
+        Dedup.dupClusters(Dedup.minhashDedup(Tables.documents(s, d))))),
     // train = doc_id % 50 != 0, eval = the other 2% — a deterministic split
     "dedup_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -217,6 +220,52 @@ object SparkEntry {
     "pipeline_curate" -> ((s, d) =>
       graft.pipeline.Curation.curate(Tables.documents(s, d)))
   )
+
+  /** Recursive-CTE oracle for duplicate clustering: the full minhash
+    * pipeline (same md5-folded universal-hash family as the Spark side,
+    * permutation table embedded as literals) feeding a transitive
+    * closure. Shared by `dedup_clusters` and `dedup_survivors`.
+    */
+  private lazy val dupClustersOracle: String = {
+    val perms = Dedup.seedTriples(32)
+      .map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH RECURSIVE toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |    ELSE list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+      |  FROM toks),
+      |bases AS (
+      |  SELECT doc_id, ('0x' || substring(md5(gram), 1, 15))::BIGINT % 2147483647 AS h
+      |  FROM (SELECT doc_id, unnest(g) AS gram FROM grams)),
+      |perms(perm, a, b) AS (VALUES $perms),
+      |sig AS (
+      |  SELECT doc_id, perm, MIN((a * h + b) % 2147483647) AS s
+      |  FROM bases CROSS JOIN perms GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT doc_id, perm // 4 AS band,
+      |         string_agg(CAST(s AS VARCHAR), ',' ORDER BY perm) AS bh
+      |  FROM sig GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT doc_a, doc_b,
+      |           SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 32.0 AS est_jaccard
+      |    FROM cand JOIN sig sa ON sa.doc_id = doc_a
+      |              JOIN sig sb ON sb.doc_id = doc_b AND sa.perm = sb.perm
+      |    GROUP BY 1, 2) t
+      |  WHERE est_jaccard >= 0.5),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
+      |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1""".stripMargin
+  }
 
   /** DuckDB twins of each query, same column names (driver compares by
     * sorted column name + value hash).
@@ -869,47 +918,11 @@ object SparkEntry {
         |GROUP BY 1, 2
         |HAVING COUNT(*) >= 2""".stripMargin,
     // transitive closure of the minhash pairs via DuckDB's recursive CTE
-    // (Spark side: iterative min-label propagation — Dedup.dupClusters)
-    "dedup_clusters" -> {
-      val perms = Dedup.seedTriples(32)
-        .map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
-      s"""WITH RECURSIVE toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
-        |grams AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-        |    ELSE list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
-        |  FROM toks),
-        |bases AS (
-        |  SELECT doc_id, ('0x' || substring(md5(gram), 1, 15))::BIGINT % 2147483647 AS h
-        |  FROM (SELECT doc_id, unnest(g) AS gram FROM grams)),
-        |perms(perm, a, b) AS (VALUES $perms),
-        |sig AS (
-        |  SELECT doc_id, perm, MIN((a * h + b) % 2147483647) AS s
-        |  FROM bases CROSS JOIN perms GROUP BY 1, 2),
-        |bands AS (
-        |  SELECT doc_id, perm // 4 AS band,
-        |         string_agg(CAST(s AS VARCHAR), ',' ORDER BY perm) AS bh
-        |  FROM sig GROUP BY 1, 2),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM (
-        |    SELECT doc_a, doc_b,
-        |           SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 32.0 AS est_jaccard
-        |    FROM cand JOIN sig sa ON sa.doc_id = doc_a
-        |              JOIN sig sb ON sb.doc_id = doc_b AND sa.perm = sb.perm
-        |    GROUP BY 1, 2) t
-        |  WHERE est_jaccard >= 0.5),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |          UNION SELECT doc_b, doc_a FROM pairs),
-        |nodes AS (SELECT DISTINCT src AS id FROM edges),
-        |reach(id, r) AS (
-        |  SELECT id, id FROM nodes
-        |  UNION
-        |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
-        |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1""".stripMargin
-    },
+    // (Spark side: hybrid union-find / min-label propagation — Dedup.dupClusters)
+    "dedup_clusters" -> dupClustersOracle,
+    // survivors = min-id representative per cluster
+    "dedup_survivors" ->
+      s"SELECT doc_id FROM ($dupClustersOracle) c WHERE doc_id = cluster_id",
     "ann_topk_brute" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
