@@ -71,4 +71,32 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(joined.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // At 100 TB this is the optimizer feature that turns "scan all of
+    // lineitem, then join" into "scan lineitem pre-filtered by a bloom
+    // filter of the few surviving orderkeys". On by default in Spark 4;
+    // size thresholds lowered here so the sf0.01 fixture qualifies, and
+    // broadcast disabled so the join actually shuffles (runtime filters
+    // target shuffle joins — broadcasts already prune via DPP/reuse).
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "500MB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val li = Tables.lineitem(spark, sfDir)
+      val ord = Tables.orders(spark, sfDir)
+        .filter(col("o_totalprice") > 400000.0) // selective build side
+      val q = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.toLowerCase.contains("bloomfilter"),
+        s"expected a runtime bloom filter on the probe side:\n$plan")
+      assert(q.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
 }
