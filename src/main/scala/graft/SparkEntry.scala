@@ -152,6 +152,7 @@ object SparkEntry {
       Map("books" -> 1.0, "web" -> 0.5, "code" -> 0.25))),
     "q_histogram"   -> ((s, d) => Breadth3.priceHistogram(Tables.orders(s, d))),
     "embed_quantize" -> ((s, d) => Ann.quantizeInt8(Tables.embeddings(s, d))),
+    "embed_centroids" -> ((s, d) => Ann.labelCentroids(Tables.embeddings(s, d))),
     // --- text analysis (north star: training-data pipeline ops) ---
     "text_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
     "text_quality"     -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
@@ -786,6 +787,17 @@ object SparkEntry {
         |       COUNT(*) AS n_orders
         |FROM orders CROSS JOIN bounds
         |GROUP BY 1""".stripMargin,
+    "embed_centroids" ->
+      """WITH ex AS (
+        |  SELECT label,
+        |         generate_subscripts(embedding, 1) AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings)
+        |SELECT label, CAST(dim AS INTEGER) AS dim,
+        |       CAST(SUM(CAST(trunc(x * 1.0E9) AS BIGINT)) AS DOUBLE)
+        |         / (CAST(COUNT(*) AS DOUBLE) * 1.0E9) AS centroid,
+        |       COUNT(*) AS n
+        |FROM ex GROUP BY 1, 2""".stripMargin,
     "embed_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -208,6 +208,29 @@ object Ann {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Per-label centroids — the k-means-style statistic IVF training and
+    * corpus drift analysis need. Floating sums are partition-order
+    * dependent, so each element is truncated to 1e-9 fixed point
+    * (`cast(x·10⁹ as long)` — truncation toward zero, matching SQL
+    * `trunc`) and summed EXACTLY as longs; the centroid is one IEEE
+    * division at the end. Bit-identical across engines and partitionings,
+    * with ≤1e-9 per-element quantization (irrelevant for float32 inputs).
+    *
+    * One shuffle keyed (label, dim) with map-side combine; output is
+    * |labels|·dim rows regardless of corpus size.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), asDouble(col("embedding")).as("v"))
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), (col("pos") + 1).cast("int").as("dim"))
+      .agg(sum((col("x") * lit(1.0e9)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        (col("s").cast("double") / (col("n").cast("double") * lit(1.0e9)))
+          .as("centroid"),
+        col("n"))
+
   /** Symmetric int8 quantization per vector: `scale = max|x| / 127`,
     * `q_i = round(x_i / scale)` — the standard scalar-quantization step
     * that cuts embedding storage 4× (float32 → int8) before ANN

@@ -227,6 +227,20 @@ class Breadth3Spec extends AnyFunSuite {
     assert(unk.isEmpty)
   }
 
+  test("label centroids track the naive float mean within quantization error") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val got = graft.similarity.Ann.labelCentroids(emb)
+      .as[(Int, Int, Double, Long)].collect()
+    assert(got.length === emb.select("label").distinct().count() * 64)
+    val naive = emb
+      .select($"label", posexplode($"embedding".cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy($"label", ($"pos" + 1).cast("int").as("dim"))
+      .agg(avg("x").as("m"))
+      .as[(Int, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.forall { case (l, d, c, _) => math.abs(c - naive((l, d))) < 1e-8 })
+  }
+
   test("salted revenue equals the plain-join aggregate") {
     val li = Tables.lineitem(spark, sfDir)
     val ord = Tables.orders(spark, sfDir)
