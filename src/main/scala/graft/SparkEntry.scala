@@ -153,6 +153,7 @@ object SparkEntry {
     "q_histogram"   -> ((s, d) => Breadth3.priceHistogram(Tables.orders(s, d))),
     "embed_quantize" -> ((s, d) => Ann.quantizeInt8(Tables.embeddings(s, d))),
     "embed_centroids" -> ((s, d) => Ann.labelCentroids(Tables.embeddings(s, d))),
+    "embed_normalize" -> ((s, d) => Ann.l2Normalize(Tables.embeddings(s, d))),
     // --- text analysis (north star: training-data pipeline ops) ---
     "text_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
     "text_quality"     -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
@@ -787,6 +788,23 @@ object SparkEntry {
         |       COUNT(*) AS n_orders
         |FROM orders CROSS JOIN bounds
         |GROUP BY 1""".stripMargin,
+    "embed_normalize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |         sqrt(CAST(list_sum(list_transform(v,
+        |                x -> CAST(trunc(x * x * 1.0E12) AS BIGINT))) AS DOUBLE)
+        |              / 1.0E12) AS norm
+        |  FROM e)
+        |SELECT vec_id, round(norm, 6) AS norm,
+        |       CASE WHEN norm = 0
+        |            THEN array_to_string(list_transform(v, x -> 0), ',')
+        |            ELSE array_to_string(list_transform(v,
+        |                   x -> CAST(floor(x / norm * 1.0E6 + 0.5) AS BIGINT)), ',')
+        |       END AS unit_micro_csv
+        |FROM n""".stripMargin,
     "embed_centroids" ->
       """WITH ex AS (
         |  SELECT label,

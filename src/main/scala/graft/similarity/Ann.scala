@@ -231,6 +231,42 @@ object Ann {
           .as("centroid"),
         col("n"))
 
+  /** L2 normalization per vector (unit sphere — the prep step that turns
+    * cosine into dot product for downstream ANN). Row-local, zero
+    * shuffle; the norm is staged as a bound attribute before the
+    * per-element division. The unit vector is emitted in micro-units
+    * (round(x/‖x‖ · 10⁶) as integers) — integers stringify identically
+    * across engines, where stringified doubles would diverge on
+    * scientific-notation formatting. Zero vectors stay zero with norm 0.
+    *
+    * The norm itself uses the exact fixed-point scheme (squares
+    * truncated to 1e-12, summed as longs, one sqrt) so both engines
+    * round the same double. Ties round as `floor(x + 0.5)` (half toward
+    * +∞): this corpus has pre-normalized vectors whose micro-values hit
+    * exact halves, where Spark's round() (half away from zero) and
+    * DuckDB's (half to even) disagree — pin the convention explicitly.
+    */
+  def l2Normalize(embeddings: DataFrame): DataFrame = {
+    val vd = asDouble(col("embedding"))
+    embeddings
+      .select(col("vec_id"), vd.as("v"))
+      // internal name must differ from the rounded output alias: lateral
+      // column alias resolution would otherwise bind the divisions inside
+      // the lambda to the ROUNDED sibling (norm 1.0000000509 → 1.0
+      // flipped a micro-unit on this corpus)
+      .withColumn("__norm",
+        sqrt(aggregate(
+          transform(col("v"), x => (x * x * lit(1.0e12)).cast("long")),
+          lit(0L), (acc, x) => acc + x).cast("double") / lit(1.0e12)))
+      .select(col("vec_id"), round(col("__norm"), 6).as("norm"),
+        when(col("__norm") === 0.0,
+          array_join(transform(col("v"), _ => lit(0L)), ","))
+          .otherwise(array_join(
+            transform(col("v"),
+              x => floor(x / col("__norm") * lit(1.0e6) + lit(0.5)).cast("long")), ","))
+          .as("unit_micro_csv"))
+  }
+
   /** Symmetric int8 quantization per vector: `scale = max|x| / 127`,
     * `q_i = round(x_i / scale)` — the standard scalar-quantization step
     * that cuts embedding storage 4× (float32 → int8) before ANN

@@ -241,6 +241,25 @@ class Breadth3Spec extends AnyFunSuite {
     assert(got.forall { case (l, d, c, _) => math.abs(c - naive((l, d))) < 1e-8 })
   }
 
+  test("l2Normalize: unit norms, zero vectors preserved") {
+    val fixture = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = graft.similarity.Ann.l2Normalize(fixture)
+      .orderBy("vec_id").as[(Long, Double, String)].collect()
+    assert(got(0)._2 === 5.0)                    // ‖(3,4)‖ = 5
+    assert(got(0)._3 === "600000,800000")        // (0.6, 0.8) in micro-units
+    assert(got(1)._2 === 0.0 && got(1)._3 === "0,0")
+    // real corpus: every unit vector has micro-norm ~1e6
+    val real = graft.similarity.Ann.l2Normalize(Tables.embeddings(spark, sfDir))
+    val worst = real.select(max(abs(
+      aggregate(transform(split($"unit_micro_csv", ","),
+        s => s.cast("long") * s.cast("long")), lit(0L), (a, x) => a + x)
+        - lit(1000000000000L)))).as[Long].head()
+    assert(worst < 200000000L, s"unit-norm drift too large: $worst") // |q|^2 within 2e8 of 1e12
+  }
+
   test("salted revenue equals the plain-join aggregate") {
     val li = Tables.lineitem(spark, sfDir)
     val ord = Tables.orders(spark, sfDir)
