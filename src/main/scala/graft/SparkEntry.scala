@@ -220,7 +220,10 @@ object SparkEntry {
         Tables.embeddings(s, d).select("vec_id", "label"), "label", "vec_id", 5)),
     // --- end-to-end curation composite (quality → dedup → near-dup → sample) ---
     "pipeline_curate" -> ((s, d) =>
-      graft.pipeline.Curation.curate(Tables.documents(s, d)))
+      graft.pipeline.Curation.curate(Tables.documents(s, d))),
+    // --- training-sequence packing (distributed prefix sum, no 1-partition window) ---
+    "pack_assign" -> ((s, d) =>
+      graft.operators.Packing.packSequences(Tables.documents(s, d)))
   )
 
   /** Recursive-CTE oracle for duplicate clustering: the full minhash
@@ -1217,7 +1220,26 @@ object SparkEntry {
         |SELECT ex.doc_id, ex.text, ex.source, ex.n_chars, ex.quality_score
         |FROM ex LEFT JOIN losers l ON ex.doc_id = l.doc_id
         |WHERE l.doc_id IS NULL""".stripMargin
-    }
+    },
+    // exclusive running token total over doc_id order, cut every 2048 tokens;
+    // the oracle's 1-partition window IS the semantics the distributed
+    // prefix sum must reproduce (Packing.withRunningTotal)
+    "pack_assign" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |run AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+        |  FROM toks)
+        |SELECT doc_id, n_tokens,
+        |       prev // 2048 AS pack_id,
+        |       prev % 2048 AS pack_offset,
+        |       (prev % 2048 + n_tokens > 2048) AS spans_boundary
+        |FROM run""".stripMargin
   )
 
   /** 64-element ±1.0 list literals of the LSH planes, shared by the lsh /
