@@ -159,6 +159,7 @@ object SparkEntry {
     "text_quality"     -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
     "text_langid"      -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
+    "text_repetition"  -> ((s, d) => TextOps.repetition(Tables.documents(s, d))),
     // --- deduplication (north star) ---
     "dedup_exact"         -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "dedup_minhash"       -> ((s, d) => Dedup.minhashDedup(Tables.documents(s, d))),
@@ -1221,6 +1222,55 @@ object SparkEntry {
         |FROM ex LEFT JOIN losers l ON ex.doc_id = l.doc_id
         |WHERE l.doc_id IS NULL""".stripMargin
     },
+    // Gopher-style repetition signals; every ratio is one IEEE division of
+    // exact longs so the doubles (and the keep flag) replay bit-identically
+    "text_repetition" ->
+      """WITH staged AS (
+        |  SELECT doc_id, n_chars,
+        |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS t,
+        |         string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(len(t) AS INTEGER) AS n_tokens,
+        |         CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+        |         CAST(len(lines) AS INTEGER) AS n_lines,
+        |         CAST(len(list_distinct(lines)) AS BIGINT) AS n_distinct_lines,
+        |         CAST(COALESCE(list_sum(list_transform(lines, x -> length(x))), 0) AS BIGINT) AS line_chars,
+        |         CAST(COALESCE(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0) AS BIGINT) AS distinct_line_chars
+        |  FROM staged),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+        |  FROM staged WHERE len(t) >= 2),
+        |gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+        |gs AS (
+        |  SELECT doc_id,
+        |         CAST(MAX(c * length(gram)) AS BIGINT) AS top_mass,
+        |         CAST(SUM(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS BIGINT) AS dup_mass
+        |  FROM gc GROUP BY 1),
+        |r AS (
+        |  SELECT b.doc_id, b.n_tokens, b.n_lines,
+        |         CASE WHEN b.n_lines > 0
+        |              THEN CAST(b.n_lines - b.n_distinct_lines AS DOUBLE) / b.n_lines
+        |              ELSE 0.0 END AS dup_line_frac,
+        |         CASE WHEN b.line_chars > 0
+        |              THEN CAST(b.line_chars - b.distinct_line_chars AS DOUBLE) / b.line_chars
+        |              ELSE 0.0 END AS dup_line_char_frac,
+        |         CASE WHEN b.n_tokens > 0
+        |              THEN CAST(b.n_tokens - b.n_distinct_tokens AS DOUBLE) / b.n_tokens
+        |              ELSE 0.0 END AS dup_token_frac,
+        |         CASE WHEN b.n_chars > 0
+        |              THEN CAST(COALESCE(g.top_mass, 0) AS DOUBLE) / b.n_chars
+        |              ELSE 0.0 END AS top_2gram_frac,
+        |         CASE WHEN b.n_chars > 0
+        |              THEN CAST(COALESCE(g.dup_mass, 0) AS DOUBLE) / b.n_chars
+        |              ELSE 0.0 END AS dup_2gram_frac
+        |  FROM base b LEFT JOIN gs g ON b.doc_id = g.doc_id)
+        |SELECT *,
+        |       (dup_line_frac <= 0.3 AND top_2gram_frac <= 0.2 AND dup_2gram_frac <= 0.6)
+        |         AS repetition_keep
+        |FROM r""".stripMargin,
     // exclusive running token total over doc_id order, cut every 2048 tokens;
     // the oracle's 1-partition window IS the semantics the distributed
     // prefix sum must reproduce (Packing.withRunningTotal)

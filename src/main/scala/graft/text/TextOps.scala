@@ -160,6 +160,77 @@ object TextOps {
         regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
         DigitRunRe, "[NUM]"))
 
+  /** Gopher-style repetition signals per document (Rae et al. 2021, §A1.1
+    * "repetition removal" — public web-corpus filter heuristics): duplicate
+    * line fraction, duplicate line character fraction, duplicate token
+    * fraction, and word-2-gram repetition mass. Documents dominated by
+    * repeated content are low-quality training data.
+    *
+    * Shapes, chosen for 100 TB:
+    *  - Line/token duplicate stats are ROW-LOCAL (`array_distinct` +
+    *    `aggregate`, all linear per row, no shuffle) — they ride the scan.
+    *  - The top/duplicate 2-gram mass needs a per-(doc, gram) count, which
+    *    row-local lambdas could only do quadratically — that's explode +
+    *    two-level hash agg keyed by doc_id: partial aggs combine map-side,
+    *    and the single shuffle is on (doc_id, gram), the finest key
+    *    available, so skew is bounded by the largest single document.
+    *  - "Top 2-gram mass" is max over grams of count·len(gram) — the char
+    *    mass of the heaviest gram. A count-only argmax would need a
+    *    lexicographic tie-break to stay deterministic; the mass maximum is
+    *    a plain scalar max, deterministic by construction.
+    *
+    * Every ratio is one IEEE division of exact longs → bit-identical
+    * cross-engine. `repetition_keep` applies Gopher-ish thresholds
+    * (dup lines ≤ 0.30, top 2-gram mass ≤ 0.20, dup 2-gram mass ≤ 0.60).
+    */
+  def repetition(documents: DataFrame): DataFrame = {
+    // stage token/line arrays as bound attributes (no CSE inside
+    // higher-order lambdas — see chunk/fingerprint)
+    val staged = documents.select(
+      col("doc_id"), col("n_chars"),
+      tokens(col("text")).as("t"),
+      split(col("text"), "\n", -1).as("lines"))
+    val base = staged.select(
+      col("doc_id"), col("n_chars"),
+      size(col("t")).as("n_tokens"),
+      size(array_distinct(col("t"))).as("n_distinct_tokens"),
+      size(col("lines")).as("n_lines"),
+      size(array_distinct(col("lines"))).as("n_distinct_lines"),
+      aggregate(col("lines"), lit(0L), (a, x) => a + length(x)).as("line_chars"),
+      aggregate(array_distinct(col("lines")), lit(0L), (a, x) => a + length(x))
+        .as("distinct_line_chars"))
+    val grams = staged
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+          .as("gram"))
+    val gstats = grams
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        max(col("c") * length(col("gram"))).as("top_2gram_mass"),
+        sum(when(col("c") > 1, col("c") * length(col("gram"))).otherwise(0L))
+          .as("dup_2gram_mass"))
+    val ratio = (num: Column, den: Column) =>
+      when(den > 0, num.cast("double") / den).otherwise(lit(0.0))
+    base.join(gstats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_lines"),
+        ratio(col("n_lines") - col("n_distinct_lines"), col("n_lines"))
+          .as("dup_line_frac"),
+        ratio(col("line_chars") - col("distinct_line_chars"), col("line_chars"))
+          .as("dup_line_char_frac"),
+        ratio(col("n_tokens") - col("n_distinct_tokens"), col("n_tokens"))
+          .as("dup_token_frac"),
+        ratio(coalesce(col("top_2gram_mass"), lit(0L)), col("n_chars"))
+          .as("top_2gram_frac"),
+        ratio(coalesce(col("dup_2gram_mass"), lit(0L)), col("n_chars"))
+          .as("dup_2gram_frac"))
+      .withColumn("repetition_keep",
+        col("dup_line_frac") <= 0.3 && col("top_2gram_frac") <= 0.2 &&
+          col("dup_2gram_frac") <= 0.6)
+  }
+
   /** Fixed-size token chunking with overlap: documents are split into
     * windows of `size` whitespace tokens starting every `stride` tokens
     * (overlap = size − stride) — the standard context-window prep for
