@@ -168,6 +168,10 @@ object SparkEntry {
       Dedup.ngramJaccard(Tables.documents(s, d), threshold = 0.5)),
     "dedup_clusters" -> ((s, d) =>
       Dedup.dupClusters(Dedup.minhashDedup(Tables.documents(s, d)))),
+    // same labelling via large/small-star contraction (the O(log n)-round
+    // scale path) — oracled against the same recursive CTE
+    "dedup_clusters_star" -> ((s, d) =>
+      Dedup.dupClustersStar(Dedup.minhashDedup(Tables.documents(s, d)))),
     "dedup_survivors" -> ((s, d) =>
       Dedup.clusterSurvivors(
         Dedup.dupClusters(Dedup.minhashDedup(Tables.documents(s, d))))),
@@ -954,6 +958,7 @@ object SparkEntry {
     // transitive closure of the minhash pairs via DuckDB's recursive CTE
     // (Spark side: hybrid union-find / min-label propagation — Dedup.dupClusters)
     "dedup_clusters" -> dupClustersOracle,
+    "dedup_clusters_star" -> dupClustersOracle,
     // survivors = min-id representative per cluster
     "dedup_survivors" ->
       s"SELECT doc_id FROM ($dupClustersOracle) c WHERE doc_id = cluster_id",

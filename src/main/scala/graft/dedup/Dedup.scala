@@ -342,9 +342,8 @@ object Dedup {
     *    node adopts the smallest label among itself and its neighbours;
     *    rounds ≤ component diameter (near-dup clusters are shallow).
     *    Each round is two keyed shuffles of the edge relation — nothing
-    *    data-sized ever sits on the driver. For pathological diameters,
-    *    swap in large-star/small-star contraction (O(log n) rounds,
-    *    same join shape).
+    *    data-sized ever sits on the driver. For pathological diameters
+    *    use [[dupClustersStar]] (O(log n) rounds, same join shape).
     *
     * Both paths return identical (doc_id, cluster_id) labellings (ids
     * widened to long); only documents appearing in `pairs` are returned
@@ -427,4 +426,96 @@ object Dedup {
     */
   def clusterSurvivors(clusters: DataFrame): DataFrame =
     clusters.filter(col("doc_id") === col("cluster_id")).select("doc_id")
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014): the diameter-proof alternative to
+    * [[dupClusters]]' min-label propagation. Label propagation needs one
+    * round per hop of component diameter; star contraction halves
+    * component height every round and converges in O(log n) rounds on ANY
+    * topology — the path to take when near-dup graphs chain (A≈B≈C≈…),
+    * which real corpora with templated text do produce.
+    *
+    * Each round is two groupBy-min shuffles and two joins of the EDGE
+    * relation only (8-byte node ids — never text, never collect_list, so
+    * a hub node costs a wide join group, not an executor-OOM array).
+    * Convergence is an order-independent checksum (count + sum + xor of
+    * edge hashes) compared across rounds — one tiny agg per round, no
+    * driver-side edge materialization at any point.
+    *
+    * Returns the same (doc_id, cluster_id = min reachable id) labelling
+    * as [[dupClusters]] — the two are differential-tested equal; only
+    * nodes appearing in `pairs` are returned.
+    */
+  def dupClustersStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    require(pairs.columns.contains("doc_a") && pairs.columns.contains("doc_b"),
+      "pairs must carry doc_a/doc_b")
+    // canonical undirected edge set: (u, v) with u > v, no loops, distinct
+    def canon(df: DataFrame): DataFrame =
+      df.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+    // large-star: every neighbour LARGER than u attaches to the minimum of
+    // u's closed neighbourhood; output edges are (larger, min) — canonical
+    def largeStar(edges: DataFrame): DataFrame = {
+      val und = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val m = und.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+      und.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    // small-star: all smaller neighbours (and u itself) attach to the
+    // smallest neighbour; input already oriented u > v, so min(v) is it
+    def smallStar(edges: DataFrame): DataFrame = {
+      val m = edges.groupBy("u").agg(min(col("v")).as("m"))
+      edges.join(m, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+    def sig(df: DataFrame): (Long, String, Long) = {
+      // hash sum in decimal(38,0): a long sum of 64-bit hashes would
+      // overflow under ANSI mode after a handful of edges
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getDecimal(1).toPlainString, r.getLong(2))
+    }
+    // Lineage MUST be truncated every round: `edges` is referenced 4+
+    // times per round (union + self-grouping joins), so the logical plan
+    // grows exponentially with iterations — persist alone caches data but
+    // still analyzes/optimizes the full nested plan (OOMs the driver near
+    // ~10 rounds). localCheckpoint materializes the round eagerly and
+    // re-roots the plan at the cached blocks, the same pattern GraphFrames
+    // uses for its iterative CC.
+    var edges = canon(pairs.select(col("doc_a").cast("long").as("u"),
+      col("doc_b").cast("long").as("v"))).localCheckpoint(true)
+    var prev = sig(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val cur = sig(next)
+      edges.unpersist()
+      edges = next
+      converged = cur == prev
+      prev = cur
+      iter += 1
+    }
+    // fixed point: every edge is (member, component-min); minima label
+    // themselves. Self-loop pairs (a, a) — which canon dropped — still
+    // name their node, labelled as its own singleton unless the node also
+    // belongs to a real component (the group-min keeps the component
+    // label, matching dupClusters' treatment exactly).
+    val loops = pairs.filter(col("doc_a") === col("doc_b"))
+      .select(col("doc_a").cast("long").as("doc_id"),
+        col("doc_a").cast("long").as("cluster_id"))
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .union(loops)
+      .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
+  }
 }
