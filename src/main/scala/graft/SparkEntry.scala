@@ -94,6 +94,9 @@ object SparkEntry {
     "q_range_join"      -> ((s, d) => Breadth.priceBands(Tables.part(s, d), s)),
     "q_scalar_subquery" -> ((s, d) => Breadth.aboveAvgCustomers(s, Tables.customer(s, d))),
     "q_approx_distinct" -> ((s, d) => Breadth.approxDistinct(Tables.orders(s, d))), // rows-only
+    // count-min sketch estimates vs exact counts (md5 hash rows replay in SQL)
+    "q_countmin" -> ((s, d) =>
+      graft.analytics.Sketches.countMinEstimates(Tables.events(s, d), "user_id")),
     "q_approx_percentiles" -> ((s, d) =>
       Breadth.approxQuantityPercentiles(Tables.lineitem(s, d))), // rows-only (sketch)
     "q_json_extract"    -> ((s, d) => Breadth.jsonExtract(Tables.events(s, d))),
@@ -1227,6 +1230,22 @@ object SparkEntry {
         |FROM ex LEFT JOIN losers l ON ex.doc_id = l.doc_id
         |WHERE l.doc_id IS NULL""".stripMargin
     },
+    // count-min sketch, replayed cell-for-cell: same md5 bucket function,
+    // same depth/width, estimate = min over the key's counters
+    "q_countmin" ->
+      """WITH h AS (
+        |  SELECT user_id, i,
+        |         ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 256 AS bucket
+        |  FROM events CROSS JOIN range(4) t(i)),
+        |cells AS (SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM h GROUP BY 1, 2),
+        |exact AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count FROM events GROUP BY 1),
+        |keyed AS (
+        |  SELECT e.user_id, e.exact_count, i,
+        |         ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT % 256 AS bucket
+        |  FROM exact e CROSS JOIN range(4) t(i))
+        |SELECT k.user_id, k.exact_count, CAST(MIN(c.cnt) AS BIGINT) AS cm_estimate
+        |FROM keyed k JOIN cells c ON k.i = c.i AND k.bucket = c.bucket
+        |GROUP BY 1, 2""".stripMargin,
     // Gopher-style repetition signals; every ratio is one IEEE division of
     // exact longs so the doubles (and the keep flag) replay bit-identically
     "text_repetition" ->

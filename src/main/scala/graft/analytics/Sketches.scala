@@ -1,0 +1,64 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Count-min sketch (Cormode & Muthukrishnan 2005) over a key column —
+  * the fixed-memory frequency estimator streaming/telemetry pipelines use
+  * when the key domain is too large to count exactly.
+  *
+  * Scale shape: the sketch table is `depth × width` counters regardless of
+  * input size. Building it is one explode(depth) → hash-agg pass whose
+  * partial aggregates collapse to ≤ depth·width cells per task map-side,
+  * so the shuffle moves sketch cells, not rows. The cells relation is a
+  * few KB — Spark broadcasts it in the estimate join on its own.
+  *
+  * Hash rows are md5-derived ([[Dedup.md5Base60]] of `"i:key"`), so the
+  * whole sketch — buckets, counters, estimates — replays bit-identically
+  * in the DuckDB oracle. A throughput deployment swaps md5 for xxhash64
+  * without changing the shape.
+  *
+  * The one-sided error guarantee (estimate ≥ true count; ≤ true + εN with
+  * probability 1−δ for width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉) is asserted in
+  * SketchesSpec.
+  */
+object Sketches {
+
+  val Depth = 4
+
+  /** Counter row `i`'s bucket for a key: md5("i:key") mod width. */
+  private def cmBucket(key: Column, i: Int, width: Int): Column =
+    pmod(Dedup.md5Base60(concat(lit(s"$i:"), key.cast("string"))), lit(width))
+
+  private def bucketStructs(key: Column, width: Int): Column =
+    explode(array((0 until Depth).map { i =>
+      struct(lit(i).as("i"), cmBucket(key, i, width).as("bucket"))
+    }: _*))
+
+  /** The raw sketch: (i, bucket, cnt) counter cells. */
+  def countMin(df: DataFrame, keyCol: String, width: Int = 256): DataFrame =
+    df.select(bucketStructs(col(keyCol), width).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Per-key CM estimate next to the exact count (the estimator's
+    * ground-truth harness): (key, exact_count, cm_estimate), where
+    * cm_estimate = min over rows of the key's bucket counter. The exact
+    * count costs a real per-key shuffle — it exists to validate the
+    * sketch; production reads estimate single keys straight off the
+    * broadcast cells.
+    */
+  def countMinEstimates(df: DataFrame, keyCol: String, width: Int = 256): DataFrame = {
+    val cells = countMin(df, keyCol, width)
+    val exact = df.groupBy(col(keyCol)).agg(count(lit(1)).as("exact_count"))
+    exact
+      .select(col(keyCol), col("exact_count"), bucketStructs(col(keyCol), width).as("c"))
+      .select(col(keyCol), col("exact_count"),
+        col("c.i").as("i"), col("c.bucket").as("bucket"))
+      .join(cells, Seq("i", "bucket"))
+      .groupBy(col(keyCol), col("exact_count"))
+      .agg(min(col("cnt")).as("cm_estimate"))
+  }
+}
