@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.Tables
+import graft.streaming.DocStreams
+
+/** Streaming ingest gate (dedup + decontamination) vs its batch twin. */
+class DocStreamSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+  import spark.implicits._
+
+  test("cleanIngest drops in-stream duplicates and eval-set content") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        // synthetic arrival time: one doc per second
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ingest_ts"))
+    val eval = Tables.documents(spark, sfDir).filter($"doc_id" % 50 === 0)
+    // at-least-once upstream: the whole feed delivered twice
+    val feed = docs.union(docs)
+
+    val src = java.nio.file.Files.createTempDirectory("graft_ds_src").toString
+    feed.coalesce(1).write.mode("append").parquet(src)
+    val out = java.nio.file.Files.createTempDirectory("graft_ds_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_ds_chk").toString
+
+    val q = DocStreams.cleanIngest(
+        spark.readStream.schema(feed.schema).parquet(src), eval)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val sunk = spark.read.parquet(out)
+
+    // batch twin: distinct content minus eval content
+    val evalShas = eval.select(sha2($"text", 256).as("s"))
+    val want = docs.select(sha2($"text", 256).as("s")).distinct()
+      .join(evalShas, Seq("s"), "left_anti")
+
+    assert(sunk.count() === want.count())
+    assert(sunk.select("text_sha").distinct().count() === sunk.count(),
+      "one row per distinct content")
+    // nothing from the blocklist leaked through
+    assert(sunk.join(evalShas.withColumnRenamed("s", "text_sha"),
+      Seq("text_sha")).count() === 0)
+    // and the gate actually removed something on this fixture
+    assert(want.count() < docs.count())
+  }
+}
