@@ -178,6 +178,14 @@ object SparkEntry {
     "dedup_survivors" -> ((s, d) =>
       Dedup.clusterSurvivors(
         Dedup.dupClusters(Dedup.minhashDedup(Tables.documents(s, d))))),
+    // keep the best-quality member of each cluster, not the smallest id
+    "dedup_best_survivors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.clusterSurvivorsBy(
+        Dedup.dupClusters(Dedup.minhashDedup(docs)),
+        TextOps.quality(docs).select(col("doc_id"), col("quality_score")),
+        "quality_score")
+    }),
     // train = doc_id % 50 != 0, eval = the other 2% — a deterministic split
     "dedup_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -965,6 +973,23 @@ object SparkEntry {
     // survivors = min-id representative per cluster
     "dedup_survivors" ->
       s"SELECT doc_id FROM ($dupClustersOracle) c WHERE doc_id = cluster_id",
+    // survivors = best-quality member per cluster (same score expression
+    // as text_quality; product of two deterministic doubles → identical)
+    "dedup_best_survivors" ->
+      s"""WITH q AS (
+        |  SELECT doc_id,
+        |         least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) / 100.0, 1.0) *
+        |         (1.0 - CASE WHEN n_chars > 0
+        |                THEN CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / n_chars
+        |                ELSE 0.0 END) AS quality_score
+        |  FROM documents),
+        |r AS (
+        |  SELECT c.cluster_id, c.doc_id, q.quality_score,
+        |         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+        |           ORDER BY q.quality_score DESC, c.doc_id) AS rn
+        |  FROM ($dupClustersOracle) c JOIN q USING (doc_id))
+        |SELECT cluster_id, doc_id AS best_doc_id, quality_score FROM r WHERE rn = 1""".stripMargin,
     "ann_topk_brute" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -427,6 +427,27 @@ object Dedup {
   def clusterSurvivors(clusters: DataFrame): DataFrame =
     clusters.filter(col("doc_id") === col("cluster_id")).select("doc_id")
 
+  /** Quality-aware cluster survivor selection: instead of the min-id
+    * representative ([[clusterSurvivors]]), keep each duplicate cluster's
+    * highest-scoring member (ties broken by smallest doc_id — fully
+    * deterministic). This is what curation pipelines actually want: when
+    * near-identical documents differ in boilerplate or truncation, keep
+    * the best copy, not the accidentally-smallest id.
+    *
+    * `scores` is any (doc_id, scoreCol) relation, e.g.
+    * `TextOps.quality(docs)`. The window partitions by cluster_id —
+    * cluster sizes are small by construction (near-dup groups), so the
+    * per-partition sort is trivial and the shuffle is one pass over the
+    * cluster relation, which is pairs-sized, not corpus-sized.
+    */
+  def clusterSurvivorsBy(clusters: DataFrame, scores: DataFrame,
+                         scoreCol: String): DataFrame =
+    clusters.join(scores, "doc_id")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("cluster_id").orderBy(desc(scoreCol), asc("doc_id"))))
+      .filter(col("__rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("best_doc_id"), col(scoreCol))
+
   /** Connected components by alternating large-star / small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC 2014): the diameter-proof alternative to

@@ -198,4 +198,18 @@ class TextDedupSpec extends AnyFunSuite {
     assert(survivors === Set(1L, 7L))
     spark.catalog.clearCache()
   }
+
+  test("clusterSurvivorsBy keeps the best-scoring member, ties to min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val clusters = graft.dedup.Dedup.dupClusters(pairs)
+    val scores = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (7L, 0.5), (9L, 0.5))
+      .toDF("doc_id", "score")
+    val best = graft.dedup.Dedup.clusterSurvivorsBy(clusters, scores, "score")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // cluster 1: docs 2 and 3 tie at 0.9 → doc 2 wins the tie-break
+    assert(best(1L) === ((2L, 0.9)))
+    // cluster 7: tie at 0.5 → doc 7
+    assert(best(7L) === ((7L, 0.5)))
+    spark.catalog.clearCache()
+  }
 }
