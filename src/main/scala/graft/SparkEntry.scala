@@ -163,6 +163,12 @@ object SparkEntry {
     "text_langid"      -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     "text_repetition"  -> ((s, d) => TextOps.repetition(Tables.documents(s, d))),
+    "text_vocab"       -> ((s, d) => TextOps.vocab(Tables.documents(s, d))),
+    "text_encode"      -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // vocab cut at 16 (fixture vocab is 31 tokens) so OOV paths exercise
+      TextOps.encodeTokens(docs, TextOps.vocab(docs, maxSize = 16))
+    }),
     // --- deduplication (north star) ---
     "dedup_exact"         -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "dedup_minhash"       -> ((s, d) => Dedup.minhashDedup(Tables.documents(s, d))),
@@ -1271,6 +1277,46 @@ object SparkEntry {
         |SELECT k.user_id, k.exact_count, CAST(MIN(c.cnt) AS BIGINT) AS cm_estimate
         |FROM keyed k JOIN cells c ON k.i = c.i AND k.bucket = c.bucket
         |GROUP BY 1, 2""".stripMargin,
+    // frequency-ranked vocabulary; rank = row_number by (count desc, token)
+    "text_vocab" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |flat AS (SELECT doc_id, unnest(t) AS token FROM toks),
+        |counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS token_count FROM flat GROUP BY 1)
+        |SELECT token, token_id, token_count FROM (
+        |  SELECT token, token_count,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY token_count DESC, token) AS BIGINT) AS token_id
+        |  FROM counts) v
+        |WHERE token_id <= 65536""".stripMargin,
+    // corpus → token-id sequences against the top-16 vocab; parallel
+    // unnest(range, t) zips (pos, token) in lockstep
+    "text_encode" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |flat AS (
+        |  SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, unnest(t) AS token FROM toks),
+        |counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS token_count FROM flat GROUP BY 1),
+        |vv AS (
+        |  SELECT token, token_id FROM (
+        |    SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token_count DESC, token) AS BIGINT) AS token_id
+        |    FROM counts) v
+        |  WHERE token_id <= 16),
+        |enc AS (
+        |  SELECT f.doc_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(CASE WHEN vv.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |         string_agg(CAST(COALESCE(vv.token_id, 0) AS VARCHAR), ',' ORDER BY f.pos) AS token_ids
+        |  FROM flat f LEFT JOIN vv ON f.token = vv.token
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |       COALESCE(e.n_tokens, 0) AS n_tokens,
+        |       COALESCE(e.n_oov, 0) AS n_oov,
+        |       COALESCE(e.token_ids, '') AS token_ids
+        |FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id""".stripMargin,
     // Gopher-style repetition signals; every ratio is one IEEE division of
     // exact longs so the doubles (and the keep flag) replay bit-identically
     "text_repetition" ->

@@ -160,6 +160,59 @@ object TextOps {
         regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
         DigitRunRe, "[NUM]"))
 
+  /** Frequency-ranked token vocabulary: token → (token_id, token_count)
+    * with token_id = 1-based rank by (count desc, token asc) — the
+    * deterministic vocab build preceding corpus encoding. The global rank
+    * uses [[graft.operators.GlobalRank.withGlobalRowNumber]]'s two-pass
+    * distributed numbering, NOT a one-partition window: at a real corpus
+    * scale the token-count relation is millions of rows, and the vocab
+    * cut keeps only the top `maxSize`.
+    */
+  def vocab(documents: DataFrame, maxSize: Int = 1 << 16): DataFrame = {
+    require(maxSize > 0, "maxSize must be positive")
+    val counts = documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("token_count"))
+      .withColumn("__negc", -col("token_count"))
+    graft.operators.GlobalRank.withGlobalRowNumber(
+        counts, Seq("__negc", "token"), "token_id")
+      .filter(col("token_id") <= maxSize)
+      .select(col("token"), col("token_id"), col("token_count"))
+  }
+
+  /** Encode each document as its vocabulary token-id sequence — the
+    * corpus → ids step before packing/training. Out-of-vocabulary tokens
+    * map to id 0 and are counted in `n_oov`.
+    *
+    * Shapes: posexplode is row-local; the vocab join broadcasts (a vocab
+    * is ≤ ~10⁶ short rows by construction); re-assembly is one group per
+    * doc with `array_sort` on (pos, id) structs, so the sequence order is
+    * deterministic regardless of collection order. Ids are emitted
+    * comma-joined (STRING) — the downstream contract of this harness;
+    * swap the final `concat_ws` for the raw array in a deployment.
+    * Empty documents keep a row (empty sequence, zero counts).
+    */
+  def encodeTokens(documents: DataFrame, vocabulary: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+    val enc = toks
+      .join(broadcast(vocabulary.select(col("token"), col("token_id"))),
+        Seq("token"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("token_id").isNull, 1L).otherwise(0L)).as("n_oov"),
+        concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(col("pos"),
+              coalesce(col("token_id"), lit(0L)).as("tid")))),
+            s => s.getField("tid").cast("string"))).as("token_ids"))
+    documents.select(col("doc_id")).join(enc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("token_ids"), lit("")).as("token_ids"))
+  }
+
   /** Gopher-style repetition signals per document (Rae et al. 2021, §A1.1
     * "repetition removal" — public web-corpus filter heuristics): duplicate
     * line fraction, duplicate line character fraction, duplicate token
