@@ -164,6 +164,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     "text_repetition"  -> ((s, d) => TextOps.repetition(Tables.documents(s, d))),
     "text_vocab"       -> ((s, d) => TextOps.vocab(Tables.documents(s, d))),
+    "text_c4_filter"   -> ((s, d) => TextOps.c4LineFilter(Tables.documents(s, d))),
     "text_encode"      -> ((s, d) => {
       val docs = Tables.documents(s, d)
       // vocab cut at 16 (fixture vocab is 31 tokens) so OOV paths exercise
@@ -1277,6 +1278,25 @@ object SparkEntry {
         |SELECT k.user_id, k.exact_count, CAST(MIN(c.cnt) AS BIGINT) AS cm_estimate
         |FROM keyed k JOIN cells c ON k.i = c.i AND k.bucket = c.bucket
         |GROUP BY 1, 2""".stripMargin,
+    // C4 line filter, replayed predicate-for-predicate via list_filter
+    "text_c4_filter" ->
+      """WITH staged AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
+        |f AS (
+        |  SELECT doc_id, lines,
+        |         list_filter(lines, l ->
+        |           substring(l, -1, 1) IN ('.', '!', '?', '"')
+        |           AND len(regexp_split_to_array(trim(l), '\s+')) >= 5
+        |           AND NOT contains(l, '{')
+        |           AND NOT contains(lower(l), 'javascript')
+        |           AND NOT contains(lower(l), 'lorem ipsum')) AS kept
+        |  FROM staged)
+        |SELECT doc_id,
+        |       COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+        |       CAST(len(kept) AS INTEGER) AS n_lines_kept,
+        |       CAST(len(lines) - len(kept) AS INTEGER) AS n_lines_dropped,
+        |       (len(kept) > 0) AS c4_keep
+        |FROM f""".stripMargin,
     // frequency-ranked vocabulary; rank = row_number by (count desc, token)
     "text_vocab" ->
       """WITH toks AS (

@@ -160,6 +160,38 @@ object TextOps {
         regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
         DigitRunRe, "[NUM]"))
 
+  /** C4-style line-level cleaning (Raffel et al. 2020, §2.2 — the public
+    * web-corpus heuristics): a line survives iff it ends in terminal
+    * punctuation, has at least `minWords` words, and carries none of the
+    * boilerplate markers (`{`, "javascript", "lorem ipsum"). Emits the
+    * cleaned text (surviving lines re-joined) plus kept/dropped counts;
+    * `c4_keep` marks documents retaining at least one line.
+    *
+    * Entirely row-local (split + array filter + rejoin in one projection,
+    * no shuffle, fully codegen'd) — rides the scan at any scale. The line
+    * array is staged as a bound attribute before the higher-order ops
+    * (lambda-CSE rule).
+    */
+  def c4LineFilter(documents: DataFrame, minWords: Int = 5): DataFrame = {
+    require(minWords >= 1, "minWords must be >= 1")
+    val keepLine = (l: Column) =>
+      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+        size(split(trim(l), "\\s+")) >= minWords &&
+        !l.contains("{") &&
+        !lower(l).contains("javascript") &&
+        !lower(l).contains("lorem ipsum")
+    documents
+      .select(col("doc_id"), split(col("text"), "\n", -1).as("lines"))
+      .select(col("doc_id"), col("lines"),
+        filter(col("lines"), keepLine).as("kept"))
+      .select(
+        col("doc_id"),
+        array_join(col("kept"), "\n").as("clean_text"),
+        size(col("kept")).as("n_lines_kept"),
+        (size(col("lines")) - size(col("kept"))).as("n_lines_dropped"),
+        (size(col("kept")) > 0).as("c4_keep"))
+  }
+
   /** Frequency-ranked token vocabulary: token → (token_id, token_count)
     * with token_id = 1-based rank by (count desc, token asc) — the
     * deterministic vocab build preceding corpus encoding. The global rank

@@ -59,4 +59,26 @@ class RepetitionSpec extends AnyFunSuite {
     val out = run(Seq(1L -> "a b c b c"))
     assert(out(1L).getAs[Double]("top_2gram_frac") === 6.0 / 9)
   }
+
+  test("c4LineFilter applies the published line heuristics") {
+    val text = Seq(
+      "This sentence has enough words and ends properly.",   // keep
+      "Too short.",                                          // < 5 words
+      "function() { return 1; }",                            // brace marker
+      "Please enable JavaScript to view this page.",         // javascript
+      "Lorem ipsum dolor sit amet consectetur.",             // lorem ipsum
+      "A trailing line without terminal punctuation at all"  // no punct
+    ).mkString("\n")
+    val df = Seq((1L, text, text.length.toLong),
+      (2L, "no lines survive here", 21L)).toDF("doc_id", "text", "n_chars")
+    val out = graft.text.TextOps.c4LineFilter(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("clean_text") ===
+      "This sentence has enough words and ends properly.")
+    assert(out(1L).getAs[Int]("n_lines_kept") === 1)
+    assert(out(1L).getAs[Int]("n_lines_dropped") === 5)
+    assert(out(1L).getAs[Boolean]("c4_keep"))
+    assert(!out(2L).getAs[Boolean]("c4_keep"))
+    assert(out(2L).getAs[String]("clean_text") === "")
+  }
 }
