@@ -205,6 +205,8 @@ object SparkEntry {
     "ann_topk_brute" -> ((s, d) => Ann.bruteForceTopK(Tables.embeddings(s, d))),
     "ann_topk_lsh"   -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
     "ann_topk_ivf"   -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),
+    // trained-centroid path: 2 Lloyd iterations, fully oracle-replayed
+    "ann_kmeans" -> ((s, d) => Ann.kmeansAssign(Tables.embeddings(s, d))),
     // synthetic corpus peaks near cosine 0.5 → 0.35 keeps output non-empty
     "embed_neardup"  -> ((s, d) =>
       Ann.nearDupPairs(Tables.embeddings(s, d), threshold = 0.35)),
@@ -977,6 +979,9 @@ object SparkEntry {
     // (Spark side: hybrid union-find / min-label propagation — Dedup.dupClusters)
     "dedup_clusters" -> dupClustersOracle,
     "dedup_clusters_star" -> dupClustersOracle,
+    // the k-means training loop replayed end-to-end (seeding, rounded
+    // argmin, fixed-point means) — generated CTE-per-iteration
+    "ann_kmeans" -> graft.similarity.Ann.kmeansOracleSql(),
     // survivors = min-id representative per cluster
     "dedup_survivors" ->
       s"SELECT doc_id FROM ($dupClustersOracle) c WHERE doc_id = cluster_id",

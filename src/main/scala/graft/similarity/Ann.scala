@@ -55,6 +55,120 @@ object Ann {
   private def corpus(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
 
+  /** Distributed Lloyd k-means over the embedding corpus — the centroid
+    * TRAINER the static-grid [[ivfTopK]] index upgrades to. Fully
+    * deterministic, so the whole training loop replays in the DuckDB
+    * oracle:
+    *
+    *  - Init: the k seeds are the vectors with the smallest
+    *    (md5(vec_id), vec_id) — pseudo-random but engine-independent.
+    *  - Assign: squared-L2 distance as the deterministic left fold,
+    *    ROUNDED to 1e-6 before the argmin (cross-engine float folds can
+    *    differ in the last ulps; ranking on the rounded value with a
+    *    centroid-id tie-break keeps assignments identical). The argmin is
+    *    `least(...)` over (dist, cid) structs — lexicographic, no window.
+    *  - Update: per-dimension fixed-point mean (elements truncated to
+    *    1e-9, summed as exact longs, ONE division) — the labelCentroids
+    *    scheme, so new centroids are bit-identical across engines. Note
+    *    the long sum caps at ~9e15 micro-units ≈ 9M members per cluster
+    *    at unit scale; shard the sum (sum of per-partition sums is still
+    *    exact for longs) if clusters outgrow it.
+    *
+    * Scale shape: centroids are MODEL STATE (k × dim doubles) — they are
+    * collected to the driver each iteration and re-broadcast as literal
+    * arrays, exactly like MLlib's KMeans; the corpus itself only ever
+    * streams through assign (k fold expressions per row, no shuffle) and
+    * one posexplode + (cid, dim)-keyed partial agg per update. Empty
+    * clusters keep their previous centroid.
+    *
+    * Returns the final assignment (vec_id, cid, dist) against the
+    * trained centroids.
+    */
+  def kmeansAssign(embeddings: DataFrame, k: Int = 4, iters: Int = 2): DataFrame = {
+    require(k > 0 && iters >= 0, "need k > 0, iters >= 0")
+    val e = corpus(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deterministic seeds; k×dim doubles to the driver (model state)
+    var cents: Seq[(Int, Array[Double])] = e
+      .select(col("vec_id"), col("v"), md5(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .select(col("v")).collect()
+      .toIndexedSeq.map(_.getSeq[Double](0).toArray).zipWithIndex
+      .map { case (v, i) => (i + 1, v) }
+    def assign(): DataFrame = {
+      val best = least(cents.map { case (cid, c) =>
+        val lits = array(c.map(lit): _*)
+        struct(
+          round(aggregate(zip_with(col("v"), lits, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, d) => acc + d), 6).as("d"),
+          lit(cid).as("cid"))
+      }: _*)
+      e.select(col("vec_id"), col("v"),
+        best.getField("cid").as("cid"), best.getField("d").as("dist"))
+    }
+    for (_ <- 1 to iters) {
+      val means = assign()
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum((col("x") * lit(1.0e9)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cid"), col("pos"),
+          (col("s").cast("double") / (col("n").cast("double") * lit(1.0e9)))
+            .as("cv"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    assign().select(col("vec_id"), col("cid"), col("dist"))
+  }
+
+  /** The DuckDB replay of [[kmeansAssign]] (same k/iters/seeding/
+    * rounding), generated CTE-per-iteration — lives here so the two
+    * implementations stay side by side.
+    */
+  def kmeansOracleSql(k: Int = 4, iters: Int = 2, dim: Int = 64): String = {
+    def assignCte(name: String, centsCte: String) =
+      s"""$name AS (
+         |  SELECT vec_id, v, cid, d FROM (
+         |    SELECT vec_id, v, cid, d,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+         |    FROM (SELECT e.vec_id, e.v, c.cid,
+         |                 round(list_sum(list_transform(range(1, ${dim + 1}),
+         |                   i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6) AS d
+         |          FROM e CROSS JOIN $centsCte c) t0) t1
+         |  WHERE r = 1)""".stripMargin
+    def updateCte(mName: String, cName: String, aCte: String, prevC: String) =
+      s"""$mName AS (
+         |  SELECT cid, pos,
+         |         CAST(SUM(CAST(trunc(x * 1000000000.0) AS BIGINT)) AS DOUBLE)
+         |           / (CAST(COUNT(*) AS DOUBLE) * 1000000000.0) AS cv
+         |  FROM (SELECT cid, unnest(range(1, ${dim + 1})) AS pos, unnest(v) AS x
+         |        FROM $aCte) t GROUP BY 1, 2),
+         |$cName AS (
+         |  SELECT p.cid, COALESCE(n.c, p.c) AS c
+         |  FROM $prevC p LEFT JOIN
+         |    (SELECT cid, list(cv ORDER BY pos) AS c FROM $mName GROUP BY 1) n
+         |    ON p.cid = n.cid)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      assignCte(s"a${i - 1}", s"c${i - 1}") + ",\n" +
+        updateCte(s"m$i", s"c$i", s"a${i - 1}", s"c${i - 1}")
+    }
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |s AS (
+       |  SELECT vec_id, v,
+       |         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid
+       |  FROM e),
+       |c0 AS (SELECT cid, v AS c FROM s WHERE cid <= $k),
+       |${steps.mkString(",\n")},
+       |${assignCte("afinal", s"c$iters")}
+       |SELECT vec_id, CAST(cid AS INTEGER) AS cid, d AS dist FROM afinal""".stripMargin
+  }
+
   /** Exact cosine top-k of every corpus vector for each query vector
     * (queries = vec_id < nQueries, self-matches excluded). Returns
     * (query_id, vec_id, cosine, rank).
