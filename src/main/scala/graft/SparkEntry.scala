@@ -248,7 +248,10 @@ object SparkEntry {
       graft.pipeline.Curation.curate(Tables.documents(s, d))),
     // --- training-sequence packing (distributed prefix sum, no 1-partition window) ---
     "pack_assign" -> ((s, d) =>
-      graft.operators.Packing.packSequences(Tables.documents(s, d)))
+      graft.operators.Packing.packSequences(Tables.documents(s, d))),
+    // --- the whole corpus→sequences pipeline, differentially checked ---
+    "pipeline_corpus_prep" -> ((s, d) =>
+      graft.pipeline.Curation.prepareCorpus(Tables.documents(s, d)))
   )
 
   /** Recursive-CTE oracle for duplicate clustering: the full minhash
@@ -296,6 +299,54 @@ object SparkEntry {
       |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
       |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1""".stripMargin
   }
+
+  /** DuckDB replay of `Curation.curate` at the oracle-checked default
+    * configuration — shared by `pipeline_curate` and the end-to-end
+    * `pipeline_corpus_prep` composite.
+    */
+  private lazy val curateOracle: String =
+      s"""WITH qual AS (
+        |  SELECT doc_id,
+        |         least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) / 100.0, 1.0)
+        |         * (1.0 - CASE WHEN n_chars > 0
+        |               THEN CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / n_chars
+        |               ELSE 0.0 END) AS quality_score
+        |  FROM documents),
+        |keepq AS (
+        |  SELECT d.doc_id, d.text, d.source, d.n_chars, q.quality_score
+        |  FROM documents d JOIN qual q USING (doc_id) WHERE q.quality_score >= 0.2),
+        |surv AS (SELECT MIN(doc_id) AS doc_id FROM keepq GROUP BY sha256(text)),
+        |ex AS (SELECT k.* FROM keepq k JOIN surv USING (doc_id)),
+        |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM ex),
+        |grams AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+        |  FROM toks),
+        |bases AS (
+        |  SELECT doc_id, ('0x' || substring(md5(gram), 1, 15))::BIGINT % 2147483647 AS h
+        |  FROM (SELECT doc_id, unnest(g) AS gram FROM grams)),
+        |perms(perm, a, b) AS (VALUES $perms),
+        |sig AS (
+        |  SELECT doc_id, perm, MIN((a * h + b) % 2147483647) AS s
+        |  FROM bases CROSS JOIN perms GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, perm // 4 AS band,
+        |         string_agg(CAST(s AS VARCHAR), ',' ORDER BY perm) AS bh
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT doc_a, doc_b,
+        |         SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 32.0 AS ej
+        |  FROM cand JOIN sig sa ON sa.doc_id = doc_a
+        |            JOIN sig sb ON sb.doc_id = doc_b AND sa.perm = sb.perm
+        |  GROUP BY 1, 2),
+        |losers AS (SELECT DISTINCT doc_b AS doc_id FROM est WHERE ej >= 0.7)
+        |SELECT ex.doc_id, ex.text, ex.source, ex.n_chars, ex.quality_score
+        |FROM ex LEFT JOIN losers l ON ex.doc_id = l.doc_id
+        |WHERE l.doc_id IS NULL""".stripMargin
 
   /** DuckDB twins of each query, same column names (driver compares by
     * sorted column name + value hash).
@@ -1223,50 +1274,47 @@ object SparkEntry {
         |             JOIN e eb ON eb.vec_id = p.vec_b) t
         |WHERE cosine >= 0.35""".stripMargin
     },
-    "pipeline_curate" -> {
-      s"""WITH qual AS (
+    "pipeline_curate" -> curateOracle,
+    // curate → vocab → encode → pack, one differential check end to end
+    // (outer CTEs p-prefixed so they can't shadow names inside curateOracle)
+    "pipeline_corpus_prep" ->
+      s"""WITH cur AS ($curateOracle),
+        |ptoks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+        |  FROM cur),
+        |pflat AS (
+        |  SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, unnest(t) AS token FROM ptoks),
+        |pcounts AS (SELECT token, COUNT(*) AS token_count FROM pflat GROUP BY 1),
+        |pv AS (
+        |  SELECT token, token_id FROM (
+        |    SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token_count DESC, token) AS BIGINT) AS token_id
+        |    FROM pcounts) v
+        |  WHERE token_id <= 65536),
+        |penc AS (
+        |  SELECT f.doc_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(CASE WHEN pv.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |         string_agg(CAST(COALESCE(pv.token_id, 0) AS VARCHAR), ',' ORDER BY f.pos) AS token_ids
+        |  FROM pflat f LEFT JOIN pv ON f.token = pv.token
+        |  GROUP BY 1),
+        |pencfull AS (
+        |  SELECT c.doc_id,
+        |         COALESCE(e.n_tokens, 0) AS n_tokens,
+        |         COALESCE(e.n_oov, 0) AS n_oov,
+        |         COALESCE(e.token_ids, '') AS token_ids
+        |  FROM cur c LEFT JOIN penc e ON c.doc_id = e.doc_id),
+        |prun AS (
         |  SELECT doc_id,
-        |         least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) / 100.0, 1.0)
-        |         * (1.0 - CASE WHEN n_chars > 0
-        |               THEN CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / n_chars
-        |               ELSE 0.0 END) AS quality_score
-        |  FROM documents),
-        |keepq AS (
-        |  SELECT d.doc_id, d.text, d.source, d.n_chars, q.quality_score
-        |  FROM documents d JOIN qual q USING (doc_id) WHERE q.quality_score >= 0.2),
-        |surv AS (SELECT MIN(doc_id) AS doc_id FROM keepq GROUP BY sha256(text)),
-        |ex AS (SELECT k.* FROM keepq k JOIN surv USING (doc_id)),
-        |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM ex),
-        |grams AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-        |    ELSE list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
-        |  FROM toks),
-        |bases AS (
-        |  SELECT doc_id, ('0x' || substring(md5(gram), 1, 15))::BIGINT % 2147483647 AS h
-        |  FROM (SELECT doc_id, unnest(g) AS gram FROM grams)),
-        |perms(perm, a, b) AS (VALUES $perms),
-        |sig AS (
-        |  SELECT doc_id, perm, MIN((a * h + b) % 2147483647) AS s
-        |  FROM bases CROSS JOIN perms GROUP BY 1, 2),
-        |bands AS (
-        |  SELECT doc_id, perm // 4 AS band,
-        |         string_agg(CAST(s AS VARCHAR), ',' ORDER BY perm) AS bh
-        |  FROM sig GROUP BY 1, 2),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-        |est AS (
-        |  SELECT doc_a, doc_b,
-        |         SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 32.0 AS ej
-        |  FROM cand JOIN sig sa ON sa.doc_id = doc_a
-        |            JOIN sig sb ON sb.doc_id = doc_b AND sa.perm = sb.perm
-        |  GROUP BY 1, 2),
-        |losers AS (SELECT DISTINCT doc_b AS doc_id FROM est WHERE ej >= 0.7)
-        |SELECT ex.doc_id, ex.text, ex.source, ex.n_chars, ex.quality_score
-        |FROM ex LEFT JOIN losers l ON ex.doc_id = l.doc_id
-        |WHERE l.doc_id IS NULL""".stripMargin
-    },
+        |         CAST(COALESCE(SUM(len(t)) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev,
+        |         CAST(len(t) AS BIGINT) AS nt
+        |  FROM ptoks)
+        |SELECT ef.doc_id, ef.n_tokens, ef.n_oov, ef.token_ids,
+        |       r.prev // 2048 AS pack_id,
+        |       r.prev % 2048 AS pack_offset,
+        |       (r.prev % 2048 + r.nt > 2048) AS spans_boundary
+        |FROM pencfull ef JOIN prun r ON ef.doc_id = r.doc_id""".stripMargin,
     // count-min sketch, replayed cell-for-cell: same md5 bucket function,
     // same depth/width, estimate = min over the key's counters
     "q_countmin" ->

@@ -72,4 +72,32 @@ object Curation {
     Sampling.hashSamplePerGroup(nearDeduped, "source", "doc_id", samplePerSource)
       .select("doc_id", "text", "source", "n_chars", "quality_score")
   }
+
+  /** Corpus → training sequences, end to end: [[curate]], then build the
+    * frequency vocabulary OVER THE CURATED CORPUS (vocab built pre-dedup
+    * would be skewed by the duplicates curation removes), encode every
+    * surviving document as token ids, and assign each to its packed
+    * context window ([[graft.operators.Packing.packSequences]]).
+    *
+    * Output per surviving doc: (doc_id, n_tokens, n_oov, token_ids,
+    * pack_id, pack_offset, spans_boundary) — the manifest a training job
+    * reads to materialize batches. The curated corpus is persisted
+    * (three consumers: vocab, encode, pack); caller releases per the
+    * library cache contract.
+    */
+  def prepareCorpus(documents: DataFrame,
+                    minQuality: Double = 0.2,
+                    nearDupThreshold: Double = 0.7,
+                    vocabSize: Int = 1 << 16,
+                    capacity: Int = 2048): DataFrame = {
+    val curated = curate(documents, minQuality, nearDupThreshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocabulary = TextOps.vocab(curated, vocabSize)
+    val encoded = TextOps.encodeTokens(curated, vocabulary)
+    val packed = graft.operators.Packing.packSequences(curated, capacity)
+    encoded.join(
+      packed.select(col("doc_id"), col("pack_id"), col("pack_offset"),
+        col("spans_boundary")),
+      "doc_id")
+  }
 }

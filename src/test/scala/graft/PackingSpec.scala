@@ -65,6 +65,23 @@ class PackingSpec extends AnyFunSuite {
       (5L, 2L, 1L, 2L, false)))
   }
 
+  test("prepareCorpus manifest is self-consistent with curate") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val curated = graft.pipeline.Curation.curate(docs)
+    val prep = graft.pipeline.Curation.prepareCorpus(docs)
+    val rows = prep.collect()
+    assert(rows.length === curated.count())
+    // boundary flag agrees with offset + length vs capacity
+    val bad = prep.filter(
+      (col("pack_offset") + col("n_tokens") > 2048) =!= col("spans_boundary"))
+    assert(bad.count() === 0)
+    // encoded sequence length equals the token count
+    val lenBad = prep.filter(col("n_tokens") > 0 &&
+      size(split(col("token_ids"), ",")) =!= col("n_tokens"))
+    assert(lenBad.count() === 0)
+    spark.catalog.clearCache()
+  }
+
   test("packSequences conserves tokens: last doc's prev+n equals corpus total") {
     val docs = Tables.documents(spark, TestSpark.sfDir)
     val out = Packing.packSequences(docs, capacity = 2048)
