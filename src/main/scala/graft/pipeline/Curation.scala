@@ -39,12 +39,22 @@ object Curation {
              minQuality: Double = 0.2,
              nearDupThreshold: Double = 0.7,
              samplePerSource: Int = 1000000,
-             langAllow: Seq[String] = Nil): DataFrame = {
-    // 0. optional language gate
-    val base =
-      if (langAllow.isEmpty) documents
+             langAllow: Seq[String] = Nil,
+             repetitionGate: Boolean = false): DataFrame = {
+    // 0a. optional repetition gate (Gopher thresholds) — like the language
+    // gate, a cheap projection+filter that belongs in the shrink-first
+    // prefix; default-off is the oracle-checked configuration
+    val repFiltered =
+      if (!repetitionGate) documents
       else documents.join(
-        TextOps.langId(documents)
+        TextOps.repetition(documents)
+          .filter(col("repetition_keep")).select("doc_id"),
+        "doc_id")
+    // 0b. optional language gate
+    val base =
+      if (langAllow.isEmpty) repFiltered
+      else repFiltered.join(
+        TextOps.langId(repFiltered)
           .filter(col("lang_pred").isin(langAllow: _*)).select("doc_id"),
         "doc_id")
 

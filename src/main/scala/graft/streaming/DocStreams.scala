@@ -37,4 +37,39 @@ object DocStreams {
       .dropDuplicatesWithinWatermark("text_sha")
       .join(broadcast(blocklist), Seq("text_sha"), "left_anti")
   }
+
+  /** Streaming token-id encoding against a FROZEN vocabulary — the
+    * arrival-time twin of `TextOps.encodeTokens`. A vocabulary is model
+    * state (built batch-side, versioned, broadcast); encoding against it
+    * is stateless per document, so the streaming plan is a row-local
+    * posexplode + broadcast join + per-doc re-aggregation with no
+    * watermark state at all. Documents whose ids arrive in the same
+    * micro-batch group locally; OOV maps to 0 as in the batch twin.
+    *
+    * The per-doc groupBy is keyed on (doc_id, ingest_ts): a streaming
+    * aggregation without watermark would keep state forever, so callers
+    * compose this AFTER [[cleanIngest]] (which watermarks ingest_ts) and
+    * run it in append mode with the watermark flowing through.
+    *
+    * Unlike the batch twin (which left-joins the corpus back), empty
+    * documents produce NO output row here — posexplode of an empty token
+    * array yields nothing and there is no corpus relation to recover
+    * them from in a stream.
+    */
+  def encodeStream(docs: DataFrame, vocabulary: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("ingest_ts"),
+        org.apache.spark.sql.functions.posexplode(
+          graft.text.TextOps.tokens(col("text"))).as(Seq("pos", "token")))
+      .join(broadcast(vocabulary.select(col("token"), col("token_id"))),
+        Seq("token"), "left")
+      .groupBy(col("doc_id"), col("ingest_ts"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("token_id").isNull, 1L).otherwise(0L)).as("n_oov"),
+        concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(col("pos"),
+              coalesce(col("token_id"), lit(0L)).as("tid")))),
+            s => s.getField("tid").cast("string"))).as("token_ids"))
 }

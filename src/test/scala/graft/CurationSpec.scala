@@ -49,4 +49,18 @@ class CurationSpec extends AnyFunSuite {
     assert(gated.nonEmpty && gated === expected)
     spark.catalog.clearCache()
   }
+
+  test("curate repetitionGate: output equals curation of the repetition-kept corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.io.Tables.documents(spark, sfDir)
+    val gated = graft.pipeline.Curation.curate(docs, repetitionGate = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val pre = docs.join(
+      graft.text.TextOps.repetition(docs).filter(col("repetition_keep")).select("doc_id"),
+      "doc_id")
+    val expected = graft.pipeline.Curation.curate(pre)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gated.nonEmpty && gated === expected)
+    spark.catalog.clearCache()
+  }
 }

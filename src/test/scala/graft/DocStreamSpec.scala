@@ -47,4 +47,45 @@ class DocStreamSpec extends AnyFunSuite {
     // and the gate actually removed something on this fixture
     assert(want.count() < docs.count())
   }
+
+  test("encodeStream matches the batch encoder on the gated stream") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ingest_ts"))
+    val vocab = graft.text.TextOps.vocab(Tables.documents(spark, sfDir), maxSize = 16)
+
+    val src = java.nio.file.Files.createTempDirectory("graft_de_src").toString
+    docs.coalesce(1).write.mode("append").parquet(src)
+    val out = java.nio.file.Files.createTempDirectory("graft_de_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_de_chk").toString
+
+    // watermarked directly (composing cleanIngest would drop content dups
+    // and make the survivor set order-dependent — not what this test pins)
+    val gated = spark.readStream.schema(docs.schema).parquet(src)
+      .withWatermark("ingest_ts", "2 hours")
+    val q = DocStreams.encodeStream(gated, vocab)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .start()
+    try {
+      q.processAllAvailable()
+      // append mode holds groups until the watermark passes them: push it
+      // with a far-future sentinel row in a second micro-batch
+      docs.limit(1)
+        .select(lit(-1L).as("doc_id"), lit("sentinel").as("text"),
+          timestamp_seconds(lit(1700000000L + 30L * 24 * 3600)).as("ingest_ts"))
+        .coalesce(1).write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .filter(col("doc_id") >= 0) // the sentinel itself may or may not flush
+      .select("doc_id", "token_ids").as[(Long, String)].collect().toMap
+
+    val batch = graft.text.TextOps.encodeTokens(Tables.documents(spark, sfDir), vocab)
+      .filter(col("n_tokens") > 0) // empty docs emit no streaming row
+      .select("doc_id", "token_ids").as[(Long, String)].collect().toMap
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+    spark.catalog.clearCache()
+  }
 }
