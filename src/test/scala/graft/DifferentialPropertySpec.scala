@@ -14,6 +14,77 @@ class DifferentialPropertySpec extends AnyFunSuite {
 
   private val rnd = new scala.util.Random(2026)
 
+  test("packSequences matches the sequential tape reference on random docs") {
+    for (round <- 1 to 3) {
+      val cap = Seq(7, 64, 2048)(round - 1)
+      val docs = (1 to 120).map { i =>
+        val n = rnd.nextInt(20) // 0..19 tokens, empties included
+        (i.toLong, Seq.fill(n)("w" + rnd.nextInt(5)).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.operators.Packing.packSequences(df, cap)
+        .select("doc_id", "pack_id", "pack_offset", "spans_boundary")
+        .as[(Long, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      // sequential tape walk
+      var tape = 0L
+      val expected = docs.map { case (id, text) =>
+        val n = if (text.trim.isEmpty) 0 else text.trim.split("\\s+").length
+        val e = (id, (tape / cap, tape % cap, tape % cap + n > cap))
+        tape += n
+        e
+      }.toMap
+      assert(got === expected, s"capacity $cap")
+    }
+  }
+
+  test("repetition signals match a brute-force reference on random docs") {
+    val docs = (1 to 60).map { i =>
+      val words = Seq.fill(rnd.nextInt(30))("t" + rnd.nextInt(6))
+      (i.toLong, words.mkString(" "))
+    }
+    val df = docs.map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    val got = graft.text.TextOps.repetition(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Double]("dup_token_frac"), r.getAs[Double]("top_2gram_frac"),
+          r.getAs[Double]("dup_2gram_frac")))).toMap
+    docs.foreach { case (id, text) =>
+      val toks = if (text.trim.isEmpty) Array.empty[String] else text.trim.split("\\s+")
+      val nChars = text.length
+      val dupTok =
+        if (toks.isEmpty) 0.0
+        else (toks.length - toks.distinct.length).toDouble / toks.length
+      val grams = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val byGram = grams.groupBy(identity).map { case (g, o) => g -> o.size }
+      val topMass = if (byGram.isEmpty) 0L
+        else byGram.map { case (g, c) => c.toLong * g.length }.max
+      val dupMass = byGram.collect { case (g, c) if c > 1 => c.toLong * g.length }.sum
+      val (gotDup, gotTop, gotMass) = got(id)
+      assert(gotDup === dupTok, s"doc $id dup_token")
+      assert(gotTop === (if (nChars > 0) topMass.toDouble / nChars else 0.0), s"doc $id top")
+      assert(gotMass === (if (nChars > 0) dupMass.toDouble / nChars else 0.0), s"doc $id mass")
+    }
+  }
+
+  test("encode/vocab round-trip on random corpora: ids decode to the input") {
+    for (_ <- 1 to 2) {
+      val docs = (1 to 40).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(15) + 1)("v" + rnd.nextInt(8)).mkString(" "))
+      }
+      val df = docs.map { case (id, t) => (id, t, t.length.toLong) }
+        .toDF("doc_id", "text", "n_chars")
+      val v = graft.text.TextOps.vocab(df)
+      val inv = v.select("token_id", "token").as[(Long, String)].collect().toMap
+      val enc = graft.text.TextOps.encodeTokens(df, v)
+        .select("doc_id", "token_ids").as[(Long, String)].collect().toMap
+      docs.foreach { case (id, text) =>
+        val decoded = enc(id).split(",").map(s => inv(s.toLong)).mkString(" ")
+        assert(decoded === text.trim.replaceAll("\\s+", " "), s"doc $id")
+      }
+    }
+  }
+
   test("asOf matches the quadratic reference on random key/time data") {
     for (round <- 1 to 3) {
       val keys = 1 to 6
