@@ -94,6 +94,8 @@ object SparkEntry {
     "q_range_join"      -> ((s, d) => Breadth.priceBands(Tables.part(s, d), s)),
     "q_scalar_subquery" -> ((s, d) => Breadth.aboveAvgCustomers(s, Tables.customer(s, d))),
     "q_approx_distinct" -> ((s, d) => Breadth.approxDistinct(Tables.orders(s, d))), // rows-only
+    // per-column data profile (nulls + exact distincts, one scan)
+    "q_profile" -> ((s, d) => graft.etl.Profile.profile(Tables.orders(s, d))),
     // count-min sketch estimates vs exact counts (md5 hash rows replay in SQL)
     "q_countmin" -> ((s, d) =>
       graft.analytics.Sketches.countMinEstimates(Tables.events(s, d), "user_id")),
@@ -1315,6 +1317,13 @@ object SparkEntry {
         |       r.prev % 2048 AS pack_offset,
         |       (r.prev % 2048 + r.nt > 2048) AS spans_boundary
         |FROM pencfull ef JOIN prun r ON ef.doc_id = r.doc_id""".stripMargin,
+    // one SELECT per profiled column, stacked
+    "q_profile" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      .map(c => s"""SELECT '$c' AS col_name,
+        | CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+        | CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct FROM orders""".stripMargin)
+      .mkString("\nUNION ALL\n"),
     // count-min sketch, replayed cell-for-cell: same md5 bucket function,
     // same depth/width, estimate = min over the key's counters
     "q_countmin" ->

@@ -64,4 +64,17 @@ class EtlSpec extends AnyFunSuite {
     val badDay = fact.filter($"date_id" % 100 =!= 1).count()
     assert(badDay === 0)
   }
+
+  test("profile counts nulls and exact distincts per column in one pass") {
+    val df = Seq(
+      (Some(1), Some("a")), (Some(1), None), (Some(2), Some("b")), (None, Some("b"))
+    ).toDF("x", "y")
+    val got = graft.etl.Profile.profile(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("x") === ((1L, 2L)))
+    assert(got("y") === ((1L, 2L)))
+    intercept[IllegalArgumentException] {
+      graft.etl.Profile.profile(df, Seq("zzz"))
+    }
+  }
 }
