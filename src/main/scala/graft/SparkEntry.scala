@@ -203,6 +203,8 @@ object SparkEntry {
         docs.filter(col("doc_id") % 50 === 0),
         minShared = 2)
     }),
+    // BM25 lexical search top-k (micro-unit exact score sums)
+    "text_bm25_topk" -> ((s, d) => graft.text.Bm25.topK(Tables.documents(s, d))),
     // --- similarity search over embeddings (north star) ---
     "ann_topk_brute" -> ((s, d) => Ann.bruteForceTopK(Tables.embeddings(s, d))),
     "ann_topk_lsh"   -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
@@ -1317,6 +1319,41 @@ object SparkEntry {
         |       r.prev % 2048 AS pack_offset,
         |       (r.prev % 2048 + r.nt > 2048) AS spans_boundary
         |FROM pencfull ef JOIN prun r ON ef.doc_id = r.doc_id""".stripMargin,
+    // BM25: identical literal constants and association order; scores are
+    // exact micro-unit long sums, so partial-agg order can't move them
+    "text_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lower(t) AS token
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |        FROM documents) u
+        |  WHERE t <> ''),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+        |                 (SELECT SUM(dl) FROM dl) AS total_len),
+        |posting AS (
+        |  SELECT tf.doc_id, tf.token,
+        |         CAST(floor(
+        |           ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |           * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+        |                / (CAST(s.total_len AS DOUBLE) / s.n_docs))))
+        |           * 1000000.0 + 0.5) AS BIGINT) AS s_micro
+        |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        |          JOIN dfreq d ON tf.token = d.token
+        |          CROSS JOIN stats s),
+        |q AS (SELECT DISTINCT doc_id AS query_id, token FROM toks WHERE doc_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, p.doc_id, CAST(SUM(p.s_micro) AS BIGINT) AS score_micro
+        |  FROM posting p JOIN q ON p.token = q.token
+        |  WHERE p.doc_id <> q.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, doc_id, score_micro,
+        |       CAST(score_micro AS DOUBLE) / 1000000.0 AS score,
+        |       CAST(rnk AS INTEGER) AS rank
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY score_micro DESC, doc_id) AS rnk FROM scored) t
+        |WHERE rnk <= 5""".stripMargin,
     // one SELECT per profiled column, stacked
     "q_profile" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate", "o_orderpriority")

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.Bm25
+
+class Bm25Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").withColumn("n_chars",
+      org.apache.spark.sql.functions.length($"text").cast("long"))
+
+  test("rare shared terms outrank common shared terms") {
+    // query doc 0 shares the rare "zebra" with doc 10, only the ubiquitous
+    // "the" with doc 11; every other doc also has "the" (making it cheap)
+    val corpus = docs(Seq(
+      0L -> "the zebra runs",
+      10L -> "the zebra sleeps well today",
+      11L -> "the cat sleeps on a mat") ++
+      (20L to 30L).map(i => i -> "the quick brown fox jumps"): _*)
+    val ranked = Bm25.topK(corpus, k = 3, nQueries = 1)
+      .select("doc_id", "rank").as[(Long, Int)].collect().toMap
+    assert(ranked(10L) === 1, s"zebra doc must rank first: $ranked")
+  }
+
+  test("scores are exact micro-unit sums: deterministic across partitioning") {
+    val base = (1L to 200L).map(i =>
+      i -> s"token${i % 7} token${i % 11} token${i % 13} filler common words")
+    val a = Bm25.topK(docs(base: _*), k = 5, nQueries = 5)
+      .select("query_id", "doc_id", "score_micro")
+      .as[(Long, Long, Long)].collect().toSet
+    val shuffled = docs(base: _*).repartition(17)
+    val b = Bm25.topK(shuffled, k = 5, nQueries = 5)
+      .select("query_id", "doc_id", "score_micro")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("higher tf of a query term scores higher, all else equal") {
+    val corpus = docs(
+      0L -> "apple orchard",
+      10L -> "apple apple apple banana pear plum",
+      11L -> "apple banana pear plum kiwi fig")
+    val scores = Bm25.topK(corpus, k = 5, nQueries = 1)
+      .select("doc_id", "score_micro").as[(Long, Long)].collect().toMap
+    assert(scores(10L) > scores(11L))
+  }
+}
