@@ -125,6 +125,75 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  case class OpenSession(start: Long, last: Long, n: Long)
+  case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Full streaming sessionizer via `flatMapGroupsWithState` with
+    * EVENT-TIME TIMEOUTS — the custom-state escape hatch where
+    * `session_window` doesn't fit (emit-on-close semantics, per-session
+    * payload). A user's trailing session stays open in the state store
+    * with a timeout at (last event + gap); when the watermark passes it,
+    * the timed-out callback emits the closed session and frees the
+    * state — so state size tracks ACTIVE users only, and output is
+    * append-mode (each session exactly once, on close).
+    *
+    * Within a micro-batch, events are sorted and split on the gap
+    * locally (groups are per-user, so the sort is per-user-batch-sized);
+    * all but the trailing session close immediately. A batch whose
+    * events merge with the open state extends it; otherwise the open
+    * session closes first. If the timeout target is already behind the
+    * watermark the session closes inline (setTimeoutTimestamp rejects
+    * past timestamps).
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                 watermark: String = "2 hours"): Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val gapMs = gapMinutes * 60000L
+    implicit val closedEnc = Encoders.product[ClosedSession]
+    implicit val openEnc = Encoders.product[OpenSession]
+    val ts = (ms: Long) => new java.sql.Timestamp(ms)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(uid, ts(s.start), ts(s.last), s.n))
+          } else {
+            val newEvents = it.map(e => e.ts.getTime).toArray.sorted
+            // seed with the open session if the first new event extends it;
+            // otherwise the open session closes now
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var open: Option[OpenSession] = state.getOption
+            newEvents.foreach { t =>
+              open match {
+                case Some(s) if t - s.last <= gapMs =>
+                  open = Some(OpenSession(s.start, math.max(s.last, t), s.n + 1))
+                case Some(s) =>
+                  closed += ClosedSession(uid, ts(s.start), ts(s.last), s.n)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open match {
+              case Some(s) if s.last + gapMs > state.getCurrentWatermarkMs() =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.last + gapMs)
+              case Some(s) => // already expired relative to the watermark
+                closed += ClosedSession(uid, ts(s.start), ts(s.last), s.n)
+                state.remove()
+              case None => ()
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Arbitrary stateful processing: per-user running totals via
     * `mapGroupsWithState` — the escape hatch for stateful logic windows
     * can't express. Update-mode output, one row per user per trigger.

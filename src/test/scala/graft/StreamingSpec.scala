@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{count, lit, max, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.analytics.Breadth
@@ -89,6 +90,45 @@ class StreamingSpec extends AnyFunSuite {
     val viaLag = graft.analytics.Breadth.eventSessions(batch)
       .select("user_id", "n_sessions").as[(Long, Long)].collect().toMap
     assert(viaWindow === viaLag)
+  }
+
+  test("flatMapGroupsWithState sessionizer matches the batch lag sessionizer") {
+    import graft.streaming.EventStreams.Event
+    val base = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .filter($"user_id" < 25)
+    val src = java.nio.file.Files.createTempDirectory("graft_fs_src").toString
+    base.coalesce(1).write.mode("append").parquet(src)
+    val out = java.nio.file.Files.createTempDirectory("graft_fs_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_fs_chk").toString
+
+    val q = EventStreams.sessionize(
+        spark.readStream.schema(base.schema).parquet(src).as[Event])
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .start()
+    try {
+      q.processAllAvailable()
+      // two sentinel batches: the first advances the watermark, the second
+      // gives the timed-out states a trigger to emit in
+      val maxTs = base.agg(max($"ts")).head().getTimestamp(0).getTime
+      for (i <- 1 to 2) {
+        Seq((-1L * i, new java.sql.Timestamp(maxTs + i * 7L * 24 * 3600 * 1000),
+          -1L, "sentinel", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(out).filter($"user_id" >= 0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = Breadth.eventSessions(base)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
   }
 
   test("mapGroupsWithState accumulates across triggers") {
