@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, element_at, lit, lpad}
+import org.apache.spark.sql.functions.{col, concat, element_at, floor, lit, lpad}
 
 import graft.analytics.{Breadth, Breadth2, Breadth3, Queries}
 import graft.dedup.Dedup
@@ -94,6 +94,12 @@ object SparkEntry {
     "q_range_join"      -> ((s, d) => Breadth.priceBands(Tables.part(s, d), s)),
     "q_scalar_subquery" -> ((s, d) => Breadth.aboveAvgCustomers(s, Tables.customer(s, d))),
     "q_approx_distinct" -> ((s, d) => Breadth.approxDistinct(Tables.orders(s, d))), // rows-only
+    // z-order (Morton) key: pure integer bit math, engine-reproducible
+    "q_zorder" -> ((s, d) => {
+      import graft.operators.ZOrder
+      Tables.events(s, d).select(col("event_id"),
+        ZOrder.zValue(col("user_id"), floor(col("value")).cast("long")).as("zval"))
+    }),
     // per-column data profile (nulls + exact distincts, one scan)
     "q_profile" -> ((s, d) => graft.etl.Profile.profile(Tables.orders(s, d))),
     // count-min sketch estimates vs exact counts (md5 hash rows replay in SQL)
@@ -1319,6 +1325,14 @@ object SparkEntry {
         |       r.prev % 2048 AS pack_offset,
         |       (r.prev % 2048 + r.nt > 2048) AS spans_boundary
         |FROM pencfull ef JOIN prun r ON ef.doc_id = r.doc_id""".stripMargin,
+    // Morton interleave as generated bit-math terms, fully parenthesized
+    "q_zorder" -> {
+      val terms = (0 until 21).flatMap { i =>
+        Seq(s"(((user_id >> $i) & 1) << ${2 * i})",
+          s"(((CAST(floor(value) AS BIGINT) >> $i) & 1) << ${2 * i + 1})")
+      }.mkString(" | ")
+      s"SELECT event_id, ($terms) AS zval FROM events"
+    },
     // BM25: identical literal constants and association order; scores are
     // exact micro-unit long sums, so partial-agg order can't move them
     "text_bm25_topk" ->
