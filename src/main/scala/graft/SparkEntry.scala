@@ -163,6 +163,7 @@ object SparkEntry {
       Map("books" -> 1.0, "web" -> 0.5, "code" -> 0.25))),
     "q_histogram"   -> ((s, d) => Breadth3.priceHistogram(Tables.orders(s, d))),
     "embed_quantize" -> ((s, d) => Ann.quantizeInt8(Tables.embeddings(s, d))),
+    "embed_equidepth" -> ((s, d) => Ann.quantizeEquiDepth(Tables.embeddings(s, d))),
     "embed_centroids" -> ((s, d) => Ann.labelCentroids(Tables.embeddings(s, d))),
     "embed_normalize" -> ((s, d) => Ann.l2Normalize(Tables.embeddings(s, d))),
     // --- text analysis (north star: training-data pipeline ops) ---
@@ -1325,6 +1326,20 @@ object SparkEntry {
         |       r.prev % 2048 AS pack_offset,
         |       (r.prev % 2048 + r.nt > 2048) AS spans_boundary
         |FROM pencfull ef JOIN prun r ON ef.doc_id = r.doc_id""".stripMargin,
+    // per-dim exact quartile bins; strict-< on identical doubles replays
+    "embed_equidepth" ->
+      """WITH e AS (
+        |  SELECT vec_id, unnest(range(1, 65)) AS dim,
+        |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        |  FROM embeddings),
+        |b AS (SELECT dim, quantile_cont(x, [0.25, 0.5, 0.75]) AS q FROM e GROUP BY 1),
+        |binned AS (
+        |  SELECT e.vec_id, e.dim,
+        |         CASE WHEN x < q[1] THEN 0 WHEN x < q[2] THEN 1
+        |              WHEN x < q[3] THEN 2 ELSE 3 END AS bin
+        |  FROM e JOIN b ON e.dim = b.dim)
+        |SELECT vec_id, string_agg(CAST(bin AS VARCHAR), ',' ORDER BY dim) AS bins_csv
+        |FROM binned GROUP BY 1""".stripMargin,
     // Morton interleave as generated bit-math terms, fully parenthesized
     "q_zorder" -> {
       val terms = (0 until 21).flatMap { i =>

@@ -55,6 +55,39 @@ object Ann {
   private def corpus(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
 
+  /** Equi-depth (per-dimension quantile) quantization — the data-adaptive
+    * complement to [[quantizeInt8]]'s linear grid: each dimension's bin
+    * boundaries are its own exact quartiles, so every bin holds ~the same
+    * mass even under skewed coordinate distributions (what real learned
+    * embeddings have). 2-bit codes per dimension here (4 bins), the same
+    * shape PQ codebooks use.
+    *
+    * Boundaries come from the exact interpolated percentile (one
+    * explode + per-dim agg — 64 groups, broadcast back); binning is a
+    * row-local CASE. Exact percentiles buffer per-group values, but the
+    * groups here are DIMENSIONS (few, huge) — at corpus scale swap in
+    * `approx_percentile` per the sizing note in SCALE.md; the bin
+    * semantics (strict `<` on identical doubles) replay in DuckDB's
+    * quantile_cont either way.
+    */
+  def quantizeEquiDepth(embeddings: DataFrame): DataFrame = {
+    val elems = corpus(embeddings)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"), col("x"))
+    val bounds = elems.groupBy("dim")
+      .agg(expr("percentile(x, array(0.25D, 0.5D, 0.75D))").as("q"))
+    elems.join(broadcast(bounds), "dim")
+      .select(col("vec_id"), col("dim"),
+        when(col("x") < element_at(col("q"), 1), lit(0))
+          .when(col("x") < element_at(col("q"), 2), lit(1))
+          .when(col("x") < element_at(col("q"), 3), lit(2))
+          .otherwise(lit(3)).as("bin"))
+      .groupBy("vec_id")
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("dim"), col("bin")))),
+          s => s.getField("bin").cast("string"))).as("bins_csv"))
+  }
+
   /** Distributed Lloyd k-means over the embedding corpus — the centroid
     * TRAINER the static-grid [[ivfTopK]] index upgrades to. Fully
     * deterministic, so the whole training loop replays in the DuckDB

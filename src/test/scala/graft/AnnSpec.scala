@@ -64,4 +64,22 @@ class AnnSpec extends AnyFunSuite {
     val got = Ann.bruteForceTopK(Tables.embeddings(spark, sfDir), k = 5, nQueries = 10)
     assert(got.count() === 50)
   }
+
+  test("equi-depth bins hold ~equal mass per dimension") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sfDir)
+    val n = e.count()
+    val binned = Ann.quantizeEquiDepth(e)
+      .select(explode(split(col("bins_csv"), ",")).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(binned.keySet === Set("0", "1", "2", "3"))
+    val total = binned.values.sum
+    assert(total === n * 64)
+    // quartile bins: each within 10% of the total (ideal = 25%)
+    binned.values.foreach { c =>
+      assert(math.abs(c - total / 4.0) < total * 0.1, s"skewed bins: $binned")
+    }
+    spark.catalog.clearCache()
+  }
 }
