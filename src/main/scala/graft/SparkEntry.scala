@@ -162,6 +162,9 @@ object SparkEntry {
       "source", "doc_id",
       Map("books" -> 1.0, "web" -> 0.5, "code" -> 0.25))),
     "q_histogram"   -> ((s, d) => Breadth3.priceHistogram(Tables.orders(s, d))),
+    // A-ES weighted sampling: longer documents oversampled ∝ n_chars
+    "q_weighted_sample" -> ((s, d) => graft.operators.Sampling.weightedSample(
+      Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id", "n_chars", 100)),
     "embed_quantize" -> ((s, d) => Ann.quantizeInt8(Tables.embeddings(s, d))),
     "embed_equidepth" -> ((s, d) => Ann.quantizeEquiDepth(Tables.embeddings(s, d))),
     "embed_centroids" -> ((s, d) => Ann.labelCentroids(Tables.embeddings(s, d))),
@@ -1326,6 +1329,15 @@ object SparkEntry {
         |       r.prev % 2048 AS pack_offset,
         |       (r.prev % 2048 + r.nt > 2048) AS spans_boundary
         |FROM pencfull ef JOIN prun r ON ef.doc_id = r.doc_id""".stripMargin,
+    // Efraimidis–Spirakis keys from the same md5 uniforms, round-before-rank
+    "q_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |         round(ln((('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT::DOUBLE + 1.0)
+        |               / 1152921504606846976.0) / n_chars, 6) AS es_key
+        |  FROM documents) t
+        |ORDER BY es_key DESC, doc_id
+        |LIMIT 100""".stripMargin,
     // per-dim exact quartile bins; strict-< on identical doubles replays
     "embed_equidepth" ->
       """WITH e AS (

@@ -39,6 +39,33 @@ object Sampling {
     * rows), and row-local — zero shuffle, scan-bandwidth scaling. The
     * standard way large corpora pin held-out sets.
     */
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * each row draws u ∈ (0,1] from a seeded md5 of its id and gets the
+    * key ln(u)/w; the k LARGEST keys are the sample. Inclusion
+    * probability is proportional-to-weight-without-replacement — the
+    * curation primitive for "oversample high-quality sources"
+    * reproducibly.
+    *
+    * Deterministic end to end: u is a pure function of (seed, id), the
+    * key is one log + one division ROUNDED to 1e-6 with an id tie-break
+    * (the round-before-rank rule — ln() may differ in the last ulp
+    * across engines, and ranking on the rounded value keeps the sample
+    * oracle-replayable), and the top-k (`orderBy`+`limit` →
+    * TakeOrderedAndProject — a per-partition heap, never a global sort)
+    * cannot change under re-runs, repartitioning, or cluster growth.
+    * Changing `seed` draws a fresh sample. Weights must be > 0.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+                     seed: String = "ws"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (conv(substring(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("double") + 1.0) / lit((1L << 60).toDouble)
+    df.withColumn("__es_key", round(log(u) / col(weightCol), 6))
+      .orderBy(col("__es_key").desc, col(idCol))
+      .limit(k)
+      .drop("__es_key")
+  }
+
   def hashSplit(df: DataFrame, idCol: String,
                 splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
                 seed: String = "split"): DataFrame = {

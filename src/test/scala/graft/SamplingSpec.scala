@@ -47,4 +47,28 @@ class SamplingSpec extends AnyFunSuite {
     // sampled rows are actual source rows (projection-free subset)
     assert(sampled.join(emb, Seq("vec_id"), "left_anti").count() === 0)
   }
+
+  test("weightedSample favors heavy weights and is partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    // ids 1..100 light (w=1), 101..120 heavy (w=50)
+    val pop = ((1L to 100L).map(i => (i, 1.0)) ++ (101L to 120L).map(i => (i, 50.0)))
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(pop, "id", "w", 30)
+      .select("id").as[Long].collect().toSet
+    assert(got.size === 30)
+    // E-S inclusion: the 20 heavy rows carry 1000/1100 of the total weight;
+    // nearly all must be drawn into a 30-row sample
+    val heavyIn = got.count(_ > 100L)
+    assert(heavyIn >= 15, s"only $heavyIn heavy rows sampled")
+    // deterministic under repartitioning, fresh under a new seed
+    val again = Sampling.weightedSample(pop.repartition(13), "id", "w", 30)
+      .select("id").as[Long].collect().toSet
+    assert(again === got)
+    val reseeded = Sampling.weightedSample(pop, "id", "w", 30, seed = "other")
+      .select("id").as[Long].collect().toSet
+    assert(reseeded !== got)
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(pop, "id", "w", 0)
+    }
+  }
 }
