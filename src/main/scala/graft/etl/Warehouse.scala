@@ -117,4 +117,29 @@ object Warehouse {
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
   }
+
+  /** Small-file compaction — the maintenance pass every streaming or
+    * micro-batch sink eventually needs (a 1-minute-trigger sink writes
+    * ~1440 files/day/partition; scans then pay one task + one footer
+    * read per file). Rewrites a dataset into ceil(rows/targetRecords)
+    * near-equal files using round-robin repartition, plus
+    * `maxRecordsPerFile` as the hard ceiling for writer-side splits.
+    * Optionally sorts within files by `sortCols` to restore min/max
+    * skipping that streaming appends destroyed (compose with
+    * [[graft.operators.ZOrder.clusterByZ]] for two-dimensional layouts).
+    */
+  def compact(df: DataFrame, outPath: String, targetRecords: Long,
+              sortCols: Seq[String] = Nil): Long = {
+    require(targetRecords > 0, "targetRecords must be positive")
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + targetRecords - 1) / targetRecords).toInt
+    val arranged =
+      if (sortCols.isEmpty) df.repartition(nFiles)
+      else df.repartitionByRange(nFiles, sortCols.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+    arranged.write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRecords)
+      .parquet(outPath)
+    rows
+  }
 }

@@ -129,13 +129,15 @@ object Ann {
       .toIndexedSeq.map(_.getSeq[Double](0).toArray).zipWithIndex
       .map { case (v, i) => (i + 1, v) }
     def assign(): DataFrame = {
-      val best = least(cents.map { case (cid, c) =>
+      val candidates = cents.map { case (cid, c) =>
         val lits = array(c.map(lit): _*)
         struct(
           round(aggregate(zip_with(col("v"), lits, (x, y) => (x - y) * (x - y)),
             lit(0.0), (acc, d) => acc + d), 6).as("d"),
           lit(cid).as("cid"))
-      }: _*)
+      }
+      // least() demands >= 2 args; k = 1 degenerates to the single candidate
+      val best = if (candidates.size == 1) candidates.head else least(candidates: _*)
       e.select(col("vec_id"), col("v"),
         best.getField("cid").as("cid"), best.getField("d").as("dist"))
     }

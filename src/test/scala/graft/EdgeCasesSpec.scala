@@ -112,4 +112,42 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(rows.length === 1)
     assert(rows.head.getAs[Int]("is_current") === 1)
   }
+
+  test("batch 6-8 operators on empty inputs: empty results, no crashes") {
+    val noDocs = Seq.empty[(Long, String, Long)].toDF("doc_id", "text", "n_chars")
+    assert(graft.operators.Packing.packSequences(noDocs).count() === 0)
+    assert(graft.text.TextOps.repetition(noDocs).count() === 0)
+    assert(graft.text.TextOps.c4LineFilter(noDocs).count() === 0)
+    assert(graft.text.TextOps.vocab(noDocs).count() === 0)
+    assert(graft.text.TextOps.encodeTokens(noDocs,
+      graft.text.TextOps.vocab(noDocs)).count() === 0)
+    assert(graft.text.Bm25.topK(noDocs).count() === 0)
+    val noKeys = Seq.empty[(Long, Long)].toDF("k", "x")
+    assert(graft.analytics.Sketches.countMinEstimates(noKeys, "k").count() === 0)
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.dedup.Dedup.dupClustersStar(noPairs).count() === 0)
+    val noRows = Seq.empty[(Long, Double)].toDF("id", "w")
+    assert(graft.operators.Sampling.weightedSample(noRows, "id", "w", 5).count() === 0)
+    spark.catalog.clearCache()
+  }
+
+  test("weightedSample with k larger than the population returns everything") {
+    val pop = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "w")
+    val got = graft.operators.Sampling.weightedSample(pop, "id", "w", 100)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L, 3L))
+  }
+
+  test("zValue rejects out-of-range bit widths; kmeans handles iters = 0") {
+    intercept[IllegalArgumentException] {
+      graft.operators.ZOrder.zValue(lit(1L), lit(2L), bits = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.ZOrder.zValue(lit(1L), lit(2L), bits = 32)
+    }
+    val one = Seq((1L, Seq(1.0f, 0.0f), "a")).toDF("vec_id", "embedding", "label")
+    val out = graft.similarity.Ann.kmeansAssign(one, k = 1, iters = 0).collect()
+    assert(out.length === 1 && out.head.getInt(1) === 1)
+    spark.catalog.clearCache()
+  }
 }
