@@ -167,6 +167,12 @@ object SparkEntry {
       Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id", "n_chars", 100)),
     "embed_quantize" -> ((s, d) => Ann.quantizeInt8(Tables.embeddings(s, d))),
     "embed_equidepth" -> ((s, d) => Ann.quantizeEquiDepth(Tables.embeddings(s, d))),
+    // rows-only: eigenvectors are corpus-dependent model state (the output
+    // itself is deterministic — fixed-point covariance, pinned signs)
+    "embed_pca" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.similarity.Pca.project(e, graft.similarity.Pca.fit(e, 4))
+    }),
     "embed_centroids" -> ((s, d) => Ann.labelCentroids(Tables.embeddings(s, d))),
     "embed_normalize" -> ((s, d) => Ann.l2Normalize(Tables.embeddings(s, d))),
     // --- text analysis (north star: training-data pipeline ops) ---
