@@ -162,6 +162,7 @@ object SparkEntry {
       "source", "doc_id",
       Map("books" -> 1.0, "web" -> 0.5, "code" -> 0.25))),
     "q_histogram"   -> ((s, d) => Breadth3.priceHistogram(Tables.orders(s, d))),
+    "q_mad_outliers" -> ((s, d) => Breadth3.madOutliers(Tables.orders(s, d))),
     // A-ES weighted sampling: longer documents oversampled ∝ n_chars
     "q_weighted_sample" -> ((s, d) => graft.operators.Sampling.weightedSample(
       Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id", "n_chars", 100)),
@@ -1335,6 +1336,14 @@ object SparkEntry {
         |       r.prev % 2048 AS pack_offset,
         |       (r.prev % 2048 + r.nt > 2048) AS spans_boundary
         |FROM pencfull ef JOIN prun r ON ef.doc_id = r.doc_id""".stripMargin,
+    // MAD outliers: two scalar medians, one literal 4.4478 = 3·1.4826
+    "q_mad_outliers" ->
+      """WITH med AS (SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders),
+        |mad AS (SELECT quantile_cont(ABS(o_totalprice - med.med), 0.5) AS mad
+        |        FROM orders, med)
+        |SELECT o_orderkey, o_totalprice,
+        |       (ABS(o_totalprice - med.med) > 4.4478 * mad.mad) AS is_outlier
+        |FROM orders, med, mad""".stripMargin,
     // Efraimidis–Spirakis keys from the same md5 uniforms, round-before-rank
     "q_weighted_sample" ->
       """SELECT doc_id, n_chars FROM (

@@ -318,4 +318,24 @@ object Breadth3 {
           .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
   }
+
+  /** Robust outlier detection via median absolute deviation: flag rows
+    * more than `k`·1.4826·MAD from the median (1.4826 ≈ the normal
+    * consistency constant; 4.4478 below pre-multiplies k = 3 to keep ONE
+    * literal — identical parse on both engines). MAD tolerates the very
+    * outliers mean/stddev rules get dragged toward, which is why data
+    * validation uses it. Two scalar passes (median, then MAD), each a
+    * broadcast 1-row relation; the flagging projection is row-local.
+    */
+  def madOutliers(orders: DataFrame): DataFrame = {
+    val med = orders.agg(expr("percentile(o_totalprice, 0.5D)").as("med"))
+    val mad = orders.crossJoin(broadcast(med))
+      .select(abs(col("o_totalprice") - col("med")).as("dev"))
+      .agg(expr("percentile(dev, 0.5D)").as("mad"))
+    orders.select("o_orderkey", "o_totalprice")
+      .crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (abs(col("o_totalprice") - col("med")) > lit(4.4478) * col("mad"))
+          .as("is_outlier"))
+  }
 }
