@@ -163,6 +163,21 @@ object SparkEntry {
       Map("books" -> 1.0, "web" -> 0.5, "code" -> 0.25))),
     "q_histogram"   -> ((s, d) => Breadth3.priceHistogram(Tables.orders(s, d))),
     "q_mad_outliers" -> ((s, d) => Breadth3.madOutliers(Tables.orders(s, d))),
+    // native Jaro-Winkler expression over brand-blocked name pairs
+    "q_jaro_pairs" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{broadcast, round}
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"), col("p_brand"))
+      val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"),
+        col("p_brand").as("brand_a"))
+      val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"),
+        col("p_brand").as("brand_b"))
+      a.join(broadcast(b),
+          col("brand_a") === col("brand_b") && col("key_a") < col("key_b"))
+        .select(col("key_a"), col("key_b"),
+          round(graft.functions.StringFunctions.jaro_winkler(
+            col("name_a"), col("name_b")), 6).as("jw"))
+        .filter(col("jw") >= 0.85)
+    }),
     // A-ES weighted sampling: longer documents oversampled ∝ n_chars
     "q_weighted_sample" -> ((s, d) => graft.operators.Sampling.weightedSample(
       Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id", "n_chars", 100)),
@@ -1336,6 +1351,14 @@ object SparkEntry {
         |       r.prev % 2048 AS pack_offset,
         |       (r.prev % 2048 + r.nt > 2048) AS spans_boundary
         |FROM pencfull ef JOIN prun r ON ef.doc_id = r.doc_id""".stripMargin,
+    // same RapidFuzz-convention Jaro-Winkler on both engines, round 1e-6
+    "q_jaro_pairs" ->
+      """SELECT key_a, key_b, jw FROM (
+        |  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |         round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey) t
+        |WHERE jw >= 0.85""".stripMargin,
     // MAD outliers: two scalar medians, one literal 4.4478 = 3·1.4826
     "q_mad_outliers" ->
       """WITH med AS (SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders),
