@@ -237,6 +237,8 @@ object SparkEntry {
     }),
     // BM25 lexical search top-k (micro-unit exact score sums)
     "text_bm25_topk" -> ((s, d) => graft.text.Bm25.topK(Tables.documents(s, d))),
+    // unigram LM quality scoring (CCNet-style perplexity filter)
+    "text_lm_score" -> ((s, d) => graft.text.Bm25.unigramLogprob(Tables.documents(s, d))),
     // --- similarity search over embeddings (north star) ---
     "ann_topk_brute" -> ((s, d) => Ann.bruteForceTopK(Tables.embeddings(s, d))),
     "ann_topk_lsh"   -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
@@ -1351,6 +1353,28 @@ object SparkEntry {
         |       r.prev % 2048 AS pack_offset,
         |       (r.prev % 2048 + r.nt > 2048) AS spans_boundary
         |FROM pencfull ef JOIN prun r ON ef.doc_id = r.doc_id""".stripMargin,
+    // Laplace unigram LM; ln pinned to micro-longs, exact per-doc sums
+    "text_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lower(t) AS token
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |        FROM documents) u
+        |  WHERE t <> ''),
+        |counts AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY 1),
+        |stats AS (SELECT SUM(c) AS n_total, COUNT(*) AS v_size FROM counts),
+        |scored AS (
+        |  SELECT tk.doc_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(CAST(floor(ln((cn.c + 1.0) / (s.n_total + s.v_size)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS lp_sum_micro
+        |  FROM toks tk JOIN counts cn ON tk.token = cn.token CROSS JOIN stats s
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |       COALESCE(sc.n_tokens, 0) AS n_tokens,
+        |       COALESCE(sc.lp_sum_micro, 0) AS lp_sum_micro,
+        |       CASE WHEN sc.n_tokens IS NULL OR sc.n_tokens = 0 THEN 0.0
+        |            ELSE CAST(sc.lp_sum_micro AS DOUBLE) / (sc.n_tokens * 1000000.0) END
+        |         AS avg_logprob
+        |FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id""".stripMargin,
     // same RapidFuzz-convention Jaro-Winkler on both engines, round 1e-6
     "q_jaro_pairs" ->
       """SELECT key_a, key_b, jw FROM (

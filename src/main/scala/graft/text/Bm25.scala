@@ -29,6 +29,46 @@ object Bm25 {
   val K1 = 1.2
   val B = 0.75
 
+  /** Unigram language-model scoring (the CCNet-style perplexity quality
+    * filter, with a unigram LM in place of the 5-gram KenLM): every
+    * document scored by its average token log-probability under a
+    * Laplace-smoothed unigram model of the corpus itself. Low scores =
+    * improbable token distributions = boilerplate/garbage candidates.
+    *
+    * Same determinism scheme as [[topK]]: per-token ln(p) pinned to
+    * `floor(x·10⁶ + 0.5)` micro-longs (works for negatives — half
+    * toward +∞ in both engines), per-doc totals exact long sums, one
+    * final division. The model is the (token, count) relation + two
+    * scalars (N, V) — broadcast model state, corpus streams once to
+    * build it and once to score.
+    */
+  def unigramLogprob(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("raw"))
+      .filter(col("raw") =!= "")
+      .select(col("doc_id"), lower(col("raw")).as("token"))
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    val stats = counts.agg(sum(col("c")).as("n_total"),
+      count(lit(1)).as("v_size"))
+    val tokMicro = floor(
+      log((col("c") + 1.0) / (col("n_total") + col("v_size"))) * 1.0e6 + 0.5)
+      .cast("long")
+    val scored = toks
+      .join(broadcast(counts), "token")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), tokMicro.as("lp_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp_micro")).as("lp_sum_micro"))
+    documents.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("lp_sum_micro"), lit(0L)).as("lp_sum_micro"),
+        when(col("n_tokens").isNull || col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("lp_sum_micro").cast("double") /
+            (col("n_tokens") * 1000000.0))
+          .as("avg_logprob"))
+  }
+
   /** (query_id, doc_id, score_micro, score, rank): top-k corpus documents
     * per query document (queries = doc_id < nQueries), scored by BM25
     * over the queries' distinct tokens. Self-matches excluded.

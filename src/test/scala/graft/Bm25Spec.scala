@@ -48,4 +48,26 @@ class Bm25Spec extends AnyFunSuite {
       .select("doc_id", "score_micro").as[(Long, Long)].collect().toMap
     assert(scores(10L) > scores(11L))
   }
+
+  test("unigram LM: common-token docs outscore rare-token docs; empties kept") {
+    val corpus = docs(
+      1L -> "the the the the",     // all high-probability tokens
+      2L -> "xylo qwer zxcv bnml", // all hapax legomena
+      3L -> "")
+    val got = Bm25.unigramLogprob(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(got(1L)._2 > got(2L)._2, s"common tokens must score higher: $got")
+    assert(got(3L) === ((0L, 0.0)))
+    // avg_logprob is a probability log: strictly negative for real docs
+    assert(got(1L)._2 < 0.0 && got(2L)._2 < 0.0)
+  }
+
+  test("unigram LM scores are partition-invariant (exact micro sums)") {
+    val base = (1L to 300L).map(i => i -> s"w${i % 12} w${i % 5} w${i % 3} tail")
+    val a = Bm25.unigramLogprob(docs(base: _*))
+      .select("doc_id", "lp_sum_micro").as[(Long, Long)].collect().toSet
+    val b = Bm25.unigramLogprob(docs(base: _*).repartition(17))
+      .select("doc_id", "lp_sum_micro").as[(Long, Long)].collect().toSet
+    assert(a === b && a.nonEmpty)
+  }
 }
