@@ -113,11 +113,17 @@ object VectorFunctions {
     ColumnBridge.column(CosineSimilarity(
       widen(ColumnBridge.expression(a)), widen(ColumnBridge.expression(b))))
 
-  /** Register `cosine_sim` for spark.sql(...) on an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Register the graft expressions for spark.sql(...) on an existing
+    * session (cosine_sim, jaro_winkler).
+    */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       exprs => CosineSimilarity(widen(exprs(0)), widen(exprs(1))), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler",
+      exprs => JaroWinklerSim(exprs(0), exprs(1)), "built-in")
+  }
 }
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` entry
@@ -132,6 +138,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "cosine_sim takes exactly two arguments")
         CosineSimilarity(VectorFunctions.widen(exprs(0)), VectorFunctions.widen(exprs(1)))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "jaro_winkler takes exactly two arguments")
+        JaroWinklerSim(exprs(0), exprs(1))
       }))
   }
 }

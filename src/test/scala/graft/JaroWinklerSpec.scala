@@ -46,6 +46,12 @@ class JaroWinklerSpec extends AnyFunSuite {
     }
   }
 
+  test("jaro_winkler is callable from spark.sql after registration") {
+    graft.functions.VectorFunctions.register(spark)
+    val r = spark.sql("SELECT jaro_winkler('MARTHA', 'MARHTA') AS j").collect()
+    assert(math.abs(r.head.getDouble(0) - 0.9611111111111111) < 1e-12)
+  }
+
   test("null inputs propagate null") {
     val df = Seq((Some("a"), None: Option[String])).toDF("a", "b")
     val r = df.select(StringFunctions.jaro_winkler($"a", $"b")).collect()
