@@ -61,4 +61,17 @@ object Sketches {
       .groupBy(col(keyCol), col("exact_count"))
       .agg(min(col("cnt")).as("cm_estimate"))
   }
+
+  /** Streaming sketch build: the same cells as [[countMin]] maintained
+    * incrementally over a stream. Counter cells are associative sums, so
+    * this is a plain streaming aggregation whose state is BOUNDED BY
+    * CONSTRUCTION at depth × width rows — the defining property of a
+    * sketch, and the reason no watermark is needed: state cannot grow
+    * with the key domain or stream length. Run in update/complete mode;
+    * the spec pins stream cells == batch cells on the same data.
+    */
+  def countMinStream(stream: DataFrame, keyCol: String, width: Int = 256): DataFrame =
+    stream.select(bucketStructs(col(keyCol), width).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
 }
