@@ -163,6 +163,7 @@ object SparkEntry {
       Map("books" -> 1.0, "web" -> 0.5, "code" -> 0.25))),
     "q_histogram"   -> ((s, d) => Breadth3.priceHistogram(Tables.orders(s, d))),
     "q_mad_outliers" -> ((s, d) => Breadth3.madOutliers(Tables.orders(s, d))),
+    "q_ohlc_bars"    -> ((s, d) => Breadth3.ohlcBars(Tables.events(s, d))),
     // native Jaro-Winkler expression over brand-blocked name pairs
     "q_jaro_pairs" -> ((s, d) => {
       import org.apache.spark.sql.functions.{broadcast, round}
@@ -1383,6 +1384,24 @@ object SparkEntry {
         |  FROM part a JOIN part b
         |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey) t
         |WHERE jw >= 0.85""".stripMargin,
+    // OHLC bars: first/last by row_number, epoch-aligned 15-min buckets
+    "q_ohlc_bars" ->
+      """WITH base AS (
+        |  SELECT event_type, ts, event_id, value,
+        |         time_bucket(INTERVAL 15 MINUTE, ts) AS bar_start,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type, time_bucket(INTERVAL 15 MINUTE, ts)
+        |           ORDER BY ts ASC, event_id ASC) AS rna,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type, time_bucket(INTERVAL 15 MINUTE, ts)
+        |           ORDER BY ts DESC, event_id DESC) AS rnd
+        |  FROM events)
+        |SELECT event_type, bar_start,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       MAX(CASE WHEN rna = 1 THEN value END) AS open,
+        |       MAX(value) AS high,
+        |       MIN(value) AS low,
+        |       MAX(CASE WHEN rnd = 1 THEN value END) AS close,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+        |FROM base GROUP BY 1, 2""".stripMargin,
     // MAD outliers: two scalar medians, one literal 4.4478 = 3·1.4826
     "q_mad_outliers" ->
       """WITH med AS (SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders),

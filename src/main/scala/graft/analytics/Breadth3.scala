@@ -319,6 +319,38 @@ object Breadth3 {
         count(lit(1)).as("n_items"))
   }
 
+  /** Time-series resampling to OHLC bars: open/high/low/close (+count,
+    * decimal-exact volume) of `value` per (event_type, epoch-aligned
+    * 15-minute bucket) — the downsampling shape every metrics/market
+    * pipeline uses. Open/close are first/last by (ts, event_id) — two
+    * row_number windows over the SAME (type, bar) partitioning as the
+    * final aggregation, so the whole bar build rides one shuffle.
+    * Buckets are integer epoch-micro floors (Spark `div` == DuckDB
+    * time_bucket's epoch alignment).
+    */
+  def ohlcBars(events: DataFrame, minutes: Int = 15): DataFrame = {
+    require(minutes > 0, "bar width must be positive")
+    val us = minutes * 60L * 1000000L
+    val base = events.select(col("event_type"), col("ts"), col("event_id"),
+      col("value"),
+      expr(s"timestamp_micros((unix_micros(ts) div $us) * $us)").as("bar_start"))
+    val wAsc = Window.partitionBy("event_type", "bar_start")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wDesc = Window.partitionBy("event_type", "bar_start")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    base
+      .withColumn("rna", row_number().over(wAsc))
+      .withColumn("rnd", row_number().over(wDesc))
+      .groupBy("event_type", "bar_start")
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(when(col("rna") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rnd") === 1, col("value"))).as("close"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("volume"))
+  }
+
   /** Robust outlier detection via median absolute deviation: flag rows
     * more than `k`·1.4826·MAD from the median (1.4826 ≈ the normal
     * consistency constant; 4.4478 below pre-multiplies k = 3 to keep ONE

@@ -275,4 +275,25 @@ class Breadth3Spec extends AnyFunSuite {
       .orderBy("o_orderpriority").as[(String, Double, Long)].collect()
     assert(salted === plain)
   }
+
+  test("ohlcBars: open/close follow (ts, event_id) order, bounds exact") {
+    val t0 = 1700000100L // epoch seconds, inside a 15-min bucket
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val ev = Seq(
+      (1L, ts(t0 + 10), "m", 5.0),
+      (2L, ts(t0 + 20), "m", 9.0),
+      (3L, ts(t0 + 20), "m", 2.0),  // same ts as #2: id breaks the tie
+      (4L, ts(t0 + 1000), "m", 7.0) // next 15-min bar
+    ).toDF("event_id", "ts", "event_type", "value")
+    val bars = graft.analytics.Breadth3.ohlcBars(ev)
+      .orderBy("bar_start").collect()
+    assert(bars.length === 2)
+    val b1 = bars(0)
+    assert(b1.getAs[Long]("n_events") === 3)
+    assert(b1.getAs[Double]("open") === 5.0)
+    assert(b1.getAs[Double]("close") === 2.0) // id 3 is last at the tied ts
+    assert(b1.getAs[Double]("high") === 9.0 && b1.getAs[Double]("low") === 2.0)
+    val b2 = bars(1)
+    assert(b2.getAs[Double]("open") === 7.0 && b2.getAs[Double]("close") === 7.0)
+  }
 }
