@@ -200,6 +200,7 @@ object SparkEntry {
     "text_repetition"  -> ((s, d) => TextOps.repetition(Tables.documents(s, d))),
     "text_vocab"       -> ((s, d) => TextOps.vocab(Tables.documents(s, d))),
     "text_c4_filter"   -> ((s, d) => TextOps.c4LineFilter(Tables.documents(s, d))),
+    "text_corpus_stats" -> ((s, d) => TextOps.corpusStats(Tables.documents(s, d))),
     "text_encode"      -> ((s, d) => {
       val docs = Tables.documents(s, d)
       // vocab cut at 16 (fixture vocab is 31 tokens) so OOV paths exercise
@@ -1499,6 +1500,30 @@ object SparkEntry {
         |SELECT k.user_id, k.exact_count, CAST(MIN(c.cnt) AS BIGINT) AS cm_estimate
         |FROM keyed k JOIN cells c ON k.i = c.i AND k.bucket = c.bucket
         |GROUP BY 1, 2""".stripMargin,
+    // per-source rollup of token/char mass + C4 pass rate
+    "text_corpus_stats" ->
+      """WITH flags AS (
+        |  SELECT doc_id,
+        |         (len(list_filter(string_split(text, chr(10)), l ->
+        |           substring(l, -1, 1) IN ('.', '!', '?', '"')
+        |           AND len(regexp_split_to_array(trim(l), '\s+')) >= 5
+        |           AND NOT contains(l, '{')
+        |           AND NOT contains(lower(l), 'javascript')
+        |           AND NOT contains(lower(l), 'lorem ipsum'))) > 0) AS c4_keep
+        |  FROM documents),
+        |base AS (
+        |  SELECT d.doc_id, d.source, d.n_chars,
+        |         CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(d.text), '\s+')) END AS BIGINT) AS n_toks,
+        |         f.c4_keep
+        |  FROM documents d JOIN flags f ON d.doc_id = f.doc_id)
+        |SELECT source,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+        |       CAST(SUM(CASE WHEN c4_keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS c4_keep_frac
+        |FROM base GROUP BY 1""".stripMargin,
     // C4 line filter, replayed predicate-for-predicate via list_filter
     "text_c4_filter" ->
       """WITH staged AS (

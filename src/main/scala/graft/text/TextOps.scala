@@ -160,6 +160,29 @@ object TextOps {
         regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
         DigitRunRe, "[NUM]"))
 
+  /** Per-source corpus statistics — the dataset-card rollup (docs,
+    * token/char mass, mean length, C4-pass rate per source) every corpus
+    * release publishes. One scan: token counts and the C4 flag are
+    * row-local projections, the rollup is a single hash agg on the
+    * low-cardinality source key; ratios are single divisions of exact
+    * longs (cross-engine bit-identical).
+    */
+  def corpusStats(documents: DataFrame): DataFrame = {
+    val flagged = c4LineFilter(documents).select(col("doc_id"), col("c4_keep"))
+    documents
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .join(flagged, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("mean_chars"),
+        (sum(when(col("c4_keep"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("c4_keep_frac"))
+  }
+
   /** C4-style line-level cleaning (Raffel et al. 2020, §2.2 — the public
     * web-corpus heuristics): a line survives iff it ends in terminal
     * punctuation, has at least `minWords` words, and carries none of the
