@@ -125,6 +125,30 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming twin of `Breadth3.ohlcBars`: OHLC per (15-min window,
+    * event type) as an incremental windowed aggregation. The batch
+    * version selects open/close with row_number windows — those don't
+    * exist in streaming, so here open/close are `min_by`/`max_by` with a
+    * (ts, event_id) STRUCT ordering key, the same total order the batch
+    * tie-break uses; both reduce with partial aggregation, and watermark
+    * eviction bounds state to open windows.
+    */
+  def ohlcStream(events: DataFrame, minutes: Int = 15,
+                 watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$minutes minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("volume"))
+      .select(col("window.start").as("bar_start"), col("event_type"),
+        col("n_events"), col("open"), col("high"), col("low"), col("close"),
+        col("volume"))
+
   case class OpenSession(start: Long, last: Long, n: Long)
   case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
                            session_end: java.sql.Timestamp, n_events: Long)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.{count, lit, max, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.analytics.Breadth
+import graft.analytics.{Breadth, Breadth3}
 import graft.io.Tables
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.Event
@@ -90,6 +90,40 @@ class StreamingSpec extends AnyFunSuite {
     val viaLag = graft.analytics.Breadth.eventSessions(batch)
       .select("user_id", "n_sessions").as[(Long, Long)].collect().toMap
     assert(viaWindow === viaLag)
+  }
+
+  test("streaming OHLC bars converge to the batch bars") {
+    val base = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .filter($"event_id" < 2000)
+    val src = java.nio.file.Files.createTempDirectory("graft_oh_src").toString
+    base.coalesce(1).write.mode("append").parquet(src)
+    val out = java.nio.file.Files.createTempDirectory("graft_oh_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_oh_chk").toString
+    val q = EventStreams.ohlcStream(
+        spark.readStream.schema(base.schema).parquet(src))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .start()
+    try {
+      q.processAllAvailable()
+      val maxTs = base.agg(max($"ts")).head().getTimestamp(0).getTime
+      for (i <- 1 to 2) { // sentinel batches flush append-mode windows
+        Seq((-1L * i, new java.sql.Timestamp(maxTs + i * 7L * 24 * 3600 * 1000),
+          -1L, "sentinel", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.read.parquet(out).filter($"event_type" =!= "sentinel")
+      .select("bar_start", "event_type", "n_events", "open", "high", "low", "close")
+      .collect().map(_.toSeq).toSet
+    val batch = Breadth3.ohlcBars(base)
+      .select("bar_start", "event_type", "n_events", "open", "high", "low", "close")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
   }
 
   test("flatMapGroupsWithState sessionizer matches the batch lag sessionizer") {
