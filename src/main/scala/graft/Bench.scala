@@ -1,5 +1,8 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Driver-contract benchmark: runs every SparkEntry query against
@@ -9,11 +12,20 @@ import org.apache.spark.sql.SparkSession
   * would let Catalyst prune the projections being measured), and one cheap
   * warmup query runs first so JVM/codegen warmup isn't billed to the first
   * measured query. Queries run in sorted-name order for stable attribution.
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the
+  * median, so one GC pause or host-load spike can't fake a regression.
+  *
+  * The same JSON (plus the raw per-run samples) is also written to
+  * SPARK_GRAFT_BENCH_OUT (default `bench_results.json` in the CWD) — stdout
+  * capture can truncate a 111-query line; the file is always whole.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    val only = args.toSeq // optional query-name filter for local iteration
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,29 +41,51 @@ object Bench {
 
     def materialize(name: String): Double = {
       val t0 = System.nanoTime()
-      val dt =
-        try {
-          SparkEntry.queries(name)(spark, sfDir)
-            .write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
-        } finally {
-          // drop any intermediates a query persisted (even on failure) and
-          // collect garbage so the next timing isn't billed for this heap
-          spark.catalog.clearCache()
-          System.gc()
-        }
-      dt
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+      } finally {
+        // drop any intermediates a query persisted (even on failure) and
+        // collect garbage so the next timing isn't billed for this heap
+        spark.catalog.clearCache()
+        System.gc()
+      }
+    }
+
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0)
+      if (ok.isEmpty) -1.0
+      else { val s = ok.sorted; s(s.size / 2) }
     }
 
     // warmup: pay JVM/classloading/codegen startup outside the timings
     materialize("dim_supplier")
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> materialize(n))
+    val names = {
+      val all = SparkEntry.queries.keys.toSeq.sorted
+      if (only.isEmpty) all else all.filter(only.contains)
+    }
+    val samples = names.map { n =>
+      val xs = (1 to runs).map(_ => materialize(n))
+      System.err.println(s"[bench] $n: ${xs.map(x => f"$x%.3f").mkString(", ")}")
+      n -> xs
+    }
+    val results = samples.map { case (n, xs) => n -> median(xs) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
+    val raw = samples.map { case (k, xs) =>
+      "\"" + k + "\":[" + xs.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    Files.write(Paths.get(outPath),
+      (line + "\n" + s"""{"metric":"samples","queries":$raw}""" + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    System.err.println(s"[bench] wrote $outPath")
+    println(line)
     spark.stop()
   }
 }

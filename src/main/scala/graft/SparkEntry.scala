@@ -164,16 +164,24 @@ object SparkEntry {
     "q_histogram"   -> ((s, d) => Breadth3.priceHistogram(Tables.orders(s, d))),
     "q_mad_outliers" -> ((s, d) => Breadth3.madOutliers(Tables.orders(s, d))),
     "q_ohlc_bars"    -> ((s, d) => Breadth3.ohlcBars(Tables.events(s, d))),
-    // native Jaro-Winkler expression over brand-blocked name pairs
+    // native Jaro-Winkler expression over brand-blocked name pairs.
+    // Scale: the candidate side is the corpus itself, so unconditionally
+    // broadcasting it is an OOM at 100× — SkewJoin.dispatchedBlockJoin
+    // broadcasts only under a bounded budget (stream side spread to full
+    // parallelism) and falls back to a salted (brand, salt) equi-join
+    // beyond it. A provable length-band prefilter (m ≤ min(|a|,|b|) ⇒
+    // jaro ≤ (min/|a| + min/|b| + 1)/3; with the ≤0.4 Winkler boost,
+    // jw ≥ 0.85 forces max ≤ 4·min) drops hopeless pairs before the
+    // O(|a|·window) loop.
     "q_jaro_pairs" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{broadcast, round}
+      import org.apache.spark.sql.functions.{greatest, least, length, round}
       val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"), col("p_brand"))
-      val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"),
-        col("p_brand").as("brand_a"))
-      val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"),
-        col("p_brand").as("brand_b"))
-      a.join(broadcast(b),
-          col("brand_a") === col("brand_b") && col("key_a") < col("key_b"))
+      val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+      val b = p.select(col("p_brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+      graft.operators.SkewJoin.dispatchedBlockJoin(a, b, "p_brand")
+        .filter(col("key_a") < col("key_b") &&
+          greatest(length(col("name_a")), length(col("name_b"))) <=
+            least(length(col("name_a")), length(col("name_b"))) * 4)
         .select(col("key_a"), col("key_b"),
           round(graft.functions.StringFunctions.jaro_winkler(
             col("name_a"), col("name_b")), 6).as("jw"))

@@ -180,23 +180,24 @@ object Breadth3 {
     * standard blocking + edit-distance record-linkage shape (exact-name
     * pairs come out at distance 0).
     *
-    * Scale: a hash-partitioned self-join on the block key is the wrong
-    * plan here — a low-cardinality blocking key (25 brands) collapses
-    * onto ≤25 tasks and strands the rest of the cluster. Broadcasting
-    * the (narrow) candidate side instead keeps the stream side at full
-    * input parallelism with zero shuffle; the broadcast payload is the
-    * blocking key + name + id, not the corpus. Comparisons are then cut
-    * by a length-band prefilter (edit distance ≤ k forces |len(a) −
-    * len(b)| ≤ k) and the threshold form `levenshtein(l, r, k)`, which
-    * abandons the DP once the distance provably exceeds k. When the
-    * candidate side outgrows a broadcast, fall back to an equi-join on
-    * (block, salt) via [[SkewJoin.saltedJoin]] — same semantics, n-way
-    * parallel per block.
+    * Scale: a plain hash-partitioned self-join on the block key is the
+    * wrong plan here — a low-cardinality blocking key (25 brands)
+    * collapses onto ≤25 tasks and strands the rest of the cluster. The
+    * join shape is size-dispatched via
+    * [[graft.operators.SkewJoin.dispatchedBlockJoin]]: a candidate side
+    * within the broadcast budget is broadcast (stream side spread to
+    * full parallelism); one that outgrows it — the corpus itself at
+    * 100× — goes through a salted (block, salt) equi-join with bounded
+    * nSalts× replication instead of an unbounded broadcast. Comparisons
+    * are then cut by a length-band prefilter (edit distance ≤ k forces
+    * |len(a) − len(b)| ≤ k) and the threshold form
+    * `levenshtein(l, r, k)`, which abandons the DP once the distance
+    * provably exceeds k.
     */
   def fuzzyNamePairs(part: DataFrame, maxDist: Int = 2): DataFrame = {
     val a = part.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
     val b = part.select(col("p_brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
-    a.join(broadcast(b), "p_brand")
+    graft.operators.SkewJoin.dispatchedBlockJoin(a, b, "p_brand")
       .filter(col("key_a") < col("key_b") &&
         abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
       // threshold form returns -1 when the distance exceeds maxDist: the

@@ -15,12 +15,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * conventions, probed empirically): empty input → 0, match window
   * `max(|a|,|b|)/2 − 1`, Winkler prefix boost (p = 0.1, prefix ≤ 4)
   * applied only when jaro > 0.7 — so the oracle replays it; compare on
-  * `round(…, 6)` per the cross-engine float convention.
+  * `round(…, 6)` per the cross-engine float convention. Comparison
+  * units are Unicode codepoints (RapidFuzz convention) — the general
+  * path decodes surrogate pairs, so non-BMP text (emoji, CJK-ext)
+  * scores identically to DuckDB, not just the ASCII fixture.
   *
   * Codegen emits a static call ([[JaroWinkler.compute]]) — the
   * expression stays inside WholeStageCodegen (no interpreter fallback)
-  * while the O(|a|·window) matching loop lives in plain JVM code, the
-  * same pattern Spark's own complex string built-ins use.
+  * while the matching loop lives in plain JVM code, the same pattern
+  * Spark's own complex string built-ins use. The hot path (both sides
+  * pure-ASCII, ≤ 64 chars — every TPC-H name) runs straight over the
+  * UTF8String bytes with two Long bitmasks as the match flags: no
+  * String materialization, no per-call array allocation.
   */
 case class JaroWinklerSim(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
@@ -51,12 +57,75 @@ object JaroWinkler {
 
   /** Static entry point shared by interpreted eval and generated code. */
   def compute(ua: UTF8String, ub: UTF8String): Double = {
-    val a = ua.toString
-    val b = ub.toString
+    if (ua.numBytes == 0 || ub.numBytes == 0) return 0.0 // DuckDB convention, incl. ("","")
+    if (ua.equals(ub)) return 1.0
+    val ba = ua.getBytes
+    val bb = ub.getBytes
+    if (ba.length <= 64 && bb.length <= 64 && allAscii(ba) && allAscii(bb))
+      asciiBitmask(ba, bb)
+    else
+      generic(codePoints(ua.toString), codePoints(ub.toString))
+  }
+
+  private def allAscii(b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < b.length) { if (b(i) < 0) return false; i += 1 }
+    true
+  }
+
+  /** Surrogate-pair-aware decode: one int per Unicode codepoint. */
+  private def codePoints(s: String): Array[Int] = {
+    val n = s.codePointCount(0, s.length)
+    val out = new Array[Int](n)
+    var i = 0
+    var k = 0
+    while (k < n) { val cp = s.codePointAt(i); out(k) = cp; i += Character.charCount(cp); k += 1 }
+    out
+  }
+
+  /** ASCII hot path: match flags live in two Longs (inputs ≤ 64 bytes),
+    * transpositions walk the set bits — zero heap allocation. */
+  private def asciiBitmask(a: Array[Byte], b: Array[Byte]): Double = {
     val la = a.length
     val lb = b.length
-    if (la == 0 || lb == 0) return 0.0 // DuckDB convention, incl. ("","")
-    if (a == b) return 1.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    var aM = 0L
+    var bM = 0L
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      while (j <= hi) {
+        if (((bM >>> j) & 1L) == 0L && a(i) == b(j)) {
+          aM |= 1L << i; bM |= 1L << j; m += 1; j = hi + 1
+        } else j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var am = aM
+    var bm = bM
+    while (am != 0L) {
+      if (a(java.lang.Long.numberOfTrailingZeros(am)) !=
+          b(java.lang.Long.numberOfTrailingZeros(bm))) t += 1
+      am &= am - 1L
+      bm &= bm - 1L
+    }
+    val md = m.toDouble
+    val jaro = (md / la + md / lb + (md - t / 2) / md) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    while (l < math.min(4, math.min(la, lb)) && a(l) == b(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
+
+  /** General path over codepoint arrays (non-ASCII or > 64 units). */
+  private def generic(a: Array[Int], b: Array[Int]): Double = {
+    val la = a.length
+    val lb = b.length
     val window = math.max(math.max(la, lb) / 2 - 1, 0)
     val aMatch = new Array[Boolean](la)
     val bMatch = new Array[Boolean](lb)
@@ -68,7 +137,7 @@ object JaroWinkler {
       var j = lo
       var done = false
       while (j <= hi && !done) {
-        if (!bMatch(j) && a.charAt(i) == b.charAt(j)) {
+        if (!bMatch(j) && a(i) == b(j)) {
           aMatch(i) = true; bMatch(j) = true; m += 1; done = true
         }
         j += 1
@@ -76,14 +145,13 @@ object JaroWinkler {
       i += 1
     }
     if (m == 0) return 0.0
-    // transpositions: matched chars out of relative order, halved
     var t = 0
     var k = 0
     i = 0
     while (i < la) {
       if (aMatch(i)) {
         while (!bMatch(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) t += 1
+        if (a(i) != b(k)) t += 1
         k += 1
       }
       i += 1
@@ -92,7 +160,7 @@ object JaroWinkler {
     val jaro = (md / la + md / lb + (md - t / 2) / md) / 3.0
     if (jaro <= 0.7) return jaro
     var l = 0
-    while (l < math.min(4, math.min(la, lb)) && a.charAt(l) == b.charAt(l)) l += 1
+    while (l < math.min(4, math.min(la, lb)) && a(l) == b(l)) l += 1
     jaro + l * 0.1 * (1.0 - jaro)
   }
 }

@@ -36,6 +36,41 @@ object SkewJoin {
       .drop(replicatedRight(key)).drop("__salt")
   }
 
+  /** Size-dispatched block join for candidate-pair generation (blocked
+    * record linkage, fuzzy self-joins): both sides share a
+    * low-cardinality blocking key, and the rows-out is quadratic per
+    * block while the bytes-in is tiny — the worst shape for both a
+    * plain hash join (≤|blocks| tasks) and AQE (which coalesces by
+    * *input* bytes and would serialize the downstream per-pair
+    * compute).
+    *
+    * Dispatch, decided from Catalyst's plan statistics:
+    *  - candidate side ≤ `broadcastBudgetBytes` → broadcast it, with
+    *    the stream side explicitly spread to default parallelism first
+    *    (a broadcast join inherits the stream side's partitioning, and
+    *    a single parquet split would otherwise run the quadratic
+    *    filter on one core);
+    *  - larger → salted equi-join on (key, salt): bounded nSalts×
+    *    replication through the shuffle instead of an unbounded
+    *    broadcast, each block spread over nSalts tasks. At corpus
+    *    scale the shuffled bytes are large enough that AQE sizes real
+    *    parallelism from them.
+    *
+    * The budget default (64 MB) is deliberately above
+    * `autoBroadcastJoinThreshold`: a candidate side of tens of MB is
+    * still a safe executor broadcast, and the thing this guards
+    * against is the multi-GB corpus-sized broadcast that OOMs at 100×.
+    */
+  def dispatchedBlockJoin(stream: DataFrame, cand: DataFrame, key: String,
+                          nSalts: Int = 16,
+                          broadcastBudgetBytes: Long = 64L << 20): DataFrame = {
+    val candSize = cand.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (candSize <= BigInt(broadcastBudgetBytes)) {
+      val par = stream.sparkSession.sparkContext.defaultParallelism
+      stream.repartition(par).join(broadcast(cand), key)
+    } else saltedJoin(stream, cand, key, nSalts)
+  }
+
   /** Two-phase salted aggregation for skewed group keys: partial
     * count/sum per (key, salt), then final re-aggregation per key. Spark's
     * hash aggregate already does map-side partial combine; this adds an

@@ -33,6 +33,31 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(direct.exceptAll(salted).isEmpty && salted.exceptAll(direct).isEmpty)
   }
 
+  test("dispatchedBlockJoin: broadcast under budget, salted beyond it, same rows") {
+    val p = Tables.part(spark, sfDir).select("p_brand", "p_partkey", "p_name")
+    val a = p.select($"p_brand", $"p_partkey".as("key_a"))
+    val b = p.select($"p_brand", $"p_partkey".as("key_b"))
+    // small candidate side → broadcast path, stream side round-robin spread
+    val bc = SkewJoin.dispatchedBlockJoin(a, b, "p_brand")
+    val bcPlan = bc.queryExecution.executedPlan.toString
+    assert(bcPlan.contains("BroadcastExchange"), s"expected broadcast path:\n$bcPlan")
+    assert(bcPlan.contains("RoundRobinPartitioning"),
+      s"stream side must be spread to full parallelism:\n$bcPlan")
+    // budget forced to 1 byte → salted path; disable Spark's own
+    // auto-broadcast so the no-corpus-broadcast guarantee is visible
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val salted = SkewJoin.dispatchedBlockJoin(a, b, "p_brand", broadcastBudgetBytes = 1L)
+      val sPlan = salted.queryExecution.executedPlan.toString
+      assert(!sPlan.contains("BroadcastExchange"),
+        s"salted path must not broadcast the corpus:\n$sPlan")
+      val cols = bc.columns.map(col)
+      assert(salted.select(cols: _*).exceptAll(bc).isEmpty &&
+        bc.exceptAll(salted.select(cols: _*)).isEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("IVF posting lists partitioned by centroid: probes are partition-pruned") {
     val out = java.nio.file.Files.createTempDirectory("graft_ivf").toString
     val assigned = graft.similarity.Ann.ivfAssign(
