@@ -93,7 +93,9 @@ object SparkEntry {
     "q_pivot_status"    -> ((s, d) => Breadth.revenuePivot(Tables.orders(s, d))),
     "q_range_join"      -> ((s, d) => Breadth.priceBands(Tables.part(s, d), s)),
     "q_scalar_subquery" -> ((s, d) => Breadth.aboveAvgCustomers(s, Tables.customer(s, d))),
-    "q_approx_distinct" -> ((s, d) => Breadth.approxDistinct(Tables.orders(s, d))), // rows-only
+    // each engine checks its own HLL estimate against the exact count;
+    // the error-bound verdict is the deterministic, hashable output
+    "q_approx_distinct" -> ((s, d) => Breadth.approxDistinctChecked(Tables.orders(s, d))),
     // z-order (Morton) key: pure integer bit math, engine-reproducible
     "q_zorder" -> ((s, d) => {
       import graft.operators.ZOrder
@@ -105,8 +107,9 @@ object SparkEntry {
     // count-min sketch estimates vs exact counts (md5 hash rows replay in SQL)
     "q_countmin" -> ((s, d) =>
       graft.analytics.Sketches.countMinEstimates(Tables.events(s, d), "user_id")),
+    // per-engine sketch vs per-engine exact percentile, verdicts hashable
     "q_approx_percentiles" -> ((s, d) =>
-      Breadth.approxQuantityPercentiles(Tables.lineitem(s, d))), // rows-only (sketch)
+      Breadth.approxPercentilesChecked(Tables.lineitem(s, d))),
     "q_json_extract"    -> ((s, d) => Breadth.jsonExtract(Tables.events(s, d))),
     // --- operator breadth, batch 2 (stats / argmax / frames / melt) ---
     "q_stats_summary"  -> ((s, d) => Breadth2.statsSummary(Tables.lineitem(s, d))),
@@ -192,12 +195,11 @@ object SparkEntry {
       Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id", "n_chars", 100)),
     "embed_quantize" -> ((s, d) => Ann.quantizeInt8(Tables.embeddings(s, d))),
     "embed_equidepth" -> ((s, d) => Ann.quantizeEquiDepth(Tables.embeddings(s, d))),
-    // rows-only: eigenvectors are corpus-dependent model state (the output
-    // itself is deterministic — fixed-point covariance, pinned signs)
-    "embed_pca" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      graft.similarity.Pca.project(e, graft.similarity.Pca.fit(e, 4))
-    }),
+    // eigenvectors are corpus-dependent model state — the checked output
+    // is Pca.invariants: exact data metrics + mathematical invariants
+    // any correct fit+project must satisfy (see its scaladoc)
+    "embed_pca" -> ((s, d) =>
+      graft.similarity.Pca.invariants(Tables.embeddings(s, d), k = 4)),
     "embed_centroids" -> ((s, d) => Ann.labelCentroids(Tables.embeddings(s, d))),
     "embed_normalize" -> ((s, d) => Ann.l2Normalize(Tables.embeddings(s, d))),
     // --- text analysis (north star: training-data pipeline ops) ---
@@ -611,6 +613,62 @@ object SparkEntry {
         |       round(quantile_cont(l_quantity, 0.9), 6) AS p90,
         |       round(quantile_cont(l_quantity, 0.99), 6) AS p99
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // DuckDB runs ITS own HLL and exact count; the hashable output is the
+    // error-bound verdict both engines agree on (estimates themselves are
+    // implementation-specific and deliberately not compared)
+    "q_approx_distinct" ->
+      """SELECT o_year, exact_customers,
+        |       abs(approx_customers - exact_customers)
+        |         <= exact_customers * 0.05 AS approx_ok
+        |FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |             approx_count_distinct(o_custkey) AS approx_customers,
+        |             COUNT(DISTINCT o_custkey) AS exact_customers
+        |      FROM orders GROUP BY 1) t""".stripMargin,
+    // t-digest (DuckDB) vs rank sketch (Spark): each engine verifies its
+    // own estimate against its own exact interpolated percentile
+    "q_approx_percentiles" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, COUNT(*) AS n_rows,
+        |         approx_quantile(l_quantity, 0.5) AS p50,
+        |         approx_quantile(l_quantity, 0.9) AS p90,
+        |         approx_quantile(l_quantity, 0.99) AS p99
+        |  FROM lineitem GROUP BY 1),
+        |e AS (
+        |  SELECT l_returnflag,
+        |         round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |         round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+        |         round(quantile_cont(l_quantity, 0.99), 6) AS p99
+        |  FROM lineitem GROUP BY 1)
+        |SELECT a.l_returnflag, a.n_rows,
+        |       abs(a.p50 - e.p50) <= 1.0 AS p50_ok,
+        |       abs(a.p90 - e.p90) <= 1.0 AS p90_ok,
+        |       abs(a.p99 - e.p99) <= 1.0 AS p99_ok
+        |FROM a JOIN e ON a.l_returnflag = e.l_returnflag""".stripMargin,
+    // data-derived metrics recomputed exactly (1e-9 fixed-point, the
+    // fit's own truncation scheme); model invariants pinned as expected
+    // verdicts — a broken fit/projection flips a bit and fails the hash
+    "embed_pca" ->
+      """WITH ex AS (
+        |  SELECT generate_subscripts(embedding, 1) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |mu AS (
+        |  SELECT pos,
+        |         CAST(SUM(CAST(trunc(x * 1.0E9) AS BIGINT)) AS DOUBLE)
+        |           / (CAST(COUNT(*) AS DOUBLE) * 1.0E9) AS m
+        |  FROM ex GROUP BY 1),
+        |tv AS (
+        |  SELECT CAST(SUM(CAST(trunc((x - m) * (x - m) * 1.0E9) AS BIGINT)) AS DOUBLE) AS v
+        |  FROM ex JOIN mu USING (pos))
+        |SELECT 'n_rows' AS metric,
+        |       CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE) AS value
+        |UNION ALL SELECT 'dim', CAST((SELECT MAX(len(embedding)) FROM embeddings) AS DOUBLE)
+        |UNION ALL SELECT 'k', 4.0
+        |UNION ALL SELECT 'total_var_nano', (SELECT v FROM tv)
+        |UNION ALL SELECT 'orthonormal_ok', 1.0
+        |UNION ALL SELECT 'eigs_desc_ok', 1.0
+        |UNION ALL SELECT 'explained_ratio_in_01', 1.0
+        |UNION ALL SELECT 'proj_var_matches_eig', 1.0""".stripMargin,
     "q_pivot_status" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
         |       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_open,

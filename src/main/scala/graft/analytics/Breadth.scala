@@ -319,6 +319,37 @@ object Breadth {
       .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
         countDistinct(col("o_custkey")).as("exact_customers"))
 
+  /** Oracle-checkable form of [[approxDistinct]]: each engine runs its
+    * own HLL sketch (Spark HLL++, DuckDB HyperLogLog — raw estimates are
+    * implementation-specific and can't hash-match) plus the exact
+    * distinct count, and emits the error-bound VERDICT — a deterministic
+    * boolean both engines agree on as long as both sketches honor their
+    * published error (rsd 0.02 here, bound checked at 2.5σ).
+    */
+  def approxDistinctChecked(orders: DataFrame, relErr: Double = 0.05): DataFrame =
+    approxDistinct(orders)
+      .select(col("o_year"), col("exact_customers"),
+        (abs(col("approx_customers") - col("exact_customers")) <=
+          col("exact_customers") * relErr).as("approx_ok"))
+
+  /** Oracle-checkable form of [[approxQuantityPercentiles]]: the sketch
+    * estimates (Spark KLL-style rank sketch, DuckDB t-digest) differ by
+    * implementation, so each engine checks its own estimate against its
+    * own exact interpolated percentile and emits the within-tolerance
+    * verdicts plus the exact group counts. l_quantity steps are integers
+    * spanning ~1..50 — an estimate off by more than one step is a real
+    * sketch failure on either engine.
+    */
+  def approxPercentilesChecked(lineitem: DataFrame, accuracy: Int = 10000,
+                               tol: Double = 1.0): DataFrame = {
+    val a = approxQuantityPercentiles(lineitem, accuracy)
+    val e = quantitypercentiles(lineitem)
+    val n = lineitem.groupBy("l_returnflag").agg(count(lit(1)).as("n_rows"))
+    def ok(c: String) = (abs(a(c) - e(c)) <= tol).as(s"${c}_ok")
+    n.join(a, "l_returnflag").join(e, "l_returnflag")
+      .select(col("l_returnflag"), col("n_rows"), ok("p50"), ok("p90"), ok("p99"))
+  }
+
   /** Per-window argmax: the busiest event type in each hour (time bucket +
     * count + ranked window in one plan).
     */

@@ -145,6 +145,67 @@ object Pca {
     (Array.tabulate(n)(i => a(i)(i)), v)
   }
 
+  /** Oracle-checkable invariant summary of the whole fit+project path.
+    * Eigenvectors are corpus-dependent model state no second engine can
+    * reproduce bit-for-bit, so the differential contract is: (a)
+    * data-derived metrics both engines compute exactly (row count,
+    * dimensionality, total corpus variance in 1e-9 fixed-point units —
+    * the same truncation scheme the fit itself uses, replayable in ANSI
+    * SQL), and (b) mathematical invariants any correct PCA must satisfy,
+    * emitted as 1.0/0.0 verdicts: component orthonormality, eigenvalues
+    * sorted non-increasing and non-negative, explained-variance ratio in
+    * (0, 1], and the variance of the projected first coordinate equal to
+    * the top eigenvalue (ties the distributed projection back to the
+    * model). The oracle pins the expected verdicts; a broken fit flips a
+    * bit and fails the hash. Long fixed-point total-variance caps at
+    * ~10⁹ unit-scale elements per the fit's own documented bound.
+    */
+  def invariants(embeddings: DataFrame, k: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val model = fit(embeddings, k)
+    val e = embeddings.select(col("embedding").cast("array<double>").as("v"))
+
+    // exact fixed-point total variance: replayed verbatim by the oracle
+    val ex = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+    val mu = ex.groupBy("pos")
+      .agg(sum((col("x") * Scale).cast("long")).as("s"), count(lit(1)).as("n"))
+      .select(col("pos"),
+        (col("s").cast("double") / (col("n").cast("double") * Scale)).as("m"))
+    val totalVarNano = ex.join(mu, "pos")
+      .agg(sum(((col("x") - col("m")) * (col("x") - col("m")) * Scale).cast("long")))
+      .head().getLong(0)
+    val nRows = e.count()
+
+    // model-state invariants: k×dim driver arrays, microseconds
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val orthoErr = (for (i <- 0 until k; j <- i until k) yield
+      math.abs(dot(model.components(i), model.components(j)) -
+        (if (i == j) 1.0 else 0.0))).max
+    val eigsOk = model.eigenvalues.zip(model.eigenvalues.drop(1))
+      .forall { case (a, b) => a >= b - 1e-12 } && model.eigenvalues.last >= -1e-12
+    val totalVar = totalVarNano.toDouble / Scale / (nRows - 1)
+    val ratio = model.eigenvalues.sum / totalVar
+    val pc1Var = project(embeddings, model).agg(variance(col("pc1"))).head().getDouble(0)
+    val projOk = math.abs(pc1Var - model.eigenvalues.head) <=
+      1e-4 * math.max(model.eigenvalues.head, 1e-9)
+
+    Seq(
+      ("n_rows", nRows.toDouble),
+      ("dim", model.dim.toDouble),
+      ("k", k.toDouble),
+      ("total_var_nano", totalVarNano.toDouble),
+      ("orthonormal_ok", if (orthoErr <= 1e-9) 1.0 else 0.0),
+      ("eigs_desc_ok", if (eigsOk) 1.0 else 0.0),
+      ("explained_ratio_in_01", if (ratio > 0 && ratio <= 1 + 1e-9) 1.0 else 0.0),
+      ("proj_var_matches_eig", if (projOk) 1.0 else 0.0)
+    ).toDF("metric", "value")
+  }
+
   /** Row-local projection onto the fitted components: one fused
     * zip_with/aggregate fold per component against literal arrays —
     * no shuffle, scales with scan bandwidth. Output coordinates are

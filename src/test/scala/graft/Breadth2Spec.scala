@@ -305,6 +305,15 @@ class Breadth2Spec extends AnyFunSuite {
     }
   }
 
+  test("checked approx variants: every error-bound verdict holds") {
+    val d = Breadth.approxDistinctChecked(Tables.orders(spark, dir)).collect()
+    assert(d.nonEmpty && d.forall(_.getBoolean(2)), "HLL outside 5% of exact")
+    val p = Breadth.approxPercentilesChecked(Tables.lineitem(spark, dir)).collect()
+    assert(p.nonEmpty && p.forall(r =>
+      r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4)),
+      "approx percentile off by more than one quantity step")
+  }
+
   test("topTokens is k rows ordered by count desc then token") {
     val out = Breadth2.topTokens(Tables.documents(spark, dir), k = 20).collect()
       .map(r => (r.getString(0), r.getLong(1)))

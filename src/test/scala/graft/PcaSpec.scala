@@ -28,6 +28,16 @@ class PcaSpec extends AnyFunSuite {
     })
   }
 
+  test("invariants: every verdict row is 1.0 on the fixture corpus") {
+    val inv = Pca.invariants(Tables.embeddings(spark, TestSpark.sfDir), k = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(inv("k") == 4.0 && inv("n_rows") > 0 && inv("dim") > 0)
+    assert(inv("total_var_nano") > 0)
+    for (m <- Seq("orthonormal_ok", "eigs_desc_ok", "explained_ratio_in_01",
+        "proj_var_matches_eig"))
+      assert(inv(m) == 1.0, s"$m failed")
+  }
+
   test("planted low-rank structure: top components capture ~all variance") {
     val rnd = new scala.util.Random(9)
     // 8-dim data from 2 latent factors + tiny noise
