@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
   * are opaque `binary` columns with typed metadata; per-item processing
   * happens in batched partition-local functions.
   *
-  * The actual codec work (JPEG decode, audio resample, video demux) needs
-  * native libraries this container doesn't ship — those steps are STUBBED
-  * behind [[decodeStub]] with a deterministic fake. Everything around the
-  * stub is real and tested: the schema, the binary packing, the
-  * mapPartitions batch shape (the Scala analogue of `mapInPandas` — one
-  * iterator per partition so per-partition codec init happens once), and
-  * the frame-sampling/resizing plumbing over byte ranges.
+  * The IMAGE leg decodes for real: `javax.imageio` is pure-JVM
+  * (PNG/BMP/GIF need no native libraries), see [[decodeImage]]. Audio
+  * resample and video demux DO need native codecs this container doesn't
+  * ship — those steps stay STUBBED behind [[decodeStub]] with a
+  * deterministic fake. Everything around the stub is real and tested:
+  * the schema, the binary packing, the mapPartitions batch shape (the
+  * Scala analogue of `mapInPandas` — one iterator per partition so
+  * per-partition codec init happens once), and the
+  * frame-sampling/resizing plumbing over byte ranges.
   */
 object Multimodal {
 
@@ -80,6 +82,53 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition init of the (stubbed) codec would go here
       it.map(decodeStub)
+    }
+  }
+
+  case class ImageDecoded(media_id: Long, img_width: Int, img_height: Int,
+                          n_pixels: Long, mean_luma: Double)
+
+  /** REAL image decode — pure-JVM `javax.imageio`, no native libraries.
+    * A payload that parses yields true pixel features (decoded
+    * dimensions + mean BT.601 luma); one that doesn't (the synthetic
+    * corpus packs text bytes) yields None, the quarantine path a
+    * curation pipeline routes undecodable media down. Only the `image`
+    * kind is attempted; audio/video stay with [[decodeStub]].
+    */
+  def decodeImage(r: MediaRecord): Option[ImageDecoded] =
+    if (r.kind != "image") None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Some(ImageDecoded(r.media_id, w, h, n, if (n == 0) 0.0 else sum / n))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Distributed image decode: mapPartitions keeps the
+    * one-init-per-partition codec shape (in-memory ImageIO, no temp-file
+    * cache); undecodable rows are dropped via flatMap.
+    */
+  def decodeImages(media: Dataset[MediaRecord]): Dataset[ImageDecoded] = {
+    implicit val enc = Encoders.product[ImageDecoded]
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+      it.flatMap(decodeImage)
     }
   }
 
