@@ -218,6 +218,112 @@ object EventStreams {
       }
   }
 
+  // ---------------------------------------------------------- as-of twin
+
+  case class AsOfLeftRow(event_id: Long, user_id: Long, ts: java.sql.Timestamp)
+  case class AsOfRightRow(key: Long, rts: java.sql.Timestamp,
+                          o_orderkey: Long, o_totalprice: Double)
+  case class AsOfUnionRow(key: Long, ts: java.sql.Timestamp, side: Int,
+                          event_id: Long, o_orderkey: Long, o_totalprice: Double)
+  case class AsOfBuf(rTs: Array[Long], rKey: Array[Long], rVal: Array[Double],
+                     lTs: Array[Long], lId: Array[Long])
+  case class AsOfMatched(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+                         o_orderkey: Option[Long],
+                         o_orderdate: Option[java.sql.Timestamp],
+                         o_totalprice: Option[Double])
+
+  /** Streaming twin of [[graft.operators.AsOfJoin.asOf]] (the
+    * `q_asof_join` batch query): each left event is matched to the
+    * latest right row with the same key at-or-before its event time.
+    *
+    * Spark's stream-stream joins need BOTH-SIDED time bounds to expire
+    * state, but backward as-of has an unbounded lookback — so this is
+    * `flatMapGroupsWithState` with event-time timeouts instead. Both
+    * inputs union into one keyed, watermarked stream; per-key state
+    * holds (a) buffered lefts newer than the watermark, and (b) rights
+    * newer than the watermark PLUS the single latest right at-or-below
+    * it — everything an as-of match for any future-arriving left could
+    * need, and nothing more. When the watermark passes a left's
+    * timestamp, no earlier right can arrive, so the match is final:
+    * emitted exactly once (append mode) and freed. State per key is
+    * O(rate × watermark) + 1 retained right — the irreducible as-of
+    * memory (the "latest right" must survive idle periods; put a TTL on
+    * it only if your domain allows forgetting).
+    *
+    * Same precondition as the batch operator: rights unique per
+    * (key, ts) — pre-deduplicate with `AsOfJoin.latestPerKeyTs`.
+    */
+  def asOfStream(lefts: Dataset[AsOfLeftRow], rights: Dataset[AsOfRightRow],
+                 watermark: String = "2 hours"): Dataset[AsOfMatched] = {
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val unionEnc = Encoders.product[AsOfUnionRow]
+    implicit val bufEnc = Encoders.product[AsOfBuf]
+    implicit val outEnc = Encoders.product[AsOfMatched]
+    // state keeps event time in MICROS (Spark's timestamp precision) — a
+    // millis round-trip would corrupt sub-millisecond event timestamps
+    val toMicros = (t: java.sql.Timestamp) => t.getTime / 1000 * 1000000 + t.getNanos / 1000
+    val ts = (us: Long) => {
+      val t = new java.sql.Timestamp(us / 1000000 * 1000)
+      t.setNanos((us % 1000000).toInt * 1000)
+      t
+    }
+
+    val taggedL = lefts.map(l => AsOfUnionRow(l.user_id, l.ts, 1, l.event_id, 0L, 0.0))
+    val taggedR = rights.map(r => AsOfUnionRow(r.key, r.rts, 0, 0L, r.o_orderkey, r.o_totalprice))
+
+    taggedL.unionByName(taggedR)
+      .withWatermark("ts", watermark)
+      .groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[AsOfBuf, AsOfMatched](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[AsOfUnionRow], state: GroupState[AsOfBuf]) =>
+          val prev = state.getOption.getOrElse(
+            AsOfBuf(Array.empty, Array.empty, Array.empty, Array.empty, Array.empty))
+          val rBuf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          prev.rTs.indices.foreach(i => rBuf += ((prev.rTs(i), prev.rKey(i), prev.rVal(i))))
+          val lBuf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          prev.lTs.indices.foreach(i => lBuf += ((prev.lTs(i), prev.lId(i))))
+          it.foreach { r =>
+            if (r.side == 0) rBuf += ((toMicros(r.ts), r.o_orderkey, r.o_totalprice))
+            else lBuf += ((toMicros(r.ts), r.event_id))
+          }
+          val rSorted = rBuf.sortBy(_._1).toArray
+          val wm = state.getCurrentWatermarkMs() * 1000 // millis → micros
+
+          // lefts older than the watermark are final: no earlier right can arrive
+          val (done, pending) = lBuf.partition(_._1 < wm)
+          val out = done.sortBy(l => (l._1, l._2)).map { case (lts, lid) =>
+            // greatest right ts <= left ts (exact matches included)
+            var lo = 0; var hi = rSorted.length - 1; var best = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (rSorted(mid)._1 <= lts) { best = mid; lo = mid + 1 } else hi = mid - 1
+            }
+            if (best < 0) AsOfMatched(lid, key, ts(lts), None, None, None)
+            else AsOfMatched(lid, key, ts(lts), Some(rSorted(best)._2),
+              Some(ts(rSorted(best)._1)), Some(rSorted(best)._3))
+          }
+
+          // prune rights: keep those at/after the watermark + the single
+          // latest one strictly before it
+          val keepFrom = {
+            val firstAtWm = rSorted.indexWhere(_._1 >= wm)
+            val boundary = if (firstAtWm < 0) rSorted.length else firstAtWm
+            math.max(boundary - 1, 0)
+          }
+          val rKept = rSorted.drop(keepFrom)
+
+          if (rKept.isEmpty && pending.isEmpty) state.remove()
+          else {
+            state.update(AsOfBuf(rKept.map(_._1), rKept.map(_._2), rKept.map(_._3),
+              pending.map(_._1).toArray, pending.map(_._2).toArray))
+            if (pending.nonEmpty) // timeout API takes millis; round up past wm
+              state.setTimeoutTimestamp(math.max(pending.map(_._1).min, wm) / 1000 + 1)
+          }
+          out.iterator
+      }
+  }
+
   /** Arbitrary stateful processing: per-user running totals via
     * `mapGroupsWithState` — the escape hatch for stateful logic windows
     * can't express. Update-mode output, one row per user per trigger.

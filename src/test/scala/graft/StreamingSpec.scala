@@ -165,6 +165,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming as-of join matches the batch as-of join") {
+    import graft.streaming.EventStreams.{AsOfLeftRow, AsOfRightRow}
+    import graft.operators.AsOfJoin
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
+      .filter($"user_id" < 25)
+    val ord = AsOfJoin.latestPerKeyTs(
+        Tables.orders(spark, sfDir)
+          .select($"o_custkey", $"o_orderdate".cast("timestamp").as("o_orderdate"),
+            $"o_orderkey", $"o_totalprice"),
+        "o_custkey", "o_orderdate", "o_orderkey")
+      .filter($"o_custkey" < 25)
+
+    val srcL = java.nio.file.Files.createTempDirectory("graft_asof_l").toString
+    val srcR = java.nio.file.Files.createTempDirectory("graft_asof_r").toString
+    ev.coalesce(1).write.mode("append").parquet(srcL)
+    ord.coalesce(1).write.mode("append").parquet(srcR)
+    val out = java.nio.file.Files.createTempDirectory("graft_asof_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_asof_chk").toString
+
+    val lefts = spark.readStream.schema(ev.schema).parquet(srcL).as[AsOfLeftRow]
+    val rights = spark.readStream.schema(ord.schema).parquet(srcR)
+      .select($"o_custkey".as("key"), $"o_orderdate".as("rts"),
+        $"o_orderkey", $"o_totalprice")
+      .as[AsOfRightRow]
+    val q = graft.streaming.EventStreams.asOfStream(lefts, rights)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .start()
+    try {
+      q.processAllAvailable()
+      // sentinel rights on an unused key advance the shared watermark so
+      // pending lefts time out and emit (same flush pattern as the
+      // sessionizer test above)
+      val maxTs = ev.agg(max($"ts")).head().getTimestamp(0).getTime
+      for (i <- 1 to 2) {
+        Seq((-1L, new java.sql.Timestamp(maxTs + i * 7L * 24 * 3600 * 1000), -1L, 0.0))
+          .toDF("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+          .coalesce(1).write.mode("append").parquet(srcR)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(out)
+      .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate", "o_totalprice")
+      .collect().map(_.toSeq).toSet
+    val batch = AsOfJoin.asOf(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate",
+        Seq("o_orderkey", "o_orderdate", "o_totalprice"))
+      .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate", "o_totalprice")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("mapGroupsWithState accumulates across triggers") {
     val stream = MemoryStream[Event]
     val q = EventStreams.runningUserCounts(stream.toDS())
