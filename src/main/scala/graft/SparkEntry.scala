@@ -966,10 +966,14 @@ object SparkEntry {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM assigned
         |GROUP BY 1, 2, 3""".stripMargin,
+    // hi = lo guard mirrors priceHistogram's degenerate-input handling
+    // (constant column → everything in bin 0, not NULL bins)
     "q_histogram" ->
       """WITH bounds AS (
         |  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
-        |SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20.0)), 19) AS INTEGER) AS bin,
+        |SELECT CAST(CASE WHEN hi = lo THEN 0
+        |            ELSE LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20.0)), 19)
+        |            END AS INTEGER) AS bin,
         |       COUNT(*) AS n_orders
         |FROM orders CROSS JOIN bounds
         |GROUP BY 1""".stripMargin,

@@ -27,11 +27,12 @@ import graft.text.TextOps
   * operators persist their shared intermediate (MEMORY_AND_DISK) because
   * both join sides reference it — the result is lazy, so the operator
   * itself cannot know when it is safe to unpersist. After consuming the
-  * returned DataFrame (collect/write), the caller releases the cache with
-  * `spark.catalog.clearCache()` (what Bench/Verify do between queries) or
-  * by unpersisting. In a long-lived session, skipping this accumulates
-  * cached blocks until executor storage evicts them under pressure —
-  * safe but wasteful.
+  * returned DataFrame (collect/write), the caller releases the cache —
+  * structurally with [[graft.operators.Caching.withCaches]] (unpersists
+  * on scope exit), or by hand with `spark.catalog.clearCache()` (what
+  * Bench/Verify do between queries). In a long-lived session, skipping
+  * this accumulates cached blocks until executor storage evicts them
+  * under pressure — safe but wasteful.
   */
 object Dedup {
 
@@ -395,6 +396,18 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // partially-propagated labels are silently WRONG (downstream keeps
+    // wrong survivors) — fail loudly instead. Min-label propagation needs
+    // ~component-diameter rounds; the star-contraction variant
+    // (dupClustersStar) converges in O(log n) rounds for chain-shaped
+    // components that blow past maxIter here.
+    if (!converged) {
+      cached.unpersist()
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIter rounds — a component has " +
+          s"diameter > $maxIter; raise maxIter or use dupClustersStar " +
+          "(O(log n) rounds)")
+    }
     labels
   }
 
@@ -525,6 +538,15 @@ object Dedup {
       converged = cur == prev
       prev = cur
       iter += 1
+    }
+    // same loud-failure contract as dupClusters: a non-converged edge set
+    // yields partially-contracted (wrong) labels downstream
+    if (!converged) {
+      edges.unpersist()
+      throw new IllegalStateException(
+        s"dupClustersStar did not converge in $maxIter rounds (star " +
+          "contraction is O(log n) — this indicates maxIter set far too " +
+          "low for the component sizes); raise maxIter")
     }
     // fixed point: every edge is (member, component-min); minima label
     // themselves. Self-loop pairs (a, a) — which canon dropped — still

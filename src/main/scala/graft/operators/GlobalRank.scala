@@ -40,6 +40,8 @@ object GlobalRank {
   def rankDist(df: DataFrame, valueCol: String): DataFrame = {
     require(!df.columns.contains("pct_rank") && !df.columns.contains("cume"),
       "rankDist appends pct_rank/cume; input must not already define them")
+    require(!df.columns.contains("__rd_val"),
+      "rankDist reserves the internal column name __rd_val")
     val byVal = df.groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
     // prefix of counts over values strictly smaller
     val w = Window.orderBy(valueCol).rowsBetween(Window.unboundedPreceding, -1)
@@ -47,11 +49,13 @@ object GlobalRank {
     val dist = byVal
       .withColumn("before", coalesce(sum("cnt").over(w), lit(0L)))
       .crossJoin(broadcast(totals))
-      .select(col(valueCol),
+      .select(col(valueCol).as("__rd_val"),
         when(col("n_total") === 1, 0.0)
           .otherwise(col("before") / (col("n_total") - 1)).as("pct_rank"),
         ((col("before") + col("cnt")) / col("n_total")).as("cume"))
-    df.join(dist, Seq(valueCol))
+    // null-SAFE equality: the window formulation this replaces ranks null
+    // values (nulls-first), so a plain equi-join would silently drop them
+    df.join(dist, col(valueCol) <=> col("__rd_val")).drop("__rd_val")
   }
 
   /** Global row number over a TOTAL order (sortCols must be unique in

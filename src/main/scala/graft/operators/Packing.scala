@@ -44,8 +44,14 @@ object Packing {
     val vIdx = sorted.schema.fieldIndex(valueCol)
     require(sorted.schema(vIdx).dataType == LongType,
       s"$valueCol must be LONG (cast upstream)")
+    // NOT cached: both passes run jobs over the same RDD object, so the
+    // range-partition exchange's map output is computed once and the
+    // second job reuses the shuffle files (its map stage is skipped).
+    // The repeated cost is only the partition-local sort on the read
+    // side — cheaper than parking a corpus-sized RDD in block storage,
+    // and nothing leaks (an `rdd.cache()` here would sit outside the
+    // `catalog.clearCache()` contract until GC).
     val rdd = sorted.rdd
-    rdd.cache() // both passes scan it; avoids recomputing the range shuffle
     // pass 1: one subtotal per partition → driver (tiny: #partitions longs)
     val partSums = rdd
       .mapPartitionsWithIndex { (i, it) =>

@@ -33,6 +33,43 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(t.getAs[Int]("t") === 1)
   }
 
+  test("rankDist preserves null-valued rows (null-safe join-back)") {
+    val df = Seq((1L, Some(1.0)), (2L, None), (3L, Some(2.0)), (4L, None))
+      .toDF("id", "v")
+    val out = GlobalRank.rankDist(df, "v")
+    assert(out.count() === 4) // an equi-join would drop the two null rows
+    // nulls-first ordering: the null group ranks lowest, like the window
+    val nullRows = out.filter($"v".isNull).collect()
+    assert(nullRows.length === 2)
+    assert(nullRows.forall(_.getAs[Double]("pct_rank") === 0.0))
+    assert(nullRows.forall(_.getAs[Double]("cume") === 0.5))
+  }
+
+  test("dupClusters throws (not silently mislabels) when maxIter is too low") {
+    // a 6-node chain has diameter 5: one min-label round cannot converge
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      graft.dedup.Dedup.dupClusters(chain, maxIter = 1, driverThreshold = 0L).count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // with enough rounds the same input labels the whole chain as one cluster
+    val ok = graft.dedup.Dedup.dupClusters(chain, maxIter = 10, driverThreshold = 0L)
+    assert(ok.select("cluster_id").distinct().count() === 1)
+  }
+
+  test("withCaches releases every cache the scope accumulated") {
+    import graft.operators.Caching.withCaches
+    val docs = Tables.documents(spark, sfDir)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    withCaches(spark) {
+      // minhashDedup persists its signature relation; materialize inside
+      assert(graft.dedup.Dedup.minhashDedup(docs).count() >= 0)
+      assert(spark.sparkContext.getPersistentRDDs.size > before)
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size <= before)
+  }
+
   test("ntileByRange rejects reserved column names and k <= 0") {
     val df = Seq((1L, 2.0)).toDF("id", "__n")
     intercept[IllegalArgumentException] {
