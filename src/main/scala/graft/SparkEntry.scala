@@ -110,6 +110,14 @@ object SparkEntry {
     // per-engine sketch vs per-engine exact percentile, verdicts hashable
     "q_approx_percentiles" -> ((s, d) =>
       Breadth.approxPercentilesChecked(Tables.lineitem(s, d))),
+    // mergeable SpaceSaving aggregate (custom TypedImperativeAggregate):
+    // guarantee-verdicts over exact counts — deterministic under any
+    // merge order, unlike the estimates themselves. k = 30 on a 31-token
+    // near-uniform (~3.4% share) fixture vocabulary: the only value that
+    // exercises BOTH eviction (k < distinct) and a nonempty heavy set
+    // (1/k below the top shares)
+    "q_heavy_hitters" -> ((s, d) =>
+      graft.analytics.Sketches.heavyHitterTokens(Tables.documents(s, d), k = 30)),
     "q_json_extract"    -> ((s, d) => Breadth.jsonExtract(Tables.events(s, d))),
     // --- operator breadth, batch 2 (stats / argmax / frames / melt) ---
     "q_stats_summary"  -> ((s, d) => Breadth2.statsSummary(Tables.lineitem(s, d))),
@@ -624,6 +632,18 @@ object SparkEntry {
         |             approx_count_distinct(o_custkey) AS approx_customers,
         |             COUNT(DISTINCT o_custkey) AS exact_customers
         |      FROM orders GROUP BY 1) t""".stripMargin,
+    // exact token counts replayed; the SpaceSaving guarantees (true heavy
+    // hitters present, overestimate <= N/k) are pinned TRUE — they hold
+    // under any merge order, so a violation is a real sketch bug
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS raw FROM documents),
+        |t2 AS (SELECT lower(raw) AS token FROM toks WHERE raw <> ''),
+        |exact AS (SELECT token, COUNT(*) AS n_exact FROM t2 GROUP BY 1),
+        |total AS (SELECT COUNT(*) AS n_total FROM t2)
+        |SELECT token, n_exact, TRUE AS in_sketch, TRUE AS bounds_ok
+        |FROM exact CROSS JOIN total
+        |WHERE n_exact * 30 > n_total""".stripMargin,
     // t-digest (DuckDB) vs rank sketch (Spark): each engine verifies its
     // own estimate against its own exact interpolated percentile
     "q_approx_percentiles" ->

@@ -74,4 +74,40 @@ object Sketches {
     stream.select(bucketStructs(col(keyCol), width).as("c"))
       .groupBy(col("c.i").as("i"), col("c.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Heavy hitters over document tokens via the mergeable SpaceSaving
+    * aggregate ([[graft.functions.SketchAggregates.top_k_sketch]]) — the
+    * bounded-memory replacement for a full token `groupBy` when the
+    * vocabulary outgrows exact aggregation (at 100 TB: frequent tokens
+    * with k entries of state per partial instead of a billion-group
+    * shuffle).
+    *
+    * Output is the sketch's GUARANTEES, not its estimates (estimates are
+    * merge-order-dependent; the guarantees hold under any order, so the
+    * result is deterministic and oracle-checkable): for every TRUE heavy
+    * hitter — exact count · k > total tokens, decided in exact integer
+    * arithmetic — emit the exact count plus two verdicts: the item is
+    * present in the sketch, and its estimate sits in
+    * [exact, exact + N/k]. The DuckDB oracle recomputes the exact side
+    * and pins the verdicts TRUE.
+    */
+  def heavyHitterTokens(documents: DataFrame, k: Int = 16): DataFrame = {
+    val toks = documents
+      .select(explode(graft.text.TextOps.tokens(col("text"))).as("raw"))
+      .filter(col("raw") =!= "")
+      .select(lower(col("raw")).as("token"))
+    val sketch = toks.agg(
+      graft.functions.SketchAggregates.top_k_sketch(col("token"), k).as("sk"))
+    val exactCounts = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    exactCounts.crossJoin(broadcast(sketch)).crossJoin(broadcast(total))
+      .filter(col("n_exact") * k > col("n_total"))
+      .select(col("token"), col("n_exact"),
+        exists(col("sk"), e => e.getField("item") === col("token"))
+          .as("in_sketch"),
+        exists(col("sk"), e => e.getField("item") === col("token") &&
+          e.getField("est") >= col("n_exact") &&
+          (e.getField("est") - col("n_exact")) * k <= col("n_total"))
+          .as("bounds_ok"))
+  }
 }
