@@ -261,6 +261,10 @@ object SparkEntry {
     "text_lm_score" -> ((s, d) => graft.text.Bm25.unigramLogprob(Tables.documents(s, d))),
     // --- similarity search over embeddings (north star) ---
     "ann_topk_brute" -> ((s, d) => Ann.bruteForceTopK(Tables.embeddings(s, d))),
+    // product quantization (16 codes/vector, 32x compression):
+    // deterministic fit/encode/ADC, so the distance-ratio and code-range
+    // verdicts are pinned by the oracle
+    "ann_topk_pq" -> ((s, d) => graft.similarity.Pq.pqChecked(Tables.embeddings(s, d))),
     "ann_topk_lsh"   -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
     "ann_topk_ivf"   -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),
     // trained-centroid path: 2 Lloyd iterations, fully oracle-replayed
@@ -1183,6 +1187,14 @@ object SparkEntry {
         |           ORDER BY q.quality_score DESC, c.doc_id) AS rn
         |  FROM ($dupClustersOracle) c JOIN q USING (doc_id))
         |SELECT cluster_id, doc_id AS best_doc_id, quality_score FROM r WHERE rn = 1""".stripMargin,
+    // deterministic PQ (md5 seeds, fixed-point means, rounded+tie-broken
+    // argmins) → deterministic distance-ratio/range verdicts, pinned TRUE;
+    // candidate cardinality is data-derived and cross-checked
+    "ann_topk_pq" ->
+      """SELECT vec_id AS query_id,
+        |       LEAST(10, (SELECT COUNT(*) FROM embeddings) - 1) AS n_candidates,
+        |       TRUE AS dist_ratio_ok, TRUE AS codes_in_range
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "ann_topk_brute" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.Tables
+import graft.similarity.Pq
+
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, TestSpark.sfDir)
+
+  test("fit is deterministic and shapes are right") {
+    val m1 = Pq.fit(emb, m = 8, kCodes = 16, iters = 2)
+    val m2 = Pq.fit(emb, m = 8, kCodes = 16, iters = 2)
+    assert(m1.m === 8 && m1.kCodes === 16 && m1.dim === 64)
+    for (j <- 0 until 8; c <- 0 until 16)
+      assert(m1.codebooks(j)(c).toSeq === m2.codebooks(j)(c).toSeq, s"book $j code $c")
+  }
+
+  test("encode: codes in range, deterministic, one per subspace") {
+    val model = Pq.fit(emb, m = 8, kCodes = 16, iters = 2)
+    val enc = Pq.encode(emb, model).cache()
+    assert(enc.count() === emb.count())
+    assert(enc.filter(size($"codes") =!= 8).count() === 0)
+    assert(enc.filter(array_min($"codes") < 0 || array_max($"codes") >= 16).count() === 0)
+    val enc2 = Pq.encode(emb, model)
+    assert(enc.exceptAll(enc2).isEmpty)
+    enc.unpersist()
+  }
+
+  test("training reduces quantization error vs the seed codebooks") {
+    def mse(model: Pq.Model): Double = {
+      val recon = model.codebooks.zipWithIndex.map { case (cents, j) =>
+        val sub = slice($"v", j * model.subDim + 1, model.subDim)
+        val cands = cents.zipWithIndex.map { case (c, ci) =>
+          struct(
+            round(aggregate(zip_with(sub, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
+              lit(0.0), (a, d) => a + d), 6).as("d"), lit(ci).as("cid"))
+        }
+        least(cands: _*).getField("d")
+      }.reduce(_ + _)
+      emb.select($"embedding".cast("array<double>").as("v"))
+        .agg(avg(recon)).head().getDouble(0)
+    }
+    val untrained = Pq.fit(emb, m = 8, kCodes = 16, iters = 0)
+    val trained = Pq.fit(emb, m = 8, kCodes = 16, iters = 2)
+    assert(mse(trained) < mse(untrained), "Lloyd iterations must reduce MSE")
+  }
+
+  test("pqChecked: every verdict true on the fixture") {
+    val rows = Pq.pqChecked(emb).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 10L, "candidate cardinality")
+      assert(r.getBoolean(2), s"distance ratio above bound for query ${r.getLong(0)}")
+      assert(r.getBoolean(3), "codes out of range")
+    }
+  }
+}
