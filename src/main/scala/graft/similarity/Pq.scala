@@ -1,8 +1,13 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Product quantization (Jégou et al., "Product quantization for nearest
   * neighbor search", TPAMI 2011) — the compression half of the classic
@@ -17,10 +22,10 @@ import org.apache.spark.sql.functions._
   *  - Codebooks are MODEL STATE (m × kCodes × subDim doubles — 8 KB here),
   *    trained with the same deterministic machinery as
   *    [[Ann.kmeansAssign]]: md5-seeded starts, 1e-9 fixed-point exact
-  *    means, 1e-6-rounded distances with centroid-id tie-breaks — fit is
-  *    bit-identical regardless of partitioning. The corpus is persisted
-  *    once for the whole fit (m × iters aggregation passes stream over
-  *    cached blocks).
+  *    means, row-local exact-double argmins with first-index tie-breaks —
+  *    fit is bit-identical regardless of partitioning. The corpus is
+  *    persisted once for the whole fit (one aggregation pass per Lloyd
+  *    iteration streams over cached blocks).
   *  - Encode/search are row-local codegen expressions against literal
   *    codebooks/LUTs: no shuffle, no UDF; top-k plans as
   *    TakeOrderedAndProject per query.
@@ -36,20 +41,70 @@ object Pq {
   private def corpus(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
-  /** Squared L2 between a subvector column and a literal centroid,
-    * 1e-6-rounded so the argmin tie-break is stable. */
-  private def sqDist(sub: Column, cent: Array[Double]): Column =
-    round(aggregate(zip_with(sub, array(cent.map(lit): _*), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, d) => acc + d), 6)
-
-  /** Lexicographic argmin over (distance, code) candidate structs. */
-  private def bestCode(sub: Column, cents: Array[Array[Double]]): Column = {
-    val candidates = cents.zipWithIndex.map { case (c, ci) =>
-      struct(sqDist(sub, c).as("d"), lit(ci).as("cid"))
+  /** All m subspace codes for one vector: first-index argmin per
+    * codebook, exact doubles, deterministic (row-local, fixed loop
+    * order). Static so generated code and interpreted eval share it. */
+  def assignCodes(v: Array[Double], books: Array[Array[Array[Double]]]): Array[Int] = {
+    val m = books.length
+    val subDim = v.length / m
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val cents = books(j)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var s = 0.0
+        var i = 0
+        while (i < subDim) { val d = v(j * subDim + i) - cent(i); s += d * d; i += 1 }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
     }
-    (if (candidates.length == 1) candidates.head else least(candidates: _*))
-      .getField("cid")
+    out
   }
+
+  /** Native encode expression — preference (b) from the build rules: the
+    * fold-composition alternative is m × kCodes `aggregate` lambdas
+    * (hundreds of Catalyst expressions) whose Janino compilation costs
+    * seconds PER PLAN and dominated the query wall-clock; this node is
+    * one static call inside whole-stage codegen, with the codebooks
+    * shipped once as a generated-code reference object. */
+  private[similarity] case class PqEncode(child: Expression,
+                                          books: Array[Array[Array[Double]]])
+      extends UnaryExpression with Serializable {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "pq_encode"
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<double>, got ${other.simpleString}")
+      }
+
+    override def nullSafeEval(input: Any): Any =
+      ArrayData.toArrayData(
+        assignCodes(input.asInstanceOf[ArrayData].toDoubleArray(), books))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+      defineCodeGen(ctx, ev, c =>
+        s"org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+          s"graft.similarity.Pq.assignCodes($c.toDoubleArray(), $ref))")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  private def encodeCol(v: Column, books: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(v), books))
 
   /** Train per-subspace codebooks with Lloyd iterations. Seeds are the
     * same md5-ranked rows for every subspace (their j-th slices), so the
@@ -72,29 +127,33 @@ object Pq {
       var books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
         seeds.map(_.slice(j * subDim, (j + 1) * subDim))
       }
+      // ONE aggregation job per Lloyd iteration for ALL m subspaces (a
+      // per-subspace loop costs m sequential jobs whose fixed scheduling
+      // overhead dominates the actual work): each row's codes come from
+      // the native PqEncode expression, elements explode to (pos, x),
+      // and the fixed-point means group by (subspace, code, sub-pos).
       for (_ <- 1 to iters) {
+        val rows = e
+          .select(encodeCol(col("v"), books).as("codes"), col("v"))
+          .select(col("codes"), posexplode(col("v")).as(Seq("pos", "x")))
+          .select(expr(s"pos div $subDim").cast("int").as("j"),
+            element_at(col("codes"), expr(s"pos div $subDim").cast("int") + 1).as("cid"),
+            (col("pos") % subDim).as("spos"), col("x"))
+          .groupBy("j", "cid", "spos")
+          .agg(sum((col("x") * lit(1.0e9)).cast("long")).as("s"),
+            count(lit(1)).as("n"))
+          .select(col("j"), col("cid"), col("spos"),
+            (col("s").cast("double") / (col("n").cast("double") * lit(1.0e9)))
+              .as("cv"))
+          .collect()
+        val means = rows.groupBy(_.getInt(0)).map { case (j, js) =>
+          j -> js.groupBy(_.getInt(1)).map { case (cid, cs) =>
+            cid -> cs.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
+          }
+        }
         books = books.zipWithIndex.map { case (cents, j) =>
-          val sub = e.select(slice(col("v"), j * subDim + 1, subDim).as("sv"))
-          // fixed-point exact means, one narrow agg per subspace. The
-          // assignment is STAGED in its own select: a generator
-          // (posexplode) in the same projection as least(struct).getField
-          // re-resolves the struct with positional col1/col2 names and
-          // fails analysis (probed empirically on Spark 4.1)
-          val means = sub
-            .select(bestCode(col("sv"), cents).as("cid"), col("sv"))
-            .select(col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
-            .groupBy("cid", "pos")
-            .agg(sum((col("x") * lit(1.0e9)).cast("long")).as("s"),
-              count(lit(1)).as("n"))
-            .select(col("cid"), col("pos"),
-              (col("s").cast("double") / (col("n").cast("double") * lit(1.0e9)))
-                .as("cv"))
-            .collect()
-            .groupBy(_.getInt(0))
-            .map { case (cid, rows) =>
-              cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
-            }
-          cents.zipWithIndex.map { case (old, ci) => means.getOrElse(ci, old) }
+          val jm = means.getOrElse(j, Map.empty[Int, Array[Double]])
+          cents.zipWithIndex.map { case (old, ci) => jm.getOrElse(ci, old) }
         }
       }
       Model(subDim, books)
@@ -102,14 +161,11 @@ object Pq {
   }
 
   /** Row-local encode: (vec_id, codes array<int>), codes 0-based into
-    * each subspace's codebook. m × kCodes fold expressions per row, all
-    * inside whole-stage codegen. */
-  def encode(embeddings: DataFrame, model: Model): DataFrame = {
-    val codes = model.codebooks.zipWithIndex.map { case (cents, j) =>
-      bestCode(slice(col("v"), j * model.subDim + 1, model.subDim), cents)
-    }
-    corpus(embeddings).select(col("vec_id"), array(codes: _*).as("codes"))
-  }
+    * each subspace's codebook — one [[PqEncode]] call per row inside
+    * whole-stage codegen. */
+  def encode(embeddings: DataFrame, model: Model): DataFrame =
+    corpus(embeddings).select(col("vec_id"),
+      encodeCol(col("v"), model.codebooks).as("codes"))
 
   /** ADC top-k: queries are `vec_id < nQueries` (the corpus-query
     * convention shared with [[Ann.bruteForceTopK]]); per query a
