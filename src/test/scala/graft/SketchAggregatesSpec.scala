@@ -60,6 +60,41 @@ class SketchAggregatesSpec extends AnyFunSuite {
     assert(empty === 0)
   }
 
+  test("streaming: guarantees hold across incremental trigger merges") {
+    // the custom TypedImperativeAggregate composes with Structured
+    // Streaming unmodified: state is the serialized k-entry buffer,
+    // merged per trigger — bounded by construction, no watermark needed
+    // (the defining sketch property, same argument as countMinStream)
+    val items = (1 to 40).flatMap(i => Seq.fill(600 / i + 1)(f"w$i%02d"))
+    val (batch1, batch2) = new scala.util.Random(11).shuffle(items).splitAt(items.size / 2)
+    val n = items.size.toLong
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val k = 8
+    val src = java.nio.file.Files.createTempDirectory("graft_ss_src").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_ss_chk").toString
+    batch1.toDF("v").coalesce(2).write.mode("append").parquet(src)
+    val q = spark.readStream.schema(batch1.toDF("v").schema).parquet(src)
+      .agg(top_k_sketch($"v", k).as("sk"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ss_sketch").option("checkpointLocation", chk).start()
+    try {
+      q.processAllAvailable()
+      batch2.toDF("v").coalesce(2).write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT explode(sk) AS e FROM ss_sketch")
+      .select("e.item", "e.est", "e.err")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size <= k && got.nonEmpty)
+    val heavy = exact.filter { case (_, c) => c * k > n }.keySet
+    assert(heavy.subsetOf(got.keySet), "heavy hitters lost across triggers")
+    got.foreach { case (item, (est, err)) =>
+      val truth = exact(item)
+      assert(est >= truth && est - truth <= err && err * k <= n + k,
+        s"$item guarantee violated in streaming merge")
+    }
+  }
+
   test("heavyHitterTokens: every verdict true on the fixture corpus") {
     val out = graft.analytics.Sketches
       .heavyHitterTokens(graft.io.Tables.documents(spark, TestSpark.sfDir), k = 30)
