@@ -313,7 +313,24 @@ object SparkEntry {
       graft.operators.Packing.packSequences(Tables.documents(s, d))),
     // --- the whole corpus→sequences pipeline, differentially checked ---
     "pipeline_corpus_prep" -> ((s, d) =>
-      graft.pipeline.Curation.prepareCorpus(Tables.documents(s, d)))
+      graft.pipeline.Curation.prepareCorpus(Tables.documents(s, d))),
+    // --- bloom runtime filter: probe rows drop at the scan, exact semi-join after ---
+    "q_bloom_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{count, sum}
+      import org.apache.spark.sql.types.DecimalType
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 400000.0)
+      graft.operators.RuntimeFilter.bloomSemiJoin(
+          Tables.lineitem(s, d), "l_orderkey", urgent, "o_orderkey")
+        .groupBy("l_returnflag", "l_linestatus")
+        // exact cent-valued doubles re-summed through DECIMAL(18,2), the
+        // library-wide money idiom (see q1MonthlyRevenue)
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"),
+          count(lit(1)).as("n_items"))
+    })
   )
 
   /** Recursive-CTE oracle for duplicate clustering: the full minhash
@@ -1752,7 +1769,20 @@ object SparkEntry {
         |       prev // 2048 AS pack_id,
         |       prev % 2048 AS pack_offset,
         |       (prev % 2048 + n_tokens > 2048) AS spans_boundary
-        |FROM run""".stripMargin
+        |FROM run""".stripMargin,
+    // plain semi-join: the bloom prefilter is a superset pass whose false
+    // positives the exact join removes, so results are join-identical —
+    // only the Spark plan (scan-side row drop) differs
+    "q_bloom_join" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000.0)
+        |GROUP BY 1, 2""".stripMargin
   )
 
   /** 64-element ±1.0 list literals of the LSH planes, shared by the lsh /
