@@ -314,6 +314,9 @@ object SparkEntry {
     // --- the whole corpus→sequences pipeline, differentially checked ---
     "pipeline_corpus_prep" -> ((s, d) =>
       graft.pipeline.Curation.prepareCorpus(Tables.documents(s, d))),
+    // --- all-pairs TF-IDF cosine near-dup (AllPairs prefix filter, WWW'07) ---
+    "dedup_cosine_pairs" -> ((s, d) =>
+      graft.dedup.CosinePairs.cosinePairs(Tables.documents(s, d))),
     // --- bloom runtime filter: probe rows drop at the scan, exact semi-join after ---
     "q_bloom_join" -> ((s, d) => {
       import org.apache.spark.sql.functions.{count, sum}
@@ -1770,6 +1773,37 @@ object SparkEntry {
         |       prev % 2048 AS pack_offset,
         |       (prev % 2048 + n_tokens > 2048) AS spans_boundary
         |FROM run""".stripMargin,
+    // the oracle verifies cosine pairs with a FULL feature self-join (no
+    // prefix) — a genuine differential check that the Spark side's AllPairs
+    // prefix filter generated every qualifying candidate, not a replay of
+    // the same pruning. Fixed-point micro/pico arithmetic matches
+    // CosinePairs exactly (see its scaladoc).
+    "dedup_cosine_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS token
+        |  FROM documents),
+        |tok AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+        |tf AS (SELECT doc_id, ('0x' || substring(md5(token),1,15))::BIGINT AS hv, COUNT(*) AS tf
+        |       FROM tok GROUP BY doc_id, token),
+        |dfreq AS (SELECT hv, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |wpos AS (
+        |  SELECT doc_id, hv,
+        |         CAST(floor(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE)/CAST(df AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS w_micro
+        |  FROM tf JOIN dfreq USING (hv) CROSS JOIN n),
+        |wp AS (SELECT * FROM wpos WHERE w_micro > 0),
+        |norms AS (SELECT doc_id, CAST(SUM(w_micro*w_micro) AS BIGINT) AS norm2 FROM wp GROUP BY 1),
+        |feats AS (
+        |  SELECT doc_id, hv,
+        |         CAST(floor(CAST(w_micro AS DOUBLE) * 1e6 / sqrt(CAST(norm2 AS DOUBLE)) + 0.5) AS BIGINT) AS wn
+        |  FROM wp JOIN norms USING (doc_id)),
+        |fp AS (SELECT * FROM feats WHERE wn > 0),
+        |dot AS (
+        |  SELECT fa.doc_id AS doc_a, fb.doc_id AS doc_b, CAST(SUM(fa.wn * fb.wn) AS BIGINT) AS dot_pico
+        |  FROM fp fa JOIN fp fb ON fb.hv = fa.hv AND fa.doc_id < fb.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(dot_pico AS DOUBLE)/1e12 AS cosine
+        |FROM dot WHERE dot_pico >= 900000000000""".stripMargin,
     // plain semi-join: the bloom prefilter is a superset pass whose false
     // positives the exact join removes, so results are join-identical —
     // only the Spark plan (scan-side row drop) differs

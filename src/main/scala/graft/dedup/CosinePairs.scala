@@ -1,0 +1,125 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** All-pairs cosine-similarity join over sparse TF-IDF document vectors —
+  * the weighted-vector sibling of [[Dedup.ngramJaccard]] (which covers the
+  * set/Jaccard case), after Bayardo, Ma & Srikant, "Scaling Up All Pairs
+  * Similarity Search" (WWW'07): candidate generation is an equi-join on a
+  * *prefix* of each document's features, never an all-pairs product.
+  *
+  * Prefix bound: with every vector L2-normalized, order each document's
+  * features by one GLOBAL total order (descending per-token max weight,
+  * token-hash tie-break — both sides of any pair walk the same order, the
+  * property the share-a-prefix-feature proof needs). For a feature at
+  * position i, the contribution any partner can get from features at
+  * positions ≥ i is at most Σ_{j≥i} w_j · maxw(t_j); once that bound drops
+  * below the threshold the remaining suffix alone can never reach t, so a
+  * qualifying pair must share an *indexed* (prefix) feature — of both
+  * docs, since the argument applies to each side. The candidate equi-join
+  * on prefix features is therefore exact (no false negatives), and a
+  * full-feature join re-computes true cosine on the survivors.
+  *
+  * Every quantity the result depends on is fixed-point so the DuckDB
+  * oracle replays it bit-for-bit: raw TF-IDF rounds to integer MICRO-units
+  * (1e-6) before anything else; the L2 norm is an exact long sum of
+  * squared micros; normalized weights re-round to micros; dot products
+  * and prefix bounds are exact long sums of micro×micro PICO-units.
+  * Doubles appear only in (identically-shaped, correctly-rounded) ln /
+  * sqrt / division expressions and in the final cosine display value.
+  * Long headroom: norm² ≤ n_tokens · (maxw_micro)² — past ~10⁹ unit-scale
+  * feature weights per doc, shard the sum (same cap as Pca's fixed-point
+  * Gram; documents are nowhere near it).
+  *
+  * 100 TB shape: tf/df/maxw are hash aggs on (doc, token-hash) /
+  * token-hash; the only windows are per-document (millions of small
+  * partitions); the candidate join carries 8-byte hashes and the verify
+  * join 16-byte (hash, weight) pairs. Prefix indexing keeps the join's
+  * posting lists to the high-impact features — the same df-style skew
+  * armor as PPJoin's rare-first prefixes, since high-maxw tokens are the
+  * high-idf (rare) ones.
+  */
+object CosinePairs {
+
+  private val Micro = 1e6
+  private val PicoPerUnit = 1e12
+
+  /** Document pairs with TF-IDF cosine similarity ≥ `threshold`.
+    * Output: (doc_a, doc_b, cosine), doc_a < doc_b.
+    */
+  def cosinePairs(documents: DataFrame, threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      "threshold must be in (0, 1] — the prefix bound is undefined at 0")
+    // round, not ceil: 0.9*1e12 lands a hair ABOVE 9e11 in binary, and
+    // ceil would make the engine one pico-unit stricter than the oracle's
+    // integer literal on knife-edge pairs
+    val tPico = math.round(threshold * PicoPerUnit)
+
+    // (doc, token) term frequencies; tokens fold to 60-bit md5 ids (hv) so
+    // every downstream join moves longs, not strings — md5 (not xxhash64)
+    // because the oracle must derive the identical ids (see Dedup.md5Base60)
+    val toks = documents
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("raw"))
+      .filter(col("raw") =!= "")
+      .select(col("doc_id"), lower(col("raw")).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), Dedup.md5Base60(col("token")).as("hv"), col("tf"))
+    val dfreq = tf.groupBy("hv").agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+
+    // raw tf·ln(N/df) → micro-units, half-up; df == N tokens carry zero
+    // information (idf 0) and drop here on both engines
+    val wRaw = tf.join(dfreq, "hv").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("hv"),
+        floor(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")) *
+          Micro + 0.5).cast("long").as("w_micro"))
+      .filter(col("w_micro") > 0)
+
+    // exact L2 normalization: long norm² of micros, one correctly-rounded
+    // sqrt + division, re-round to micros (wn ≤ 1e6 by construction)
+    val norms = wRaw.groupBy("doc_id")
+      .agg(sum(col("w_micro") * col("w_micro")).as("norm2"))
+    val feats = wRaw.join(norms, "doc_id")
+      .select(col("doc_id"), col("hv"),
+        floor(col("w_micro").cast("double") * Micro /
+          sqrt(col("norm2").cast("double")) + 0.5).cast("long").as("wn"))
+      .filter(col("wn") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // per-token max normalized weight = the partner-side bound per feature
+    val maxw = feats.groupBy("hv").agg(max(col("wn")).as("maxw"))
+
+    // global feature order: (maxw desc, hv asc). Suffix bound from the
+    // current feature to the end of the doc, in exact pico-units; a
+    // feature is indexed iff that bound can still reach t.
+    val ordered = feats.join(maxw, "hv")
+    val tailWin = Window.partitionBy("doc_id")
+      .orderBy(col("maxw").desc, col("hv").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prefixes = ordered
+      .withColumn("tail_bound", sum(col("wn") * col("maxw")).over(tailWin))
+      .filter(col("tail_bound") >= tPico)
+      .select("doc_id", "hv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val cand = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.hv") === col("b.hv") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    // exact verify: full-feature join per candidate pair, long pico dot
+    val fa = feats.select(col("doc_id").as("doc_a"), col("hv"), col("wn").as("wa"))
+    val fb = feats.select(col("doc_id").as("doc_b"), col("hv"), col("wn").as("wb"))
+    cand
+      .join(fa, "doc_a").join(fb, Seq("doc_b", "hv"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("wa") * col("wb")).as("dot_pico"))
+      .filter(col("dot_pico") >= tPico)
+      .select(col("doc_a"), col("doc_b"),
+        (col("dot_pico").cast("double") / PicoPerUnit).as("cosine"))
+  }
+}
