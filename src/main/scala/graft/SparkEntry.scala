@@ -314,6 +314,9 @@ object SparkEntry {
     // --- the whole corpus→sequences pipeline, differentially checked ---
     "pipeline_corpus_prep" -> ((s, d) =>
       graft.pipeline.Curation.prepareCorpus(Tables.documents(s, d))),
+    // --- repeated-span (substring) dedup stats, Lee et al. ACL'22 style ---
+    "dedup_spans" -> ((s, d) =>
+      Dedup.duplicatedSpans(Tables.documents(s, d))),
     // --- all-pairs TF-IDF cosine near-dup (AllPairs prefix filter, WWW'07) ---
     "dedup_cosine_pairs" -> ((s, d) =>
       graft.dedup.CosinePairs.cosinePairs(Tables.documents(s, d))),
@@ -1773,6 +1776,29 @@ object SparkEntry {
         |       prev % 2048 AS pack_offset,
         |       (prev % 2048 + n_tokens > 2048) AS spans_boundary
         |FROM run""".stripMargin,
+    // distinct 15-token spans per doc, md5-folded; a span is duplicated
+    // when its hash occurs in >= 2 documents (per-doc distinctness makes
+    // COUNT(*) the document frequency)
+    "dedup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 15 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 13),
+        |         i -> array_to_string(list_slice(t, i, i + 14), ' ')) END) AS g
+        |  FROM toks),
+        |inv AS (
+        |  SELECT doc_id, ('0x' || substring(md5(span), 1, 15))::BIGINT AS hv
+        |  FROM (SELECT doc_id, unnest(g) AS span FROM spans)),
+        |sdf AS (SELECT hv, COUNT(*) AS span_df FROM inv GROUP BY 1)
+        |SELECT doc_id,
+        |       COUNT(*) AS n_spans,
+        |       CAST(SUM(CASE WHEN span_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |       CAST(SUM(CASE WHEN span_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_span_frac
+        |FROM inv JOIN sdf USING (hv)
+        |GROUP BY 1""".stripMargin,
     // the oracle verifies cosine pairs with a FULL feature self-join (no
     // prefix) — a genuine differential check that the Spark side's AllPairs
     // prefix filter generated every qualifying candidate, not a replay of

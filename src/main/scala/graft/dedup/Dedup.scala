@@ -323,6 +323,53 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  // ------------------------------------------------ repeated-span dedup
+
+  /** Per-document duplicated-substring statistics — the distributed
+    * approximation of exact-substring dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL'22: duplicated
+    * ≥ k-token spans are memorization fuel even when whole-doc dedup
+    * passes). Their suffix array is inherently single-machine; the
+    * shuffle-native equivalent slides a k-word window over every doc,
+    * folds each span to a 60-bit md5 id, and marks spans whose id occurs
+    * in ≥ 2 distinct documents. Per doc: how many distinct spans it has,
+    * how many of those are cross-document duplicates, and the fraction —
+    * the signal used to drop or trim boilerplate-heavy documents.
+    *
+    * Detection is exact for spans of exactly k tokens (any duplicated
+    * run ≥ k tokens necessarily duplicates every k-window inside it, so
+    * long shared runs light up many spans; runs < k are invisible — the
+    * deliberate precision/recall knob of the windowed formulation).
+    *
+    * Scale shape is [[contamination]]'s: per-doc distinct spans explode
+    * to (doc_id, 8-byte hash) rows, one hash agg computes span document
+    * frequency, one join back marks duplicates — 16 B/span shuffles,
+    * text never moves. Short docs (< k tokens) collapse to one
+    * whole-document span, so they participate as exact-dup candidates
+    * rather than vanishing.
+    */
+  def duplicatedSpans(documents: DataFrame, spanTokens: Int = 15): DataFrame = {
+    require(spanTokens >= 1, "span length must be >= 1 token")
+    // same staging discipline as ngramJaccard: tokens and spans become
+    // bound attributes before the explode (lambda-CSE rule)
+    val spans = documents
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), wordShingles(col("toks"), spanTokens).as("spans"))
+      .select(col("doc_id"), explode(col("spans")).as("span"))
+      .select(col("doc_id"), md5Base60(col("span")).as("hv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // span document frequency; (doc_id, hv) is already distinct per doc
+    // (wordShingles dedups), so count(*) IS the distinct-doc count
+    val spanDf = spans.groupBy("hv").agg(count(lit(1)).as("span_df"))
+    spans.join(spanDf, "hv")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("span_df") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        (col("n_dup_spans").cast("double") / col("n_spans")).as("dup_span_frac"))
+  }
+
   // --------------------------------------------------- duplicate clusters
 
   /** Connected components over a near-dup pair relation: every document
