@@ -314,6 +314,26 @@ object SparkEntry {
     // --- the whole corpus→sequences pipeline, differentially checked ---
     "pipeline_corpus_prep" -> ((s, d) =>
       graft.pipeline.Curation.prepareCorpus(Tables.documents(s, d))),
+    // --- SCD1 MERGE: apply a deterministic CDC batch to the orders snapshot ---
+    "q_merge_upsert" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{lit, not}
+      import org.apache.spark.sql.types.DecimalType
+      val ord = Tables.orders(s, d)
+      val priceBump = lit(new java.math.BigDecimal("1.1"))
+      val updates = ord.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice",
+          (col("o_totalprice").cast(DecimalType(18, 2)) * priceBump).cast("double"))
+        .withColumn("is_delete", lit(false))
+      val deletes = ord.filter(col("o_orderkey") % 10 === 7)
+        .withColumn("is_delete", lit(true))
+      val inserts = ord.filter(col("o_orderkey") % 10 === 5)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+        .withColumn("o_orderstatus", lit("I"))
+        .withColumn("is_delete", lit(false))
+      graft.operators.Merge.scd1Merge(
+        ord, updates.unionByName(deletes).unionByName(inserts), "o_orderkey")
+    }),
     // --- repeated-span (substring) dedup stats, Lee et al. ACL'22 style ---
     "dedup_spans" -> ((s, d) =>
       Dedup.duplicatedSpans(Tables.documents(s, d))),
@@ -1776,6 +1796,28 @@ object SparkEntry {
         |       prev % 2048 AS pack_offset,
         |       (prev % 2048 + n_tokens > 2048) AS spans_boundary
         |FROM run""".stripMargin,
+    // MERGE replay: next snapshot = unmatched target rows + surviving
+    // changes. The 1.1 price bump stays in exact DECIMAL until the final
+    // cast so both engines produce the identical double.
+    "q_merge_upsert" ->
+      """WITH changes AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1 AS DOUBLE) AS o_totalprice,
+        |         o_orderdate, o_orderpriority, FALSE AS is_delete
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority, TRUE
+        |  FROM orders WHERE o_orderkey % 10 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, 'I', o_totalprice,
+        |         o_orderdate, o_orderpriority, FALSE
+        |  FROM orders WHERE o_orderkey % 10 = 5)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM changes WHERE NOT is_delete""".stripMargin,
     // distinct 15-token spans per doc, md5-folded; a span is duplicated
     // when its hash occurs in >= 2 documents (per-doc distinctness makes
     // COUNT(*) the document frequency)

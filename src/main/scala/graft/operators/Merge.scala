@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SCD1 MERGE (upsert + delete) — the copy-on-write `MERGE INTO` of the
+  * lakehouse formats (Delta/Iceberg/Hudi), as a pure DataFrame transform:
+  * given a target snapshot and a changes batch carrying a tombstone flag,
+  * produce the next snapshot where changed keys are replaced, tombstoned
+  * keys disappear, and new keys append.
+  *
+  * Formulated WITHOUT a full-outer join: the next snapshot is
+  *
+  *   (target ANTI-JOIN change-keys)  UNION ALL  (changes WHERE NOT delete)
+  *
+  * — two relations that never overlap by construction. The anti join is
+  * the only inter-relation edge, and in the overwhelmingly common case
+  * (changes ≪ target) Spark broadcasts the key set, so the 100 TB target
+  * is read once, filtered at full scan parallelism, and never shuffled;
+  * a full-outer formulation would shuffle BOTH sides on the key every
+  * batch. When the target is bucketed by the key (etl.Warehouse), even
+  * a giant changes batch co-locates.
+  *
+  * `seqCol`: when a batch can carry several changes for one key (CDC
+  * streams), the row with the highest sequence wins; ties break on the
+  * tombstone (delete wins, matching "the last thing that happened was
+  * removal" CDC convention) — resolved with one per-key window over the
+  * (small) changes batch, never over the target.
+  */
+object Merge {
+
+  def scd1Merge(target: DataFrame, changes: DataFrame, key: String,
+                deleteCol: String = "is_delete",
+                seqCol: Option[String] = None): DataFrame = {
+    val latest = seqCol match {
+      case Some(seq) =>
+        val w = Window.partitionBy(key)
+          .orderBy(col(seq).desc, col(deleteCol).desc)
+        changes.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn", seq)
+      case None => changes
+    }
+    val keys = latest.select(col(key)).distinct()
+    val kept = target.join(keys, Seq(key), "left_anti")
+    val applied = latest.filter(!col(deleteCol)).drop(deleteCol)
+      .select(target.columns.map(col): _*)
+    kept.unionByName(applied)
+  }
+}

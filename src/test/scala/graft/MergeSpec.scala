@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Merge
+
+/** SCD1 MERGE: update/insert/delete semantics, CDC latest-wins sequencing,
+  * and the broadcast-anti-join plan shape for small change batches.
+  */
+class MergeSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def snapshot = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)
+  ).toDF("id", "name", "amount")
+
+  test("update replaces, delete removes, insert appends, untouched rows survive") {
+    val changes = Seq(
+      (2L, "b2", 21.0, false),  // update
+      (3L, "c", 30.0, true),    // delete
+      (4L, "d", 40.0, false)    // insert
+    ).toDF("id", "name", "amount", "is_delete")
+    val out = Merge.scd1Merge(snapshot, changes, "id")
+      .as[(Long, String, Double)].collect().toSet
+    assert(out === Set((1L, "a", 10.0), (2L, "b2", 21.0), (4L, "d", 40.0)))
+  }
+
+  test("seqCol: the highest sequence wins; delete beats update on a tie") {
+    val changes = Seq(
+      (2L, "first", 1.0, false, 1L),
+      (2L, "second", 2.0, false, 2L),   // latest non-delete → wins
+      (3L, "upd", 3.0, false, 5L),
+      (3L, "del", 0.0, true, 5L)        // same seq, tombstone wins
+    ).toDF("id", "name", "amount", "is_delete", "seq")
+    val out = Merge.scd1Merge(snapshot, changes, "id", seqCol = Some("seq"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(out === Set((1L, "a", 10.0), (2L, "second", 2.0)))
+  }
+
+  test("empty changes batch is the identity") {
+    val empty = Seq.empty[(Long, String, Double, Boolean)]
+      .toDF("id", "name", "amount", "is_delete")
+    val out = Merge.scd1Merge(snapshot, empty, "id")
+    assert(out.exceptAll(snapshot).isEmpty && snapshot.exceptAll(out).isEmpty)
+  }
+
+  test("plan: a small changes batch broadcasts — the target never shuffles") {
+    val changes = Seq((2L, "b2", 21.0, false)).toDF("id", "name", "amount", "is_delete")
+    val plan = Merge.scd1Merge(snapshot, changes, "id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected a broadcast anti join for a small batch:\n$plan")
+  }
+}
