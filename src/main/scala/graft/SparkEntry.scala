@@ -314,6 +314,9 @@ object SparkEntry {
     // --- the whole corpus→sequences pipeline, differentially checked ---
     "pipeline_corpus_prep" -> ((s, d) =>
       graft.pipeline.Curation.prepareCorpus(Tables.documents(s, d))),
+    // --- PageRank centrality over the co-purchase graph (integer fixed-point) ---
+    "q_pagerank" -> ((s, d) =>
+      graft.analytics.PageRank.pagerank(Tables.lineitem(s, d), Tables.orders(s, d))),
     // --- SCD1 MERGE: apply a deterministic CDC batch to the orders snapshot ---
     "q_merge_upsert" -> ((s, d) => {
       import org.apache.spark.sql.functions.{lit, not}
@@ -1796,6 +1799,8 @@ object SparkEntry {
         |       prev % 2048 AS pack_offset,
         |       (prev % 2048 + n_tokens > 2048) AS spans_boundary
         |FROM run""".stripMargin,
+    // five synchronous integer-arithmetic PageRank rounds unrolled as CTEs
+    "q_pagerank" -> graft.analytics.PageRank.pagerankOracleSql(),
     // MERGE replay: next snapshot = unmatched target rows + surviving
     // changes. The 1.1 price bump stays in exact DECIMAL until the final
     // cast so both engines produce the identical double.

@@ -1,0 +1,117 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over the customer↔supplier co-purchase graph —
+  * the graph-centrality quality signal web-scale corpus pipelines attach
+  * to documents (CommonCrawl's harmonic/PageRank centrality scores deciding
+  * which hosts are worth keeping; Brin & Page, WWW'98).
+  *
+  * The graph: one edge per distinct (customer, supplier) purchase relation
+  * (via lineitem⋈orders), symmetrized — supplier nodes are namespaced to
+  * `id + 1 000 000`. Symmetrization removes dangling-mass bookkeeping (every
+  * node keeps out-edges) while preserving the centrality ordering on a
+  * bipartite graph.
+  *
+  * Every rank is an exact INTEGER in 1e-12 units of probability mass, and
+  * the whole update is integer arithmetic:
+  *
+  *   r₀ = 10¹² div N
+  *   rₖ(v) = (15·10¹²) div (100·N)  +  (85 · Σ_{u→v} rₖ₋₁(u) div od(u)) div 100
+  *
+  * — `div` truncation replaces the float divisions, so the result is
+  * bit-identical under any partitioning AND in the DuckDB oracle replay
+  * ([[pagerankOracleSql]] unrolls the same five iterations as CTEs; float
+  * PageRank would drift by summation order). The truncated remainders leak
+  * ≤ (od−1)·10⁻¹² of mass per node per round — bounded, deterministic, and
+  * irrelevant to ordering. Headroom: 85·Σ ≤ 8.5·10¹³ ≪ 2⁶³.
+  *
+  * Scale shape: one shuffle for the distinct edge relation, one for
+  * degrees, then per iteration one join of ranks onto edges (both keyed on
+  * src — co-partitioned after the first round) and one sum by dst. Rank
+  * state is 16 B/node. N and the teleport constant are the only driver
+  * values (two longs — bounded model state, as in kmeans). The edge
+  * relation is persisted across the five iterations; lineage stays linear
+  * so no checkpoint is needed at fixed iteration counts.
+  */
+object PageRank {
+
+  val SupplierOffset = 1000000L
+  private val Mass = 1000000000000L // 1e12 rank units = total probability 1
+
+  /** (src, dst) symmetric distinct edge relation from lineitem⋈orders. */
+  def copurchaseEdges(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val base = lineitem.select("l_orderkey", "l_suppkey")
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + SupplierOffset).as("dst"))
+      .distinct()
+    base.union(base.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
+  /** PageRank after `iters` synchronous rounds, damping 0.85.
+    * Output: (id, node_type, rank_units, rank), one row per node.
+    */
+  def pagerank(lineitem: DataFrame, orders: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val edges = copurchaseEdges(lineitem, orders)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+    val edgesDeg = edges.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val n = deg.count() // N nodes: bounded driver scalar, like kmeans' k
+    val teleport = (15L * Mass) / (100L * n)
+
+    var ranks = deg.select(col("src").as("id"), lit(Mass / n).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("id"))
+        .select(col("dst"), expr("r div od").as("contrib"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("contrib")).as("s"))
+        .select(col("id"),
+          (lit(teleport) + expr("(85 * s) div 100")).as("r"))
+    }
+    ranks.select(
+      col("id"),
+      when(col("id") >= SupplierOffset, lit("supplier"))
+        .otherwise(lit("customer")).as("node_type"),
+      col("r").as("rank_units"),
+      (col("r").cast("double") / Mass).as("rank"))
+  }
+
+  /** The identical computation as one DuckDB query: the five rounds unroll
+    * to CTEs r1..r5 over the same integer recurrence (`//` is DuckDB's
+    * integer division; all values positive, so it agrees with `div`).
+    */
+  def pagerankOracleSql(iters: Int = 5): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT e.dst AS id,
+         |         (SELECT tp FROM consts) + (85 * SUM(p.r // d.od)) // 100 AS r
+         |  FROM edges e
+         |  JOIN r${k - 1} p ON e.src = p.id
+         |  JOIN deg d ON e.src = d.src
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base_edges AS (
+       |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (SELECT src, dst FROM base_edges UNION SELECT dst, src FROM base_edges),
+       |deg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY 1),
+       |consts AS (
+       |  SELECT COUNT(*) AS n_nodes,
+       |         15000000000000 // (100 * COUNT(*)) AS tp,
+       |         1000000000000 // COUNT(*) AS r_init
+       |  FROM deg),
+       |r0 AS (SELECT src AS id, (SELECT r_init FROM consts) AS r FROM deg),
+       |$rounds
+       |SELECT id,
+       |       CASE WHEN id >= 1000000 THEN 'supplier' ELSE 'customer' END AS node_type,
+       |       CAST(r AS BIGINT) AS rank_units,
+       |       CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+       |FROM r$iters""".stripMargin
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.PageRank
+import graft.io.Tables
+
+/** PageRank invariants: mass conservation (up to truncation leak),
+  * partition invariance of the fixed-point ranks, and centrality ordering
+  * on a hand-built graph.
+  */
+class PageRankSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+  import spark.implicits._
+
+  test("hub node outranks leaves on a star graph") {
+    // star: hub customer 1 buys from suppliers 1..4; customer 2 only from supplier 1
+    val li = Seq((10L, 1L), (11L, 2L), (12L, 3L), (13L, 4L), (14L, 1L))
+      .toDF("l_orderkey", "l_suppkey")
+    val ord = Seq((10L, 1L), (11L, 1L), (12L, 1L), (13L, 1L), (14L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+    val out = PageRank.pagerank(li, ord, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hub = out(1L)                          // customer 1, degree 4
+    val leaf = out(PageRank.SupplierOffset + 3L) // supplier 3, degree 1
+    assert(hub > leaf, s"hub=$hub leaf=$leaf")
+    // supplier 1 is bought by both customers — beats single-customer suppliers
+    assert(out(PageRank.SupplierOffset + 1L) > out(PageRank.SupplierOffset + 2L))
+    spark.catalog.clearCache()
+  }
+
+  test("rank mass stays ~1 (truncation can only leak mass downward)") {
+    val out = PageRank.pagerank(
+      Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir), iters = 3)
+    val total = out.agg(org.apache.spark.sql.functions.sum("rank_units"))
+      .as[Long].head()
+    assert(total <= 1000000000000L, s"mass created from nothing: $total")
+    assert(total > 950000000000L, s"too much truncation leak: $total")
+    spark.catalog.clearCache()
+  }
+
+  test("ranks are partition-invariant (integer fixed-point, no float drift)") {
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val a = PageRank.pagerank(li, ord, iters = 3)
+      .select("id", "rank_units")
+    val b = PageRank.pagerank(li.repartition(13), ord.repartition(7), iters = 3)
+      .select("id", "rank_units")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    spark.catalog.clearCache()
+  }
+}
