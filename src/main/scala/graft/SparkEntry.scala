@@ -314,6 +314,32 @@ object SparkEntry {
     // --- the whole corpus→sequences pipeline, differentially checked ---
     "pipeline_corpus_prep" -> ((s, d) =>
       graft.pipeline.Curation.prepareCorpus(Tables.documents(s, d))),
+    // --- HLL sketch rollup: nation sketches MERGE to region, no rescan ---
+    // The scale point is re-aggregation: at 100 TB the per-nation
+    // DataSketches HLL state (a few KB each) rolls up to region /
+    // global levels by sketch union — the base relation is scanned
+    // exactly once for every level of the hierarchy. Verdict-style
+    // output (see q_approx_distinct): each engine asserts its own
+    // estimator against its own exact count, and the hashed columns
+    // are (group, exact, boolean) — sketch internals never cross.
+    "q_hll_rollup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{abs, count_distinct,
+        hll_sketch_agg, hll_sketch_estimate, hll_union_agg}
+      val base = Tables.customer(s, d)
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name", "c_custkey")
+      val perNation = base.groupBy("r_name", "n_name")
+        .agg(hll_sketch_agg(col("c_custkey")).as("sk"))
+      val merged = perNation.groupBy("r_name")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_customers"))
+      val exact = base.groupBy("r_name")
+        .agg(count_distinct(col("c_custkey")).as("exact_customers"))
+      exact.join(merged, "r_name")
+        .select(col("r_name"), col("exact_customers"),
+          (abs(col("approx_customers") - col("exact_customers")) <=
+            col("exact_customers") * 0.05).as("rollup_ok"))
+    }),
     // --- PageRank centrality over the co-purchase graph (integer fixed-point) ---
     "q_pagerank" -> ((s, d) =>
       graft.analytics.PageRank.pagerank(Tables.lineitem(s, d), Tables.orders(s, d))),
@@ -1799,6 +1825,20 @@ object SparkEntry {
         |       prev % 2048 AS pack_offset,
         |       (prev % 2048 + n_tokens > 2048) AS spans_boundary
         |FROM run""".stripMargin,
+    // per-engine estimator vs per-engine exact (the q_approx_distinct
+    // pattern): DuckDB has no mergeable-HLL surface, so it asserts its
+    // direct estimate; the hashed verdict columns agree when both
+    // estimators are within tolerance
+    "q_hll_rollup" ->
+      """SELECT r_name, exact_customers,
+        |       abs(approx_customers - exact_customers)
+        |         <= exact_customers * 0.05 AS rollup_ok
+        |FROM (SELECT r_name,
+        |             approx_count_distinct(c_custkey) AS approx_customers,
+        |             COUNT(DISTINCT c_custkey) AS exact_customers
+        |      FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |                    JOIN region ON n_regionkey = r_regionkey
+        |      GROUP BY 1) t""".stripMargin,
     // five synchronous integer-arithmetic PageRank rounds unrolled as CTEs
     "q_pagerank" -> graft.analytics.PageRank.pagerankOracleSql(),
     // MERGE replay: next snapshot = unmatched target rows + surviving

@@ -105,4 +105,17 @@ class SketchAggregatesSpec extends AnyFunSuite {
       assert(boundsOk, s"$token (n=$n) bounds violated")
     }
   }
+
+  test("HLL: union of per-group sketches estimates the global distinct") {
+    // the q_hll_rollup property — per-group sketch state merges to the
+    // parent level without rescanning the base (union drops the HIP
+    // path-dependence, so compare against exact, not the direct sketch)
+    val df = spark.range(0, 20000)
+      .select((col("id") % 7).as("g"), col("id"))
+    val merged = df.groupBy("g").agg(hll_sketch_agg(col("id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0)
+    assert(math.abs(merged - 20000L) <= 20000L * 0.05,
+      s"merged estimate off: $merged vs 20000")
+  }
 }
