@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Merge
+
+/** Streaming CDC apply — the streaming twin of [[Merge.scd1Merge]]: a
+  * change stream folds into a versioned copy-on-write table, one new
+  * snapshot version per micro-batch (exactly the lakehouse MERGE loop:
+  * Delta/Hudi write a new table version per applied batch too).
+  *
+  * Idempotence: version directories are named by `batchId`, so a replayed
+  * micro-batch after a restart overwrites ITS OWN version instead of
+  * double-applying — the standard idempotent-sink contract that makes
+  * foreachBatch exactly-once from an at-least-once engine. Reads resolve
+  * the highest version; a crash mid-write leaves a partial higher version
+  * whose rewrite is the first thing recovery does.
+  *
+  * In-batch ordering: `seqCol` resolves several changes to one key within
+  * a micro-batch (latest-wins, delete beats update on ties — see
+  * [[Merge.scd1Merge]]); ACROSS batches, batch order is the sequence, as
+  * in any log-structured CDC consumer.
+  *
+  * Scale: each version write is the anti-join + union plan of the batch
+  * MERGE — target scanned once, never shuffled when the batch key set
+  * broadcasts. Version retention/compaction is the caller's policy
+  * (drop `v*` dirs below a watermark), as with any table format.
+  */
+object CdcStreams {
+
+  private val VersionPrefix = "v"
+
+  /** Highest committed version directory under `tableDir`. */
+  def latestVersion(tableDir: String): String = {
+    val dirs = new java.io.File(tableDir).listFiles()
+    require(dirs != null && dirs.nonEmpty, s"no snapshot versions under $tableDir")
+    val latest = dirs.map(_.getName)
+      .filter(_.startsWith(VersionPrefix))
+      .map(n => n.stripPrefix(VersionPrefix).toLong)
+      .max
+    s"$tableDir/$VersionPrefix$latest"
+  }
+
+  /** Current snapshot (highest version) as a DataFrame. */
+  def snapshot(spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame =
+    spark.read.parquet(latestVersion(tableDir))
+
+  /** Start folding `changeStream` into a versioned snapshot table seeded
+    * with `initial` at version 0. Returns the running query; callers stop
+    * it and read [[snapshot]].
+    */
+  def cdcApply(changeStream: DataFrame, initial: DataFrame, tableDir: String,
+               checkpointDir: String, key: String,
+               deleteCol: String = "is_delete",
+               seqCol: Option[String] = None): StreamingQuery = {
+    Files.createDirectories(Paths.get(tableDir))
+    initial.write.mode("overwrite").parquet(s"$tableDir/${VersionPrefix}0")
+    changeStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // batch k reads vk and writes v(k+1) — NOT latestVersion: a
+        // replayed batch must source the version before itself, never
+        // its own (possibly partial) output
+        val current = spark.read.parquet(s"$tableDir/$VersionPrefix$batchId")
+        Merge.scd1Merge(current, batch, key, deleteCol, seqCol)
+          .write.mode("overwrite")
+          .parquet(s"$tableDir/$VersionPrefix${batchId + 1}")
+      }
+      .start()
+  }
+}
