@@ -92,16 +92,32 @@ object CosinePairs {
     // per-token max normalized weight = the partner-side bound per feature
     val maxw = feats.groupBy("hv").agg(max(col("wn")).as("maxw"))
 
-    // global feature order: (maxw desc, hv asc). Suffix bound from the
-    // current feature to the end of the doc, in exact pico-units; a
-    // feature is indexed iff that bound can still reach t.
+    // global feature order: (maxw desc, hv asc). A feature is indexed iff
+    // the dot contribution of the suffix starting at it can still reach t,
+    // under the TIGHTER of two exact bounds:
+    //   (1) Σ_tail wn·maxw          — the AllPairs partner-max bound
+    //   (2) ‖tail‖₂ · ‖partner‖₂ = √(Σ_tail wn²) · 1e6   — Cauchy–Schwarz
+    // On template-heavy corpora maxw saturates at ~1e6 and bound (1)
+    // degenerates to the suffix L1 (at sf0.1 it indexed 70 % of all
+    // features); bound (2) collapses the prefix to the top ~(1−t²) of
+    // each doc's squared mass (measured 81 k → 25.6 k prefix rows at
+    // t = 0.9 — candidate count stays corpus-bound, ~10.8 M here,
+    // because template groups genuinely share their top-mass tokens;
+    // see the verify-stage note below). Correctness: the
+    // globally-earliest shared feature of any qualifying pair must sit in
+    // BOTH prefixes (if it didn't, every shared feature would lie in that
+    // side's tail, whose bound is < t — contradiction), so the prefix
+    // equi-join cannot miss a pair. The float sqrt is correctly rounded;
+    // +1 pico absorbs its half-ulp so bound (2) never under-estimates.
     val ordered = feats.join(maxw, "hv")
     val tailWin = Window.partitionBy("doc_id")
       .orderBy(col("maxw").desc, col("hv").asc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val prefixes = ordered
-      .withColumn("tail_bound", sum(col("wn") * col("maxw")).over(tailWin))
-      .filter(col("tail_bound") >= tPico)
+      .withColumn("tail_dot_bound", sum(col("wn") * col("maxw")).over(tailWin))
+      .withColumn("tail_norm2", sum(col("wn") * col("wn")).over(tailWin))
+      .filter(col("tail_dot_bound") >= tPico &&
+        floor(sqrt(col("tail_norm2").cast("double")) * Micro).cast("long") + 1 >= tPico)
       .select("doc_id", "hv")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -111,13 +127,21 @@ object CosinePairs {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    // exact verify: full-feature join per candidate pair, long pico dot
-    val fa = feats.select(col("doc_id").as("doc_a"), col("hv"), col("wn").as("wa"))
-    val fb = feats.select(col("doc_id").as("doc_b"), col("hv"), col("wn").as("wb"))
+    // exact verify: each doc's features pack into ONE hv-sorted sparse
+    // vector, and a codegen merge-walk computes the exact pico dot per
+    // candidate row. The alternative (explode features, equi-join on hv,
+    // re-aggregate per pair) shuffles Σ|shared| rows per candidate —
+    // measured 29 s vs ~4 s at sf0.1 on self-similar corpora where
+    // candidates are ~10 M. Same long arithmetic, same result.
+    val docVecs = feats.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("hv"), col("wn")))).as("fv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand
-      .join(fa, "doc_a").join(fb, Seq("doc_b", "hv"))
-      .groupBy("doc_a", "doc_b")
-      .agg(sum(col("wa") * col("wb")).as("dot_pico"))
+      .join(docVecs.select(col("doc_id").as("doc_a"), col("fv").as("fva")), "doc_a")
+      .join(docVecs.select(col("doc_id").as("doc_b"), col("fv").as("fvb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.VectorFunctions.sorted_weight_dot(
+          col("fva"), col("fvb")).as("dot_pico"))
       .filter(col("dot_pico") >= tPico)
       .select(col("doc_a"), col("doc_b"),
         (col("dot_pico").cast("double") / PicoPerUnit).as("cosine"))

@@ -350,11 +350,16 @@ object Dedup {
     */
   def duplicatedSpans(documents: DataFrame, spanTokens: Int = 15): DataFrame = {
     require(spanTokens >= 1, "span length must be >= 1 token")
-    // same staging discipline as ngramJaccard: tokens and spans become
-    // bound attributes before the explode (lambda-CSE rule)
-    val spans = documents
+    // the span-array projection is persisted BEFORE the explode — select
+    // staging alone does NOT survive CollapseProject, which inlines the
+    // tokenization into every element_at inside the shingle lambda once
+    // the projections fuse into the Generate (same measured pitfall as
+    // contamination: 33 s fused vs 0.3 s from cache at sf0.1)
+    val spanArrays = documents
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), wordShingles(col("toks"), spanTokens).as("spans"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spans = spanArrays
       .select(col("doc_id"), explode(col("spans")).as("span"))
       .select(col("doc_id"), md5Base60(col("span")).as("hv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expres
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
 /** Native Catalyst expression for cosine similarity over two
   * `array<double>` columns (the public wrappers cast inputs, so
@@ -101,6 +101,85 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Merge-walk dot product of two SPARSE vectors, each encoded as an
+  * `array<struct<hv: bigint, wn: bigint>>` sorted ascending by `hv`:
+  * Σ wnₐ·wn_b over matching hv, as an exact long (pico-units when the
+  * weights are micros).
+  *
+  * This is the verification kernel of the similarity self-joins
+  * (`dedup.CosinePairs`): the explode-join-reaggregate formulation
+  * materializes Σ|shared| rows PER CANDIDATE PAIR through a shuffle
+  * (measured 29 s for 10.8 M candidates at sf0.1); this expression walks
+  * the two sorted arrays in one fused loop per pair — no explode, no
+  * shuffle, whole-stage codegen (measured ~4 s on identical input).
+  * Unsorted input is a CONTRACT VIOLATION and silently undercounts; the
+  * callers build the arrays with `array_sort(collect_list(struct(...)))`,
+  * which sorts by the leading struct field.
+  */
+case class SortedWeightDot(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sorted_weight_dot"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(s: StructType, _) =>
+        s.length == 2 && s.forall(_.dataType == LongType)
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<struct<bigint,bigint>> arguments, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var acc = 0L
+    val nx = x.numElements(); val ny = y.numElements()
+    while (i < nx && j < ny) {
+      val rx = x.getStruct(i, 2); val ry = y.getStruct(j, 2)
+      val ha = rx.getLong(0); val hb = ry.getLong(0)
+      if (ha == hb) { acc += rx.getLong(1) * ry.getLong(1); i += 1; j += 1 }
+      else if (ha < hb) i += 1
+      else j += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val acc = ctx.freshName("acc")
+      val rx = ctx.freshName("rx"); val ry = ctx.freshName("ry")
+      val ha = ctx.freshName("ha"); val hb = ctx.freshName("hb")
+      val row = "org.apache.spark.sql.catalyst.InternalRow"
+      s"""
+         |int $i = 0, $j = 0;
+         |int $nx = $a.numElements(), $ny = $b.numElements();
+         |long $acc = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  $row $rx = $a.getStruct($i, 2);
+         |  $row $ry = $b.getStruct($j, 2);
+         |  long $ha = $rx.getLong(0);
+         |  long $hb = $ry.getLong(0);
+         |  if ($ha == $hb) { $acc += $rx.getLong(1) * $ry.getLong(1); $i++; $j++; }
+         |  else if ($ha < $hb) $i++;
+         |  else $j++;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column/SQL surface for the vector expressions. */
 object VectorFunctions {
 
@@ -112,6 +191,10 @@ object VectorFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(
       widen(ColumnBridge.expression(a)), widen(ColumnBridge.expression(b))))
+
+  def sorted_weight_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedWeightDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Register the graft expressions for spark.sql(...) on an existing
     * session (cosine_sim, jaro_winkler).
