@@ -314,6 +314,17 @@ object SparkEntry {
     // --- the whole corpus→sequences pipeline, differentially checked ---
     "pipeline_corpus_prep" -> ((s, d) =>
       graft.pipeline.Curation.prepareCorpus(Tables.documents(s, d))),
+    // --- 2-D skyline: customers on the (spend, recency) Pareto frontier ---
+    "q_skyline" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{max, sum}
+      import org.apache.spark.sql.types.DecimalType
+      val per = Tables.orders(s, d).groupBy("o_custkey").agg(
+        (sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+          .cast("long").as("spend_cents"),
+        max(col("o_orderdate")).as("last_order"))
+      graft.operators.Skyline.skyline2D(per, "spend_cents", "last_order")
+        .select("o_custkey", "spend_cents", "last_order")
+    }),
     // --- HLL sketch rollup: nation sketches MERGE to region, no rescan ---
     // The scale point is re-aggregation: at 100 TB the per-nation
     // DataSketches HLL state (a few KB each) rolls up to region /
@@ -1825,6 +1836,21 @@ object SparkEntry {
         |       prev % 2048 AS pack_offset,
         |       (prev % 2048 + n_tokens > 2048) AS spans_boundary
         |FROM run""".stripMargin,
+    // the oracle is the textbook all-pairs NOT EXISTS dominance test — a
+    // different algorithm from the engine's prefix-max formulation, so
+    // the hash match is a real differential proof
+    "q_skyline" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS spend_cents,
+        |         MAX(o_orderdate) AS last_order
+        |  FROM orders GROUP BY 1)
+        |SELECT p.o_custkey, p.spend_cents, p.last_order
+        |FROM per p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM per q
+        |  WHERE q.spend_cents >= p.spend_cents AND q.last_order >= p.last_order
+        |    AND (q.spend_cents > p.spend_cents OR q.last_order > p.last_order))""".stripMargin,
     // per-engine estimator vs per-engine exact (the q_approx_distinct
     // pattern): DuckDB has no mergeable-HLL surface, so it asserts its
     // direct estimate; the hashed verdict columns agree when both
