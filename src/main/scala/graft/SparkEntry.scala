@@ -314,6 +314,9 @@ object SparkEntry {
     // --- the whole corpus→sequences pipeline, differentially checked ---
     "pipeline_corpus_prep" -> ((s, d) =>
       graft.pipeline.Curation.prepareCorpus(Tables.documents(s, d))),
+    // --- temperature-0.5 corpus mixing: rates from counts, sqrt-exact ---
+    "q_temperature_mix" -> ((s, d) =>
+      Sampling.temperatureMix(Tables.documents(s, d), "source", "doc_id")),
     // --- 2-D skyline: customers on the (spend, recency) Pareto frontier ---
     "q_skyline" -> ((s, d) => {
       import org.apache.spark.sql.functions.{max, sum}
@@ -1836,6 +1839,20 @@ object SparkEntry {
         |       prev % 2048 AS pack_offset,
         |       (prev % 2048 + n_tokens > 2048) AS spans_boundary
         |FROM run""".stripMargin,
+    // τ=1/2 source rebalancing: rate = √(n_min/n_src) in micro-units
+    // (sqrt is correctly rounded — the one cross-engine-safe power), keep
+    // test on the seeded 60-bit md5 uniform, same as q_mix_sources
+    "q_temperature_mix" ->
+      """WITH counts AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY 1),
+        |mn AS (SELECT MIN(n_src) AS n_min FROM counts),
+        |rates AS (
+        |  SELECT source,
+        |         CAST(floor(sqrt(CAST(n_min AS DOUBLE)/CAST(n_src AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS rate_micro
+        |  FROM counts CROSS JOIN mn)
+        |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, r.rate_micro
+        |FROM documents d JOIN rates r USING (source)
+        |WHERE CAST(floor(('0x' || substring(md5('tmix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        / 1152921504606846976.0 * 1e6) AS BIGINT) < r.rate_micro""".stripMargin,
     // the oracle is the textbook all-pairs NOT EXISTS dominance test — a
     // different algorithm from the engine's prefix-max formulation, so
     // the hash match is a real differential proof

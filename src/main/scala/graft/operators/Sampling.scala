@@ -101,6 +101,37 @@ object Sampling {
     df.filter(u < rate)
   }
 
+  /** Temperature-τ corpus mixing at τ = 1/2 — the multilingual-LM
+    * rebalancing step (sample sources ∝ p^τ so head sources shrink and
+    * tail sources keep everything; Conneau & Lample, NeurIPS'19 use
+    * exactly this for XLM). With τ = 1/2 the acceptance rate per source
+    * reduces to √(n_min/n_src), normalized so the SMALLEST source keeps
+    * 100 % (pure filtering can only downsample) — and √ is the one power
+    * that is IEEE-correctly-rounded, so the rate is bit-reproducible
+    * cross-engine where a general `pow(x, τ)` is not. Rates round to
+    * micro-units before the hash comparison for the same reason.
+    *
+    * Scale: one count agg over the source column (broadcast back), then
+    * a row-local seeded-md5 keep test — the [[mixSources]] shape with
+    * rates computed FROM the corpus instead of configured.
+    */
+  def temperatureMix(df: DataFrame, sourceCol: String, idCol: String,
+                     seed: String = "tmix"): DataFrame = {
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("__n_src"))
+    val minN = counts.agg(min(col("__n_src")).as("__n_min"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col(sourceCol),
+        floor(sqrt(col("__n_min").cast("double") / col("__n_src").cast("double"))
+          * 1e6 + 0.5).cast("long").as("rate_micro"))
+    // micro-scaled uniform in [0, 1e6) from the seeded 60-bit md5
+    val uMicro = floor(
+      conv(substring(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), 1, 15), 16, 10)
+        .cast("double") / lit((1L << 60).toDouble) * 1e6).cast("long")
+    df.join(broadcast(rates), sourceCol)
+      .filter(uMicro < col("rate_micro"))
+      .select((df.columns.map(col) :+ col("rate_micro")): _*)
+  }
+
   /** Bottom-k uniform sample of long ids as a typed Aggregator (the
     * custom-UDAF surface). Every id gets a deterministic pseudo-random key
     * (splitmix64 of seed⊕id); the sample is the k ids with the smallest

@@ -71,4 +71,24 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.weightedSample(pop, "id", "w", 0)
     }
   }
+
+  test("temperatureMix: smallest source keeps all, heads shrink toward sqrt rates") {
+    // sources with 900 / 400 / 100 rows
+    val pop = ((1L to 900L).map(i => (i, "web")) ++
+      (1001L to 1400L).map(i => (i, "books")) ++
+      (2001L to 2100L).map(i => (i, "code"))).toDF("doc_id", "source")
+    val out = Sampling.temperatureMix(pop, "source", "doc_id")
+    val kept = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // code: rate 1e6 → exactly all 100 survive
+    assert(kept("code") === 100L)
+    // web: rate √(100/900)=1/3 → ~300 of 900 (md5 uniform, loose band)
+    assert(kept("web") > 200 && kept("web") < 400, s"web kept ${kept("web")}")
+    // books: rate √(100/400)=1/2 → ~200 of 400
+    assert(kept("books") > 140 && kept("books") < 260, s"books kept ${kept("books")}")
+    // deterministic under repartition
+    val again = Sampling.temperatureMix(pop.repartition(7), "source", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === out.select("doc_id").as[Long].collect().toSet)
+  }
 }
