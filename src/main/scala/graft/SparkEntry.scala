@@ -314,6 +314,31 @@ object SparkEntry {
     // --- the whole corpus→sequences pipeline, differentially checked ---
     "pipeline_corpus_prep" -> ((s, d) =>
       graft.pipeline.Curation.prepareCorpus(Tables.documents(s, d))),
+    // --- incremental view maintenance: monthly agg updated from a CDC delta ---
+    // updates are delete(before-image)+insert(after-image) pairs; the
+    // oracle RECOMPUTES the view from the merged snapshot, so the hash
+    // match proves incremental == recompute (exact decimals make the
+    // equality bit-level)
+    "q_ivm_monthly" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{count, date_trunc, lit, sum}
+      import org.apache.spark.sql.types.DecimalType
+      val ord = Tables.orders(s, d)
+      val price = col("o_totalprice").cast(DecimalType(18, 2))
+      val month = date_trunc("month", col("o_orderdate")).cast("date").as("month_start")
+      val base = ord.groupBy(month)
+        .agg(count(lit(1)).as("cnt"), sum(price).as("total"))
+      val upd = ord.filter(col("o_orderkey") % 10 === 3)
+      val bump = lit(new java.math.BigDecimal("100.00"))
+      val changes = upd.select(month, price.as("v"), lit(true).as("is_delete"))
+        .unionByName(upd.select(month,
+          (price + bump).cast(DecimalType(18, 2)).as("v"), lit(false).as("is_delete")))
+        .unionByName(ord.filter(col("o_orderkey") % 10 === 7)
+          .select(month, price.as("v"), lit(true).as("is_delete")))
+        .unionByName(ord.filter(col("o_orderkey") % 10 === 5)
+          .select(month, price.as("v"), lit(false).as("is_delete")))
+      graft.operators.Ivm.applyDelta(base, changes, Seq("month_start"), "v")
+        .select(col("month_start"), col("cnt"), col("total").cast("double").as("total"))
+    }),
     // --- temperature-0.5 corpus mixing: rates from counts, sqrt-exact ---
     "q_temperature_mix" -> ((s, d) =>
       Sampling.temperatureMix(Tables.documents(s, d), "source", "doc_id")),
@@ -1839,6 +1864,24 @@ object SparkEntry {
         |       prev % 2048 AS pack_offset,
         |       (prev % 2048 + n_tokens > 2048) AS spans_boundary
         |FROM run""".stripMargin,
+    // full recompute over the merged snapshot — the incremental result
+    // must land on exactly this (deletes remove %10==7, updates bump
+    // %10==3 by +100.00, inserts duplicate %10==5 rows' months)
+    "q_ivm_monthly" ->
+      """WITH merged AS (
+        |  SELECT o_orderdate, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders WHERE o_orderkey % 10 NOT IN (3, 7)
+        |  UNION ALL
+        |  SELECT o_orderdate, CAST(o_totalprice AS DECIMAL(18,2)) + 100.00
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderdate, CAST(o_totalprice AS DECIMAL(18,2))
+        |  FROM orders WHERE o_orderkey % 10 = 5)
+        |SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |       COUNT(*) AS cnt,
+        |       CAST(SUM(p) AS DOUBLE) AS total
+        |FROM merged
+        |GROUP BY 1""".stripMargin,
     // τ=1/2 source rebalancing: rate = √(n_min/n_src) in micro-units
     // (sqrt is correctly rounded — the one cross-engine-safe power), keep
     // test on the seeded 60-bit md5 uniform, same as q_mix_sources
