@@ -314,6 +314,9 @@ object SparkEntry {
     // --- the whole corpus→sequences pipeline, differentially checked ---
     "pipeline_corpus_prep" -> ((s, d) =>
       graft.pipeline.Curation.prepareCorpus(Tables.documents(s, d))),
+    // --- DBSCAN density clustering over embeddings (LSH blocks + components) ---
+    "embed_dbscan" -> ((s, d) =>
+      graft.similarity.Dbscan.dbscan(Tables.embeddings(s, d))),
     // --- incremental view maintenance: monthly agg updated from a CDC delta ---
     // updates are delete(before-image)+insert(after-image) pairs; the
     // oracle RECOMPUTES the view from the merged snapshot, so the hash
@@ -1864,6 +1867,10 @@ object SparkEntry {
         |       prev % 2048 AS pack_offset,
         |       (prev % 2048 + n_tokens > 2048) AS spans_boundary
         |FROM run""".stripMargin,
+    // the whole DBSCAN replayed: identical LSH buckets (planes as
+    // literals), degree/core classification, recursive-CTE components
+    // over core-core edges, min-cluster border attachment
+    "embed_dbscan" -> embedDbscanOracle,
     // full recompute over the merged snapshot — the incremental result
     // must land on exactly this (deletes remove %10==7, updates bump
     // %10==3 by +100.00, inserts duplicate %10==5 rows' months)
@@ -2017,6 +2024,67 @@ object SparkEntry {
         |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000.0)
         |GROUP BY 1, 2""".stripMargin
   )
+
+  /** DuckDB replay of `Dbscan.dbscan` at the registered defaults
+    * (eps 0.35, minPts 3): the embed_neardup candidate pipeline feeding
+    * degree/core classification, a recursive-CTE min-label closure over
+    * core-core edges, and deterministic min-cluster border attachment.
+    */
+  private lazy val embedDbscanOracle: String =
+    s"""WITH RECURSIVE e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |planes(j, p) AS (VALUES $planes),
+      |bits AS (
+      |  SELECT e.vec_id, planes.j,
+      |         CASE WHEN round(list_sum(list_transform(range(1, 65),
+      |             k -> coalesce(e.v[k] * planes.p[k], 0.0))), 6) > 0
+      |              THEN 1 ELSE 0 END AS bit
+      |  FROM e CROSS JOIN planes),
+      |buckets AS (
+      |  SELECT vec_id, j // 8 AS t, SUM(bit * (1 << CAST(j % 8 AS INTEGER))) AS bucket
+      |  FROM bits GROUP BY 1, 2),
+      |prs AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM buckets a JOIN buckets b
+      |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |sims AS (
+      |  SELECT vec_a, vec_b FROM (
+      |    SELECT p.vec_a, p.vec_b,
+      |           round(list_sum(list_transform(range(1, len(ea.v)+1), i -> ea.v[i]*eb.v[i])) /
+      |               (sqrt(list_sum(list_transform(ea.v, x -> x*x))) *
+      |                sqrt(list_sum(list_transform(eb.v, x -> x*x)))), 6) AS cosine
+      |    FROM prs p JOIN e ea ON ea.vec_id = p.vec_a
+      |               JOIN e eb ON eb.vec_id = p.vec_b) t
+      |  WHERE cosine >= 0.35),
+      |sym AS (SELECT vec_a AS id, vec_b AS nb FROM sims
+      |        UNION ALL SELECT vec_b, vec_a FROM sims),
+      |deg AS (SELECT id, COUNT(*) AS n FROM sym GROUP BY 1),
+      |core AS (SELECT id FROM deg WHERE n + 1 >= 3),
+      |ce AS (SELECT s.id AS src, s.nb AS dst
+      |       FROM sym s JOIN core c1 ON s.id = c1.id JOIN core c2 ON s.nb = c2.id),
+      |nodes AS (SELECT DISTINCT src AS id FROM ce),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT reach.id, ce.dst FROM reach JOIN ce ON reach.r = ce.src),
+      |cl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+      |corecl AS (
+      |  SELECT c.id, COALESCE(cl.cluster_id, c.id) AS cluster_id
+      |  FROM core c LEFT JOIN cl ON c.id = cl.id),
+      |border AS (
+      |  SELECT s.id, MIN(k.cluster_id) AS cluster_id
+      |  FROM sym s JOIN corecl k ON s.nb = k.id
+      |  WHERE s.id NOT IN (SELECT id FROM core)
+      |  GROUP BY 1)
+      |SELECT a.vec_id,
+      |       CASE WHEN cc.id IS NOT NULL THEN 'core'
+      |            WHEN b.id IS NOT NULL THEN 'border'
+      |            ELSE 'noise' END AS role,
+      |       COALESCE(cc.cluster_id, b.cluster_id) AS cluster_id
+      |FROM embeddings a
+      |LEFT JOIN corecl cc ON a.vec_id = cc.id
+      |LEFT JOIN border b ON a.vec_id = b.id""".stripMargin
 
   /** 64-element ±1.0 list literals of the LSH planes, shared by the lsh /
     * neardup oracles (identical planes to Ann.planeSigns).

@@ -42,6 +42,36 @@ class IvmSpec extends AnyFunSuite {
     assert(out.exceptAll(agg(base)).isEmpty && agg(base).exceptAll(out).isEmpty)
   }
 
+  test("streaming deltas folded per micro-batch equal the final recompute") {
+    // the streaming-IVM twin: foreachBatch maintains a versioned agg with
+    // applyDelta; two batches of CDC land on the recompute of the final
+    // snapshot (CdcStreams-style versioning, delta-sized work per batch)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_ivm_tbl").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_ivm_chk").toString
+    val base = Seq(("a", 10.0), ("a", 20.0), ("b", 5.0)).toDF("g", "v")
+    agg(base).write.mode("overwrite").parquet(s"$tableDir/v0")
+    val stream = MemoryStream[(String, Double, Boolean)]
+    val q = stream.toDF().toDF("g", "v", "is_delete")
+      .withColumn("v", $"v".cast("decimal(18,2)"))
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val cur = batch.sparkSession.read.parquet(s"$tableDir/v$id")
+        Ivm.applyDelta(cur, batch, Seq("g"), "v")
+          .write.mode("overwrite").parquet(s"$tableDir/v${id + 1}")
+      }.start()
+    try {
+      stream.addData(("a", 10.0, true), ("a", 15.0, false)) // update a
+      q.processAllAvailable()
+      stream.addData(("b", 5.0, true), ("c", 9.0, false))   // delete b, insert c
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$tableDir/v2")
+    val recompute = agg(Seq(("a", 15.0), ("a", 20.0), ("c", 9.0)).toDF("g", "v"))
+    assert(got.exceptAll(recompute).isEmpty && recompute.exceptAll(got).isEmpty)
+  }
+
   test("maintenance cost is delta-sized: base relation absent from the plan") {
     val base = agg(Seq(("a", 1.0)).toDF("g", "v"))
       .write.mode("overwrite").parquet("/tmp/graft_ivm_base")
