@@ -314,6 +314,16 @@ object SparkEntry {
     // --- the whole corpus→sequences pipeline, differentially checked ---
     "pipeline_corpus_prep" -> ((s, d) =>
       graft.pipeline.Curation.prepareCorpus(Tables.documents(s, d))),
+    // --- point-in-time join: events to the SCD2 status valid at event time ---
+    "q_pit_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions.to_date
+      val hist = Breadth3.scd2StatusHistory(Tables.orders(s, d))
+        .select("o_custkey", "status", "eff_from", "eff_to")
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), to_date(col("ts")).as("event_date"))
+      AsOfJoin.pointInTime(ev, hist, "user_id", "o_custkey", "event_date")
+        .select("event_id", "user_id", "event_date", "status", "eff_from")
+    }),
     // --- DBSCAN density clustering over embeddings (LSH blocks + components) ---
     "embed_dbscan" -> ((s, d) =>
       graft.similarity.Dbscan.dbscan(Tables.embeddings(s, d))),
@@ -983,25 +993,19 @@ object SparkEntry {
         |FROM activity a JOIN cohort c ON a.user_id = c.user_id
         |GROUP BY 1, 2""".stripMargin,
     "q_scd2_status" ->
-      """WITH obs AS (
-        |  SELECT o_custkey, o_orderstatus, CAST(o_orderdate AS DATE) AS d, o_orderkey,
-        |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |         - ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderstatus
-        |                              ORDER BY o_orderdate, o_orderkey) AS grp
-        |  FROM orders),
-        |runs AS (
-        |  SELECT o_custkey, o_orderstatus, grp,
-        |         MIN(d) AS eff_from, MIN(o_orderkey) AS first_key
-        |  FROM obs GROUP BY 1, 2, 3),
-        |chained AS (
-        |  SELECT o_custkey, o_orderstatus AS status, eff_from,
-        |         COALESCE(LEAD(eff_from) OVER (PARTITION BY o_custkey
-        |                                       ORDER BY eff_from, first_key),
-        |                  DATE '9999-12-31') AS eff_to
-        |  FROM runs)
+      s"""$scd2HistCte
         |SELECT o_custkey, status, eff_from, eff_to,
         |       CAST(eff_to = DATE '9999-12-31' AS INTEGER) AS is_current
         |FROM chained""".stripMargin,
+    // the SCD2 history CTE reused as the dimension; containment join on
+    // [eff_from, eff_to) — the equi-key carries the selectivity
+    "q_pit_join" ->
+      s"""$scd2HistCte
+        |SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS event_date,
+        |       c.status, c.eff_from
+        |FROM events e JOIN chained c
+        |  ON e.user_id = c.o_custkey
+        | AND CAST(e.ts AS DATE) >= c.eff_from AND CAST(e.ts AS DATE) < c.eff_to""".stripMargin,
     "q_fuzzy_pairs" ->
       """SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
         |       a.p_name AS name_a, b.p_name AS name_b,
@@ -2024,6 +2028,28 @@ object SparkEntry {
         |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000.0)
         |GROUP BY 1, 2""".stripMargin
   )
+
+  /** SCD2 history derivation (islands-and-gaps runs chained into
+    * [eff_from, eff_to) intervals) as a reusable WITH prefix — shared by
+    * the q_scd2_status oracle and the point-in-time join oracle.
+    */
+  private lazy val scd2HistCte: String =
+    """WITH obs AS (
+      |  SELECT o_custkey, o_orderstatus, CAST(o_orderdate AS DATE) AS d, o_orderkey,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |         - ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderstatus
+      |                              ORDER BY o_orderdate, o_orderkey) AS grp
+      |  FROM orders),
+      |runs AS (
+      |  SELECT o_custkey, o_orderstatus, grp,
+      |         MIN(d) AS eff_from, MIN(o_orderkey) AS first_key
+      |  FROM obs GROUP BY 1, 2, 3),
+      |chained AS (
+      |  SELECT o_custkey, o_orderstatus AS status, eff_from,
+      |         COALESCE(LEAD(eff_from) OVER (PARTITION BY o_custkey
+      |                                       ORDER BY eff_from, first_key),
+      |                  DATE '9999-12-31') AS eff_to
+      |  FROM runs)""".stripMargin
 
   /** DuckDB replay of `Dbscan.dbscan` at the registered defaults
     * (eps 0.35, minPts 3): the embed_neardup candidate pipeline feeding

@@ -84,4 +84,25 @@ object AsOfJoin {
       .select(leftCols.map(col) ++
         rightPayload.map(c => col(s"__match.$c").as(c)): _*)
   }
+
+  /** Point-in-time join of facts to an SCD2 dimension: each fact row
+    * matches the dimension version whose validity interval
+    * [effFrom, effTo) contains the fact's timestamp — the canonical
+    * "customer status AS OF the order date" warehouse lookup.
+    *
+    * Shape: equi-join on the business key, interval containment as a
+    * residual predicate. SCD2 versions per key are few (one per change),
+    * so the residual evaluates on key-matched rows only — this is NOT a
+    * range join needing binning; the key equi-join carries all the
+    * selectivity and shuffles/broadcasts like any fact⋈dim join. Facts
+    * before the first version (or after a deletion) drop, as inner join
+    * semantics demand; use the SCD2 convention of an open 9999-12-31
+    * current version so live keys always match.
+    */
+  def pointInTime(facts: DataFrame, dim: DataFrame,
+                  factKey: String, dimKey: String, factTs: String,
+                  effFrom: String = "eff_from", effTo: String = "eff_to"): DataFrame =
+    facts.join(dim,
+      facts(factKey) === dim(dimKey) &&
+        facts(factTs) >= dim(effFrom) && facts(factTs) < dim(effTo))
 }

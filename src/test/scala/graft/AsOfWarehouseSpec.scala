@@ -109,4 +109,23 @@ class AsOfWarehouseSpec extends AnyFunSuite {
       .filter($"year" === 1995)
     assert(pruned.count() > 0)
   }
+
+  test("pointInTime: each fact matches exactly the interval containing it") {
+    import org.apache.spark.sql.functions._
+    val dim = Seq(
+      (1L, "bronze", "2020-01-01", "2020-06-01"),
+      (1L, "gold", "2020-06-01", "9999-12-31"),
+      (2L, "silver", "2020-03-01", "9999-12-31")
+    ).toDF("k", "status", "f", "t")
+      .select($"k", $"status", $"f".cast("date").as("eff_from"), $"t".cast("date").as("eff_to"))
+    val facts = Seq(
+      (10L, 1L, "2020-05-31"), // last bronze day
+      (11L, 1L, "2020-06-01"), // first gold day (from-inclusive, to-exclusive)
+      (12L, 2L, "2020-02-01"), // before first version → drops
+      (13L, 3L, "2020-05-01")  // unknown key → drops
+    ).toDF("fid", "k2", "d").select($"fid", $"k2", $"d".cast("date").as("ts"))
+    val out = graft.operators.AsOfJoin.pointInTime(facts, dim, "k2", "k", "ts")
+      .select("fid", "status").as[(Long, String)].collect().toMap
+    assert(out === Map(10L -> "bronze", 11L -> "gold"))
+  }
 }
