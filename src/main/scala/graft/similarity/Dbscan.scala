@@ -40,9 +40,12 @@ object Dbscan {
     require(minPts >= 1, "minPts must be >= 1")
     val pairs = Ann.nearDupPairs(embeddings, eps, tables, bits, dim)
       .select("vec_a", "vec_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sym feeds degree counting, core-edge construction, AND border
+    // attachment — persist the symmetric relation itself so the whole
+    // LSH+verify pipeline runs once, not per consumer
     val sym = pairs.select(col("vec_a").as("id"), col("vec_b").as("nb"))
       .union(pairs.select(col("vec_b").as("id"), col("vec_a").as("nb")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = sym.groupBy("id").agg(count(lit(1)).as("n_nb"))
     val core = deg.filter(col("n_nb") + 1 >= minPts).select("id")
 
