@@ -314,6 +314,62 @@ object SparkEntry {
     // --- the whole corpus→sequences pipeline, differentially checked ---
     "pipeline_corpus_prep" -> ((s, d) =>
       graft.pipeline.Curation.prepareCorpus(Tables.documents(s, d))),
+    // --- market-basket lift: co-bought part pairs, exact integer lift ---
+    "q_market_basket" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{broadcast, count, countDistinct, desc}
+      val items = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey").distinct()
+      val nOrders = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      val itemCnt = items.groupBy("l_partkey").agg(count(lit(1)).as("c_item"))
+      val pairs = items.as("a")
+        .join(items.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("c_pair"))
+        .filter(col("c_pair") >= 2)
+      pairs
+        .join(itemCnt.select(col("l_partkey").as("part_a"), col("c_item").as("c_a")), "part_a")
+        .join(itemCnt.select(col("l_partkey").as("part_b"), col("c_item").as("c_b")), "part_b")
+        .crossJoin(broadcast(nOrders))
+        // lift = P(ab)/(P(a)P(b)) = c_ab·N / (c_a·c_b): exact longs, ONE division
+        .select(col("part_a"), col("part_b"), col("c_pair"),
+          ((col("c_pair") * col("n_orders")).cast("double") /
+            (col("c_a") * col("c_b")).cast("double")).as("lift"))
+        .orderBy(desc("lift"), col("part_a"), col("part_b"))
+        .limit(100)
+    }),
+    // --- triangle count over the co-bought-parts graph (degree-oriented) ---
+    "q_triangles" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey").distinct()
+      val edges = items.as("a")
+        .join(items.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .distinct()
+      graft.analytics.Triangles.triangleCount(edges, "pa", "pb")
+    }),
+    // --- least-squares trend slope per supplier, exact integer sums ---
+    // slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) with x = month index and
+    // y = integer quantity: every sum is an exact long, the slope is ONE
+    // IEEE division — bit-identical cross-engine where regr_slope's
+    // running float sums would drift by partition order
+    "q_trend_slope" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{count, month, sum, when, year}
+      val pts = Tables.lineitem(s, d).select(col("l_suppkey"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).cast("long").as("x"),
+        col("l_quantity").cast("long").as("y"))
+      pts.groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(col("l_suppkey"), col("n"),
+          when(col("n") * col("sxx") - col("sx") * col("sx") === 0, lit(null))
+            .otherwise((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("qty_slope"))
+    }),
     // --- point-in-time join: events to the SCD2 status valid at event time ---
     "q_pit_join" -> ((s, d) => {
       import org.apache.spark.sql.functions.to_date
@@ -997,6 +1053,51 @@ object SparkEntry {
         |SELECT o_custkey, status, eff_from, eff_to,
         |       CAST(eff_to = DATE '9999-12-31' AS INTEGER) AS is_current
         |FROM chained""".stripMargin,
+    "q_market_basket" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+        |ic AS (SELECT l_partkey, COUNT(*) AS c_item FROM items GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS c_pair
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT part_a, part_b, c_pair,
+        |       CAST(c_pair * n_orders AS DOUBLE) / CAST(ca.c_item * cb.c_item AS DOUBLE) AS lift
+        |FROM pairs
+        |JOIN ic ca ON ca.l_partkey = part_a
+        |JOIN ic cb ON cb.l_partkey = part_b
+        |CROSS JOIN n
+        |ORDER BY lift DESC, part_a, part_b
+        |LIMIT 100""".stripMargin,
+    // plain id-ordered triple join — a DIFFERENT orientation than the
+    // engine's degree-ordered wedges, same triangles: differential proof
+    "q_triangles" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        |SELECT COUNT(*) AS n_triangles
+        |FROM e e1
+        |JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin,
+    "q_trend_slope" ->
+      """WITH pts AS (
+        |  SELECT l_suppkey,
+        |         CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS x,
+        |         CAST(l_quantity AS BIGINT) AS y
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_suppkey, COUNT(*) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
+        |  FROM pts GROUP BY 1)
+        |SELECT l_suppkey, n,
+        |       CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+        |            ELSE CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+        |       END AS qty_slope
+        |FROM s""".stripMargin,
     // the SCD2 history CTE reused as the dimension; containment join on
     // [eff_from, eff_to) — the equi-key carries the selectivity
     "q_pit_join" ->

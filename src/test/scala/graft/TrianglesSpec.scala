@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.Triangles
+
+/** Triangle counting: brute-force agreement, orientation invariance of
+  * the input encoding, and hub-graph sanity (the case degree ordering
+  * exists for).
+  */
+class TrianglesSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def brute(edges: Seq[(Long, Long)]): Long = {
+    val es = edges.map { case (a, b) => (a min b, a max b) }.toSet
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    nodes.combinations(3).count { case Seq(a, b, c) =>
+      es((a, b)) && es((a, c)) && es((b, c))
+    }
+  }
+
+  test("matches brute force on a deterministic random graph") {
+    val edges = (for {
+      i <- 1L to 30L; j <- (i + 1) to 30L
+      if (i * 31 + j * 17) % 5 == 0
+    } yield (i, j)).toSeq
+    val got = Triangles.triangleCount(edges.toDF("u", "v"), "u", "v")
+      .as[Long].head()
+    assert(got === brute(edges))
+  }
+
+  test("mixed edge directions and duplicates count once") {
+    // K4 = 4 triangles, edges scrambled and duplicated
+    val k4 = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 1L), (2L, 3L), (3L, 2L),
+      (2L, 4L), (3L, 4L), (4L, 3L))
+    val got = Triangles.triangleCount(k4.toDF("u", "v"), "u", "v").as[Long].head()
+    assert(got === 4L)
+  }
+
+  test("hub star graph has zero triangles; adding one rim edge makes one") {
+    val star = (2L to 40L).map(i => (1L, i))
+    assert(Triangles.triangleCount(star.toDF("u", "v"), "u", "v").as[Long].head() === 0L)
+    val withRim = star :+ ((5L, 6L))
+    assert(Triangles.triangleCount(withRim.toDF("u", "v"), "u", "v").as[Long].head() === 1L)
+  }
+}
