@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Fixed-iteration PageRank over the customer↔supplier co-purchase graph —
@@ -37,16 +37,24 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  val SupplierOffset = 1000000L
   private val Mass = 1000000000000L // 1e12 rank units = total probability 1
+
+  /** Collision-free node ids at ANY key scale: customers map to 2·key,
+    * suppliers to 2·key+1 (parity encoding). A fixed additive offset
+    * would silently merge a customer and a supplier once custkey grows
+    * past it — TPC-H custkey reaches 1.5e10 at the 100 TB scale this
+    * library targets, so namespacing must be data-independent.
+    */
+  def customerNode(key: Column): Column = key * 2
+  def supplierNode(key: Column): Column = key * 2 + 1
 
   /** (src, dst) symmetric distinct edge relation from lineitem⋈orders. */
   def copurchaseEdges(lineitem: DataFrame, orders: DataFrame): DataFrame = {
     val base = lineitem.select("l_orderkey", "l_suppkey")
       .join(orders.select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("src"),
-        (col("l_suppkey") + SupplierOffset).as("dst"))
+      .select(customerNode(col("o_custkey")).as("src"),
+        supplierNode(col("l_suppkey")).as("dst"))
       .distinct()
     base.union(base.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
@@ -76,7 +84,7 @@ object PageRank {
     }
     ranks.select(
       col("id"),
-      when(col("id") >= SupplierOffset, lit("supplier"))
+      when(col("id") % 2 === 1, lit("supplier"))
         .otherwise(lit("customer")).as("node_type"),
       col("r").as("rank_units"),
       (col("r").cast("double") / Mass).as("rank"))
@@ -97,7 +105,7 @@ object PageRank {
          |  GROUP BY 1)""".stripMargin
     }.mkString(",\n")
     s"""WITH base_edges AS (
-       |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
        |edges AS (SELECT src, dst FROM base_edges UNION SELECT dst, src FROM base_edges),
        |deg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY 1),
@@ -109,7 +117,7 @@ object PageRank {
        |r0 AS (SELECT src AS id, (SELECT r_init FROM consts) AS r FROM deg),
        |$rounds
        |SELECT id,
-       |       CASE WHEN id >= 1000000 THEN 'supplier' ELSE 'customer' END AS node_type,
+       |       CASE WHEN id % 2 = 1 THEN 'supplier' ELSE 'customer' END AS node_type,
        |       CAST(r AS BIGINT) AS rank_units,
        |       CAST(r AS DOUBLE) / 1000000000000.0 AS rank
        |FROM r$iters""".stripMargin

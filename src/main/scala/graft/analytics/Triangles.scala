@@ -61,6 +61,8 @@ object Triangles {
         Seq("dst"), "left")
       .select(size(array_intersect(col("src_nbrs"),
         coalesce(col("dst_nbrs"), array().cast("array<long>")))).as("tri"))
-      .agg(sum(col("tri")).cast("long").as("n_triangles"))
+      // coalesce: sum over ZERO edge rows is NULL, but an empty graph has
+      // 0 triangles (and the COUNT(*) oracle says 0, not NULL)
+      .agg(coalesce(sum(col("tri")), lit(0L)).cast("long").as("n_triangles"))
   }
 }

@@ -56,70 +56,8 @@ object CosinePairs {
     // ceil would make the engine one pico-unit stricter than the oracle's
     // integer literal on knife-edge pairs
     val tPico = math.round(threshold * PicoPerUnit)
-
-    // (doc, token) term frequencies; tokens fold to 60-bit md5 ids (hv) so
-    // every downstream join moves longs, not strings — md5 (not xxhash64)
-    // because the oracle must derive the identical ids (see Dedup.md5Base60)
-    val toks = documents
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("raw"))
-      .filter(col("raw") =!= "")
-      .select(col("doc_id"), lower(col("raw")).as("token"))
-    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .select(col("doc_id"), Dedup.md5Base60(col("token")).as("hv"), col("tf"))
-    val dfreq = tf.groupBy("hv").agg(count(lit(1)).as("df"))
-    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
-
-    // raw tf·ln(N/df) → micro-units, half-up; df == N tokens carry zero
-    // information (idf 0) and drop here on both engines
-    val wRaw = tf.join(dfreq, "hv").crossJoin(broadcast(nDocs))
-      .select(col("doc_id"), col("hv"),
-        floor(col("tf").cast("double") *
-          log(col("n_docs").cast("double") / col("df").cast("double")) *
-          Micro + 0.5).cast("long").as("w_micro"))
-      .filter(col("w_micro") > 0)
-
-    // exact L2 normalization: long norm² of micros, one correctly-rounded
-    // sqrt + division, re-round to micros (wn ≤ 1e6 by construction)
-    val norms = wRaw.groupBy("doc_id")
-      .agg(sum(col("w_micro") * col("w_micro")).as("norm2"))
-    val feats = wRaw.join(norms, "doc_id")
-      .select(col("doc_id"), col("hv"),
-        floor(col("w_micro").cast("double") * Micro /
-          sqrt(col("norm2").cast("double")) + 0.5).cast("long").as("wn"))
-      .filter(col("wn") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // per-token max normalized weight = the partner-side bound per feature
-    val maxw = feats.groupBy("hv").agg(max(col("wn")).as("maxw"))
-
-    // global feature order: (maxw desc, hv asc). A feature is indexed iff
-    // the dot contribution of the suffix starting at it can still reach t,
-    // under the TIGHTER of two exact bounds:
-    //   (1) Σ_tail wn·maxw          — the AllPairs partner-max bound
-    //   (2) ‖tail‖₂ · ‖partner‖₂ = √(Σ_tail wn²) · 1e6   — Cauchy–Schwarz
-    // On template-heavy corpora maxw saturates at ~1e6 and bound (1)
-    // degenerates to the suffix L1 (at sf0.1 it indexed 70 % of all
-    // features); bound (2) collapses the prefix to the top ~(1−t²) of
-    // each doc's squared mass (measured 81 k → 25.6 k prefix rows at
-    // t = 0.9 — candidate count stays corpus-bound, ~10.8 M here,
-    // because template groups genuinely share their top-mass tokens;
-    // see the verify-stage note below). Correctness: the
-    // globally-earliest shared feature of any qualifying pair must sit in
-    // BOTH prefixes (if it didn't, every shared feature would lie in that
-    // side's tail, whose bound is < t — contradiction), so the prefix
-    // equi-join cannot miss a pair. The float sqrt is correctly rounded;
-    // +1 pico absorbs its half-ulp so bound (2) never under-estimates.
-    val ordered = feats.join(maxw, "hv")
-    val tailWin = Window.partitionBy("doc_id")
-      .orderBy(col("maxw").desc, col("hv").asc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val prefixes = ordered
-      .withColumn("tail_dot_bound", sum(col("wn") * col("maxw")).over(tailWin))
-      .withColumn("tail_norm2", sum(col("wn") * col("wn")).over(tailWin))
-      .filter(col("tail_dot_bound") >= tPico &&
-        floor(sqrt(col("tail_norm2").cast("double")) * Micro).cast("long") + 1 >= tPico)
-      .select("doc_id", "hv")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val feats = features(documents)
+    val prefixes = prefixFeatures(feats, tPico)
 
     val cand = prefixes.as("a")
       .join(prefixes.as("b"),
@@ -145,5 +83,94 @@ object CosinePairs {
       .filter(col("dot_pico") >= tPico)
       .select(col("doc_a"), col("doc_b"),
         (col("dot_pico").cast("double") / PicoPerUnit).as("cosine"))
+  }
+
+  /** L2-normalized micro-unit TF-IDF features (doc_id, hv, wn) — the
+    * shared first stage of [[cosinePairs]] and the dev profiler
+    * (`dev.ProfileCosine` MUST build on this, not a copy). Persisted;
+    * release via the library cache contract.
+    */
+  private[graft] def features(documents: DataFrame): DataFrame = {
+    // (doc, token) term frequencies; tokens fold to 60-bit md5 ids (hv) so
+    // every downstream join moves longs, not strings — md5 (not xxhash64)
+    // because the oracle must derive the identical ids (see Dedup.md5Base60)
+    val toks = documents
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("raw"))
+      .filter(col("raw") =!= "")
+      .select(col("doc_id"), lower(col("raw")).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), Dedup.md5Base60(col("token")).as("hv"), col("tf"))
+    val dfreq = tf.groupBy("hv").agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+
+    // raw tf·ln(N/df) → micro-units, half-up; df == N tokens carry zero
+    // information (idf 0) and drop here on both engines
+    val wRaw = tf.join(dfreq, "hv").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("hv"),
+        floor(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")) *
+          Micro + 0.5).cast("long").as("w_micro"))
+      .filter(col("w_micro") > 0)
+
+    // exact L2 normalization: long norm² of micros, one correctly-rounded
+    // sqrt + division, re-round to micros (wn ≤ 1e6 by construction)
+    val norms = wRaw.groupBy("doc_id")
+      .agg(sum(col("w_micro") * col("w_micro")).as("norm2"))
+    wRaw.join(norms, "doc_id")
+      .select(col("doc_id"), col("hv"),
+        floor(col("w_micro").cast("double") * Micro /
+          sqrt(col("norm2").cast("double")) + 0.5).cast("long").as("wn"))
+      .filter(col("wn") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Indexed (prefix) features of every document under the dual tail
+    * bound — the candidate-generation stage of [[cosinePairs]], shared
+    * with the dev profiler. Persisted.
+    */
+  private[graft] def prefixFeatures(feats: DataFrame, tPico: Long): DataFrame = {
+    // per-token max normalized weight = the partner-side bound per feature
+    val maxw = feats.groupBy("hv").agg(max(col("wn")).as("maxw"))
+
+    // Half-up rounding lets a partner's ACTUAL norm √(Σ wn²) land a few
+    // micros above 1e6, so bound (2) must not hardcode the nominal unit
+    // norm — a knife-edge pair reachable only through that inflation
+    // would be wrongly pruned. The correct partner factor is the corpus
+    // maximum rounded-norm, one scalar agg over the persisted features
+    // (bounded driver state, like PageRank's N); ceil on both sqrt's
+    // keeps the product an over-estimate of the true Cauchy–Schwarz
+    // bound, preserving exactness.
+    val maxPartnerNorm = math.ceil(math.sqrt(
+      feats.groupBy("doc_id").agg(sum(col("wn") * col("wn")).as("n2"))
+        .agg(max(col("n2"))).head().getLong(0).toDouble)).toLong
+
+    // global feature order: (maxw desc, hv asc). A feature is indexed iff
+    // the dot contribution of the suffix starting at it can still reach t,
+    // under the TIGHTER of two exact bounds:
+    //   (1) Σ_tail wn·maxw          — the AllPairs partner-max bound
+    //   (2) ‖tail‖₂ · ‖partner‖₂ ≤ ⌈√(Σ_tail wn²)⌉ · max-norm   — Cauchy–Schwarz
+    // On template-heavy corpora maxw saturates at ~1e6 and bound (1)
+    // degenerates to the suffix L1 (at sf0.1 it indexed 70 % of all
+    // features); bound (2) collapses the prefix to the top ~(1−t²) of
+    // each doc's squared mass (measured 81 k → 25.6 k prefix rows at
+    // t = 0.9 — candidate count stays corpus-bound, ~10.8 M here,
+    // because template groups genuinely share their top-mass tokens;
+    // see the verify-stage note below). Correctness: the
+    // globally-earliest shared feature of any qualifying pair must sit in
+    // BOTH prefixes (if it didn't, every shared feature would lie in that
+    // side's tail, whose bound is < t — contradiction), so the prefix
+    // equi-join cannot miss a pair.
+    val ordered = feats.join(maxw, "hv")
+    val tailWin = Window.partitionBy("doc_id")
+      .orderBy(col("maxw").desc, col("hv").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ordered
+      .withColumn("tail_dot_bound", sum(col("wn") * col("maxw")).over(tailWin))
+      .withColumn("tail_norm2", sum(col("wn") * col("wn")).over(tailWin))
+      .filter(col("tail_dot_bound") >= tPico &&
+        ceil(sqrt(col("tail_norm2").cast("double"))).cast("long") *
+          maxPartnerNorm >= tPico)
+      .select("doc_id", "hv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 }

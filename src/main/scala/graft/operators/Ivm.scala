@@ -40,9 +40,15 @@ object Ivm {
         sum(when(col(deleteCol), -col(valueCol)).otherwise(col(valueCol)))
           .as("__sum_d"))
     val zeroSum = lit(0).cast(baseAgg.schema(sumCol).dataType)
-    baseAgg.join(delta, groupCols, "full_outer")
+    // NULL-SAFE group equality: SQL GROUP BY folds NULL keys into one
+    // group on both sides, but a plain USING join would never match the
+    // null group's base row to its delta row — a delete for g=NULL would
+    // silently drop and the view would diverge from the recompute forever
+    val b = baseAgg.alias("b"); val d = delta.alias("d")
+    val cond = groupCols.map(c => col(s"b.$c") <=> col(s"d.$c")).reduce(_ && _)
+    b.join(d, cond, "full_outer")
       .select(
-        groupCols.map(col) ++ Seq(
+        groupCols.map(c => coalesce(col(s"b.$c"), col(s"d.$c")).as(c)) ++ Seq(
           (coalesce(col(cntCol), lit(0L)) + coalesce(col("__cnt_d"), lit(0L)))
             .as(cntCol),
           (coalesce(col(sumCol), zeroSum) + coalesce(col("__sum_d"), zeroSum))

@@ -92,7 +92,11 @@ object RuntimeFilter {
       it.foreach(f.putLong)
       Iterator.single(f)
     }
-    if (perPartition.isEmpty()) BloomFilter.create(n, fpp)
+    // getNumPartitions is metadata (no job); isEmpty() would instead run
+    // an extra job that folds all of partition 0 into a sketch only to
+    // throw it away — mapPartitions emits a (possibly empty) filter per
+    // partition, so zero partitions is the only truly empty case
+    if (perPartition.getNumPartitions == 0) BloomFilter.create(n, fpp)
     else perPartition.treeReduce { (a, b) => a.mergeInPlace(b); a }
   }
 
@@ -108,11 +112,16 @@ object RuntimeFilter {
                     build: DataFrame, buildKey: String,
                     fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
-    val n = if (expectedItems > 0) expectedItems else build.count().max(1L)
-    val bf = buildLongBloom(build, buildKey, n, fpp)
-    val keys = build.select(col(buildKey).as("__build_key")).distinct()
+    // the build side feeds up to three consumers (sizing count, sketch
+    // build, exact-verify key set) — persist the one-column projection so
+    // the "filtered side Catalyst can't estimate" is scanned once, not
+    // three times. Release follows the library-wide clearCache contract.
+    val keyProj = build.select(col(buildKey).as("__build_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = if (expectedItems > 0) expectedItems else keyProj.count().max(1L)
+    val bf = buildLongBloom(keyProj, "__build_key", n, fpp)
     probe
       .filter(mightContain(bf, col(probeKey)))
-      .join(keys, col(probeKey) === col("__build_key"), "left_semi")
+      .join(keyProj.distinct(), col(probeKey) === col("__build_key"), "left_semi")
   }
 }

@@ -33,15 +33,17 @@ object CdcStreams {
 
   private val VersionPrefix = "v"
 
-  /** Highest committed version directory under `tableDir`. */
+  /** Highest committed version directory under `tableDir`. Only strictly
+    * `v<digits>` entries count — stray files (markers, backups, editor
+    * droppings) must neither crash the parse nor masquerade as versions.
+    */
   def latestVersion(tableDir: String): String = {
-    val dirs = new java.io.File(tableDir).listFiles()
-    require(dirs != null && dirs.nonEmpty, s"no snapshot versions under $tableDir")
-    val latest = dirs.map(_.getName)
-      .filter(_.startsWith(VersionPrefix))
-      .map(n => n.stripPrefix(VersionPrefix).toLong)
-      .max
-    s"$tableDir/$VersionPrefix$latest"
+    val dirs = Option(new java.io.File(tableDir).listFiles()).getOrElse(Array.empty)
+    val versions = dirs.map(_.getName)
+      .filter(_.matches(s"$VersionPrefix\\d+"))
+      .map(_.stripPrefix(VersionPrefix).toLong)
+    require(versions.nonEmpty, s"no snapshot versions under $tableDir")
+    s"$tableDir/$VersionPrefix${versions.max}"
   }
 
   /** Current snapshot (highest version) as a DataFrame. */

@@ -101,6 +101,11 @@ object Bpe {
           .select(mergeOnce(col("syms"), l, r).as("syms"), col("freq"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         if (rank % checkpointEvery == 0) words = words.localCheckpoint()
+        // materialize the new table BEFORE releasing its parent — persist
+        // is lazy, and unpersisting prev first would force every later
+        // action to rebuild the whole fold chain back to the last
+        // checkpoint (O(checkpointEvery²) re-evaluations of pure waste)
+        words.count()
         prev.unpersist()
         rank += 1
       }

@@ -21,11 +21,11 @@ class PageRankSpec extends AnyFunSuite {
       .toDF("o_orderkey", "o_custkey")
     val out = PageRank.pagerank(li, ord, iters = 5)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
-    val hub = out(1L)                          // customer 1, degree 4
-    val leaf = out(PageRank.SupplierOffset + 3L) // supplier 3, degree 1
+    val hub = out(1L * 2)                      // customer 1, degree 4
+    val leaf = out(3L * 2 + 1)                 // supplier 3, degree 1
     assert(hub > leaf, s"hub=$hub leaf=$leaf")
     // supplier 1 is bought by both customers — beats single-customer suppliers
-    assert(out(PageRank.SupplierOffset + 1L) > out(PageRank.SupplierOffset + 2L))
+    assert(out(1L * 2 + 1) > out(2L * 2 + 1))
     spark.catalog.clearCache()
   }
 
