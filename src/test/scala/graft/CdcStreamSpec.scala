@@ -50,6 +50,19 @@ class CdcStreamSpec extends AnyFunSuite {
       Set((1L, "a", 10.0), (2L, "b2", 21.0), (3L, "c", 30.0), (4L, "d", 40.0)))
   }
 
+  test("latestVersion ignores stray non-version entries") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_vers").toString
+    Seq((1L, "a")).toDF("id", "name").write.parquet(s"$dir/v0")
+    Seq((1L, "b")).toDF("id", "name").write.parquet(s"$dir/v3")
+    new java.io.File(s"$dir/v_tmp").mkdir()      // editor/backup dropping
+    new java.io.File(s"$dir/_SUCCESS").createNewFile()
+    assert(CdcStreams.latestVersion(dir) === s"$dir/v3")
+    val onlyJunk = java.nio.file.Files.createTempDirectory("graft_cdc_junk").toString
+    new java.io.File(s"$onlyJunk/_SUCCESS").createNewFile()
+    val e = intercept[IllegalArgumentException] { CdcStreams.latestVersion(onlyJunk) }
+    assert(e.getMessage.contains("no snapshot versions"))
+  }
+
   test("a replayed micro-batch overwrites its own version (idempotent sink)") {
     val initial = Seq((1L, "a", 10.0)).toDF("id", "name", "amount")
     val tableDir = java.nio.file.Files.createTempDirectory("graft_cdc_tbl2").toString

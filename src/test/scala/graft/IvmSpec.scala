@@ -34,6 +34,18 @@ class IvmSpec extends AnyFunSuite {
     assert(incremental.filter($"g" === "c").isEmpty)
   }
 
+  test("NULL group keys merge like any other group (null-safe join)") {
+    val base = Seq((Some("a"), 1.0), (None, 2.0), (None, 3.0))
+      .toDF("g", "v")
+    val changes = Seq((None: Option[String], 2.0, true), (Some("b"), 9.0, false))
+      .toDF("g", "v", "is_delete")
+      .withColumn("v", $"v".cast("decimal(18,2)"))
+    val out = Ivm.applyDelta(agg(base), changes, Seq("g"), "v")
+    val recompute = agg(Seq((Some("a"), 1.0), (None, 3.0), (Some("b"), 9.0)).toDF("g", "v"))
+    assert(out.exceptAll(recompute).isEmpty && recompute.exceptAll(out).isEmpty,
+      s"null-group delta lost:\n${out.collect().mkString("\n")}")
+  }
+
   test("empty delta is the identity") {
     val base = Seq(("a", 1.0), ("b", 2.0)).toDF("g", "v")
     val empty = Seq.empty[(String, Double, Boolean)].toDF("g", "v", "is_delete")

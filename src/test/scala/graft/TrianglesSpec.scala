@@ -38,6 +38,13 @@ class TrianglesSpec extends AnyFunSuite {
     assert(got === 4L)
   }
 
+  test("empty and self-loop-only graphs count 0, not NULL") {
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(Triangles.triangleCount(empty, "u", "v").as[Long].head() === 0L)
+    val loops = Seq((1L, 1L), (2L, 2L)).toDF("u", "v")
+    assert(Triangles.triangleCount(loops, "u", "v").as[Long].head() === 0L)
+  }
+
   test("hub star graph has zero triangles; adding one rim edge makes one") {
     val star = (2L to 40L).map(i => (1L, i))
     assert(Triangles.triangleCount(star.toDF("u", "v"), "u", "v").as[Long].head() === 0L)
