@@ -315,42 +315,17 @@ object SparkEntry {
     "pipeline_corpus_prep" -> ((s, d) =>
       graft.pipeline.Curation.prepareCorpus(Tables.documents(s, d))),
     // --- market-basket lift: co-bought part pairs, exact integer lift ---
-    "q_market_basket" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{broadcast, count, countDistinct, desc}
-      val items = Tables.lineitem(s, d)
-        .select("l_orderkey", "l_partkey").distinct()
-      val nOrders = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))
-      val itemCnt = items.groupBy("l_partkey").agg(count(lit(1)).as("c_item"))
-      val pairs = items.as("a")
-        .join(items.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
-        .agg(count(lit(1)).as("c_pair"))
-        .filter(col("c_pair") >= 2)
-      pairs
-        .join(itemCnt.select(col("l_partkey").as("part_a"), col("c_item").as("c_a")), "part_a")
-        .join(itemCnt.select(col("l_partkey").as("part_b"), col("c_item").as("c_b")), "part_b")
-        .crossJoin(broadcast(nOrders))
-        // lift = P(ab)/(P(a)P(b)) = c_ab·N / (c_a·c_b): exact longs, ONE division
-        .select(col("part_a"), col("part_b"), col("c_pair"),
-          ((col("c_pair") * col("n_orders")).cast("double") /
-            (col("c_a") * col("c_b")).cast("double")).as("lift"))
-        .orderBy(desc("lift"), col("part_a"), col("part_b"))
-        .limit(100)
-    }),
+    "q_market_basket" -> ((s, d) =>
+      graft.analytics.Baskets.pairLift(
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey")
+        .select(col("item_a").as("part_a"), col("item_b").as("part_b"),
+          col("c_pair"), col("lift"))),
     // --- triangle count over the co-bought-parts graph (degree-oriented) ---
-    "q_triangles" -> ((s, d) => {
-      val items = Tables.lineitem(s, d)
-        .select("l_orderkey", "l_partkey").distinct()
-      val edges = items.as("a")
-        .join(items.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-        .distinct()
-      graft.analytics.Triangles.triangleCount(edges, "pa", "pb")
-    }),
+    "q_triangles" -> ((s, d) =>
+      graft.analytics.Triangles.triangleCount(
+        graft.analytics.Baskets.coOccurrenceEdges(
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey"),
+        "item_a", "item_b")),
     // --- least-squares trend slope per supplier, exact integer sums ---
     // slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) with x = month index and
     // y = integer quantity: every sum is an exact long, the slope is ONE
