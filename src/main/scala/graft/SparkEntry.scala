@@ -326,6 +326,12 @@ object SparkEntry {
         graft.analytics.Baskets.coOccurrenceEdges(
           Tables.lineitem(s, d), "l_orderkey", "l_partkey"),
         "item_a", "item_b")),
+    // --- per-part local clustering coefficient over the co-bought graph ---
+    "q_clustering_coef" -> ((s, d) =>
+      graft.analytics.Triangles.clusteringCoefficient(
+        graft.analytics.Baskets.coOccurrenceEdges(
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey"),
+        "item_a", "item_b")),
     // --- least-squares trend slope per supplier, exact integer sums ---
     // slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) with x = month index and
     // y = integer quantity: every sum is an exact long, the slope is ONE
@@ -1045,6 +1051,30 @@ object SparkEntry {
         |CROSS JOIN n
         |ORDER BY lift DESC, part_a, part_b
         |LIMIT 100""".stripMargin,
+    // id-ordered triangle enumeration attributing all three corners —
+    // different orientation than the engine's degree-ordered walk
+    "q_clustering_coef" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT n, COUNT(*) AS d FROM
+        |        (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |tris AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |corners AS (SELECT a AS n FROM tris UNION ALL
+        |            SELECT b FROM tris UNION ALL SELECT c FROM tris),
+        |tc AS (SELECT n, COUNT(*) AS n_tri FROM corners GROUP BY 1)
+        |SELECT deg.n AS node, deg.d AS degree,
+        |       COALESCE(tc.n_tri, 0) AS n_triangles,
+        |       CASE WHEN deg.d < 2 THEN 0.0
+        |            ELSE CAST(COALESCE(tc.n_tri, 0) * 2 AS DOUBLE)
+        |                 / CAST(deg.d * (deg.d - 1) AS DOUBLE) END AS clustering_coef
+        |FROM deg LEFT JOIN tc ON deg.n = tc.n""".stripMargin,
     // plain id-ordered triple join — a DIFFERENT orientation than the
     // engine's degree-ordered wedges, same triangles: differential proof
     "q_triangles" ->

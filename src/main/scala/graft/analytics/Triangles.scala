@@ -65,4 +65,51 @@ object Triangles {
       // 0 triangles (and the COUNT(*) oracle says 0, not NULL)
       .agg(coalesce(sum(col("tri")), lit(0L)).cast("long").as("n_triangles"))
   }
+
+  /** Per-node triangle counts and local clustering coefficient
+    * 2·T(v) / (d(v)·(d(v)−1)) — the standard local-density statistic
+    * (Watts & Strogatz, Nature'98). Same oriented edge-iterator as
+    * [[triangleCount]], but each closing vertex x of an edge (s→t)
+    * EXPLODES so the triangle {s,t,x} credits all three corners; the
+    * explode output is exactly 3 rows per triangle (3·|Δ| total), then
+    * one hash agg per node. Degree-1-or-0 nodes have an undefined
+    * coefficient → 0.0 by the usual convention, identically on both
+    * engines. All counts exact longs; the coefficient is one IEEE
+    * division.
+    */
+  def clusteringCoefficient(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
+    val e = edges.select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDegs = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+    val oriented = withDegs.select(
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+        .otherwise(col("v")).as("src"),
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+        .otherwise(col("u")).as("dst"))
+    val adj = oriented.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    // every (s, t, x) triangle row credits its three corners
+    val corners = oriented
+      .join(adj.select(col("src"), col("nbrs").as("src_nbrs")), "src")
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("dst_nbrs")),
+        Seq("dst"), "left")
+      .select(col("src"), col("dst"),
+        explode(array_intersect(col("src_nbrs"),
+          coalesce(col("dst_nbrs"), array().cast("array<long>")))).as("x"))
+      .select(explode(array(col("src"), col("dst"), col("x"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_tri"))
+    deg.join(corners, Seq("n"), "left")
+      .select(col("n").as("node"), col("d").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        when(col("d") < 2, lit(0.0))
+          .otherwise((coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
+            (col("d") * (col("d") - 1)).cast("double")).as("clustering_coef"))
+  }
 }

@@ -38,6 +38,22 @@ class TrianglesSpec extends AnyFunSuite {
     assert(got === 4L)
   }
 
+  test("clusteringCoefficient: K4 corners are fully clustered, pendant is 0") {
+    // K4 plus a pendant node 5 attached to node 1
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (1L, 5L))
+    val out = Triangles.clusteringCoefficient(edges.toDF("u", "v"), "u", "v")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // node 1: degree 4, in 3 triangles of K4 → coef 3*2/(4*3) = 0.5
+    assert(out(1L) === ((4L, 3L, 0.5)))
+    // nodes 2-4: degree 3, 3 triangles each → 3*2/(3*2) = 1.0
+    Seq(2L, 3L, 4L).foreach(n => assert(out(n) === ((3L, 3L, 1.0)), s"node $n: ${out(n)}"))
+    // pendant: degree 1, no triangles, coefficient 0 by convention
+    assert(out(5L) === ((1L, 0L, 0.0)))
+    // total triangles across corners = 3 * |triangles of K4| = 12
+    assert(out.values.map(_._2).sum === 12L)
+    spark.catalog.clearCache()
+  }
+
   test("empty and self-loop-only graphs count 0, not NULL") {
     val empty = Seq.empty[(Long, Long)].toDF("u", "v")
     assert(Triangles.triangleCount(empty, "u", "v").as[Long].head() === 0L)
