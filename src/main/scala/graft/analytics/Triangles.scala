@@ -93,8 +93,12 @@ object Triangles {
         .otherwise(col("v")).as("src"),
       when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
         .otherwise(col("u")).as("dst"))
+    // adj feeds BOTH endpoint joins below — Spark re-derives shared
+    // subtrees per plan branch, so without the persist the collect_list
+    // aggregation runs twice (and oriented three times)
     val adj = oriented.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // every (s, t, x) triangle row credits its three corners
     val corners = oriented
       .join(adj.select(col("src"), col("nbrs").as("src_nbrs")), "src")
