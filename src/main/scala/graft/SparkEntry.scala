@@ -47,6 +47,16 @@ object SparkEntry {
     Clean.clean(dirty)
   }
 
+  /** The co-bought-parts graph, factored out so q_triangles and
+    * q_clustering_coef consume the SAME edge relation. No persist here:
+    * both Triangles operators eagerly materialize their canonicalized
+    * edge set first thing ([[graft.Caching.materialize]]), so the basket
+    * pipeline under this relation already runs exactly once per query.
+    */
+  private def coBoughtEdges(s: SparkSession, d: String): DataFrame =
+    graft.analytics.Baskets.coOccurrencePairs(
+      Tables.lineitem(s, d), "l_orderkey", "l_partkey")
+
   /** One entry per implemented operator group from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- dimension ETLs (S1 + P1 + C1 + C2) ---
@@ -323,15 +333,11 @@ object SparkEntry {
     // --- triangle count over the co-bought-parts graph (degree-oriented) ---
     "q_triangles" -> ((s, d) =>
       graft.analytics.Triangles.triangleCount(
-        graft.analytics.Baskets.coOccurrenceEdges(
-          Tables.lineitem(s, d), "l_orderkey", "l_partkey"),
-        "item_a", "item_b")),
+        coBoughtEdges(s, d), "item_a", "item_b")),
     // --- per-part local clustering coefficient over the co-bought graph ---
     "q_clustering_coef" -> ((s, d) =>
       graft.analytics.Triangles.clusteringCoefficient(
-        graft.analytics.Baskets.coOccurrenceEdges(
-          Tables.lineitem(s, d), "l_orderkey", "l_partkey"),
-        "item_a", "item_b")),
+        coBoughtEdges(s, d), "item_a", "item_b")),
     // --- least-squares trend slope per supplier, exact integer sums ---
     // slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) with x = month index and
     // y = integer quantity: every sum is an exact long, the slope is ONE

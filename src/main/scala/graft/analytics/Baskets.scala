@@ -7,32 +7,74 @@ import org.apache.spark.sql.functions._
   * counting core — Agrawal & Srikant's support/lift, VLDB'94): which
   * items appear in the same basket more often than independence predicts.
   *
-  * Scale shape: the only quadratic step is the per-basket item self-join,
-  * and baskets are SMALL (a TPC-H order has ~4 parts; a retail basket
-  * ~20), so the join output is Σ|basket|²/2 — linear in baskets with a
-  * small constant, shuffled on the basket key where the data already
-  * lives. One hash agg ranks the pairs; the support threshold prunes the
-  * long tail BEFORE the item-count joins. Lift is exact integer counts
-  * with one final IEEE division, so results hash-match any engine.
+  * Scale shape: the quadratic step is per-basket pair expansion, and it
+  * is DOUBLY guarded. (1) Apriori prune: an item in fewer than
+  * `minSupport` baskets cannot be in any pair with `c_pair >= minSupport`
+  * (support is anti-monotone), so sub-support items are dropped BEFORE
+  * pairing — lossless for [[pairLift]], and it is exactly the degenerate
+  * mega-basket (a crawler session, a bot cart) whose items are mostly
+  * singletons. (2) An explicit basket-size cap: baskets with more than
+  * `maxBasketSize` surviving items are dropped (documented lossy guard —
+  * a 10⁶-item basket would otherwise emit 10¹² pairs on one key, the
+  * classic skew killer). Pairs are expanded IN-ROW from one sorted
+  * per-basket array (a single shuffle to group the basket, then a codegen
+  * lambda — no self-join shuffling the items relation twice), so the only
+  * wide exchanges are the basket group-by and the pair count. Lift is
+  * exact integer counts with one final IEEE division, so results
+  * hash-match any engine.
   */
 object Baskets {
 
+  /** Per-basket sorted distinct item arrays from a (basket, item)
+    * relation, explode-guarded: baskets larger than `maxBasketSize` are
+    * DROPPED (they are degenerate at real scale and would emit |b|²/2
+    * pairs on a single key downstream).
+    */
+  private def basketArrays(basketItems: DataFrame, basketCol: String,
+                           itemCol: String, maxBasketSize: Int): DataFrame =
+    basketItems
+      .groupBy(basketCol)
+      .agg(array_sort(collect_set(col(itemCol))).as("items"))
+      .filter(size(col("items")).between(2, maxBasketSize))
+
+  /** All unordered in-basket pairs (item_a < item_b), one row per
+    * (basket, pair). `items` is sorted, so the nested slice-lambda emits
+    * each pair exactly once in canonical order, in-row under codegen.
+    */
+  private def basketPairs(arrays: DataFrame): DataFrame =
+    arrays.select(explode(expr(
+      """flatten(transform(items, (x, i) ->
+        |  transform(slice(items, i + 2, size(items) - i - 1),
+        |            y -> struct(x AS item_a, y AS item_b))))""".stripMargin))
+      .as("p"))
+      .select(col("p.item_a"), col("p.item_b"))
+
   /** (item_a, item_b, c_pair, lift) for item pairs co-occurring in at
     * least `minSupport` baskets, top `k` by lift (ties broken on the
-    * pair), from a (basket, item) relation.
+    * pair), from a (basket, item) relation. Items below `minSupport`
+    * are Apriori-pruned before pairing (lossless); baskets larger than
+    * `maxBasketSize` after the prune are dropped (skew guard).
     */
   def pairLift(basketItems: DataFrame, basketCol: String, itemCol: String,
-               minSupport: Long = 2L, k: Int = 100): DataFrame = {
+               minSupport: Long = 2L, k: Int = 100,
+               maxBasketSize: Int = 4096): DataFrame = {
     require(minSupport >= 1, "minSupport must be >= 1")
     require(k >= 1, "k must be >= 1")
-    val items = basketItems.select(col(basketCol), col(itemCol)).distinct()
+    // items feeds nBaskets, itemCnt AND the pair expansion — eagerly
+    // materialized so the scan+distinct runs once, not once per
+    // concurrently-scheduled consumer stage
+    val items = graft.Caching.materialize(
+      basketItems.select(col(basketCol), col(itemCol)).distinct())
     val nBaskets = items.agg(countDistinct(col(basketCol)).as("n_baskets"))
-    val itemCnt = items.groupBy(itemCol).agg(count(lit(1)).as("c_item"))
-    val pairs = items.as("a")
-      .join(items.as("b"),
-        col(s"a.$basketCol") === col(s"b.$basketCol") &&
-          col(s"a.$itemCol") < col(s"b.$itemCol"))
-      .groupBy(col(s"a.$itemCol").as("item_a"), col(s"b.$itemCol").as("item_b"))
+    // itemCnt feeds the prune and both per-side count joins (3 branches)
+    val itemCnt = graft.Caching.materialize(
+      items.groupBy(itemCol).agg(count(lit(1)).as("c_item")))
+    // Apriori prune: c_pair <= min(c_a, c_b), so an item with
+    // c_item < minSupport cannot appear in any surviving pair
+    val frequent = items.join(
+      itemCnt.filter(col("c_item") >= minSupport).select(itemCol), itemCol)
+    val pairs = basketPairs(basketArrays(frequent, basketCol, itemCol, maxBasketSize))
+      .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("c_pair"))
       .filter(col("c_pair") >= minSupport)
     pairs
@@ -47,17 +89,25 @@ object Baskets {
       .limit(k)
   }
 
+  /** In-basket co-occurrence pairs (item_a < item_b), one row per
+    * (basket, pair) — NOT deduplicated across baskets. Feed this to
+    * consumers that canonicalize + distinct the edge relation themselves
+    * (both [[Triangles]] operators do), saving one full shuffle over the
+    * pair stream. Baskets larger than `maxBasketSize` are dropped
+    * (explode guard: one degenerate basket would otherwise contribute
+    * |b|²/2 pair rows on a single key).
+    */
+  def coOccurrencePairs(basketItems: DataFrame, basketCol: String,
+                        itemCol: String, maxBasketSize: Int = 4096): DataFrame =
+    basketPairs(basketArrays(
+      basketItems.select(col(basketCol), col(itemCol)),
+      basketCol, itemCol, maxBasketSize))
+
   /** Distinct co-occurrence edges (item_a < item_b) — the input graph for
-    * [[Triangles.triangleCount]] and other graph statistics.
+    * [[Triangles.triangleCount]] and other graph statistics. Same guard
+    * as [[coOccurrencePairs]].
     */
   def coOccurrenceEdges(basketItems: DataFrame, basketCol: String,
-                        itemCol: String): DataFrame = {
-    val items = basketItems.select(col(basketCol), col(itemCol)).distinct()
-    items.as("a")
-      .join(items.as("b"),
-        col(s"a.$basketCol") === col(s"b.$basketCol") &&
-          col(s"a.$itemCol") < col(s"b.$itemCol"))
-      .select(col(s"a.$itemCol").as("item_a"), col(s"b.$itemCol").as("item_b"))
-      .distinct()
-  }
+                        itemCol: String, maxBasketSize: Int = 4096): DataFrame =
+    coOccurrencePairs(basketItems, basketCol, itemCol, maxBasketSize).distinct()
 }

@@ -36,25 +36,29 @@ object Triangles {
     * direction). Output: one row (n_triangles).
     */
   def triangleCount(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
-    val e = edges.select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-      .distinct()
+    // e feeds the degree union (twice) AND the orientation join — persist
+    // so the upstream edge build (often itself a join/agg pipeline) runs
+    // once, not three times
+    val e = graft.Caching.materialize(
+      edges.select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
+        .filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .distinct())
     val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // orient by (degree, id): src = smaller endpoint under ≺
     val withDegs = e
       .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
-    val oriented = withDegs.select(
+    val oriented = graft.Caching.materialize(withDegs.select(
       when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
         .otherwise(col("v")).as("src"),
       when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
-        .otherwise(col("u")).as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // O(√m)-bounded out-adjacency arrays, joined onto both edge endpoints
-    val adj = oriented.groupBy("src")
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+        .otherwise(col("u")).as("dst")))
+    // O(√m)-bounded out-adjacency arrays, joined onto both edge endpoints —
+    // materialized because BOTH joins consume it from concurrent stages
+    val adj = graft.Caching.materialize(oriented.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs")))
     oriented
       .join(adj.select(col("src"), col("nbrs").as("src_nbrs")), "src")
       .join(adj.select(col("src").as("dst"), col("nbrs").as("dst_nbrs")),
@@ -78,27 +82,26 @@ object Triangles {
     * division.
     */
   def clusteringCoefficient(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
-    val e = edges.select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = graft.Caching.materialize(
+      edges.select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
+        .filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .distinct())
     val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val withDegs = e
       .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
-    val oriented = withDegs.select(
+    val oriented = graft.Caching.materialize(withDegs.select(
       when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
         .otherwise(col("v")).as("src"),
       when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
-        .otherwise(col("u")).as("dst"))
+        .otherwise(col("u")).as("dst")))
     // adj feeds BOTH endpoint joins below — Spark re-derives shared
-    // subtrees per plan branch, so without the persist the collect_list
-    // aggregation runs twice (and oriented three times)
-    val adj = oriented.groupBy("src")
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // subtrees per plan branch, so the aggregation is materialized before
+    // the concurrent consumer stages launch
+    val adj = graft.Caching.materialize(oriented.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs")))
     // every (s, t, x) triangle row credits its three corners
     val corners = oriented
       .join(adj.select(col("src"), col("nbrs").as("src_nbrs")), "src")
