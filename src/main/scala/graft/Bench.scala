@@ -85,7 +85,31 @@ object Bench {
       (line + "\n" + s"""{"metric":"samples","queries":$raw}""" + "\n")
         .getBytes(StandardCharsets.UTF_8))
     System.err.println(s"[bench] wrote $outPath")
-    println(line)
+    // The driver captures only the LAST ~2000 chars of merged output (then
+    // sbt appends its "[success] Total time ..." trailer), so a full
+    // 128-query line gets head-truncated and fails to parse — it did in
+    // rounds 1-3. Print a line GUARANTEED to fit: 3-decimal seconds,
+    // slowest queries first, greedily truncated to a 1500-char budget with
+    // an explicit omission count; the complete medians + per-run samples
+    // are always in bench_results.json.
+    // 2000-char driver window minus sbt's "[success] Total time ..."
+    // trailer (~75 chars) and margin
+    val budget = 1850
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val bySlowest = results.sortBy { case (k, v) => (-v, k) }
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"sf":"$sfDir","n_queries":${results.size},"full":"$outPath","queries":{"""
+    val entries = bySlowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val keptBuf = scala.collection.mutable.ListBuffer.empty[String]
+    // reserve room for the closing brace + worst-case omission suffix
+    var len = head.length + "},\"queries_omitted\":000}".length
+    entries.foreach { e =>
+      if (len + e.length + 1 <= budget) { keptBuf += e; len += e.length + 1 }
+    }
+    val omitted = entries.size - keptBuf.size
+    val compact = head + keptBuf.mkString(",") + "}" +
+      (if (omitted > 0) s""","queries_omitted":$omitted}""" else "}")
+    println(compact)
     spark.stop()
   }
 }
