@@ -257,13 +257,14 @@ object Ann {
   def lshTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
               tables: Int = 8, bits: Int = 8, dim: Int = 64): DataFrame = {
     val e = corpus(embeddings)
-    // persisted: the query side and the candidate join both read this
-    val buckets = e.select(col("vec_id"), col("v"),
+    // eagerly materialized: the query side and the candidate join are
+    // CONCURRENT consumer stages — a bare persist would let each re-run
+    // all tables x bits plane dot products (see graft.Caching)
+    val buckets = graft.Caching.materialize(e.select(col("vec_id"), col("v"),
       explode(array((0 until tables).map { t =>
         struct(lit(t).as("t"), bucketCol(col("v"), t, bits, dim).as("bucket"))
       }: _*)).as("tb"))
-      .select(col("vec_id"), col("v"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("vec_id"), col("v"), col("tb.t").as("t"), col("tb.bucket").as("bucket")))
     val qb = buckets.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("t").as("qt"), col("bucket").as("qbucket"))
@@ -337,14 +338,14 @@ object Ann {
   def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
                    tables: Int = 8, bits: Int = 8, dim: Int = 64): DataFrame = {
     val e = corpus(embeddings)
-    // persisted: both sides of the bucket self-join reference this —
-    // without it each side re-runs all tables × bits plane dot products
-    val buckets = e.select(col("vec_id"), col("v"),
+    // eagerly materialized: both sides of the bucket self-join are
+    // CONCURRENT shuffle-map stages — a bare persist would let each
+    // re-run all tables × bits plane dot products (see graft.Caching)
+    val buckets = graft.Caching.materialize(e.select(col("vec_id"), col("v"),
       explode(array((0 until tables).map { t =>
         struct(lit(t).as("t"), bucketCol(col("v"), t, bits, dim).as("bucket"))
       }: _*)).as("tb"))
-      .select(col("vec_id"), col("v"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("vec_id"), col("v"), col("tb.t").as("t"), col("tb.bucket").as("bucket")))
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&

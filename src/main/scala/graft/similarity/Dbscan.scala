@@ -41,13 +41,20 @@ object Dbscan {
     val pairs = Ann.nearDupPairs(embeddings, eps, tables, bits, dim)
       .select("vec_a", "vec_b")
     // sym feeds degree counting, core-edge construction, AND border
-    // attachment — persist the symmetric relation itself so the whole
-    // LSH+verify pipeline runs once, not per consumer
-    val sym = pairs.select(col("vec_a").as("id"), col("vec_b").as("nb"))
-      .union(pairs.select(col("vec_b").as("id"), col("vec_a").as("nb")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // attachment — eagerly materialized so the whole LSH+verify pipeline
+    // runs once, not per concurrently-scheduled consumer stage. The
+    // symmetrization is a single-pass explode, NOT a union: a union's two
+    // legs are two more concurrent consumers of the pair pipeline.
+    val sym = graft.Caching.materialize(
+      pairs.select(explode(array(
+        struct(col("vec_a").as("id"), col("vec_b").as("nb")),
+        struct(col("vec_b").as("id"), col("vec_a").as("nb")))).as("e"))
+        .select(col("e.id").as("id"), col("e.nb").as("nb")))
     val deg = sym.groupBy("id").agg(count(lit(1)).as("n_nb"))
-    val core = deg.filter(col("n_nb") + 1 >= minPts).select("id")
+    // core feeds both endpoint filters of coreEdges, the border anti-join
+    // and the cluster attach — cheap agg over cached sym, but 4 branches
+    val core = graft.Caching.materialize(
+      deg.filter(col("n_nb") + 1 >= minPts).select("id"))
 
     // components over core-core edges; isolated cores self-label
     val coreEdges = sym
