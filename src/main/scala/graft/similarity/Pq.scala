@@ -26,9 +26,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   *    fit is bit-identical regardless of partitioning. The corpus is
   *    persisted once for the whole fit (one aggregation pass per Lloyd
   *    iteration streams over cached blocks).
-  *  - Encode/search are row-local codegen expressions against literal
-  *    codebooks/LUTs: no shuffle, no UDF; top-k plans as
-  *    TakeOrderedAndProject per query.
+  *  - Encode is a row-local codegen expression against the literal
+  *    codebooks; search joins ONE broadcast LUT relation (nQueries rows)
+  *    onto the encoded corpus and ranks with a windowed k-limit — no
+  *    shuffle of the corpus, no UDF, nQueries never enters the plan size.
   */
 object Pq {
 
@@ -170,40 +171,47 @@ object Pq {
   /** ADC top-k: queries are `vec_id < nQueries` (the corpus-query
     * convention shared with [[Ann.bruteForceTopK]]); per query a
     * m × kCodes lookup table of exact query→centroid distances is
-    * computed on the driver and shipped as literals, and each encoded
-    * row's approximate distance is the sum of m table lookups — no
-    * decode, no shuffle; each query's top-k plans as
-    * TakeOrderedAndProject. */
+    * computed on the driver, and ALL tables ship together as one small
+    * broadcast relation (nQueries × m·kCodes doubles) joined once onto
+    * the encoded corpus — nQueries is a DATA size, not a plan size (the
+    * previous per-query literal-LUT branches union'd nQueries plan
+    * copies: fine at 10, plan explosion at 10⁴). Each encoded row's
+    * approximate distance is the sum of m lookups into the flattened
+    * table — no decode; per-query top-k is a ranked-window filter
+    * (WindowGroupLimit applies the k-limit below the shuffle). */
   def searchTopK(embeddings: DataFrame, model: Model, k: Int = 5,
                  nQueries: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val e = corpus(embeddings)
     val enc = encode(embeddings, model)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qs = e.filter(col("vec_id") < nQueries)
       .select("vec_id", "v").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    val perQuery = qs.map { case (qid, qv) =>
-      val lut: Array[Array[Double]] = model.codebooks.zipWithIndex.map {
-        case (cents, j) =>
-          cents.map { c =>
-            var s = 0.0
-            var i = 0
-            while (i < model.subDim) {
-              val d = qv(j * model.subDim + i) - c(i); s += d * d; i += 1
-            }
-            s
-          }
+    val kC = model.kCodes
+    // flattened LUT row per query: lut[j*kCodes + c] = ||q_j − cent_{j,c}||²
+    val luts = qs.toSeq.map { case (qid, qv) =>
+      val lut = new Array[Double](model.m * kC)
+      for (j <- 0 until model.m; c <- 0 until kC) {
+        val cent = model.codebooks(j)(c)
+        var s = 0.0
+        var i = 0
+        while (i < model.subDim) {
+          val d = qv(j * model.subDim + i) - cent(i); s += d * d; i += 1
+        }
+        lut(j * kC + c) = s
       }
-      val dist = model.codebooks.indices.map { j =>
-        element_at(array(lut(j).map(lit): _*), element_at(col("codes"), j + 1) + 1)
-      }.reduce(_ + _)
-      enc.filter(col("vec_id") =!= qid)
-        .select(lit(qid).as("query_id"), col("vec_id"),
-          round(dist, 6).as("approx_l2sq"))
-        .orderBy(asc("approx_l2sq"), asc("vec_id")).limit(k)
-    }
-    perQuery.reduce(_ unionAll _)
+      (qid, lut.toSeq)
+    }.toDF("query_id", "lut")
+    val dist = (0 until model.m).map { j =>
+      element_at(col("lut"), lit(j * kC) + element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val w = Window.partitionBy("query_id").orderBy(asc("approx_l2sq"), asc("vec_id"))
+    enc.join(broadcast(luts), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), round(dist, 6).as("approx_l2sq"))
+      .withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+      .drop("__rk")
   }
 
   /** Oracle-checkable verdict query: the model/encode/search are

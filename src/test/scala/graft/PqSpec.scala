@@ -59,4 +59,40 @@ class PqSpec extends AnyFunSuite {
       assert(r.getBoolean(3), "codes out of range")
     }
   }
+
+  test("searchTopK at nQueries=100 matches a driver-side ADC reference") {
+    // the broadcast-LUT join must scale nQueries as DATA, not plan size —
+    // this is the scale path the per-query literal-LUT branches could not
+    // take. Reference: full ADC computed in plain Scala.
+    val model = Pq.fit(emb, m = 8, kCodes = 16, iters = 1)
+    val k = 3
+    val got = Pq.searchTopK(emb, model, k = k, nQueries = 100)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (q, rs) => q -> rs.sortBy(r => (r._3, r._2)).map(r => (r._2, r._3)).toSeq }
+    val corpus = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val codes = corpus.map { case (id, v) => id -> Pq.assignCodes(v, model.codebooks) }.toMap
+    def lutDist(qv: Array[Double], cs: Array[Int]): Double = {
+      var s = 0.0
+      for (j <- 0 until model.m) {
+        val cent = model.codebooks(j)(cs(j))
+        var i = 0
+        while (i < model.subDim) {
+          val d = qv(j * model.subDim + i) - cent(i); s += d * d; i += 1
+        }
+      }
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val queries = corpus.filter(_._1 < 100)
+    assert(queries.length === 100, "fixture must hold at least 100 vectors")
+    assert(got.size === 100)
+    queries.foreach { case (qid, qv) =>
+      val expect = corpus.filter(_._1 != qid)
+        .map { case (id, _) => (id, lutDist(qv, codes(id))) }
+        .sortBy { case (id, d) => (d, id) }.take(k).toSeq
+      assert(got(qid) === expect, s"query $qid")
+    }
+  }
 }
