@@ -11,12 +11,13 @@ import org.apache.spark.sql.functions._
   * sized, millions of rows where the corpus has trillions of tokens — and
   * every training iteration touches only that table.
   *
-  * Per iteration: adjacent-symbol pairs explode from each word (weighted
+  * Per round: adjacent-symbol pairs explode from each word (weighted
   * by word frequency), one hash agg ranks them, the driver takes the top
-  * pair (ONE collected row per iteration — bounded model state, the
-  * kmeans-centroid pattern), and a fold expression rewrites each word's
-  * symbol array with leftmost-greedy merging. The fold runs as a
-  * row-local higher-order `aggregate` — no UDF, no shuffle. Ties break
+  * batchSize+1 pairs (bounded model state, the kmeans-centroid pattern)
+  * and accepts a provably-sequential batch of them (see [[trainMerges]]),
+  * and one chained fold expression rewrites each word's symbol array with
+  * leftmost-greedy merging, rule by rule in rank order. The folds run as
+  * row-local higher-order `aggregate`s — no UDF, no shuffle. Ties break
   * (count desc, left asc, right asc) so the merge table is deterministic
   * under any partitioning (the spec asserts it).
   *
@@ -66,11 +67,30 @@ object Bpe {
 
   /** Train `numMerges` merge rules. Returns the ordered merge table:
     * (rank, left, right, merged, pair_count).
+    *
+    * Merges are selected in PROVABLY-SEQUENTIAL batches of up to
+    * `batchSize` per Spark round (one pair-count job + one rewrite job
+    * apply up to B merges, vs one pair of jobs PER merge — a 32 k-merge
+    * vocab stops being 32 k sequential job pairs). A batch is the
+    * CONTIGUOUS top of the (count desc, l asc, r asc)-sorted pair table
+    * that is (a) pairwise symbol-disjoint — merging one pair then cannot
+    * create or destroy occurrences of another (a merge only affects
+    * adjacencies touching its own symbols, and `c⋅d` can't become
+    * adjacent unless the merged pair sat BETWEEN them, which contradicts
+    * adjacency) — and (b) strictly above the next pair's count. (b) makes
+    * the equivalence exact despite new pairs: a pair created by an
+    * applied merge inherits at most its parent pair's count, the parent
+    * shares a symbol with an applied merge so it is OUTSIDE the disjoint
+    * prefix, hence its count is ≤ the boundary count < every accepted
+    * count — it can never overtake a later batch member, not even on a
+    * tie-break. A batch of 1 is trivially the sequential step, so the
+    * shrink loop always terminates with a valid batch.
     */
   def trainMerges(documents: DataFrame, numMerges: Int,
-                  checkpointEvery: Int = 8): Seq[(Int, String, String, String, Long)] = {
+                  checkpointEvery: Int = 8,
+                  batchSize: Int = 8): Seq[(Int, String, String, String, Long)] = {
     require(numMerges >= 1, "numMerges must be >= 1")
-    val spark = documents.sparkSession
+    require(batchSize >= 1, "batchSize must be >= 1")
     // one corpus pass: vocabulary-sized (word, freq) table
     var words = documents
       .select(explode(TextOps.tokens(col("text"))).as("word"))
@@ -81,7 +101,9 @@ object Bpe {
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 1
+    var sinceCheckpoint = 0
     while (rank <= numMerges) {
+      val b = math.min(batchSize, numMerges - rank + 1)
       val pairs = words
         .select(col("freq"), explode(
           when(size(col("syms")) < 2, array().cast("array<struct<l:string,r:string>>"))
@@ -90,24 +112,54 @@ object Bpe {
                 element_at(col("syms"), i + 2).as("r"))))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("n"))
-      val top = pairs.orderBy(desc("n"), asc("l"), asc("r")).limit(1).collect()
-      if (top.isEmpty) {
+      // b+1 rows of driver state: the boundary row drives guard (b)
+      val cand = pairs.orderBy(desc("n"), asc("l"), asc("r")).limit(b + 1).collect()
+      if (cand.isEmpty) {
         rank = numMerges + 1 // every word is a single symbol — done
       } else {
-        val Row(l: String, r: String, n: Long) = top.head
-        merges += ((rank, l, r, l + r, n))
+        // (a) contiguous symbol-disjoint prefix — STOP at the first
+        // conflict (skipping would break the count-dominance argument)
+        val used = scala.collection.mutable.Set.empty[String]
+        var k = 0
+        var conflict = false
+        while (!conflict && k < math.min(b, cand.length)) {
+          val l = cand(k).getString(0); val r = cand(k).getString(1)
+          if (used.contains(l) || used.contains(r)) conflict = true
+          else { used += l; used += r; k += 1 }
+        }
+        // (b) strict count drop at the batch boundary; k=1 is always safe
+        while (k >= 2 && k < cand.length && cand(k - 1).getLong(2) == cand(k).getLong(2))
+          k -= 1
+        val batch = cand.take(k)
+        batch.foreach { row =>
+          val Row(l: String, r: String, n: Long) = row
+          merges += ((rank, l, r, l + r, n))
+          rank += 1
+        }
+        // ONE rewrite job: the k rules chain left-to-right in rank order,
+        // each fold applied leftmost-greedily — exactly the sequential
+        // semantics, k-at-a-time
+        val newSyms = batch.foldLeft(col("syms")) { (c, row) =>
+          mergeOnce(c, row.getString(0), row.getString(1))
+        }
+        val staged = words.select(newSyms.as("syms"), col("freq"))
         val prev = words
-        words = prev
-          .select(mergeOnce(col("syms"), l, r).as("syms"), col("freq"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        if (rank % checkpointEvery == 0) words = words.localCheckpoint()
-        // materialize the new table BEFORE releasing its parent — persist
-        // is lazy, and unpersisting prev first would force every later
-        // action to rebuild the whole fold chain back to the last
-        // checkpoint (O(checkpointEvery²) re-evaluations of pure waste)
-        words.count()
+        sinceCheckpoint += k
+        words = if (sinceCheckpoint >= checkpointEvery) {
+          sinceCheckpoint = 0
+          // eager localCheckpoint materializes (and stores) the new table
+          // itself — no extra persist, so nothing leaks in the cache when
+          // the pre-checkpoint plan is dropped
+          staged.localCheckpoint()
+        } else {
+          // materialize BEFORE releasing the parent — persist is lazy, and
+          // unpersisting prev first would force every later action to
+          // rebuild the whole fold chain back to the last checkpoint
+          val cached = staged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          cached.count()
+          cached
+        }
         prev.unpersist()
-        rank += 1
       }
     }
     words.unpersist()

@@ -80,6 +80,23 @@ class BpeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("batched selection (B=8) equals strictly-sequential training (B=1)") {
+    // a corpus rich enough to exercise batches, conflicts (shared
+    // symbols force the contiguous-prefix stop) and count ties (the
+    // strict-drop boundary guard): the merge TABLES must be identical
+    // rule for rule, counts included
+    val corpus = Seq(
+      "low low low low low", "lower lower lowest",
+      "newest newest newest newest newest newest", "widest widest widest",
+      "new new new", "banana bandana cabana", "mississippi mississippi",
+      "abracadabra abracadabra alakazam", "deed deed did dad")
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val sequential = Bpe.trainMerges(docs, numMerges = 40, batchSize = 1)
+    val batched = Bpe.trainMerges(docs, numMerges = 40, batchSize = 8)
+    assert(batched === sequential)
+    spark.catalog.clearCache()
+  }
+
   test("training stops early when every word is one symbol") {
     val docs = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
     // 'ab</w>' fuses after 1 merge... ('a','b</w>'); ask for 10, get what exists
