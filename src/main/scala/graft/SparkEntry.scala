@@ -395,6 +395,38 @@ object SparkEntry {
       graft.operators.Ivm.applyDelta(base, changes, Seq("month_start"), "v")
         .select(col("month_start"), col("cnt"), col("total").cast("double").as("total"))
     }),
+    // --- IVM for NON-self-maintainable aggregates: min/max under deletes
+    // that hit the stored extremum (guaranteed: every month's max rows are
+    // deleted), repaired per dirty group from the post-batch base ---
+    "q_ivm_minmax" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{count, date_trunc, lit, max, min}
+      import org.apache.spark.sql.types.DecimalType
+      val ord = Tables.orders(s, d)
+      val price = col("o_totalprice").cast(DecimalType(18, 2))
+      val month = date_trunc("month", col("o_orderdate")).cast("date").as("month_start")
+      val rows = ord.select(month, price.as("p"), col("o_orderkey"))
+        .withColumn("mxp", max(col("p")).over(Window.partitionBy(col("month_start"))))
+      val base = ord.groupBy(month)
+        .agg(count(lit(1)).as("cnt"), min(price).as("mn"), max(price).as("mx"))
+      val bump = lit(new java.math.BigDecimal("1000.00"))
+      val delMax = rows.filter(col("p") === col("mxp"))
+        .select(col("month_start"), col("p").as("v"), lit(true).as("is_delete"))
+      val delMod = rows.filter(col("p") =!= col("mxp") && col("o_orderkey") % 10 === 7)
+        .select(col("month_start"), col("p").as("v"), lit(true).as("is_delete"))
+      val ins = ord.filter(col("o_orderkey") % 10 === 5)
+        .select(month, (price + bump).cast(DecimalType(18, 2)).as("v"),
+          lit(false).as("is_delete"))
+      val changes = delMax.unionByName(delMod).unionByName(ins)
+      val baseAfter = rows
+        .filter(!(col("p") === col("mxp") || col("o_orderkey") % 10 === 7))
+        .select(col("month_start"), col("p").as("v"))
+        .unionByName(ins.select(col("month_start"), col("v")))
+      graft.operators.Ivm
+        .applyDeltaMinMax(base, changes, baseAfter, Seq("month_start"), "v")
+        .select(col("month_start"), col("cnt"),
+          col("mn").cast("double").as("mn"), col("mx").cast("double").as("mx"))
+    }),
     // --- temperature-0.5 corpus mixing: rates from counts, sqrt-exact ---
     "q_temperature_mix" -> ((s, d) =>
       Sampling.temperatureMix(Tables.documents(s, d), "source", "doc_id")),
@@ -2003,6 +2035,29 @@ object SparkEntry {
         |SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
         |       COUNT(*) AS cnt,
         |       CAST(SUM(p) AS DOUBLE) AS total
+        |FROM merged
+        |GROUP BY 1""".stripMargin,
+    // full recompute over the merged snapshot: deletes remove every row
+    // at its month's max price (forcing the retraction-repair path for
+    // every group) plus non-max %10==7 rows; inserts duplicate %10==5
+    // rows' months at +1000.00 — the incremental min/max must land
+    // exactly on this
+    "q_ivm_minmax" ->
+      """WITH priced AS (
+        |  SELECT o_orderdate, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+        |         MAX(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |           PARTITION BY date_trunc('month', o_orderdate)) AS mxp
+        |  FROM orders),
+        |merged AS (
+        |  SELECT o_orderdate, p FROM priced
+        |  WHERE NOT (p = mxp OR o_orderkey % 10 = 7)
+        |  UNION ALL
+        |  SELECT o_orderdate, CAST(o_totalprice AS DECIMAL(18,2)) + 1000.00 AS p
+        |  FROM orders WHERE o_orderkey % 10 = 5)
+        |SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |       COUNT(*) AS cnt,
+        |       CAST(MIN(p) AS DOUBLE) AS mn,
+        |       CAST(MAX(p) AS DOUBLE) AS mx
         |FROM merged
         |GROUP BY 1""".stripMargin,
     // τ=1/2 source rebalancing: rate = √(n_min/n_src) in micro-units

@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
   *
   * An UPDATE is a delete(before-image) + insert(after-image) pair in the
   * changes batch, per the usual CDC encoding. MIN/MAX are NOT
-  * self-maintainable under deletes (a deleted max forces a rescan of the
-  * group) and are deliberately out of scope.
+  * self-maintainable under deletes (a deleted max may force a rescan of
+  * its group): [[applyDeltaMinMax]] maintains them with the standard
+  * dirty-group repair — inserts fold in algebraically, and only groups
+  * whose delete batch hit the stored extremum recompute, from the
+  * post-batch base restricted to exactly those groups.
   */
 object Ivm {
 
@@ -54,5 +57,71 @@ object Ivm {
           (coalesce(col(sumCol), zeroSum) + coalesce(col("__sum_d"), zeroSum))
             .as(sumCol)): _*)
       .filter(col(cntCol) > 0)
+  }
+
+  /** Maintain a (groupCols, cntCol, minCol, maxCol) view under an
+    * insert/delete changes batch.
+    *
+    * Inserts are algebraic: `new_min = least(old, batch_min)` (and
+    * symmetrically for max). Deletes are where min/max stop being
+    * self-maintainable — a delete AT the stored extremum invalidates it.
+    * Those groups (and only those) are marked dirty and their extrema
+    * recompute from `baseAfter`, the base relation with the batch already
+    * applied, semi-join-restricted to the dirty group set. Cost is
+    * therefore sized by the batch + the aggregate + (dirty groups ×
+    * their base rows) — the base is never scanned for clean groups. The
+    * dirty test uses ≤/≥ (not =) so an inconsistent before-image below
+    * the stored min still triggers repair instead of silent divergence.
+    *
+    * Counts are maintained exactly as [[applyDelta]]; groups reaching
+    * count 0 disappear (checked BEFORE repair, so vanished groups never
+    * recompute). NULL group keys match null-safely, NULL measure values
+    * are ignored by min/max on both the incremental and recompute paths
+    * (SQL aggregate semantics).
+    */
+  def applyDeltaMinMax(baseAgg: DataFrame, changes: DataFrame, baseAfter: DataFrame,
+                       groupCols: Seq[String], valueCol: String,
+                       cntCol: String = "cnt", minCol: String = "mn",
+                       maxCol: String = "mx",
+                       deleteCol: String = "is_delete"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val sign = when(col(deleteCol), lit(-1L)).otherwise(lit(1L))
+    val delta = changes.groupBy(groupCols.map(col): _*)
+      .agg(sum(sign).as("__cnt_d"),
+        min(when(!col(deleteCol), col(valueCol))).as("__ins_mn"),
+        max(when(!col(deleteCol), col(valueCol))).as("__ins_mx"),
+        min(when(col(deleteCol), col(valueCol))).as("__del_mn"),
+        max(when(col(deleteCol), col(valueCol))).as("__del_mx"))
+    val b = baseAgg.alias("b"); val d = delta.alias("d")
+    val cond = groupCols.map(c => col(s"b.$c") <=> col(s"d.$c")).reduce(_ && _)
+    // survivors feed the clean path AND the dirty-group set — materialize
+    // the aggregate-sized relation so the full-outer join runs once
+    val survivors = graft.Caching.materialize(b.join(d, cond, "full_outer")
+      .select(groupCols.map(c => coalesce(col(s"b.$c"), col(s"d.$c")).as(c)) ++ Seq(
+        (coalesce(col(cntCol), lit(0L)) + coalesce(col("__cnt_d"), lit(0L)))
+          .as(cntCol),
+        col(minCol), col(maxCol), col("__ins_mn"), col("__ins_mx"),
+        (col("__del_mn").isNotNull && col(minCol).isNotNull &&
+          col("__del_mn") <= col(minCol)).as("__dirty_mn"),
+        (col("__del_mx").isNotNull && col(maxCol).isNotNull &&
+          col("__del_mx") >= col(maxCol)).as("__dirty_mx")): _*)
+      .filter(col(cntCol) > 0))
+    val dirty = survivors.filter(col("__dirty_mn") || col("__dirty_mx"))
+      .select(groupCols.map(col): _*)
+    // the ONLY base access: recompute extrema for retraction-hit groups
+    val ba = baseAfter.alias("ba"); val g = dirty.alias("g")
+    val recCond = groupCols.map(c => col(s"ba.$c") <=> col(s"g.$c")).reduce(_ && _)
+    val rec = ba.join(g, recCond, "left_semi")
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col(valueCol)).as("__rec_mn"), max(col(valueCol)).as("__rec_mx"))
+    val sv = survivors.alias("sv"); val r = rec.alias("r")
+    val attachCond = groupCols.map(c => col(s"sv.$c") <=> col(s"r.$c")).reduce(_ && _)
+    sv.join(r, attachCond, "left_outer")
+      .select(groupCols.map(c => col(s"sv.$c").as(c)) ++ Seq(
+        col(cntCol),
+        when(col("__dirty_mn"), col("__rec_mn"))
+          .otherwise(least(col(minCol), col("__ins_mn"))).as(minCol),
+        when(col("__dirty_mx"), col("__rec_mx"))
+          .otherwise(greatest(col(maxCol), col("__ins_mx"))).as(maxCol)): _*)
   }
 }

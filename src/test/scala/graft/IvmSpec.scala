@@ -84,6 +84,59 @@ class IvmSpec extends AnyFunSuite {
     assert(got.exceptAll(recompute).isEmpty && recompute.exceptAll(got).isEmpty)
   }
 
+  private def aggMinMax(rows: org.apache.spark.sql.DataFrame) =
+    rows.groupBy("g").agg(count(lit(1)).as("cnt"),
+      min($"v".cast("decimal(18,2)")).as("mn"),
+      max($"v".cast("decimal(18,2)")).as("mx"))
+
+  test("applyDeltaMinMax equals recompute, including extremum retractions") {
+    val base = Seq(("a", 10.0), ("a", 20.0), ("a", 20.0), ("b", 5.0), ("b", 8.0),
+      ("c", 7.0), ("e", 1.0), ("e", 4.0)).toDF("g", "v")
+    // a: delete ONE of the two max rows (max survives at same value) and
+    //    the min row (min retracts to a recomputed 20.0);
+    // b: insert a new max (clean algebraic path);
+    // c: group vanishes entirely (no repair attempted);
+    // d: brand-new group;
+    // e: untouched.
+    val changes = Seq(
+      ("a", 20.0, true), ("a", 10.0, true),
+      ("b", 11.0, false),
+      ("c", 7.0, true),
+      ("d", 9.0, false), ("d", 3.0, false)
+    ).toDF("g", "v", "is_delete").withColumn("v", $"v".cast("decimal(18,2)"))
+    val after = Seq(("a", 20.0), ("b", 5.0), ("b", 8.0), ("b", 11.0),
+      ("d", 9.0), ("d", 3.0), ("e", 1.0), ("e", 4.0)).toDF("g", "v")
+    val incremental = Ivm.applyDeltaMinMax(
+      aggMinMax(base), changes,
+      after.withColumn("v", $"v".cast("decimal(18,2)")), Seq("g"), "v")
+    val recompute = aggMinMax(after)
+    assert(incremental.exceptAll(recompute).isEmpty &&
+      recompute.exceptAll(incremental).isEmpty,
+      s"got:\n${incremental.collect().mkString("\n")}")
+    spark.catalog.clearCache()
+  }
+
+  test("applyDeltaMinMax: null groups and null measures follow SQL semantics") {
+    val base = Seq((Some("a"), Some(1.0)), (None, Some(2.0)), (None, Some(6.0)))
+      .toDF("g", "v")
+    // delete the null group's max (retraction on a NULL key), insert a
+    // null measure into a (ignored by min/max, counted by cnt)
+    val changes = Seq(
+      (None: Option[String], Some(6.0), true),
+      (Some("a"), None: Option[Double], false)
+    ).toDF("g", "v", "is_delete").withColumn("v", $"v".cast("decimal(18,2)"))
+    val after = Seq((Some("a"), Some(1.0)), (Some("a"), None: Option[Double]),
+      (None, Some(2.0))).toDF("g", "v")
+    val incremental = Ivm.applyDeltaMinMax(
+      aggMinMax(base), changes,
+      after.withColumn("v", $"v".cast("decimal(18,2)")), Seq("g"), "v")
+    val recompute = aggMinMax(after)
+    assert(incremental.exceptAll(recompute).isEmpty &&
+      recompute.exceptAll(incremental).isEmpty,
+      s"got:\n${incremental.collect().mkString("\n")}")
+    spark.catalog.clearCache()
+  }
+
   test("maintenance cost is delta-sized: base relation absent from the plan") {
     val base = agg(Seq(("a", 1.0)).toDF("g", "v"))
       .write.mode("overwrite").parquet("/tmp/graft_ivm_base")
