@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
   * which hosts are worth keeping; Brin & Page, WWW'98).
   *
   * The graph: one edge per distinct (customer, supplier) purchase relation
-  * (via lineitem⋈orders), symmetrized — supplier nodes are namespaced to
-  * `id + 1 000 000`. Symmetrization removes dangling-mass bookkeeping (every
-  * node keeps out-edges) while preserving the centrality ordering on a
-  * bipartite graph.
+  * (via lineitem⋈orders), symmetrized — customer and supplier keys share
+  * one node-id space via the collision-free 2k / 2k+1 parity encoding
+  * (see [[customerNode]]/[[supplierNode]]). Symmetrization removes
+  * dangling-mass bookkeeping (every node keeps out-edges) while
+  * preserving the centrality ordering on a bipartite graph.
   *
   * Every rank is an exact INTEGER in 1e-12 units of probability mass, and
   * the whole update is integer arithmetic:
@@ -32,8 +33,15 @@ import org.apache.spark.sql.functions._
   * src — co-partitioned after the first round) and one sum by dst. Rank
   * state is 16 B/node. N and the teleport constant are the only driver
   * values (two longs — bounded model state, as in kmeans). The edge
-  * relation is persisted across the five iterations; lineage stays linear
-  * so no checkpoint is needed at fixed iteration counts.
+  * relation is persisted across all iterations, and the rank lineage is
+  * truncated with an eager `localCheckpoint` every `checkpointEvery`
+  * rounds — at the default 5 iterations the plan never reaches a
+  * checkpoint and is byte-identical to the fixed-iteration formulation,
+  * while iters=20+ keeps a bounded plan depth instead of nesting every
+  * round's join. An optional integer L1-delta early-exit (`tolUnits ≥ 0`)
+  * stops when Σ|rₖ−rₖ₋₁| ≤ tolUnits; the recurrence is exact integer
+  * arithmetic, so once the delta hits 0 the vector is a true fixed point
+  * and further rounds cannot change the result.
   */
 object PageRank {
 
@@ -61,9 +69,19 @@ object PageRank {
 
   /** PageRank after `iters` synchronous rounds, damping 0.85.
     * Output: (id, node_type, rank_units, rank), one row per node.
+    *
+    * @param checkpointEvery truncate rank lineage with an eager
+    *        localCheckpoint every this many rounds (bounded plan depth
+    *        for long runs; default 8 leaves the 5-iteration default
+    *        checkpoint-free and byte-identical to the r3 formulation)
+    * @param tolUnits if ≥ 0, stop as soon as the integer L1 delta
+    *        Σ|rₖ−rₖ₋₁| ≤ tolUnits (exact — delta 0 is a true fixed
+    *        point); negative disables the convergence check (default)
     */
-  def pagerank(lineitem: DataFrame, orders: DataFrame, iters: Int = 5): DataFrame = {
+  def pagerank(lineitem: DataFrame, orders: DataFrame, iters: Int = 5,
+               checkpointEvery: Int = 8, tolUnits: Long = -1L): DataFrame = {
     require(iters >= 1, "need at least one iteration")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val edges = copurchaseEdges(lineitem, orders)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("od"))
     val edgesDeg = edges.join(deg, "src")
@@ -73,14 +91,28 @@ object PageRank {
     val teleport = (15L * Mass) / (100L * n)
 
     var ranks = deg.select(col("src").as("id"), lit(Mass / n).as("r"))
-    for (_ <- 1 to iters) {
-      ranks = edgesDeg
-        .join(ranks, edgesDeg("src") === ranks("id"))
+    var round = 1
+    var converged = false
+    while (round <= iters && !converged) {
+      val prev = ranks
+      var next = edgesDeg
+        .join(prev, edgesDeg("src") === prev("id"))
         .select(col("dst"), expr("r div od").as("contrib"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("contrib")).as("s"))
         .select(col("id"),
           (lit(teleport) + expr("(85 * s) div 100")).as("r"))
+      if (round % checkpointEvery == 0) next = next.localCheckpoint()
+      if (tolUnits >= 0L) {
+        // one exact scalar per round: Σ|Δ| in 1e-12 units, long arithmetic
+        val a = next.alias("a"); val b = prev.alias("b")
+        val l1 = a.join(b, col("a.id") === col("b.id"))
+          .agg(coalesce(sum(abs(col("a.r") - col("b.r"))), lit(0L)).as("l1"))
+          .head().getLong(0)
+        if (l1 <= tolUnits) converged = true
+      }
+      ranks = next
+      round += 1
     }
     ranks.select(
       col("id"),

@@ -29,6 +29,33 @@ class PageRankSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("iters=20 keeps a bounded plan via checkpointing and exits early at the fixed point") {
+    val li = Seq((10L, 1L), (11L, 2L), (12L, 3L), (13L, 4L), (14L, 1L))
+      .toDF("l_orderkey", "l_suppkey")
+    val ord = Seq((10L, 1L), (11L, 1L), (12L, 1L), (13L, 1L), (14L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+    // checkpointEvery=4: after 20 rounds the live plan covers at most 4
+    // rounds of joins; without truncation it would nest all 20
+    val deep = PageRank.pagerank(li, ord, iters = 20, checkpointEvery = 4)
+    val joins = deep.queryExecution.optimizedPlan.toString
+      .linesIterator.count(_.trim.startsWith("Join"))
+    assert(joins <= 12, s"plan nests $joins joins — lineage not truncated")
+    // the integer recurrence reaches an exact fixed point well before 20
+    // rounds on this graph: the convergence-mode result must equal the
+    // fixed-iteration result (delta 0 ⇒ further rounds are no-ops)
+    val fixed = deep.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val early = PageRank.pagerank(li, ord, iters = 20, checkpointEvery = 4,
+      tolUnits = 0L).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(early === fixed)
+    // and 5-iteration ranks are untouched by the new parameters' defaults
+    val r5a = PageRank.pagerank(li, ord, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val r5b = PageRank.pagerank(li, ord, iters = 5, checkpointEvery = 8, tolUnits = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(r5a === r5b)
+    spark.catalog.clearCache()
+  }
+
   test("rank mass stays ~1 (truncation can only leak mass downward)") {
     val out = PageRank.pagerank(
       Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir), iters = 3)
