@@ -345,9 +345,14 @@ object SparkEntry {
     // running float sums would drift by partition order
     "q_trend_slope" -> ((s, d) => {
       import org.apache.spark.sql.functions.{count, month, sum, when, year}
+      // floor() BEFORE the long cast: Spark's double→long cast truncates
+      // toward zero while DuckDB's rounds half-even — the engines agree
+      // today only because TPC-H quantities are integral. An explicit
+      // floor on BOTH sides (quantities are positive, so floor==truncate
+      // here) pins identical semantics for any fractional source.
       val pts = Tables.lineitem(s, d).select(col("l_suppkey"),
         (year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).cast("long").as("x"),
-        col("l_quantity").cast("long").as("y"))
+        org.apache.spark.sql.functions.floor(col("l_quantity")).cast("long").as("y"))
       pts.groupBy("l_suppkey")
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
           sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
@@ -1129,7 +1134,7 @@ object SparkEntry {
       """WITH pts AS (
         |  SELECT l_suppkey,
         |         CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS x,
-        |         CAST(l_quantity AS BIGINT) AS y
+        |         CAST(FLOOR(l_quantity) AS BIGINT) AS y
         |  FROM lineitem),
         |s AS (
         |  SELECT l_suppkey, COUNT(*) AS n,

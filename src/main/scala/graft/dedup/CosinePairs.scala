@@ -140,9 +140,15 @@ object CosinePairs {
     // (bounded driver state, like PageRank's N); ceil on both sqrt's
     // keeps the product an over-estimate of the true Cauchy–Schwarz
     // bound, preserving exactness.
-    val maxPartnerNorm = math.ceil(math.sqrt(
-      feats.groupBy("doc_id").agg(sum(col("wn") * col("wn")).as("n2"))
-        .agg(max(col("n2"))).head().getLong(0).toDouble)).toLong
+    // Guarded scalar: on an EMPTY feature relation (empty corpus, or an
+    // all-duplicates corpus where every token has df==N so every idf-0
+    // weight is filtered out) the global max aggregate returns one NULL
+    // row — getLong would NPE on exactly the degenerate input a dedup
+    // pipeline can see. No features ⇒ no candidate pairs ⇒ empty result.
+    val maxN2 = feats.groupBy("doc_id").agg(sum(col("wn") * col("wn")).as("n2"))
+      .agg(max(col("n2")).as("mx")).head()
+    if (maxN2.isNullAt(0)) return feats.limit(0).select("doc_id", "hv")
+    val maxPartnerNorm = math.ceil(math.sqrt(maxN2.getLong(0).toDouble)).toLong
 
     // global feature order: (maxw desc, hv asc). A feature is indexed iff
     // the dot contribution of the suffix starting at it can still reach t,

@@ -25,8 +25,13 @@ import org.apache.spark.sql.functions._
   * `seqCol`: when a batch can carry several changes for one key (CDC
   * streams), the row with the highest sequence wins; ties break on the
   * tombstone (delete wins, matching "the last thing that happened was
-  * removal" CDC convention) — resolved with one per-key window over the
-  * (small) changes batch, never over the target.
+  * removal" CDC convention), then on a hash of the remaining payload
+  * columns — two same-key same-seq same-flag rows with different
+  * payloads would otherwise get a partitioning-dependent row_number
+  * winner, breaking the library's determinism contract (lakehouse MERGE
+  * implementations fail that case outright; picking the hash-least
+  * payload is deterministic AND total). Resolved with one per-key window
+  * over the (small) changes batch, never over the target.
   */
 object Merge {
 
@@ -35,8 +40,13 @@ object Merge {
                 seqCol: Option[String] = None): DataFrame = {
     val latest = seqCol match {
       case Some(seq) =>
+        val payload = changes.columns
+          .filter(c => c != key && c != seq && c != deleteCol)
+        val payloadTieBreak =
+          if (payload.isEmpty) lit(0L)
+          else xxhash64(payload.map(c => col(c).cast("string")): _*)
         val w = Window.partitionBy(key)
-          .orderBy(col(seq).desc, col(deleteCol).desc)
+          .orderBy(col(seq).desc, col(deleteCol).desc, payloadTieBreak.asc)
         changes.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn", seq)
       case None => changes

@@ -100,4 +100,18 @@ class CosinePairsSpec extends AnyFunSuite {
       s"non-scalar nested-loop join leaked into the plan:\n$plan")
     spark.catalog.clearCache()
   }
+
+  test("degenerate corpora return empty, not NPE") {
+    // all-duplicates: every token appears in every doc, df == N, every
+    // idf-0 weight filters out — the feature relation is EMPTY and the
+    // corpus-max-norm scalar is a NULL row. Exactly the input a dedup
+    // pipeline sees on a fully templated shard.
+    val dup = (1L to 6L).map(i => (i, "same exact words every time"))
+      .toDF("doc_id", "text")
+    assert(CosinePairs.cosinePairs(dup, 0.9).isEmpty)
+    // empty corpus
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(CosinePairs.cosinePairs(empty, 0.9).isEmpty)
+    spark.catalog.clearCache()
+  }
 }

@@ -38,6 +38,24 @@ class MergeSpec extends AnyFunSuite {
     assert(out === Set((1L, "a", 10.0), (2L, "second", 2.0)))
   }
 
+  test("seqCol: a full tie (same key, seq, flag) resolves deterministically") {
+    // two candidate payloads with identical (key, seq, tombstone): the
+    // winner is the hash-least payload — the same under ANY partitioning,
+    // where a bare (seq, flag) ordering left row_number to pick whichever
+    // row arrived first
+    val changes = Seq(
+      (2L, "payload_x", 7.0, false, 3L),
+      (2L, "payload_y", 8.0, false, 3L)
+    ).toDF("id", "name", "amount", "is_delete", "seq")
+    val once = Merge.scd1Merge(snapshot, changes, "id", seqCol = Some("seq"))
+      .as[(Long, String, Double)].collect().toSet
+    (1 to 3).foreach { p =>
+      val again = Merge.scd1Merge(snapshot, changes.repartition(p), "id",
+        seqCol = Some("seq")).as[(Long, String, Double)].collect().toSet
+      assert(again === once, s"partitioning $p changed the merge winner")
+    }
+  }
+
   test("empty changes batch is the identity") {
     val empty = Seq.empty[(Long, String, Double, Boolean)]
       .toDF("id", "name", "amount", "is_delete")
