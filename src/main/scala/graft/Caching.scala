@@ -15,8 +15,13 @@ import org.apache.spark.storage.StorageLevel
   * same plan, same persists).
   *
   * Use for relations that (a) are expensive to build and (b) feed 2+
-  * plan branches of the SAME downstream action. Single-consumer persists
-  * gain nothing and pay an extra pass.
+  * DIFFERENT plan subtrees of the same downstream action (e.g. a degree
+  * aggregation AND a join, or two joins with different projections).
+  * Single-consumer persists gain nothing and pay an extra pass — and so
+  * do plain self-joins of one projection: there the two map stages are
+  * identical and Spark's ReuseExchange already computes them once
+  * (measured on minhashDedup's band self-join: materializing was ~0.6s
+  * SLOWER at sf0.1 than the bare persist).
   */
 object Caching {
   def materialize(df: DataFrame,

@@ -211,11 +211,11 @@ object Breadth2 {
     // it is ≤ #days rows, so the cache is tiny at any input scale.
     // Cache contract as in dedup/Curation: callers that care should
     // clearCache() after consuming the result (Verify/Bench do).
-    val daily = lineitem.filter(col("l_suppkey") === suppkey)
-      .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(to_date(col("o_orderdate")).as("d"))
-      .agg(count(lit(1)).as("n"))
-      .persist()
+    val daily = graft.Caching.materialize(
+      lineitem.filter(col("l_suppkey") === suppkey)
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("n")))
     val spine = daily.agg(min("d").as("lo"), max("d").as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("d"))
     val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)

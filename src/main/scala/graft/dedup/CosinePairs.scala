@@ -71,9 +71,8 @@ object CosinePairs {
     // re-aggregate per pair) shuffles Σ|shared| rows per candidate —
     // measured 29 s vs ~4 s at sf0.1 on self-similar corpora where
     // candidates are ~10 M. Same long arithmetic, same result.
-    val docVecs = feats.groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("hv"), col("wn")))).as("fv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docVecs = graft.Caching.materialize(feats.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("hv"), col("wn")))).as("fv")))
     cand
       .join(docVecs.select(col("doc_id").as("doc_a"), col("fv").as("fva")), "doc_a")
       .join(docVecs.select(col("doc_id").as("doc_b"), col("fv").as("fvb")), "doc_b")
@@ -170,13 +169,14 @@ object CosinePairs {
     val tailWin = Window.partitionBy("doc_id")
       .orderBy(col("maxw").desc, col("hv").asc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    ordered
+    // eagerly materialized: both sides of the candidate self-join consume
+    // this from concurrent stages (see graft.Caching)
+    graft.Caching.materialize(ordered
       .withColumn("tail_dot_bound", sum(col("wn") * col("maxw")).over(tailWin))
       .withColumn("tail_norm2", sum(col("wn") * col("wn")).over(tailWin))
       .filter(col("tail_dot_bound") >= tPico &&
         ceil(sqrt(col("tail_norm2").cast("double"))).cast("long") *
           maxPartnerNorm >= tPico)
-      .select("doc_id", "hv")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select("doc_id", "hv"))
   }
 }

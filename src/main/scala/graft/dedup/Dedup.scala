@@ -128,8 +128,13 @@ object Dedup {
     val r = numHashes / bands
     val sigs = minhashSignatures(documents, shingleN, numHashes)
 
-    // persisted: both sides of the band self-join reference this — without
-    // it each side re-derives the full signature computation
+    // persisted, NOT eagerly materialized: both sides of the band
+    // self-join are the SAME projection of this relation, so Spark's
+    // ReuseExchange computes the map stage once — an extra materialize
+    // pass here measured ~0.6s SLOWER at sf0.1 (the fat signature arrays
+    // pay serialization twice). Contrast graft.Caching's doc: eager
+    // materialization pays off only when the concurrent consumers are
+    // DIFFERENT subtrees (Triangles' degree-union vs orientation join).
     val banded = sigs.select(col("doc_id"), col("signature"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"), xxhash64(slice(col("signature"), b * r + 1, r)).as("bh"))
@@ -188,10 +193,11 @@ object Dedup {
     */
   def simhashDedup(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk blocking guarantees recall only to hamming 3")
-    // persisted: both sides of the chunk self-join would otherwise re-run
-    // the explode + 60-buffer sketch aggregation
-    val sk = simhashSketch(documents).select(col("doc_id"), col("simhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eagerly materialized: both sides of the chunk self-join are
+    // concurrent stages and would otherwise each re-run the explode +
+    // 60-buffer sketch aggregation (see graft.Caching)
+    val sk = graft.Caching.materialize(
+      simhashSketch(documents).select(col("doc_id"), col("simhash")))
     val chunked = sk.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
@@ -246,8 +252,8 @@ object Dedup {
       .select(col("doc_id"),
         array_distinct(transform(col("sgrams"), g => xxhash64(g))).as("grams"))
       .select(col("doc_id"), col("grams"), size(col("grams")).as("n_grams"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inv = grams.select(col("doc_id"), col("n_grams"), explode(col("grams")).as("gram"))
+    val gramsM = graft.Caching.materialize(grams)
+    val inv = gramsM.select(col("doc_id"), col("n_grams"), explode(col("grams")).as("gram"))
     val dfs = inv.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocsPerGram)
     val prefixLen = col("n_grams") - ceil(col("n_grams") * threshold) + 1
@@ -256,7 +262,6 @@ object Dedup {
         Window.partitionBy("doc_id").orderBy(asc("df"), asc("gram"))))
       .filter(col("rn") <= prefixLen)
       .select("doc_id", "gram", "n_grams", "rn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // PPJoin positional bound: at a shared prefix gram at positions
     // (rn_a, rn_b), the overlap can't exceed 1 + min(remaining suffixes);
     // J ≥ t needs overlap ≥ ⌈t/(1+t)·(|a|+|b|)⌉ — prune pairs that can't
@@ -265,8 +270,9 @@ object Dedup {
       (col("a.n_grams") + col("b.n_grams")))
     val ubound = lit(1) + least(
       col("a.n_grams") - col("a.rn"), col("b.n_grams") - col("b.rn"))
-    val cand = prefixes.as("a")
-      .join(prefixes.as("b"),
+    val prefixesM = graft.Caching.materialize(prefixes)
+    val cand = prefixesM.as("a")
+      .join(prefixesM.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id") &&
           col("b.n_grams") >= col("a.n_grams") * threshold &&
           col("a.n_grams") >= col("b.n_grams") * threshold &&
@@ -274,8 +280,8 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
-      .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
-      .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
+      .join(gramsM.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
+      .join(gramsM.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("ga"), col("gb"))).cast("double") /
           size(array_union(col("ga"), col("gb")))).as("jaccard"))
@@ -359,10 +365,11 @@ object Dedup {
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), wordShingles(col("toks"), spanTokens).as("spans"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val spans = spanArrays
+    // materialized: span-df aggregation and the join-back are concurrent
+    // consumer stages of this relation (see graft.Caching)
+    val spans = graft.Caching.materialize(spanArrays
       .select(col("doc_id"), explode(col("spans")).as("span"))
-      .select(col("doc_id"), md5Base60(col("span")).as("hv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"), md5Base60(col("span")).as("hv")))
     // span document frequency; (doc_id, hv) is already distinct per doc
     // (wordShingles dedups), so count(*) IS the distinct-doc count
     val spanDf = spans.groupBy("hv").agg(count(lit(1)).as("span_df"))
