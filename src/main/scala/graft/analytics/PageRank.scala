@@ -82,8 +82,14 @@ object PageRank {
                checkpointEvery: Int = 8, tolUnits: Long = -1L): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
-    val edges = copurchaseEdges(lineitem, orders)
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+    // edges feed the degree aggregation AND the per-round join relation
+    // (different subtrees, separate actions: deg.count() below, then the
+    // first round) — materialized so the lineitem⋈orders distinct build
+    // runs once, not once per consumer. deg likewise feeds edgesDeg, the
+    // rank init AND the n count.
+    val edges = graft.Caching.materialize(copurchaseEdges(lineitem, orders))
+    val deg = graft.Caching.materialize(
+      edges.groupBy("src").agg(count(lit(1)).as("od")))
     val edgesDeg = edges.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

@@ -100,6 +100,10 @@ object Curation {
                     nearDupThreshold: Double = 0.7,
                     vocabSize: Int = 1 << 16,
                     capacity: Int = 2048): DataFrame = {
+    // persisted, not eagerly materialized: the vocab build collects model
+    // state (an action) before encode/pack consume the relation, so the
+    // cache populates sequentially anyway — an extra materialize pass
+    // measured ~1s slower at sf0.1 (see graft.Caching's doc)
     val curated = curate(documents, minQuality, nearDupThreshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocabulary = TextOps.vocab(curated, vocabSize)
