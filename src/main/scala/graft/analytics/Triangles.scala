@@ -44,8 +44,11 @@ object Triangles {
         .filter(col("u") =!= col("v"))
         .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
         .distinct())
-    val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
+    // deg feeds BOTH endpoint joins below — materialized (different
+    // subtrees; the union-agg would otherwise run once per join leg)
+    val deg = graft.Caching.materialize(
+      e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d")))
     // orient by (degree, id): src = smaller endpoint under ≺
     val withDegs = e
       .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
@@ -87,8 +90,10 @@ object Triangles {
         .filter(col("u") =!= col("v"))
         .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
         .distinct())
-    val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
+    // deg feeds both endpoint joins AND the final per-node attach
+    val deg = graft.Caching.materialize(
+      e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d")))
     val withDegs = e
       .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
