@@ -47,6 +47,28 @@ object SparkEntry {
     Clean.clean(dirty)
   }
 
+  /** Literal training corpus for the BPE-encode query: domain words of
+    * the synthetic documents table with realistic frequency skew. The
+    * merge table derives from it deterministically at class init via the
+    * pure-Scala trainer, so BOTH the Spark query and the generated
+    * DuckDB oracle embed the identical rules as literals.
+    */
+  private val BpeFixtureCorpus: Seq[String] = Seq(
+    "table table table table table value value value value window window window",
+    "customer customer customer query query query scan scan batch batch spark spark",
+    "data data data row row row line line fast fast slow slow small big big",
+    "part part hash hash merge merge sort sort column column join join order order",
+    "group group vector vector filter filter agg agg key key the the the a a a")
+
+  private lazy val bpeMerges: Seq[(Int, String, String, String, Long)] =
+    graft.text.Bpe.trainMergesLocal(BpeFixtureCorpus, numMerges = 32)
+
+  /** The [[bpeMerges]] replace chain as DuckDB SQL over column `s0`. */
+  private def bpeReplaceChainSql: String =
+    bpeMerges.sortBy(_._1).foldLeft("s0") { case (acc, (_, l, r, m, _)) =>
+      s"replace($acc, '($l)($r)', '($m)')"
+    }
+
   /** The co-bought-parts graph, factored out so q_triangles and
     * q_clustering_coef consume the SAME edge relation. No persist here:
     * both Triangles operators eagerly materialize their canonicalized
@@ -234,6 +256,9 @@ object SparkEntry {
       // vocab cut at 16 (fixture vocab is 31 tokens) so OOV paths exercise
       TextOps.encodeTokens(docs, TextOps.vocab(docs, maxSize = 16))
     }),
+    // --- corpus-scale BPE tokenizer apply: codegen replace chain, no UDF ---
+    "text_bpe_encode"  -> ((s, d) =>
+      graft.text.Bpe.encodeCorpus(Tables.documents(s, d), bpeMerges)),
     // --- deduplication (north star) ---
     "dedup_exact"         -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "dedup_minhash"       -> ((s, d) => Dedup.minhashDedup(Tables.documents(s, d))),
@@ -1338,6 +1363,28 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY n DESC, token
         |LIMIT 20""".stripMargin,
+    // the identical merge-rule replace chain over the identical
+    // delimiter-wrapped symbol strings — non-overlapping left-to-right
+    // replace is leftmost-greedy BPE on both engines, so the counts are
+    // exact (the merge table is a shared literal, trained driver-side on
+    // the fixture corpus)
+    "text_bpe_encode" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |flt AS (SELECT doc_id, word FROM words WHERE regexp_matches(word, '^[a-z]+$$')),
+         |sym AS (
+         |  SELECT doc_id,
+         |         substring(regexp_replace(word, '(.)', '(\\1)', 'g'), 1,
+         |                   length(regexp_replace(word, '(.)', '(\\1)', 'g')) - 1)
+         |           || '</w>)' AS s0
+         |  FROM flt),
+         |enc AS (SELECT doc_id, $bpeReplaceChainSql AS s FROM sym)
+         |SELECT doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(length(s) - length(replace(s, '(', ''))) AS BIGINT) AS n_bpe_tokens
+         |FROM enc
+         |GROUP BY doc_id""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id, n_chars,
         |       CAST(CASE WHEN length(trim(text)) = 0 THEN 0

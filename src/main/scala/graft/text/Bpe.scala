@@ -166,10 +166,90 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Single-node reference trainer — Sennrich et al.'s algorithm
+    * verbatim over an in-memory corpus: word-type counts, best adjacent
+    * pair by (count desc, pair asc), leftmost-greedy merge. For literal
+    * fixture corpora and model bootstrapping on the driver; the
+    * corpus-scale trainer is [[trainMerges]] (BpeSpec proves the two
+    * produce identical merge tables).
+    */
+  def trainMergesLocal(corpus: Seq[String],
+                       numMerges: Int): Seq[(Int, String, String, String, Long)] = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    var words: Map[Vector[String], Long] = corpus
+      .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) =>
+        val syms = w.map(_.toString).toVector
+        syms.updated(syms.length - 1, syms.last + Eow) -> ws.size.toLong
+      }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val pairCounts = words.toSeq.flatMap { case (syms, f) =>
+        syms.sliding(2).collect { case Vector(a, b) => (a, b) -> f }.toSeq
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      if (pairCounts.isEmpty) done = true
+      else {
+        val ((l, r), n) = pairCounts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((rank, l, r, l + r, n))
+        words = words.toSeq.map { case (syms, f) =>
+          val merged = Vector.newBuilder[String]
+          var pend: String = null
+          syms.foreach { s =>
+            if (pend == null) pend = s
+            else if (pend == l && s == r) { merged += l + r; pend = null }
+            else { merged += pend; pend = s }
+          }
+          if (pend != null) merged += pend
+          merged.result() -> f
+        }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Corpus-scale BPE encode statistics: apply an ordered merge table to
+    * every whitespace token of every document, returning per document
+    * (doc_id, n_words, n_bpe_tokens).
+    *
+    * Each token becomes a delimiter-wrapped symbol string
+    * `(c)(c)…(c</w>)`, and each merge rule is ONE codegen string
+    * replace `(l)(r)` → `(lr)` — non-overlapping left-to-right
+    * replacement over exclusive per-symbol wrappers is exactly
+    * leftmost-greedy BPE merging, so the chain reproduces
+    * [[encodeWord]] rule for rule with no UDF and no shuffle before the
+    * final per-document aggregation. The same chain replays verbatim in
+    * any engine with SQL `replace` (the DuckDB oracle does).
+    *
+    * Tokens not matching `tokenPattern` are excluded on both engines —
+    * the default guards the delimiter characters `(`/`)` and the
+    * `</w>` marker from colliding with token content.
+    */
+  def encodeCorpus(documents: DataFrame,
+                   merges: Seq[(Int, String, String, String, Long)],
+                   tokenPattern: String = "^[a-z]+$"): DataFrame = {
+    import org.apache.spark.sql.functions.{replace => sreplace}
+    val staged = documents
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike(tokenPattern))
+      .select(col("doc_id"), regexp_replace(col("word"), "(.)", "($1)").as("w"))
+    val sym0 = concat(expr("substring(w, 1, length(w) - 1)"), lit(Eow + ")"))
+    val encoded = merges.sortBy(_._1).foldLeft(sym0) { case (c, (_, l, r, m, _)) =>
+      sreplace(c, lit(s"($l)($r)"), lit(s"($m)"))
+    }
+    staged
+      .select(col("doc_id"),
+        (length(encoded) - length(sreplace(encoded, lit("("), lit("")))).as("n_sym"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym")).cast("long").as("n_bpe_tokens"))
+  }
+
   /** Encode a single word with an ordered merge table — the driver-side
-    * reference encoder (tests, interactive use). Corpus-scale encoding
-    * broadcasts the merge list and maps partitions with exactly this
-    * function.
+    * reference encoder (tests, interactive use; [[encodeCorpus]] is the
+    * distributed equivalent, spec-proven to agree).
     */
   def encodeWord(word: String, merges: Seq[(Int, String, String, String, Long)]): Seq[String] = {
     if (word.isEmpty) return Seq.empty

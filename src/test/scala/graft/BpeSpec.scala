@@ -12,38 +12,11 @@ class BpeSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
-  /** Straightforward single-node Sennrich reference: word-type counts,
-    * best adjacent pair by (count desc, pair asc), leftmost-greedy merge.
+  /** Single-node Sennrich reference — the library's own pure-Scala
+    * trainer ([[Bpe.trainMergesLocal]]), reduced to (l, r) pairs.
     */
-  private def referenceMerges(corpus: Seq[String], n: Int): Seq[(String, String)] = {
-    var words: Map[Vector[String], Long] = corpus
-      .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
-      .groupBy(identity).map { case (w, ws) =>
-        val syms = w.map(_.toString).toVector
-        syms.updated(syms.length - 1, syms.last + Bpe.Eow) -> ws.size.toLong
-      }
-    (1 to n).flatMap { _ =>
-      val pairCounts = words.toSeq.flatMap { case (syms, f) =>
-        syms.sliding(2).collect { case Vector(a, b) => (a, b) -> f }.toSeq
-      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
-      if (pairCounts.isEmpty) None
-      else {
-        val ((l, r), _) = pairCounts.minBy { case ((a, b), c) => (-c, a, b) }
-        words = words.toSeq.map { case (syms, f) =>
-          val out = Vector.newBuilder[String]
-          var pend: String = null
-          syms.foreach { s =>
-            if (pend == null) pend = s
-            else if (pend == l && s == r) { out += l + r; pend = null }
-            else { out += pend; pend = s }
-          }
-          if (pend != null) out += pend
-          out.result() -> f
-        }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
-        Some((l, r))
-      }
-    }
-  }
+  private def referenceMerges(corpus: Seq[String], n: Int): Seq[(String, String)] =
+    Bpe.trainMergesLocal(corpus, n).map(m => (m._2, m._3))
 
   test("distributed merges equal the single-node reference") {
     val corpus = Seq(
@@ -94,6 +67,31 @@ class BpeSpec extends AnyFunSuite {
     val sequential = Bpe.trainMerges(docs, numMerges = 40, batchSize = 1)
     val batched = Bpe.trainMerges(docs, numMerges = 40, batchSize = 8)
     assert(batched === sequential)
+    spark.catalog.clearCache()
+  }
+
+  test("encodeCorpus counts equal the driver-side encoder, word for word") {
+    // overlapping repeats ("aaaa"), multi-rule interactions, and words
+    // the merge table never saw — the replace-chain encoding must agree
+    // with encodeWord exactly
+    val merges = Bpe.trainMergesLocal(
+      Seq("low low low lowest newest newest newest widest banana banana aaaa aa"), 12)
+    val docs = Seq(
+      (1L, "aaaa aa aaa banana low lowest"),
+      (2L, "newest widest bananas lowly unknownword"),
+      (3L, "a aa aaa aaaa aaaaa")
+    ).toDF("doc_id", "text")
+    val got = Bpe.encodeCorpus(docs, merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val expect = Seq(
+      1L -> "aaaa aa aaa banana low lowest",
+      2L -> "newest widest bananas lowly unknownword",
+      3L -> "a aa aaa aaaa aaaaa"
+    ).map { case (id, text) =>
+      val ws = text.split("\\s+").filter(_.matches("^[a-z]+$"))
+      id -> ((ws.length.toLong, ws.map(w => Bpe.encodeWord(w, merges).size.toLong).sum))
+    }.toMap
+    assert(got === expect)
     spark.catalog.clearCache()
   }
 
