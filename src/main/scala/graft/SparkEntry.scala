@@ -307,6 +307,10 @@ object SparkEntry {
     // synthetic corpus peaks near cosine 0.5 → 0.35 keeps output non-empty
     "embed_neardup"  -> ((s, d) =>
       Ann.nearDupPairs(Tables.embeddings(s, d), threshold = 0.35)),
+    // hard negatives: informative-but-not-duplicate band below the
+    // near-dup ceiling (contrastive-training curriculum)
+    "embed_hard_negatives" -> ((s, d) =>
+      Ann.hardNegatives(Tables.embeddings(s, d))),
     // --- multimodal binary columns (north star; codec decode is stubbed) ---
     // checked projection: byte_entropy stays library-only (multi-term float
     // fold, engine-specific ulps); everything else replays exactly in DuckDB
@@ -1524,6 +1528,26 @@ object SparkEntry {
         |  SELECT *, CAST(ROW_NUMBER() OVER (
         |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
         |  FROM scored) t
+        |WHERE rank <= 5""".stripMargin,
+    // identical cosine replay, banded to [0, 0.45) before the rank — the
+    // 1e-6 rounding happens BEFORE the band test on both engines, so a
+    // knife-edge 0.450000 excludes identically
+    "embed_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |         round(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i])) /
+        |               (sqrt(list_sum(list_transform(qv, x -> x*x))) *
+        |                sqrt(list_sum(list_transform(v, x -> x*x)))), 6) AS cosine
+        |  FROM q, e WHERE vec_id <> query_id),
+        |banded AS (SELECT * FROM scored WHERE cosine >= 0.0 AND cosine < 0.45)
+        |SELECT query_id, vec_id, cosine, rank FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+        |  FROM banded) t
         |WHERE rank <= 5""".stripMargin,
     "mm_frames" ->
       """WITH media AS (

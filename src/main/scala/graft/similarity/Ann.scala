@@ -220,6 +220,31 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * top-k most-similar corpus vectors whose cosine falls in
+    * [minSim, maxSim) — close enough to the anchor to be informative
+    * negatives, but below the near-dup ceiling so latent positives are
+    * excluded (the standard curriculum for embedding-model training).
+    * Same scale shape as [[bruteForceTopK]]: the anchor set broadcasts
+    * over the partitioned corpus (which never shuffles) and the k-limit
+    * is a ranked window; when the corpus outgrows a full scan per
+    * anchor, feed the banded filter the LSH/IVF candidate paths instead.
+    */
+  def hardNegatives(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
+                    minSim: Double = 0.0, maxSim: Double = 0.45): DataFrame = {
+    require(k > 0 && nQueries > 0, "k and nQueries must be positive")
+    require(minSim < maxSim, "need minSim < maxSim")
+    val e = corpus(embeddings)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+      .filter(col("cosine") >= minSim && col("cosine") < maxSim)
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Deterministic Rademacher (±1) hyperplanes, one array per plane.
     * Precomputed driver-side and shipped as literals: hashing (plane, dim)
     * at runtime would recompute a constant per row per element — 4096

@@ -65,6 +65,24 @@ class AnnSpec extends AnyFunSuite {
     assert(got.count() === 50)
   }
 
+  test("hard negatives: banded below the near-dup ceiling, ranked within") {
+    // cluster mates sit at cosine ~1.0 — hard negatives must EXCLUDE them
+    // and return the most-similar vectors inside the band, ranked
+    val out = Ann.hardNegatives(planted, k = 3, nQueries = 2,
+      minSim = -1.0, maxSim = 0.9).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (q, v, cos, rk) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+      assert(cos < 0.9 && cos >= -1.0, s"cosine $cos outside band")
+      assert(rk >= 1 && rk <= 3)
+      // anchors 0 and 1 are cluster-0 mates of 0..3 — none may appear
+      assert(!(q < 4 && v < 4), s"cluster mate $v leaked into negatives of $q")
+    }
+    val perQuery = out.groupBy(_.getLong(0)).view.mapValues(_.length)
+    perQuery.foreach { case (q, n) => assert(n === 3, s"query $q returned $n rows") }
+    spark.catalog.clearCache()
+  }
+
   test("equi-depth bins hold ~equal mass per dimension") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sfDir)
