@@ -137,6 +137,58 @@ class IvmSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("streaming min/max deltas folded per micro-batch equal the final recompute") {
+    // the streaming twin of applyDeltaMinMax: foreachBatch maintains BOTH
+    // a versioned multiset base (g, v, mult — deletes decrement one
+    // occurrence, never anti-join away duplicates) and the (cnt, mn, mx)
+    // view; each batch's repair reads the post-batch base, and two
+    // batches of CDC (including a delete AT the stored max) land on the
+    // recompute of the final snapshot
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivm_mm").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_ivm_mm_chk").toString
+    val base = Seq(("a", 10.0), ("a", 20.0), ("a", 20.0), ("b", 5.0)).toDF("g", "v")
+    base.groupBy("g", "v").agg(count(lit(1)).as("mult"))
+      .withColumn("v", $"v".cast("decimal(18,2)"))
+      .write.mode("overwrite").parquet(s"$dir/base_v0")
+    aggMinMax(base).write.mode("overwrite").parquet(s"$dir/agg_v0")
+    val stream = MemoryStream[(String, Double, Boolean)]
+    val q = stream.toDF().toDF("g", "v", "is_delete")
+      .withColumn("v", $"v".cast("decimal(18,2)"))
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val ss = batch.sparkSession
+        val prevBase = ss.read.parquet(s"$dir/base_v$id")
+        val d = batch.groupBy("g", "v")
+          .agg(sum(when(col("is_delete"), -1L).otherwise(1L)).as("md"))
+        val nextBase = prevBase.alias("b")
+          .join(d.alias("d"), col("b.g") <=> col("d.g") && col("b.v") <=> col("d.v"), "full_outer")
+          .select(coalesce(col("b.g"), col("d.g")).as("g"),
+            coalesce(col("b.v"), col("d.v")).as("v"),
+            (coalesce(col("mult"), lit(0L)) + coalesce(col("md"), lit(0L))).as("mult"))
+          .filter(col("mult") > 0)
+        nextBase.write.mode("overwrite").parquet(s"$dir/base_v${id + 1}")
+        val baseAfter = ss.read.parquet(s"$dir/base_v${id + 1}").select("g", "v")
+        val prevAgg = ss.read.parquet(s"$dir/agg_v$id")
+        Ivm.applyDeltaMinMax(prevAgg, batch, baseAfter, Seq("g"), "v")
+          .write.mode("overwrite").parquet(s"$dir/agg_v${id + 1}")
+      }.start()
+    try {
+      // batch 0: delete one of a's two maxima (max survives), insert b/12
+      stream.addData(("a", 20.0, true), ("b", 12.0, false))
+      q.processAllAvailable()
+      // batch 1: delete a's REMAINING max (true retraction), delete b/12 back
+      stream.addData(("a", 20.0, true), ("b", 12.0, true), ("c", 3.0, false))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$dir/agg_v2")
+    val recompute = aggMinMax(Seq(("a", 10.0), ("b", 5.0), ("c", 3.0)).toDF("g", "v"))
+    assert(got.exceptAll(recompute).isEmpty && recompute.exceptAll(got).isEmpty,
+      s"got:\n${got.collect().mkString("\n")}")
+    spark.catalog.clearCache()
+  }
+
   test("maintenance cost is delta-sized: base relation absent from the plan") {
     val base = agg(Seq(("a", 1.0)).toDF("g", "v"))
       .write.mode("overwrite").parquet("/tmp/graft_ivm_base")
