@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, element_at, floor, lit, lpad}
+import org.apache.spark.sql.functions.{col, concat, desc, element_at, floor, lit, lpad}
 
 import graft.analytics.{Breadth, Breadth2, Breadth3, Queries}
 import graft.dedup.Dedup
@@ -344,6 +344,10 @@ object SparkEntry {
     "q_sample_per_class" -> ((s, d) =>
       Sampling.hashSamplePerGroup(
         Tables.embeddings(s, d).select("vec_id", "label"), "label", "vec_id", 5)),
+    // --- DSIR importance weights: target = English docs, top 50 ---
+    "q_dsir_weights" -> ((s, d) =>
+      Sampling.dsirWeights(Tables.documents(s, d), col("lang") === "en")
+        .orderBy(desc("weight_micro"), col("doc_id")).limit(50)),
     // --- end-to-end curation composite (quality → dedup → near-dup → sample) ---
     "pipeline_curate" -> ((s, d) =>
       graft.pipeline.Curation.curate(Tables.documents(s, d))),
@@ -1367,6 +1371,38 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY n DESC, token
         |LIMIT 20""".stripMargin,
+    // DSIR replay: identical md5-bucketed unigrams, identical Laplace
+    // log-ratio rounded ONCE per bucket to micro longs, exact long sums
+    // per doc — ln() agreement across engines is already proven by
+    // text_tfidf; the single rounding point keeps sums exact
+    "q_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS is_tgt,
+        |         unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tok AS (
+        |  SELECT doc_id, is_tgt,
+        |         ('0x' || substring(md5(token), 1, 15))::BIGINT % 4096 AS b
+        |  FROM toks WHERE token <> ''),
+        |stats AS (
+        |  SELECT b, COUNT(*) AS cnt_s,
+        |         SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS cnt_t
+        |  FROM tok GROUP BY 1),
+        |totals AS (SELECT SUM(cnt_s) AS n_s, SUM(cnt_t) AS n_t FROM stats),
+        |ratio AS (
+        |  SELECT b,
+        |         CAST(floor((ln(CAST(cnt_t AS DOUBLE) + 1.0)
+        |                     - ln(CAST(n_t AS DOUBLE) + 4096.0)
+        |                     - ln(CAST(cnt_s AS DOUBLE) + 1.0)
+        |                     + ln(CAST(n_s AS DOUBLE) + 4096.0)) * 1e6 + 0.5) AS BIGINT)
+        |           AS ratio_micro
+        |  FROM stats CROSS JOIN totals)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(ratio_micro) AS BIGINT) AS weight_micro
+        |FROM tok JOIN ratio USING (b)
+        |GROUP BY doc_id
+        |ORDER BY weight_micro DESC, doc_id
+        |LIMIT 50""".stripMargin,
     // the identical merge-rule replace chain over the identical
     // delimiter-wrapped symbol strings — non-overlapping left-to-right
     // replace is leftmost-greedy BPE on both engines, so the counts are

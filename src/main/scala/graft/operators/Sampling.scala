@@ -19,6 +19,55 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** DSIR-style importance weights (Xie, Santurkar, Ma & Liang, "Data
+    * Selection for Language Models via Importance Resampling",
+    * NeurIPS'23): score every document by the log-likelihood ratio of a
+    * TARGET distribution versus the SOURCE (whole-corpus) distribution
+    * over hashed unigram buckets — the cheap proxy that picks documents
+    * "like the target domain" out of a web-scale crawl.
+    *
+    *   weight(doc) = Σ_tokens ln p̂_tgt(bucket(tok)) − ln p̂_src(bucket(tok))
+    *
+    * with Laplace smoothing (cnt+1)/(N+B) on both sides. Determinism
+    * discipline: buckets come from the oracle-replayable md5Base60 hash;
+    * each bucket's log-ratio is rounded ONCE to integer micro-units in
+    * the (≤ B rows) bucket-stats relation, and document weights are
+    * exact long sums of those micros — partition-order independent, and
+    * the DuckDB oracle replays them bit for bit. Scale shape: one
+    * token-bucket shuffle for stats (B-bounded), one broadcast-sized
+    * ratio join back onto the token stream, one hash agg per doc.
+    *
+    * Returns (doc_id, n_tokens, weight_micro); resample by ranking on
+    * weight_micro (or feed [[weightedSample]] with exp-weights).
+    */
+  def dsirWeights(documents: DataFrame, isTarget: org.apache.spark.sql.Column,
+                  buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    // toks feeds the bucket-stats aggregation AND the per-doc weight join
+    // — different subtrees, so eagerly materialized (see graft.Caching)
+    val toks = graft.Caching.materialize(documents
+      .select(col("doc_id"), isTarget.as("is_tgt"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .select(col("doc_id"), col("is_tgt"),
+        pmod(graft.dedup.Dedup.md5Base60(col("token")), lit(buckets.toLong)).as("b")))
+    val stats = toks.groupBy("b").agg(
+      count(lit(1)).as("cnt_s"),
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("cnt_t"))
+    val totals = stats.agg(sum(col("cnt_s")).as("n_s"), sum(col("cnt_t")).as("n_t"))
+    val ratio = stats.crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor((log(col("cnt_t").cast("double") + 1.0d)
+          - log(col("n_t").cast("double") + buckets.toDouble)
+          - log(col("cnt_s").cast("double") + 1.0d)
+          + log(col("n_s").cast("double") + buckets.toDouble)) * 1e6 + 0.5)
+          .cast("long").as("ratio_micro"))
+    toks.join(ratio, "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("ratio_micro")).as("weight_micro"))
+  }
+
   /** Keep k rows per group, chosen by md5-of-id order (deterministic,
     * engine-agnostic — the same SQL runs on the DuckDB oracle).
     */

@@ -91,4 +91,41 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(again === out.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("dsirWeights: target-like docs outrank source-only docs, exact recompute") {
+    // target dialect: {alpha, beta}; source-only dialect: {gamma, delta}.
+    // docs 1-2 are the target; doc 3 speaks target words, doc 4 doesn't.
+    val docs = Seq(
+      (1L, "alpha beta alpha", true),
+      (2L, "beta alpha beta", true),
+      (3L, "alpha beta gamma", false),
+      (4L, "gamma delta gamma delta", false)
+    ).toDF("doc_id", "text", "is_tgt")
+    val out = Sampling.dsirWeights(docs, $"is_tgt", buckets = 64)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // exact recompute of the micro-unit arithmetic
+    val toks = Seq(
+      1L -> Seq("alpha", "beta", "alpha"), 2L -> Seq("beta", "alpha", "beta"),
+      3L -> Seq("alpha", "beta", "gamma"), 4L -> Seq("gamma", "delta", "gamma", "delta"))
+    val tgt = Set(1L, 2L)
+    def bucket(t: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 15), 16) % 64
+    }
+    val all = toks.flatMap { case (id, ts) => ts.map(t => (id, bucket(t))) }
+    val cntS = all.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cntT = all.filter(p => tgt(p._1)).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val (ns, nt) = (all.size.toDouble, all.count(p => tgt(p._1)).toDouble)
+    def ratioMicro(b: Long): Long =
+      math.floor((math.log(cntT.getOrElse(b, 0L) + 1.0) - math.log(nt + 64.0)
+        - math.log(cntS(b) + 1.0) + math.log(ns + 64.0)) * 1e6 + 0.5).toLong
+    toks.foreach { case (id, ts) =>
+      val expect = (ts.size.toLong, ts.map(t => ratioMicro(bucket(t))).sum)
+      assert(out(id) === expect, s"doc $id")
+    }
+    // the target-dialect outsider (3) must outrank the source-only doc (4)
+    assert(out(3L)._2 > out(4L)._2)
+    spark.catalog.clearCache()
+  }
 }
