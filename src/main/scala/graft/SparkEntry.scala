@@ -531,6 +531,9 @@ object SparkEntry {
     // --- repeated-span (substring) dedup stats, Lee et al. ACL'22 style ---
     "dedup_spans" -> ((s, d) =>
       Dedup.duplicatedSpans(Tables.documents(s, d))),
+    // --- exact source-pair shingle Jaccard (cross-crawl overlap audit) ---
+    "dedup_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlap(Tables.documents(s, d))),
     // --- all-pairs TF-IDF cosine near-dup (AllPairs prefix filter, WWW'07) ---
     "dedup_cosine_pairs" -> ((s, d) =>
       graft.dedup.CosinePairs.cosinePairs(Tables.documents(s, d))),
@@ -1514,6 +1517,29 @@ object SparkEntry {
         |JOIN (SELECT * FROM hashes WHERE doc_id % 50 = 0) ev USING (hv)
         |GROUP BY 1, 2
         |HAVING COUNT(*) >= 2""".stripMargin,
+    // per-source DISTINCT shingle sets, pair intersection on the hash —
+    // the same shingle/md5 replay as dedup_contamination, keyed by source
+    "dedup_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT source, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+        |  FROM toks),
+        |sh AS (
+        |  SELECT DISTINCT source AS src, ('0x' || substring(md5(gram), 1, 15))::BIGINT AS hv
+        |  FROM (SELECT source, unnest(g) AS gram FROM grams)),
+        |sizes AS (SELECT src, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.hv = b.hv AND a.src < b.src
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b,
+        |       sa.n AS n_a, sb.n AS n_b, n_common,
+        |       CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.src = src_a
+        |JOIN sizes sb ON sb.src = src_b""".stripMargin,
     // transitive closure of the minhash pairs via DuckDB's recursive CTE
     // (Spark side: hybrid union-find / min-label propagation — Dedup.dupClusters)
     "dedup_clusters" -> dupClustersOracle,

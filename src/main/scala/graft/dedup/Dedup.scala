@@ -382,6 +382,42 @@ object Dedup {
         (col("n_dup_spans").cast("double") / col("n_spans")).as("dup_span_frac"))
   }
 
+  // ------------------------------------------------------ source overlap
+
+  /** EXACT pairwise shingle-set Jaccard between corpus sources — the
+    * corpus diagnostic behind "which crawls duplicate each other" (and
+    * whether a new source is worth ingesting). Each source reduces to its
+    * distinct word-n-gram shingle-hash set; the pair intersection is one
+    * equi-join on the hash. The shuffle carries 16 B/shingle and the join
+    * fan-out per shingle is bounded by the number of sources containing
+    * it (≤ |sources|, typically tens) — so the whole statistic costs
+    * about one dedup pass regardless of corpus size, and is exact where
+    * per-source MinHash union-sketches would estimate.
+    *
+    * Output: (src_a, src_b, n_a, n_b, n_common, jaccard), src_a < src_b.
+    */
+  def sourceOverlap(documents: DataFrame, sourceCol: String = "source",
+                    shingleN: Int = 3): DataFrame = {
+    // (source, shingle-hash) distinct relation: feeds the per-source size
+    // aggregation AND the pair join — different subtrees (see graft.Caching)
+    val sh = graft.Caching.materialize(documents
+      .select(col(sourceCol).as("src"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("src"), explode(wordShingles(col("toks"), shingleN)).as("gram"))
+      .select(col("src"), md5Base60(col("gram")).as("hv"))
+      .distinct())
+    val sizes = sh.groupBy("src").agg(count(lit(1)).as("n"))
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.hv") === col("b.hv") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("src").as("src_a"), col("n").as("n_a")), "src_a")
+      .join(sizes.select(col("src").as("src_b"), col("n").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
+  }
+
   // --------------------------------------------------- duplicate clusters
 
   /** Connected components over a near-dup pair relation: every document

@@ -212,4 +212,19 @@ class TextDedupSpec extends AnyFunSuite {
     assert(best(7L) === ((7L, 0.5)))
     spark.catalog.clearCache()
   }
+
+  test("sourceOverlap: exact pairwise shingle jaccard; disjoint pairs absent") {
+    // A = {"a b c","b c d"}, B = {"a b c","b c e"} → |A∩B|=1, J=1/3;
+    // C = {"x y z"} is disjoint from both → no C rows (inner join)
+    val docs = Seq(
+      (1L, "a b c d", "A"), (2L, "a b c e", "B"), (3L, "x y z", "C")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.dedup.Dedup.sourceOverlap(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out.keySet === Set(("A", "B")))
+    assert(out(("A", "B")) === ((2L, 2L, 1L, 1.0 / 3.0)))
+    spark.catalog.clearCache()
+  }
 }
