@@ -259,6 +259,8 @@ object SparkEntry {
     // --- corpus-scale BPE tokenizer apply: codegen replace chain, no UDF ---
     "text_bpe_encode"  -> ((s, d) =>
       graft.text.Bpe.encodeCorpus(Tables.documents(s, d), bpeMerges)),
+    // --- Zipf power-law fit of the frequency distribution (corpus health) ---
+    "text_zipf_slope"  -> ((s, d) => TextOps.zipfSlope(Tables.documents(s, d))),
     // --- deduplication (north star) ---
     "dedup_exact"         -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "dedup_minhash"       -> ((s, d) => Dedup.minhashDedup(Tables.documents(s, d))),
@@ -1374,6 +1376,29 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY n DESC, token
         |LIMIT 20""".stripMargin,
+    // the same OLS-over-milli-logs: ranks by (count desc, token), each ln
+    // rounded once to 1e-3, exact integer moments, one division
+    "text_zipf_slope" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |counts AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY 1),
+        |ranked AS (
+        |  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token) AS r FROM counts),
+        |pts AS (
+        |  SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1e3 + 0.5) AS BIGINT) AS x,
+        |         CAST(floor(ln(CAST(c AS DOUBLE)) * 1e3 + 0.5) AS BIGINT) AS y
+        |  FROM ranked WHERE r <= 65536),
+        |s AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |         CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
+        |  FROM pts)
+        |SELECT CAST(n AS BIGINT) AS n_types,
+        |       CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+        |            ELSE CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+        |       END AS zipf_slope
+        |FROM s""".stripMargin,
     // DSIR replay: identical md5-bucketed unigrams, identical Laplace
     // log-ratio rounded ONCE per bucket to micro longs, exact long sums
     // per doc — ln() agreement across engines is already proven by

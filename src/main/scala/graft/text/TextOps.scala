@@ -235,6 +235,36 @@ object TextOps {
       .select(col("token"), col("token_id"), col("token_count"))
   }
 
+  /** Zipf power-law fit of the corpus token-frequency distribution:
+    * ordinary least squares of ln(freq) on ln(rank) over the vocabulary.
+    * Natural-language corpora sit near slope −1; a strong deviation
+    * flags templated/synthetic text or a tokenization bug — a standard
+    * corpus-health statistic for training-data pipelines.
+    *
+    * Determinism: ranks come from [[vocab]]'s global numbering
+    * (scalable GlobalRank, not a one-partition window); each ln rounds
+    * ONCE to integer milli-units; the OLS moments are exact long sums of
+    * milli products (safe to vocab ~2¹⁷ rows — |Σx|² must stay < 2⁶³;
+    * shard to decimal sums past that), and the slope is one IEEE
+    * division, so the DuckDB oracle replays it bit for bit.
+    * Output: one row (n_types, zipf_slope).
+    */
+  def zipfSlope(documents: DataFrame, maxSize: Int = 1 << 16): DataFrame = {
+    val pts = vocab(documents, maxSize).select(
+      floor(log(col("token_id").cast("double")) * 1e3 + 0.5).cast("long").as("x"),
+      floor(log(col("token_count").cast("double")) * 1e3 + 0.5).cast("long").as("y"))
+    pts
+      .agg(count(lit(1)).as("n_types"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_types"),
+        when(col("n_types") * col("sxx") - col("sx") * col("sx") === 0,
+          lit(null).cast("double"))
+          .otherwise(
+            (col("n_types") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n_types") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("zipf_slope"))
+  }
+
   /** Encode each document as its vocabulary token-id sequence — the
     * corpus → ids step before packing/training. Out-of-vocabulary tokens
     * map to id 0 and are counted in `n_oov`.

@@ -42,4 +42,20 @@ class VocabSpec extends AnyFunSuite {
     assert(decoded === "the cat sat on the mat")
     assert(enc(2L).split(",").map(id => inv(id.toLong)).mkString(" ") === "the dog sat")
   }
+
+  test("zipfSlope recovers ~-1 on a planted Zipfian corpus, deterministically") {
+    // plant freq(r) = ceil(200/r) for 40 word types — a textbook Zipf
+    // curve; OLS on the log-log points must land near -1
+    val words = (1 to 40).flatMap(r => Seq.fill(math.ceil(200.0 / r).toInt)(s"w$r"))
+    val docs = words.grouped(25).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+    val row = graft.text.TextOps.zipfSlope(docs).head()
+    assert(row.getLong(0) === 40L)
+    val slope = row.getDouble(1)
+    assert(slope < -0.85 && slope > -1.15, s"slope $slope not Zipf-like")
+    // partition-invariant: exact integer moments cannot drift
+    val again = graft.text.TextOps.zipfSlope(docs.repartition(7)).head().getDouble(1)
+    assert(again === slope)
+    spark.catalog.clearCache()
+  }
 }
