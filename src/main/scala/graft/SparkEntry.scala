@@ -313,6 +313,10 @@ object SparkEntry {
     // near-dup ceiling (contrastive-training curriculum)
     "embed_hard_negatives" -> ((s, d) =>
       Ann.hardNegatives(Tables.embeddings(s, d))),
+    // labeled contrastive manifest: all exact positives >= 0.35 plus the
+    // top-5 negatives from the adjacent band, per anchor
+    "embed_contrastive" -> ((s, d) =>
+      Ann.contrastivePairs(Tables.embeddings(s, d))),
     // --- multimodal binary columns (north star; codec decode is stubbed) ---
     // checked projection: byte_entropy stays library-only (multi-term float
     // fold, engine-specific ulps); everything else replays exactly in DuckDB
@@ -1431,6 +1435,28 @@ object SparkEntry {
         |GROUP BY doc_id
         |ORDER BY weight_micro DESC, doc_id
         |LIMIT 50""".stripMargin,
+    // one scored CTE, two disjoint bands: all positives >= 0.35, top-5
+    // ranked negatives in [0, 0.35) — same rounded-cosine replay as
+    // ann_topk_brute
+    "embed_contrastive" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS anchor_id, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT anchor_id, vec_id AS pair_id,
+        |         round(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i])) /
+        |               (sqrt(list_sum(list_transform(qv, x -> x*x))) *
+        |                sqrt(list_sum(list_transform(v, x -> x*x)))), 6) AS cosine
+        |  FROM q, e WHERE vec_id <> anchor_id)
+        |SELECT anchor_id, pair_id, cosine, 'pos' AS kind
+        |FROM scored WHERE cosine >= 0.35
+        |UNION ALL
+        |SELECT anchor_id, pair_id, cosine, 'neg' AS kind FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY anchor_id ORDER BY cosine DESC, pair_id) AS rk
+        |  FROM scored WHERE cosine >= 0.0 AND cosine < 0.35) t
+        |WHERE rk <= 5""".stripMargin,
     // the identical merge-rule replace chain over the identical
     // delimiter-wrapped symbol strings — non-overlapping left-to-right
     // replace is leftmost-greedy BPE on both engines, so the counts are

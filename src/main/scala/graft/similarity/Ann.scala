@@ -245,6 +245,38 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Contrastive training-pair manifest for a small anchor set: per
+    * anchor, ALL exact positives (cosine ≥ posThreshold — the near-dup
+    * band) plus the top-k hard negatives from the adjacent
+    * [negMin, posThreshold) band, labeled 'pos'/'neg' in one relation.
+    * The bands are disjoint by construction, so no pair can be both.
+    * One broadcast-anchor scan scores the corpus once (materialized —
+    * the pos filter and the neg ranked window are different consumer
+    * subtrees); at corpora where a full scan per anchor is too much,
+    * generate candidates with the LSH/IVF paths and reuse the banding.
+    */
+  def contrastivePairs(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
+                       posThreshold: Double = 0.35, negMin: Double = 0.0): DataFrame = {
+    require(k > 0 && nQueries > 0, "k and nQueries must be positive")
+    require(negMin < posThreshold, "need negMin < posThreshold")
+    val e = corpus(embeddings)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("anchor_id"), col("v").as("qv"))
+    val scored = graft.Caching.materialize(
+      e.join(broadcast(q), col("vec_id") =!= col("anchor_id"))
+        .select(col("anchor_id"), col("vec_id").as("pair_id"),
+          round(cosine(col("qv"), col("v")), 6).as("cosine")))
+    val pos = scored.filter(col("cosine") >= posThreshold)
+      .withColumn("kind", lit("pos"))
+    val w = Window.partitionBy("anchor_id").orderBy(desc("cosine"), asc("pair_id"))
+    val neg = scored
+      .filter(col("cosine") >= negMin && col("cosine") < posThreshold)
+      .withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+      .drop("__rk")
+      .withColumn("kind", lit("neg"))
+    pos.unionByName(neg)
+  }
+
   /** Deterministic Rademacher (±1) hyperplanes, one array per plane.
     * Precomputed driver-side and shipped as literals: hashing (plane, dim)
     * at runtime would recompute a constant per row per element — 4096

@@ -83,6 +83,25 @@ class AnnSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("contrastivePairs: disjoint pos/neg bands, cluster mates are positives") {
+    val out = Ann.contrastivePairs(planted, k = 3, nQueries = 2,
+      posThreshold = 0.9, negMin = -1.0).collect()
+    val pos = out.filter(_.getString(3) == "pos")
+    val neg = out.filter(_.getString(3) == "neg")
+    // anchors 0 and 1 live in cluster 0..3: their mates must ALL be positives
+    val posSet = pos.map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (a <- 0L to 1L; m <- 0L to 3L if m != a)
+      assert(posSet((a, m)), s"cluster mate ($a,$m) missing from positives")
+    pos.foreach(r => assert(r.getDouble(2) >= 0.9))
+    neg.foreach(r => assert(r.getDouble(2) < 0.9))
+    neg.groupBy(_.getLong(0)).foreach { case (a, rs) =>
+      assert(rs.length <= 3, s"anchor $a has ${rs.length} negatives") }
+    // no pair may carry both labels
+    assert(pos.map(r => (r.getLong(0), r.getLong(1))).toSet
+      .intersect(neg.map(r => (r.getLong(0), r.getLong(1))).toSet).isEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("equi-depth bins hold ~equal mass per dimension") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sfDir)
