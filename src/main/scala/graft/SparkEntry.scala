@@ -136,6 +136,19 @@ object SparkEntry {
     }),
     // per-column data profile (nulls + exact distincts, one scan)
     "q_profile" -> ((s, d) => graft.etl.Profile.profile(Tables.orders(s, d))),
+    // --- k-anonymity audit (Sweeney 2002): equivalence-class sizes over the
+    // quasi-identifier tuple, classes below k=5 flagged re-identifiable —
+    // the privacy gate a corpus runs before release. One shuffle on the
+    // quasi-identifier key; class count ≪ row count, so output is tiny ---
+    "q_kanon" -> ((s, d) => {
+      import org.apache.spark.sql.functions.count
+      Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 100).as("bal_bucket"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(count(lit(1)).as("class_size"))
+        .withColumn("at_risk", col("class_size") < 5)
+    }),
     // count-min sketch estimates vs exact counts (md5 hash rows replay in SQL)
     "q_countmin" -> ((s, d) =>
       graft.analytics.Sketches.countMinEstimates(Tables.events(s, d), "user_id")),
@@ -303,9 +316,14 @@ object SparkEntry {
     // verdicts are pinned by the oracle
     "ann_topk_pq" -> ((s, d) => graft.similarity.Pq.pqChecked(Tables.embeddings(s, d))),
     "ann_topk_lsh"   -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
+    // --- index-quality gate: recall@5 of LSH and IVF vs exact brute top-5 ---
+    "ann_recall"     -> ((s, d) => Ann.recallEval(Tables.embeddings(s, d))),
     "ann_topk_ivf"   -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),
     // trained-centroid path: 2 Lloyd iterations, fully oracle-replayed
     "ann_kmeans" -> ((s, d) => Ann.kmeansAssign(Tables.embeddings(s, d))),
+    // --- SemDeDup: within-cluster semantic dedup, farthest-from-centroid
+    // survivors (Abbas et al. 2023); same 0.35 near-dup band as embed_neardup ---
+    "embed_semdedup" -> ((s, d) => Ann.semDedup(Tables.embeddings(s, d))),
     // synthetic corpus peaks near cosine 0.5 → 0.35 keeps output non-empty
     "embed_neardup"  -> ((s, d) =>
       Ann.nearDupPairs(Tables.embeddings(s, d), threshold = 0.35)),
@@ -533,6 +551,28 @@ object SparkEntry {
         .withColumn("is_delete", lit(false))
       graft.operators.Merge.scd1Merge(
         ord, updates.unionByName(deletes).unionByName(inserts), "o_orderkey")
+    }),
+    // --- snapshot diff: recover the I/U/D change set between two table
+    // versions (the q_merge_upsert result vs its base) ---
+    "q_snapshot_diff" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{lit, not}
+      import org.apache.spark.sql.types.DecimalType
+      val ord = Tables.orders(s, d)
+      val priceBump = lit(new java.math.BigDecimal("1.1"))
+      val updates = ord.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice",
+          (col("o_totalprice").cast(DecimalType(18, 2)) * priceBump).cast("double"))
+        .withColumn("is_delete", lit(false))
+      val deletes = ord.filter(col("o_orderkey") % 10 === 7)
+        .withColumn("is_delete", lit(true))
+      val inserts = ord.filter(col("o_orderkey") % 10 === 5)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+        .withColumn("o_orderstatus", lit("I"))
+        .withColumn("is_delete", lit(false))
+      val nextSnap = graft.operators.Merge.scd1Merge(
+        ord, updates.unionByName(deletes).unionByName(inserts), "o_orderkey")
+      graft.operators.Merge.snapshotDiff(ord, nextSnap, "o_orderkey")
     }),
     // --- repeated-span (substring) dedup stats, Lee et al. ACL'22 style ---
     "dedup_spans" -> ((s, d) =>
@@ -1598,6 +1638,8 @@ object SparkEntry {
     // the k-means training loop replayed end-to-end (seeding, rounded
     // argmin, fixed-point means) — generated CTE-per-iteration
     "ann_kmeans" -> graft.similarity.Ann.kmeansOracleSql(),
+    // identical kmeans replay + within-cluster pair filter + survivor rule
+    "embed_semdedup" -> graft.similarity.Ann.semDedupOracleSql(),
     // survivors = min-id representative per cluster
     "dedup_survivors" ->
       s"SELECT doc_id FROM ($dupClustersOracle) c WHERE doc_id = cluster_id",
@@ -1626,22 +1668,10 @@ object SparkEntry {
         |       LEAST(10, (SELECT COUNT(*) FROM embeddings) - 1) AS n_candidates,
         |       TRUE AS dist_ratio_ok, TRUE AS codes_in_range
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
-    "ann_topk_brute" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
-        |scored AS (
-        |  SELECT query_id, vec_id,
-        |         round(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i])) /
-        |               (sqrt(list_sum(list_transform(qv, x -> x*x))) *
-        |                sqrt(list_sum(list_transform(v, x -> x*x)))), 6) AS cosine
-        |  FROM q, e WHERE vec_id <> query_id)
-        |SELECT query_id, vec_id, cosine, rank FROM (
-        |  SELECT *, CAST(ROW_NUMBER() OVER (
-        |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
-        |  FROM scored) t
-        |WHERE rank <= 5""".stripMargin,
+    "ann_topk_brute" -> bruteTopkOracle,
+    // recall@5 of both approximate indexes against the exact brute top-5,
+    // composed from the same three replays so all four stay in lockstep
+    "ann_recall" -> annRecallOracle,
     // identical cosine replay, banded to [0, 0.45) before the rank — the
     // 1e-6 rounding happens BEFORE the band test on both engines, so a
     // knife-edge 0.450000 excludes identically
@@ -1758,44 +1788,7 @@ object SparkEntry {
         |SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS INTEGER) AS hamming
         |FROM pairs WHERE bit_count(xor(sha, shb)) <= 3""".stripMargin
     },
-    "ann_topk_ivf" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 29 = 0),
-        |assign AS (
-        |  SELECT vec_id, cent_id FROM (
-        |    SELECT e.vec_id, c.cent_id,
-        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-        |             round(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i])) /
-        |             (sqrt(list_sum(list_transform(v, x -> x*x))) *
-        |              sqrt(list_sum(list_transform(cv, x -> x*x)))), 6) DESC, c.cent_id) AS rn
-        |    FROM e CROSS JOIN cents c) t WHERE rn = 1),
-        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
-        |probes AS (
-        |  SELECT query_id, cent_id FROM (
-        |    SELECT q.query_id, c.cent_id,
-        |           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
-        |             round(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*cv[i])) /
-        |             (sqrt(list_sum(list_transform(qv, x -> x*x))) *
-        |              sqrt(list_sum(list_transform(cv, x -> x*x)))), 6) DESC, c.cent_id) AS rn
-        |    FROM q CROSS JOIN cents c) t WHERE rn <= 3),
-        |cand AS (
-        |  SELECT DISTINCT p.query_id, a.vec_id
-        |  FROM probes p JOIN assign a USING (cent_id)
-        |  WHERE a.vec_id <> p.query_id),
-        |scored AS (
-        |  SELECT cd.query_id, cd.vec_id,
-        |         round(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i])) /
-        |             (sqrt(list_sum(list_transform(qv, x -> x*x))) *
-        |              sqrt(list_sum(list_transform(v, x -> x*x)))), 6) AS cosine
-        |  FROM cand cd JOIN q ON q.query_id = cd.query_id
-        |               JOIN e ON e.vec_id = cd.vec_id)
-        |SELECT query_id, vec_id, cosine, rank FROM (
-        |  SELECT *, CAST(ROW_NUMBER() OVER (
-        |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
-        |  FROM scored) t
-        |WHERE rank <= 5""".stripMargin,
+    "ann_topk_ivf" -> ivfTopkOracle,
     "mm_features" ->
       """WITH media AS (
         |  SELECT doc_id AS media_id,
@@ -1808,38 +1801,7 @@ object SparkEntry {
         |       CASE WHEN a.n IS NULL THEN 0.0 ELSE CAST(a.s AS DOUBLE) / a.n END AS byte_mean,
         |       ('0x' || substring(md5(m.text), 1, 15))::BIGINT AS phash
         |FROM media m LEFT JOIN agg a ON a.media_id = m.media_id""".stripMargin,
-    "ann_topk_lsh" -> {
-      s"""WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |planes(j, p) AS (VALUES $planes),
-        |bits AS (
-        |  SELECT e.vec_id, planes.j,
-        |         CASE WHEN round(list_sum(list_transform(range(1, 65),
-        |             k -> coalesce(e.v[k] * planes.p[k], 0.0))), 6) > 0
-        |              THEN 1 ELSE 0 END AS bit
-        |  FROM e CROSS JOIN planes),
-        |buckets AS (
-        |  SELECT vec_id, j // 8 AS t, SUM(bit * (1 << CAST(j % 8 AS INTEGER))) AS bucket
-        |  FROM bits GROUP BY 1, 2),
-        |qb AS (SELECT vec_id AS query_id, t, bucket FROM buckets WHERE vec_id < 10),
-        |cand AS (
-        |  SELECT DISTINCT qb.query_id, b.vec_id
-        |  FROM buckets b JOIN qb ON b.t = qb.t AND b.bucket = qb.bucket
-        |  WHERE b.vec_id <> qb.query_id),
-        |scored AS (
-        |  SELECT cd.query_id, cd.vec_id,
-        |         round(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i]*e.v[i])) /
-        |             (sqrt(list_sum(list_transform(q.v, x -> x*x))) *
-        |              sqrt(list_sum(list_transform(e.v, x -> x*x)))), 6) AS cosine
-        |  FROM cand cd JOIN e q ON q.vec_id = cd.query_id
-        |               JOIN e ON e.vec_id = cd.vec_id)
-        |SELECT query_id, vec_id, cosine, rank FROM (
-        |  SELECT *, CAST(ROW_NUMBER() OVER (
-        |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
-        |  FROM scored) t
-        |WHERE rank <= 5""".stripMargin
-    },
+    "ann_topk_lsh" -> lshTopkOracle,
     "embed_neardup" -> {
       s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2316,6 +2278,56 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |FROM changes WHERE NOT is_delete""".stripMargin,
+    // k-anonymity: CAST(floor) lands on BIGINT like Spark's floor; the
+    // /100 quotient only touches an integer boundary when the cents value
+    // is an exact multiple of 100.00, where IEEE division is exact
+    "q_kanon" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |       CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_bucket,
+        |       COUNT(*) AS class_size,
+        |       COUNT(*) < 5 AS at_risk
+        |FROM customer
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // version diff replay: rebuild the next snapshot exactly as
+    // q_merge_upsert does, then full-outer it against the base; a key
+    // survives only when it is new-only (I), old-only (D), or any payload
+    // column IS DISTINCT (U). COALESCE prefers the new payload.
+    "q_snapshot_diff" ->
+      """WITH changes AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1 AS DOUBLE) AS o_totalprice,
+        |         o_orderdate, o_orderpriority, FALSE AS is_delete
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority, TRUE
+        |  FROM orders WHERE o_orderkey % 10 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, 'I', o_totalprice,
+        |         o_orderdate, o_orderpriority, FALSE
+        |  FROM orders WHERE o_orderkey % 10 = 5),
+        |new_snap AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |  FROM changes WHERE NOT is_delete)
+        |SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |       CASE WHEN o.o_orderkey IS NULL THEN 'I'
+        |            WHEN n.o_orderkey IS NULL THEN 'D'
+        |            ELSE 'U' END AS change_type,
+        |       COALESCE(n.o_custkey, o.o_custkey) AS o_custkey,
+        |       COALESCE(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+        |       COALESCE(n.o_totalprice, o.o_totalprice) AS o_totalprice,
+        |       COALESCE(n.o_orderdate, o.o_orderdate) AS o_orderdate,
+        |       COALESCE(n.o_orderpriority, o.o_orderpriority) AS o_orderpriority
+        |FROM orders o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |   OR o.o_custkey       IS DISTINCT FROM n.o_custkey
+        |   OR o.o_orderstatus   IS DISTINCT FROM n.o_orderstatus
+        |   OR o.o_totalprice    IS DISTINCT FROM n.o_totalprice
+        |   OR o.o_orderdate     IS DISTINCT FROM n.o_orderdate
+        |   OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority""".stripMargin,
     // distinct 15-token spans per doc, md5-folded; a span is duplicated
     // when its hash occurs in >= 2 documents (per-doc distinctness makes
     // COUNT(*) the document frequency)
@@ -2481,4 +2493,123 @@ object SparkEntry {
   /** Literal (perm, a, b) VALUES rows of the minhash permutation family. */
   private def perms: String =
     Dedup.seedTriples(32).map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
+
+  // --- ANN top-k oracle replays, shared between the three ann_topk_*
+  // entries and the ann_recall composition (so the recall oracle can never
+  // drift from the per-method oracles it grades) ---
+
+  private def bruteTopkOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT query_id, vec_id,
+      |         round(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i])) /
+      |               (sqrt(list_sum(list_transform(qv, x -> x*x))) *
+      |                sqrt(list_sum(list_transform(v, x -> x*x)))), 6) AS cosine
+      |  FROM q, e WHERE vec_id <> query_id)
+      |SELECT query_id, vec_id, cosine, rank FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 5""".stripMargin
+
+  private def ivfTopkOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 29 = 0),
+      |assign AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT e.vec_id, c.cent_id,
+      |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |             round(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i])) /
+      |             (sqrt(list_sum(list_transform(v, x -> x*x))) *
+      |              sqrt(list_sum(list_transform(cv, x -> x*x)))), 6) DESC, c.cent_id) AS rn
+      |    FROM e CROSS JOIN cents c) t WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |probes AS (
+      |  SELECT query_id, cent_id FROM (
+      |    SELECT q.query_id, c.cent_id,
+      |           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+      |             round(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*cv[i])) /
+      |             (sqrt(list_sum(list_transform(qv, x -> x*x))) *
+      |              sqrt(list_sum(list_transform(cv, x -> x*x)))), 6) DESC, c.cent_id) AS rn
+      |    FROM q CROSS JOIN cents c) t WHERE rn <= 3),
+      |cand AS (
+      |  SELECT DISTINCT p.query_id, a.vec_id
+      |  FROM probes p JOIN assign a USING (cent_id)
+      |  WHERE a.vec_id <> p.query_id),
+      |scored AS (
+      |  SELECT cd.query_id, cd.vec_id,
+      |         round(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i])) /
+      |             (sqrt(list_sum(list_transform(qv, x -> x*x))) *
+      |              sqrt(list_sum(list_transform(v, x -> x*x)))), 6) AS cosine
+      |  FROM cand cd JOIN q ON q.query_id = cd.query_id
+      |               JOIN e ON e.vec_id = cd.vec_id)
+      |SELECT query_id, vec_id, cosine, rank FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 5""".stripMargin
+
+  private def lshTopkOracle: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |planes(j, p) AS (VALUES $planes),
+      |bits AS (
+      |  SELECT e.vec_id, planes.j,
+      |         CASE WHEN round(list_sum(list_transform(range(1, 65),
+      |             k -> coalesce(e.v[k] * planes.p[k], 0.0))), 6) > 0
+      |              THEN 1 ELSE 0 END AS bit
+      |  FROM e CROSS JOIN planes),
+      |buckets AS (
+      |  SELECT vec_id, j // 8 AS t, SUM(bit * (1 << CAST(j % 8 AS INTEGER))) AS bucket
+      |  FROM bits GROUP BY 1, 2),
+      |qb AS (SELECT vec_id AS query_id, t, bucket FROM buckets WHERE vec_id < 10),
+      |cand AS (
+      |  SELECT DISTINCT qb.query_id, b.vec_id
+      |  FROM buckets b JOIN qb ON b.t = qb.t AND b.bucket = qb.bucket
+      |  WHERE b.vec_id <> qb.query_id),
+      |scored AS (
+      |  SELECT cd.query_id, cd.vec_id,
+      |         round(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i]*e.v[i])) /
+      |             (sqrt(list_sum(list_transform(q.v, x -> x*x))) *
+      |              sqrt(list_sum(list_transform(e.v, x -> x*x)))), 6) AS cosine
+      |  FROM cand cd JOIN e q ON q.vec_id = cd.query_id
+      |               JOIN e ON e.vec_id = cd.vec_id)
+      |SELECT query_id, vec_id, cosine, rank FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 5""".stripMargin
+
+  /** recall@5 of each approximate index vs the exact brute top-5. Every
+    * (query, method) pair emits exactly one row — a method whose candidate
+    * set came up empty for a query scores 0, it doesn't vanish.
+    */
+  private def annRecallOracle: String =
+    s"""WITH brute AS (SELECT * FROM ($bruteTopkOracle) tb),
+      |lsh_r AS (SELECT * FROM ($lshTopkOracle) tl),
+      |ivf_r AS (SELECT * FROM ($ivfTopkOracle) ti),
+      |methods AS (
+      |  SELECT 'lsh' AS method, query_id, vec_id FROM lsh_r
+      |  UNION ALL
+      |  SELECT 'ivf', query_id, vec_id FROM ivf_r),
+      |grid AS (
+      |  SELECT m.method, q.query_id
+      |  FROM (SELECT DISTINCT query_id FROM brute) q
+      |  CROSS JOIN (SELECT 'lsh' AS method UNION ALL SELECT 'ivf') m),
+      |hits AS (
+      |  SELECT m.method, m.query_id, COUNT(*) AS n_hit
+      |  FROM methods m JOIN brute b
+      |    ON b.query_id = m.query_id AND b.vec_id = m.vec_id
+      |  GROUP BY 1, 2)
+      |SELECT g.method, g.query_id,
+      |       CAST(COALESCE(h.n_hit, 0) AS INTEGER) AS n_hit,
+      |       round(COALESCE(h.n_hit, 0) / 5.0, 6) AS recall_at_5
+      |FROM grid g LEFT JOIN hits h
+      |  ON g.method = h.method AND g.query_id = h.query_id""".stripMargin
 }

@@ -57,4 +57,43 @@ object Merge {
       .select(target.columns.map(col): _*)
     kept.unionByName(applied)
   }
+
+  /** Snapshot diff — the inverse of [[scd1Merge]]: given two versions of a
+    * keyed table, emit one row per changed key tagged `I` (inserted), `U`
+    * (payload differs, null-safely) or `D` (deleted), carrying the new
+    * payload (old payload for deletes). Unchanged keys emit nothing, so
+    * `snapshotDiff(v, scd1Merge(v, batch), key)` recovers exactly the
+    * effective batch — the round-trip MergeSpec asserts.
+    *
+    * This is the lakehouse "table_changes between versions" operation
+    * computed from the versions themselves (time-travel diff, CDC
+    * backfill when the change log was lost, replication drift audit).
+    *
+    * Scale: one full-outer shuffle join on the key — the minimum for a
+    * general diff where both sides are large; when the two versions are
+    * bucketed by the key (etl.Warehouse.writeBucketed) the join
+    * co-locates and no shuffle happens at all. Payloads are compared
+    * null-safely column-by-column inside the join projection (codegen'd,
+    * no hashing pass over either side), and only changed rows survive the
+    * post-join filter, so the output stays change-sized, never
+    * snapshot-sized.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String): DataFrame = {
+    val payload = oldSnap.columns.filter(_ != key)
+    val o = oldSnap.select(col(key).as("__k"), lit(true).as("__in_old"),
+      struct(payload.map(col): _*).as("__old"))
+    val n = newSnap.select(col(key).as("__k"), lit(true).as("__in_new"),
+      struct(payload.map(col): _*).as("__new"))
+    val changed = payload
+      .map(c => !(col(s"__old.$c") <=> col(s"__new.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, Seq("__k"), "full_outer")
+      .withColumn("change_type",
+        when(col("__in_old").isNull, lit("I"))
+          .when(col("__in_new").isNull, lit("D"))
+          .when(changed, lit("U")))
+      .filter(col("change_type").isNotNull)
+      .select(col("__k").as(key) +: col("change_type") +:
+        payload.map(c => coalesce(col(s"__new.$c"), col(s"__old.$c")).as(c)): _*)
+  }
 }

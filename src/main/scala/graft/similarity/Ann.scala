@@ -164,7 +164,15 @@ object Ann {
     * rounding), generated CTE-per-iteration — lives here so the two
     * implementations stay side by side.
     */
-  def kmeansOracleSql(k: Int = 4, iters: Int = 2, dim: Int = 64): String = {
+  def kmeansOracleSql(k: Int = 4, iters: Int = 2, dim: Int = 64): String =
+    s"""WITH ${kmeansOracleCtes(k, iters, dim)}
+       |SELECT vec_id, CAST(cid AS INTEGER) AS cid, d AS dist FROM afinal""".stripMargin
+
+  /** The WITH-body of [[kmeansOracleSql]] (ending in an `afinal` CTE with
+    * vec_id, v, cid, d) so composite oracles — [[semDedupOracleSql]] —
+    * can replay the identical training run and keep building.
+    */
+  def kmeansOracleCtes(k: Int = 4, iters: Int = 2, dim: Int = 64): String = {
     def assignCte(name: String, centsCte: String) =
       s"""$name AS (
          |  SELECT vec_id, v, cid, d FROM (
@@ -191,7 +199,7 @@ object Ann {
       assignCte(s"a${i - 1}", s"c${i - 1}") + ",\n" +
         updateCte(s"m$i", s"c$i", s"a${i - 1}", s"c${i - 1}")
     }
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |s AS (
@@ -200,9 +208,111 @@ object Ann {
        |  FROM e),
        |c0 AS (SELECT cid, v AS c FROM s WHERE cid <= $k),
        |${steps.mkString(",\n")},
-       |${assignCte("afinal", s"c$iters")}
-       |SELECT vec_id, CAST(cid AS INTEGER) AS cid, d AS dist FROM afinal""".stripMargin
+       |${assignCte("afinal", s"c$iters")}""".stripMargin
   }
+
+  /** Index-quality gate: recall@k of each approximate index ([[lshTopK]],
+    * [[ivfTopK]]) against the exact [[bruteForceTopK]] baseline, per query
+    * — the number a pipeline checks before trusting an ANN index for
+    * retrieval-based dedup or hard-negative mining. Emits exactly one row
+    * per (method, query): a method whose candidate set came up empty
+    * scores 0 rather than vanishing, so regressions can't hide as missing
+    * rows.
+    *
+    * Scale: the grading join is over top-k result sets (nQueries × k
+    * rows), negligible next to the index probes themselves; brute force
+    * over a query SAMPLE is the standard recall-audit shape — nQueries
+    * bounds its cost, not the corpus.
+    */
+  def recallEval(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val brute = bruteForceTopK(embeddings, k, nQueries)
+      .select(col("query_id"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val methods = lshTopK(embeddings, k, nQueries)
+        .select(lit("lsh").as("method"), col("query_id"), col("vec_id"))
+      .unionByName(ivfTopK(embeddings, k, nQueries)
+        .select(lit("ivf").as("method"), col("query_id"), col("vec_id")))
+    val qs = brute.select("query_id").distinct()
+    val grid = qs.withColumn("method", lit("lsh"))
+      .unionByName(qs.withColumn("method", lit("ivf")))
+    val hits = methods.join(brute, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("method", "query_id").agg(count(lit(1)).as("n_hit"))
+    grid.join(hits, Seq("method", "query_id"), "left")
+      .select(col("method"), col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).cast("int").as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / k, 6)
+          .as(s"recall_at_$k"))
+  }
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication by
+    * clustering embeddings with [[kmeansAssign]] and comparing pairs only
+    * WITHIN each cluster — the clusters turn an O(N²) corpus-wide pair
+    * search into k independent O((N/k)²) ones, which is the paper's whole
+    * scaling argument. Of each group of semantic duplicates (rounded
+    * cosine ≥ `tau`), the survivor is the member FARTHEST from its
+    * centroid (the paper's "keep the most atypical" rule — it preserves
+    * corpus diversity), tie-broken on vec_id; a document is dropped iff
+    * some same-cluster neighbor above `tau` outranks it under
+    * (dist DESC, vec_id ASC).
+    *
+    * Returns (vec_id, cid, kept) for every corpus vector — a flag column
+    * rather than a filtered corpus, so the caller can audit exactly what
+    * was dropped and why before committing the prune.
+    *
+    * Scale: the self-join shuffles on cid alone; at 100 TB the operative
+    * knob is k — SemDeDup runs production corpora at k ≈ N/10⁴, keeping
+    * every cluster's pair block bounded regardless of corpus size. The
+    * cluster-sized quadratic is by construction, not an accident.
+    */
+  def semDedup(embeddings: DataFrame, k: Int = 4, iters: Int = 2,
+               tau: Double = 0.35): DataFrame = {
+    val docs = kmeansAssign(embeddings, k, iters)
+      .join(corpus(embeddings), "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count() // materialize: both self-join sides + final read it
+    val a = docs.select(col("cid"), col("vec_id").as("a_id"),
+      col("dist").as("a_dist"), col("v").as("av"))
+    val b = docs.select(col("cid"), col("vec_id").as("b_id"),
+      col("dist").as("b_dist"), col("v").as("bv"))
+    val pairs = a.join(b, Seq("cid"))
+      .filter(col("a_id") < col("b_id") &&
+        round(cosine(col("av"), col("bv")), 6) >= tau)
+      .select(col("a_id"), col("b_id"), col("a_dist"), col("b_dist"))
+    val sym = pairs.select(col("a_id").as("id"), col("a_dist").as("d"),
+        col("b_id").as("nb"), col("b_dist").as("nd"))
+      .unionByName(pairs.select(col("b_id").as("id"), col("b_dist").as("d"),
+        col("a_id").as("nb"), col("a_dist").as("nd")))
+    val dropped = sym
+      .filter(col("nd") > col("d") || (col("nd") === col("d") && col("nb") < col("id")))
+      .select(col("id").as("vec_id")).distinct()
+      .withColumn("__rm", lit(true))
+    docs.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("__rm").isNull.as("kept"))
+  }
+
+  /** DuckDB replay of [[semDedup]]: the identical k-means run via
+    * [[kmeansOracleCtes]], then the same within-cluster rounded-cosine
+    * pair filter and farthest-from-centroid survivor rule.
+    */
+  def semDedupOracleSql(k: Int = 4, iters: Int = 2, dim: Int = 64,
+                        tau: Double = 0.35): String =
+    s"""WITH ${kmeansOracleCtes(k, iters, dim)},
+       |pairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.d AS a_d, b.d AS b_d
+       |  FROM afinal a JOIN afinal b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE round(list_sum(list_transform(range(1, $dim + 1), i -> a.v[i]*b.v[i])) /
+       |        (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+       |         sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) >= $tau),
+       |sym AS (
+       |  SELECT a_id AS id, a_d AS d, b_id AS nb, b_d AS nd FROM pairs
+       |  UNION ALL
+       |  SELECT b_id, b_d, a_id, a_d FROM pairs),
+       |dropped AS (
+       |  SELECT DISTINCT id FROM sym
+       |  WHERE nd > d OR (nd = d AND nb < id))
+       |SELECT f.vec_id, CAST(f.cid AS INTEGER) AS cid,
+       |       (dr.id IS NULL) AS kept
+       |FROM afinal f LEFT JOIN dropped dr ON f.vec_id = dr.id""".stripMargin
 
   /** Exact cosine top-k of every corpus vector for each query vector
     * (queries = vec_id < nQueries, self-matches excluded). Returns

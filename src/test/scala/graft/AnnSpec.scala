@@ -102,6 +102,46 @@ class AnnSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("semDedup: planted near-identical groups keep exactly one survivor each") {
+    // tau=0.99: only the jittered clusters count as semantic duplicates
+    val out = Ann.semDedup(planted, k = 3, iters = 2, tau = 0.99)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(out.size === 60)
+    // each planted 4-mate group {4c..4c+3} loses members down to survivors;
+    // at tau=0.99 every mate pair is a duplicate pair, so exactly 1 survives
+    for (c <- 0 until 3) {
+      val kept = (0 until 4).map(j => (c * 4 + j).toLong).filter(out)
+      assert(kept.size === 1, s"cluster $c kept ${kept.size} of its 4 near-dups")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("semDedup: tau above every pairwise cosine keeps the whole corpus") {
+    val out = Ann.semDedup(planted, k = 3, iters = 2, tau = 1.1)
+      .select("kept").as[Boolean].collect()
+    assert(out.length === 60 && out.forall(identity))
+    spark.catalog.clearCache()
+  }
+
+  test("recallEval: n_hit equals the hand-computed top-k intersection") {
+    val out = Ann.recallEval(planted, k = 3, nQueries = 12).collect()
+    assert(out.length === 24) // 12 queries x 2 methods, no vanishing rows
+    val brute = Ann.bruteForceTopK(planted, k = 3, nQueries = 12)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lsh = Ann.lshTopK(planted, k = 3, nQueries = 12)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.filter(_.getString(0) == "lsh").foreach { r =>
+      val (q, nHit, recall) = (r.getLong(1), r.getInt(2), r.getDouble(3))
+      val expect = brute(q).intersect(lsh.getOrElse(q, Set.empty)).size
+      assert(nHit === expect, s"query $q: n_hit $nHit != $expect")
+      assert(math.abs(recall - nHit / 3.0) < 1e-9)
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("equi-depth bins hold ~equal mass per dimension") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sfDir)

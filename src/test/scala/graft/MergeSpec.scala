@@ -63,6 +63,35 @@ class MergeSpec extends AnyFunSuite {
     assert(out.exceptAll(snapshot).isEmpty && snapshot.exceptAll(out).isEmpty)
   }
 
+  test("snapshotDiff recovers the effective change batch (merge round-trip)") {
+    val changes = Seq(
+      (2L, "b2", 21.0, false),  // update
+      (3L, "c", 30.0, true),    // delete
+      (4L, "d", 40.0, false)    // insert
+    ).toDF("id", "name", "amount", "is_delete")
+    val next = Merge.scd1Merge(snapshot, changes, "id")
+    val diff = Merge.snapshotDiff(snapshot, next, "id")
+      .as[(Long, String, String, Double)].collect().toSet
+    assert(diff === Set(
+      (2L, "U", "b2", 21.0),
+      (3L, "D", "c", 30.0),   // deletes carry the old payload
+      (4L, "I", "d", 40.0)))
+  }
+
+  test("snapshotDiff of identical versions is empty; null payloads compare null-safely") {
+    val withNulls = Seq(
+      (1L, Option.empty[String], 10.0), (2L, Option("b"), 20.0)
+    ).toDF("id", "name", "amount")
+    assert(Merge.snapshotDiff(withNulls, withNulls, "id").isEmpty)
+    // null -> value is an update, not a spurious no-op
+    val filled = Seq(
+      (1L, Option("now_set"), 10.0), (2L, Option("b"), 20.0)
+    ).toDF("id", "name", "amount")
+    val diff = Merge.snapshotDiff(withNulls, filled, "id")
+      .as[(Long, String, String, Double)].collect().toSet
+    assert(diff === Set((1L, "U", "now_set", 10.0)))
+  }
+
   test("plan: a small changes batch broadcasts — the target never shuffles") {
     val changes = Seq((2L, "b2", 21.0, false)).toDF("id", "name", "amount", "is_delete")
     val plan = Merge.scd1Merge(snapshot, changes, "id")
