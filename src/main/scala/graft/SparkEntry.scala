@@ -574,6 +574,13 @@ object SparkEntry {
         ord, updates.unionByName(deletes).unionByName(inserts), "o_orderkey")
       graft.operators.Merge.snapshotDiff(ord, nextSnap, "o_orderkey")
     }),
+    // --- filter-cascade attrition audit: per-rule enter/killed/fail/marginal ---
+    "text_filter_funnel" -> ((s, d) => TextOps.filterFunnel(Tables.documents(s, d))),
+    // --- token-budget sampler: per-source corpus slice in md5 tape order ---
+    "q_token_budget" -> ((s, d) =>
+      graft.operators.Sampling.tokenBudgetSample(Tables.documents(s, d))),
+    // --- exact two-sample KS drift of n_chars between even/odd sources ---
+    "q_ks_drift" -> ((s, d) => graft.analytics.Drift.ksDrift(Tables.documents(s, d))),
     // --- repeated-span (substring) dedup stats, Lee et al. ACL'22 style ---
     "dedup_spans" -> ((s, d) =>
       Dedup.duplicatedSpans(Tables.documents(s, d))),
@@ -2278,6 +2285,81 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |FROM changes WHERE NOT is_delete""".stripMargin,
+    // funnel replay: same quality expressions as text_quality, one
+    // aggregate row of counters unpivoted into one row per cascade stage
+    "text_filter_funnel" ->
+      """WITH base AS (
+        |  SELECT doc_id, n_chars,
+        |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+        |         length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct
+        |  FROM documents),
+        |r AS (
+        |  SELECT n_chars >= 150 AS p1,
+        |         len(toks) >= 40 AS p2,
+        |         (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) <= 0.1 AS p3,
+        |         (CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(
+        |           ['the','a','an','of','to','in','is','and','or','for','on',
+        |            'with','as','at','by','it','be','this','that','are'], x))) AS DOUBLE) / len(toks)
+        |          ELSE 0.0 END) >= 0.05 AS p4
+        |  FROM base),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |         CAST(SUM(CASE WHEN NOT p2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        |         CAST(SUM(CASE WHEN NOT p3 THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+        |         CAST(SUM(CASE WHEN NOT p4 THEN 1 ELSE 0 END) AS BIGINT) AS f4,
+        |         CAST(SUM(CASE WHEN NOT p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+        |         CAST(SUM(CASE WHEN p1 AND NOT p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+        |         CAST(SUM(CASE WHEN p1 AND p2 AND NOT p3 AND p4 THEN 1 ELSE 0 END) AS BIGINT) AS m3,
+        |         CAST(SUM(CASE WHEN p1 AND p2 AND p3 AND NOT p4 THEN 1 ELSE 0 END) AS BIGINT) AS m4,
+        |         CAST(SUM(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+        |         CAST(SUM(CASE WHEN p1 AND NOT p2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+        |         CAST(SUM(CASE WHEN p1 AND p2 AND NOT p3 THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+        |         CAST(SUM(CASE WHEN p1 AND p2 AND p3 AND NOT p4 THEN 1 ELSE 0 END) AS BIGINT) AS k4
+        |  FROM r)
+        |SELECT 1 AS stage, 'len_ge_150' AS rule, n_docs AS n_enter,
+        |       k1 AS n_killed_here, f1 AS n_fail_total, m1 AS n_marginal FROM a
+        |UNION ALL SELECT 2, 'tok_ge_40', n_docs - k1, k2, f2, m2 FROM a
+        |UNION ALL SELECT 3, 'punct_le_10pct', n_docs - k1 - k2, k3, f3, m3 FROM a
+        |UNION ALL SELECT 4, 'stop_ge_5pct', n_docs - k1 - k2 - k3, k4, f4, m4 FROM a""".stripMargin,
+    // take-while under a per-source token budget: exclusive running total
+    // in (md5, doc_id) order must stay under budget for the doc to survive
+    "q_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |         CAST(len(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |              ELSE regexp_split_to_array(trim(text), '\s+') END) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, prior + n_tokens AS cum_tokens
+        |FROM c WHERE prior < 1000""".stripMargin,
+    // exact KS: integer cross-multiplied numerator picks the argmax, the
+    // winning value alone is divided and rounded
+    "q_ks_drift" ->
+      """WITH g AS (
+        |  SELECT n_chars AS x, CAST(substring(source, 4) AS INT) % 2 = 0 AS is_a
+        |  FROM documents),
+        |counts AS (
+        |  SELECT x, SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+        |            SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS cb
+        |  FROM g GROUP BY 1),
+        |cum AS (
+        |  SELECT x, SUM(ca) OVER (ORDER BY x) AS cuma,
+        |            SUM(cb) OVER (ORDER BY x) AS cumb
+        |  FROM counts),
+        |tot AS (SELECT MAX(cuma) AS na, MAX(cumb) AS nb FROM cum),
+        |scored AS (
+        |  SELECT x, abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na) AS d_num,
+        |         na, nb
+        |  FROM cum CROSS JOIN tot)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, x AS ks_at,
+        |       round(CAST(d_num AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS ks_stat
+        |FROM scored ORDER BY d_num DESC, x ASC LIMIT 1""".stripMargin,
     // k-anonymity: CAST(floor) lands on BIGINT like Spark's floor; the
     // /100 quotient only touches an integer boundary when the cents value
     // is an exact multiple of 100.00, where IEEE division is exact

@@ -71,6 +71,45 @@ object Sampling {
   /** Keep k rows per group, chosen by md5-of-id order (deterministic,
     * engine-agnostic — the same SQL runs on the DuckDB oracle).
     */
+  /** Token-budget sampler: materialize a per-source corpus slice that
+    * consumes at most `budget` tokens of *prior* tape per source — the
+    * operation that turns mixture RATES ([[temperatureMix]]) into an
+    * actual training corpus of a known token size. Documents are laid on
+    * a per-source tape in deterministic md5 order (a reproducible
+    * shuffle), and a document is kept iff the tokens consumed before it
+    * within its source are still under budget — so every source
+    * contributes ≥ budget tokens when it has them (the last kept doc may
+    * overflow), and re-runs pick identical documents.
+    *
+    * Scale: the cumulative position comes from [[Packing.withRunningTotal]]'s
+    * two-pass distributed prefix sum over the GLOBAL (source, hash) order
+    * — not a per-source window, which would park each source's whole
+    * corpus in one task. Per-source positions are recovered by
+    * subtracting the source's first-row offset (a #sources-row join). At
+    * 100 TB with a handful of mega-sources this is the difference
+    * between a plan that runs and one that spills a source per executor.
+    *
+    * Returns (doc_id, source, n_tokens, cum_tokens) for kept documents,
+    * cum_tokens being the inclusive per-source running total.
+    */
+  def tokenBudgetSample(documents: DataFrame, budget: Long = 1000L): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val toks = documents.select(
+      col("doc_id"), col("source"),
+      md5(col("doc_id").cast("string")).as("h"),
+      size(graft.text.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val prefixed = Packing.withRunningTotal(
+      toks, Seq("source", "h", "doc_id"), "n_tokens", "gprev")
+    // the source's tape offset = global exclusive prefix at its first row;
+    // gprev is monotone along the sort, so MIN per source finds it
+    val offsets = prefixed.groupBy("source").agg(min(col("gprev")).as("src_off"))
+    prefixed.join(offsets, "source")
+      .withColumn("prior_tokens", col("gprev") - col("src_off"))
+      .filter(col("prior_tokens") < budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("prior_tokens") + col("n_tokens")).as("cum_tokens"))
+  }
+
   def hashSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
                          k: Int): DataFrame = {
     val w = Window.partitionBy(groupCol)

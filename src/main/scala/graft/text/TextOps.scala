@@ -77,6 +77,47 @@ object TextOps {
           * (lit(1.0) - col("punct_ratio")))
   }
 
+  /** Filter-cascade attrition audit: run the ordered quality cascade
+    * (length → token count → punctuation → stopwords) and report, per
+    * rule, how many documents enter the stage, die at it, fail it overall
+    * (ignoring order), and fail ONLY it (marginal attribution) — the
+    * numbers that tell a curation team which rule is doing the work and
+    * which is redundant before they commit a corpus-sized prune.
+    *
+    * The whole audit is one scan + one tiny aggregate: per-doc rule flags
+    * reduce map-side into a single row of counters that a `stack`
+    * unpivots into one row per rule. Nothing document-sized shuffles, so
+    * it runs at any corpus scale for the cost of the quality scan.
+    */
+  def filterFunnel(documents: DataFrame): DataFrame = {
+    val flags = quality(documents).select(
+      (col("n_chars") >= 150).as("p1"),
+      (col("n_tokens") >= 40).as("p2"),
+      (col("punct_ratio") <= 0.1).as("p3"),
+      (col("stopword_ratio") >= 0.05).as("p4"))
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val a = flags.agg(
+      count(lit(1)).as("n_docs"),
+      cnt(!col("p1")).as("f1"), cnt(!col("p2")).as("f2"),
+      cnt(!col("p3")).as("f3"), cnt(!col("p4")).as("f4"),
+      cnt(!col("p1") && col("p2") && col("p3") && col("p4")).as("m1"),
+      cnt(col("p1") && !col("p2") && col("p3") && col("p4")).as("m2"),
+      cnt(col("p1") && col("p2") && !col("p3") && col("p4")).as("m3"),
+      cnt(col("p1") && col("p2") && col("p3") && !col("p4")).as("m4"),
+      cnt(!col("p1")).as("k1"),
+      cnt(col("p1") && !col("p2")).as("k2"),
+      cnt(col("p1") && col("p2") && !col("p3")).as("k3"),
+      cnt(col("p1") && col("p2") && col("p3") && !col("p4")).as("k4"))
+    a.select(expr(
+      """stack(4,
+        |  1, 'len_ge_150',     n_docs,           k1, f1, m1,
+        |  2, 'tok_ge_40',      n_docs - k1,      k2, f2, m2,
+        |  3, 'punct_le_10pct', n_docs - k1 - k2, k3, f3, m3,
+        |  4, 'stop_ge_5pct',   n_docs - k1 - k2 - k3, k4, f4, m4)
+        |AS (stage, rule, n_enter, n_killed_here, n_fail_total, n_marginal)
+        |""".stripMargin))
+  }
+
   /** Marker vocabulary for the n-gram/stopword language-ID heuristic. */
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "is", "to", "in", "that", "it", "with", "for"),
