@@ -39,14 +39,19 @@ object Drift {
       col(featureCol).as("x"),
       (expr("CAST(substring(source, 4) AS INT)") % 2 === 0).as("is_a"))
     val counts = g.groupBy("x").agg(
-      sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
-      sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    counts.count() // materialize once: the window branch and the totals
+                   // branch would otherwise each re-scan the corpus
     // bounded domain: one row per distinct feature value
     val w = Window.orderBy("x")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = counts.select(col("x"),
       sum("ca").over(w).as("cuma"), sum("cb").over(w).as("cumb"))
-    val tot = cum.agg(max("cuma").as("na"), max("cumb").as("nb"))
+    // totals from the pre-window counts — the final cumulative values,
+    // without dragging a second window evaluation into the plan
+    val tot = counts.agg(sum("ca").as("na"), sum("cb").as("nb"))
     val scored = cum.crossJoin(broadcast(tot))
       .withColumn("d_num",
         abs(col("cuma").cast(Dec) * col("nb").cast(Dec) -

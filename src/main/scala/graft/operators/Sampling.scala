@@ -103,7 +103,9 @@ object Sampling {
     // the source's tape offset = global exclusive prefix at its first row;
     // gprev is monotone along the sort, so MIN per source finds it
     val offsets = prefixed.groupBy("source").agg(min(col("gprev")).as("src_off"))
-    prefixed.join(offsets, "source")
+    // #sources rows: broadcast explicitly — the RDD-backed relation has no
+    // stats, so the planner would otherwise sort-merge the corpus side
+    prefixed.join(broadcast(offsets), "source")
       .withColumn("prior_tokens", col("gprev") - col("src_off"))
       .filter(col("prior_tokens") < budget)
       .select(col("doc_id"), col("source"), col("n_tokens"),
