@@ -277,6 +277,12 @@ object SparkEntry {
     // --- deduplication (north star) ---
     "dedup_exact"         -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "dedup_minhash"       -> ((s, d) => Dedup.minhashDedup(Tables.documents(s, d))),
+    // --- incremental dedup: new batch (doc_id%5=0) probes the corpus index ---
+    "dedup_incremental"   -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalNearDup(
+        docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0))
+    }),
     "dedup_simhash"       -> ((s, d) => Dedup.simhashDedup(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), threshold = 0.5)),
@@ -1769,6 +1775,40 @@ object SparkEntry {
         |         SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 32.0 AS est_jaccard
         |  FROM cand JOIN sig sa ON sa.doc_id = doc_a
         |            JOIN sig sb ON sb.doc_id = doc_b AND sa.perm = sb.perm
+        |  GROUP BY 1, 2) t
+        |WHERE est_jaccard >= 0.5""".stripMargin
+    },
+    // incremental replay: same signature/band pipeline, but candidates
+    // come from batch-bands probing corpus-bands — never corpus × corpus
+    "dedup_incremental" -> {
+      val perms = Dedup.seedTriples(32)
+        .map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
+      s"""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+        |  FROM toks),
+        |bases AS (
+        |  SELECT doc_id, ('0x' || substring(md5(gram), 1, 15))::BIGINT % 2147483647 AS h
+        |  FROM (SELECT doc_id, unnest(g) AS gram FROM grams)),
+        |perms(perm, a, b) AS (VALUES $perms),
+        |sig AS (
+        |  SELECT doc_id, perm, MIN((a * h + b) % 2147483647) AS s
+        |  FROM bases CROSS JOIN perms GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, perm // 4 AS band,
+        |         string_agg(CAST(s AS VARCHAR), ',' ORDER BY perm) AS bh
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT n.doc_id AS batch_doc, c.doc_id AS corpus_doc
+        |  FROM bands n JOIN bands c ON n.band = c.band AND n.bh = c.bh
+        |  WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0)
+        |SELECT batch_doc, corpus_doc, est_jaccard FROM (
+        |  SELECT batch_doc, corpus_doc,
+        |         SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 32.0 AS est_jaccard
+        |  FROM cand JOIN sig sa ON sa.doc_id = batch_doc
+        |            JOIN sig sb ON sb.doc_id = corpus_doc AND sa.perm = sb.perm
         |  GROUP BY 1, 2) t
         |WHERE est_jaccard >= 0.5""".stripMargin
     },

@@ -31,19 +31,33 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
+  /** Canonicalize an edge relation to distinct (u < v) pairs, or — when
+    * the producer already guarantees that shape (e.g.
+    * [[Baskets.coOccurrenceEdges]]) — skip the extra full-relation
+    * shuffle + dedup with `canonical = true`.
+    */
+  private def canonicalEdges(edges: DataFrame, uCol: String, vCol: String,
+                             canonical: Boolean): DataFrame = {
+    val cast = edges.select(
+      col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
+    if (canonical) cast
+    else cast.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+  }
+
   /** Global triangle count over an undirected edge relation given as
     * (u, v) pairs with u ≠ v, each undirected edge present once (either
-    * direction). Output: one row (n_triangles).
+    * direction). Output: one row (n_triangles). `canonical = true`
+    * asserts the input is already distinct (u < v) pairs and skips the
+    * canonicalization shuffle.
     */
-  def triangleCount(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
+  def triangleCount(edges: DataFrame, uCol: String, vCol: String,
+                    canonical: Boolean = false): DataFrame = {
     // e feeds the degree union (twice) AND the orientation join — persist
     // so the upstream edge build (often itself a join/agg pipeline) runs
     // once, not three times
-    val e = graft.Caching.materialize(
-      edges.select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
-        .filter(col("u") =!= col("v"))
-        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-        .distinct())
+    val e = graft.Caching.materialize(canonicalEdges(edges, uCol, vCol, canonical))
     // deg feeds BOTH endpoint joins below — materialized (different
     // subtrees; the union-agg would otherwise run once per join leg)
     val deg = graft.Caching.materialize(
@@ -84,12 +98,9 @@ object Triangles {
     * engines. All counts exact longs; the coefficient is one IEEE
     * division.
     */
-  def clusteringCoefficient(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
-    val e = graft.Caching.materialize(
-      edges.select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
-        .filter(col("u") =!= col("v"))
-        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-        .distinct())
+  def clusteringCoefficient(edges: DataFrame, uCol: String, vCol: String,
+                            canonical: Boolean = false): DataFrame = {
+    val e = graft.Caching.materialize(canonicalEdges(edges, uCol, vCol, canonical))
     // deg feeds both endpoint joins AND the final per-node attach
     val deg = graft.Caching.materialize(
       e.select(col("u").as("n")).union(e.select(col("v").as("n")))

@@ -122,10 +122,31 @@ object Dedup {
     * (doc_a, doc_b, est_jaccard) with est_jaccard ≥ threshold, doc_a < doc_b.
     * For exact similarities on the survivors, compose with [[ngramJaccard]].
     */
-  def minhashDedup(documents: DataFrame, shingleN: Int = 3, numHashes: Int = 32,
-                   bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+  /** LSH band rows (doc_id, signature, band, bh) for a signature
+    * relation — the SHAPE of a stored minhash index: [[minhashDedup]]
+    * self-joins it, [[incrementalNearDup]] probes a batch's bands
+    * against a corpus's.
+    */
+  private def bandRows(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    sigs.select(col("doc_id"), col("signature"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"), xxhash64(slice(col("signature"), b * r + 1, r)).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("signature"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** Fraction of agreeing signature positions — the unbiased minhash
+    * Jaccard estimate both LSH variants verify candidates with.
+    */
+  private def sigAgreement(sigA: Column, sigB: Column, numHashes: Int): Column =
+    aggregate(zip_with(sigA, sigB,
+      (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, m) => acc + m)
+      .cast("double") / numHashes
+
+  def minhashDedup(documents: DataFrame, shingleN: Int = 3, numHashes: Int = 32,
+                   bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     val sigs = minhashSignatures(documents, shingleN, numHashes)
 
     // persisted, NOT eagerly materialized: both sides of the band
@@ -135,11 +156,7 @@ object Dedup {
     // pay serialization twice). Contrast graft.Caching's doc: eager
     // materialization pays off only when the concurrent consumers are
     // DIFFERENT subtrees (Triangles' degree-union vs orientation join).
-    val banded = sigs.select(col("doc_id"), col("signature"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"), xxhash64(slice(col("signature"), b * r + 1, r)).as("bh"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("signature"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val banded = bandRows(sigs, numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     banded.as("a")
@@ -150,9 +167,36 @@ object Dedup {
         col("a.signature").as("sig_a"), col("b.signature").as("sig_b"))
       .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, m) => acc + m)
-          .cast("double") / numHashes).as("est_jaccard"))
+        sigAgreement(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Incremental near-dup: dedup a NEW batch against an EXISTING corpus
+    * without ever pairing the corpus with itself — the production shape
+    * of dedup at 100 TB, where the corpus's banded minhash index is built
+    * once (in practice: persisted as a table and appended per batch) and
+    * each day's crawl only probes it. Cost scales with
+    * |batch| × bucket collisions, NOT with |corpus|²; the corpus index
+    * side is read once, shuffled once on the 8-byte band hash.
+    *
+    * Returns (batch_doc, corpus_doc, est_jaccard ≥ threshold): which
+    * incoming documents are near-dups of something already ingested (the
+    * keep/drop decision is the caller's — typically drop batch_doc).
+    * Batch-internal duplicates are [[minhashDedup]] on the batch alone.
+    */
+  def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
+                         shingleN: Int = 3, numHashes: Int = 32,
+                         bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val idx = bandRows(minhashSignatures(corpus, shingleN, numHashes), numHashes, bands)
+    val probe = bandRows(minhashSignatures(batch, shingleN, numHashes), numHashes, bands)
+    probe.as("n")
+      .join(idx.as("c"),
+        col("n.band") === col("c.band") && col("n.bh") === col("c.bh"))
+      .select(col("n.doc_id").as("batch_doc"), col("c.doc_id").as("corpus_doc"),
+        col("n.signature").as("sig_n"), col("c.signature").as("sig_c"))
+      .dropDuplicates("batch_doc", "corpus_doc")
+      .select(col("batch_doc"), col("corpus_doc"),
+        sigAgreement(col("sig_n"), col("sig_c"), numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 

@@ -64,6 +64,32 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incrementalNearDup: batch probes corpus; equals the cross-split slice of full dedup") {
+    val base = "the data pipeline reads parquet files and aggregates daily " +
+      "metrics for every customer region then writes results back to storage"
+    val fixture = docs(
+      1L -> base,                                 // corpus
+      2L -> "unrelated corpus text about cooking pasta with tomato sauce and fresh basil leaves in a large pot",
+      3L -> base.replace("daily", "weekly"),      // corpus near-dup of 1
+      10L -> base.replace("daily", "hourly"),     // batch near-dup of 1 and 3
+      20L -> base.replace("metrics", "numbers"))  // batch near-dup too
+    val corpus = fixture.filter($"doc_id" < 10)
+    val batch = fixture.filter($"doc_id" >= 10)
+    val inc = Dedup.incrementalNearDup(corpus, batch, threshold = 0.5)
+      .select("batch_doc", "corpus_doc").as[(Long, Long)].collect().toSet
+    // every batch near-dup is caught against the corpus...
+    assert(inc.contains((10L, 1L)) && inc.contains((20L, 1L)))
+    // ...batch-internal (10,20) and corpus-internal (1,3) pairs are NOT reported
+    inc.foreach { case (b, c) => assert(b >= 10 && c < 10) }
+    // cross-check: exactly the cross-split slice of the full self-dedup
+    val full = Dedup.minhashDedup(fixture, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val crossSlice = full.filter { case (a, b) => a < 10 && b >= 10 }
+      .map { case (a, b) => (b, a) }
+    assert(inc === crossSlice)
+    spark.catalog.clearCache()
+  }
+
   test("minhash estimate tracks true jaccard on planted pairs") {
     val base = "the data pipeline reads parquet files and aggregates daily " +
       "metrics for every customer region then writes results back to storage"

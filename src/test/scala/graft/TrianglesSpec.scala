@@ -30,6 +30,22 @@ class TrianglesSpec extends AnyFunSuite {
     assert(got === brute(edges))
   }
 
+  test("canonical=true on already-canonical input matches the default path") {
+    val edges = (for {
+      i <- 1L to 30L; j <- (i + 1) to 30L
+      if (i * 31 + j * 17) % 5 == 0
+    } yield (i, j)).toSeq // already distinct, u < v
+    val df = edges.toDF("u", "v")
+    assert(Triangles.triangleCount(df, "u", "v", canonical = true).as[Long].head()
+      === Triangles.triangleCount(df, "u", "v").as[Long].head())
+    val fast = Triangles.clusteringCoefficient(df, "u", "v", canonical = true)
+      .collect().map(_.toSeq).toSet
+    val slow = Triangles.clusteringCoefficient(df, "u", "v")
+      .collect().map(_.toSeq).toSet
+    assert(fast === slow)
+    spark.catalog.clearCache()
+  }
+
   test("mixed edge directions and duplicates count once") {
     // K4 = 4 triangles, edges scrambled and duplicated
     val k4 = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 1L), (2L, 3L), (3L, 2L),
