@@ -99,17 +99,19 @@ object Dedup {
     * expression would re-derive the shingle/concat/hash subtree once per
     * seed (32×) per row — measured at >10× slower at sf0.1.
     */
-  def minhashSignatures(documents: DataFrame, shingleN: Int, numHashes: Int): DataFrame = {
+  def minhashSignatures(documents: DataFrame, shingleN: Int, numHashes: Int,
+                        carry: Seq[String] = Nil): DataFrame = {
+    val keep = carry.map(col)
     val staged = documents
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), wordShingles(col("toks"), shingleN).as("shingles"))
-      .select(col("doc_id"),
+      .select(col("doc_id") +: TextOps.tokens(col("text")).as("toks") +: keep: _*)
+      .select(col("doc_id") +: wordShingles(col("toks"), shingleN).as("shingles") +: keep: _*)
+      .select(col("doc_id") +:
         transform(col("shingles"), s => pmod(md5Base60(s), lit(MersennePrime31)))
-          .as("folded"))
+          .as("folded") +: keep: _*)
     val sig = array(seeds(numHashes).map { case (a, b) =>
       array_min(transform(col("folded"), h => pmod(h * a + b, lit(MersennePrime31))))
     }: _*)
-    staged.select(col("doc_id"), sig.as("signature"))
+    staged.select(col("doc_id") +: sig.as("signature") +: keep: _*)
   }
 
   /** MinHash+LSH near-duplicate pairs: signatures are sliced into `bands`
@@ -127,20 +129,23 @@ object Dedup {
     * self-joins it, [[incrementalNearDup]] probes a batch's bands
     * against a corpus's.
     */
-  private def bandRows(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  private def bandRows(sigs: DataFrame, numHashes: Int, bands: Int,
+                       carry: Seq[String] = Nil): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    sigs.select(col("doc_id"), col("signature"),
+    val keep = carry.map(col)
+    sigs.select(col("doc_id") +: col("signature") +:
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"), xxhash64(slice(col("signature"), b * r + 1, r)).as("bh"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("signature"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      }: _*)).as("bb") +: keep: _*)
+      .select(col("doc_id") +: col("signature") +:
+        col("bb.band").as("band") +: col("bb.bh").as("bh") +: keep: _*)
   }
 
   /** Fraction of agreeing signature positions — the unbiased minhash
     * Jaccard estimate both LSH variants verify candidates with.
     */
-  private def sigAgreement(sigA: Column, sigB: Column, numHashes: Int): Column =
+  private[graft] def sigAgreement(sigA: Column, sigB: Column, numHashes: Int): Column =
     aggregate(zip_with(sigA, sigB,
       (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, m) => acc + m)
       .cast("double") / numHashes
@@ -184,11 +189,23 @@ object Dedup {
     * keep/drop decision is the caller's — typically drop batch_doc).
     * Batch-internal duplicates are [[minhashDedup]] on the batch alone.
     */
+  /** The stored-index shape: banded minhash rows (doc_id, signature,
+    * band, bh) for a corpus — build once, persist as a table, append per
+    * ingested batch; [[incrementalNearDup]] and the streaming
+    * `DocStreams.nearDupGate` probe it. Works on static AND streaming
+    * inputs (every step is a stateless per-row projection).
+    */
+  def minhashIndex(documents: DataFrame, shingleN: Int = 3,
+                   numHashes: Int = 32, bands: Int = 8,
+                   carry: Seq[String] = Nil): DataFrame =
+    bandRows(minhashSignatures(documents, shingleN, numHashes, carry),
+      numHashes, bands, carry)
+
   def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
                          shingleN: Int = 3, numHashes: Int = 32,
                          bands: Int = 8, threshold: Double = 0.5): DataFrame = {
-    val idx = bandRows(minhashSignatures(corpus, shingleN, numHashes), numHashes, bands)
-    val probe = bandRows(minhashSignatures(batch, shingleN, numHashes), numHashes, bands)
+    val idx = minhashIndex(corpus, shingleN, numHashes, bands)
+    val probe = minhashIndex(batch, shingleN, numHashes, bands)
     probe.as("n")
       .join(idx.as("c"),
         col("n.band") === col("c.band") && col("n.bh") === col("c.bh"))

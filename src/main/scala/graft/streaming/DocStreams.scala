@@ -72,4 +72,37 @@ object DocStreams {
             array_sort(collect_list(struct(col("pos"),
               coalesce(col("token_id"), lit(0L)).as("tid")))),
             s => s.getField("tid").cast("string"))).as("token_ids"))
+
+  /** Streaming near-dup gate — the continuous twin of
+    * [[graft.dedup.Dedup.incrementalNearDup]]: each arriving document's
+    * minhash bands probe a STATIC corpus index
+    * ([[graft.dedup.Dedup.minhashIndex]], in production a persisted
+    * table appended per ingested batch), and documents whose signature
+    * agreement with an indexed document reaches `threshold` are emitted
+    * as (doc_id, ingest_ts, corpus_doc, est_jaccard) flags.
+    *
+    * Plan shape: signature + banding are stateless per-row projections,
+    * the probe is a stream-static inner join (no streaming state), and
+    * the only stateful operator is the pair-level
+    * `dropDuplicatesWithinWatermark` — one (doc, corpus_doc) key per
+    * flagged pair inside the horizon, so state tracks flag rate ×
+    * watermark, not stream lifetime.
+    */
+  def nearDupGate(docs: DataFrame, corpusIndex: DataFrame,
+                  watermark: String = "2 hours", numHashes: Int = 32,
+                  bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val probe = graft.dedup.Dedup
+      .minhashIndex(docs, numHashes = numHashes, bands = bands,
+        carry = Seq("ingest_ts"))
+      .withWatermark("ingest_ts", watermark)
+    probe.as("n")
+      .join(corpusIndex.as("c"),
+        col("n.band") === col("c.band") && col("n.bh") === col("c.bh"))
+      .select(col("n.doc_id").as("doc_id"), col("n.ingest_ts").as("ingest_ts"),
+        col("c.doc_id").as("corpus_doc"),
+        graft.dedup.Dedup.sigAgreement(
+          col("n.signature"), col("c.signature"), numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .dropDuplicatesWithinWatermark("doc_id", "corpus_doc")
+  }
 }

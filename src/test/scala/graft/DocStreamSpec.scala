@@ -88,4 +88,39 @@ class DocStreamSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
     spark.catalog.clearCache()
   }
+
+  test("nearDupGate matches batch incrementalNearDup, including under redelivery") {
+    val all = Tables.documents(spark, sfDir)
+    val corpus = all.filter($"doc_id" % 5 =!= 0)
+    val batchDocs = all.filter($"doc_id" % 5 === 0)
+      .select(col("doc_id"), col("text"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ingest_ts"))
+    // the static index a production pipeline would persist as a table
+    val index = graft.dedup.Dedup.minhashIndex(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    index.count()
+
+    val src = java.nio.file.Files.createTempDirectory("graft_nd_src").toString
+    // at-least-once upstream: the feed delivered twice
+    batchDocs.union(batchDocs).coalesce(1).write.mode("append").parquet(src)
+    val out = java.nio.file.Files.createTempDirectory("graft_nd_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_nd_chk").toString
+
+    val q = DocStreams.nearDupGate(
+        spark.readStream.schema(batchDocs.schema).parquet(src), index)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "corpus_doc", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+
+    val batch = graft.dedup.Dedup.incrementalNearDup(corpus, batchDocs)
+      .select(col("batch_doc"), col("corpus_doc"), col("est_jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty, "fixture should contain cross-split near-dups")
+    spark.catalog.clearCache()
+  }
 }
