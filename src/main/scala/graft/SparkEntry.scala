@@ -313,6 +313,9 @@ object SparkEntry {
     }),
     // BM25 lexical search top-k (micro-unit exact score sums)
     "text_bm25_topk" -> ((s, d) => graft.text.Bm25.topK(Tables.documents(s, d))),
+    // --- hybrid retrieval: RRF fusion of BM25 + dense cosine ranks ---
+    "q_hybrid_rrf" -> ((s, d) => graft.pipeline.Retrieval.hybridTopK(
+      Tables.documents(s, d), Tables.embeddings(s, d))),
     // unigram LM quality scoring (CCNet-style perplexity filter)
     "text_lm_score" -> ((s, d) => graft.text.Bm25.unigramLogprob(Tables.documents(s, d))),
     // --- similarity search over embeddings (north star) ---
@@ -1681,7 +1684,7 @@ object SparkEntry {
         |       LEAST(10, (SELECT COUNT(*) FROM embeddings) - 1) AS n_candidates,
         |       TRUE AS dist_ratio_ok, TRUE AS codes_in_range
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
-    "ann_topk_brute" -> bruteTopkOracle,
+    "ann_topk_brute" -> bruteTopkOracle(),
     // recall@5 of both approximate indexes against the exact brute top-5,
     // composed from the same three replays so all four stay in lockstep
     "ann_recall" -> annRecallOracle,
@@ -2006,39 +2009,9 @@ object SparkEntry {
     },
     // BM25: identical literal constants and association order; scores are
     // exact micro-unit long sums, so partial-agg order can't move them
-    "text_bm25_topk" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lower(t) AS token
-        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
-        |        FROM documents) u
-        |  WHERE t <> ''),
-        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
-        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
-        |stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
-        |                 (SELECT SUM(dl) FROM dl) AS total_len),
-        |posting AS (
-        |  SELECT tf.doc_id, tf.token,
-        |         CAST(floor(
-        |           ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
-        |           * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
-        |                / (CAST(s.total_len AS DOUBLE) / s.n_docs))))
-        |           * 1000000.0 + 0.5) AS BIGINT) AS s_micro
-        |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
-        |          JOIN dfreq d ON tf.token = d.token
-        |          CROSS JOIN stats s),
-        |q AS (SELECT DISTINCT doc_id AS query_id, token FROM toks WHERE doc_id < 10),
-        |scored AS (
-        |  SELECT q.query_id, p.doc_id, CAST(SUM(p.s_micro) AS BIGINT) AS score_micro
-        |  FROM posting p JOIN q ON p.token = q.token
-        |  WHERE p.doc_id <> q.query_id
-        |  GROUP BY 1, 2)
-        |SELECT query_id, doc_id, score_micro,
-        |       CAST(score_micro AS DOUBLE) / 1000000.0 AS score,
-        |       CAST(rnk AS INTEGER) AS rank
-        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        |        ORDER BY score_micro DESC, doc_id) AS rnk FROM scored) t
-        |WHERE rnk <= 5""".stripMargin,
+    "text_bm25_topk" -> bm25TopkOracle(),
+    // RRF fusion of the same two replays at depth 20
+    "q_hybrid_rrf" -> hybridRrfOracle,
     // one SELECT per profiled column, stacked
     "q_profile" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate", "o_orderpriority")
@@ -2620,8 +2593,68 @@ object SparkEntry {
   // entries and the ann_recall composition (so the recall oracle can never
   // drift from the per-method oracles it grades) ---
 
-  private def bruteTopkOracle: String =
-    """WITH e AS (
+  private def bm25TopkOracle(k: Int = 5): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, lower(t) AS token
+      |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+      |        FROM documents) u
+      |  WHERE t <> ''),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+      |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      |stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+      |                 (SELECT SUM(dl) FROM dl) AS total_len),
+      |posting AS (
+      |  SELECT tf.doc_id, tf.token,
+      |         CAST(floor(
+      |           ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+      |           * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+      |                / (CAST(s.total_len AS DOUBLE) / s.n_docs))))
+      |           * 1000000.0 + 0.5) AS BIGINT) AS s_micro
+      |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+      |          JOIN dfreq d ON tf.token = d.token
+      |          CROSS JOIN stats s),
+      |q AS (SELECT DISTINCT doc_id AS query_id, token FROM toks WHERE doc_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, p.doc_id, CAST(SUM(p.s_micro) AS BIGINT) AS score_micro
+      |  FROM posting p JOIN q ON p.token = q.token
+      |  WHERE p.doc_id <> q.query_id
+      |  GROUP BY 1, 2)
+      |SELECT query_id, doc_id, score_micro,
+      |       CAST(score_micro AS DOUBLE) / 1000000.0 AS score,
+      |       CAST(rnk AS INTEGER) AS rank
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY score_micro DESC, doc_id) AS rnk FROM scored) t
+      |WHERE rnk <= $k""".stripMargin
+
+  /** RRF fusion (SIGIR'09) of the BM25 and brute-cosine replays at
+    * depth 20: integer-division micro-contributions so the fused score
+    * is an exact long both engines agree on.
+    */
+  private def hybridRrfOracle: String =
+    s"""WITH lex AS (
+      |  SELECT query_id, doc_id, rank AS lex_rank
+      |  FROM (${bm25TopkOracle(20)}) a),
+      |dense AS (
+      |  SELECT query_id, vec_id AS doc_id, rank AS dense_rank
+      |  FROM (${bruteTopkOracle(20)}) b),
+      |fused AS (
+      |  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+      |         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+      |         CAST(COALESCE(1000000 // (60 + l.lex_rank), 0)
+      |            + COALESCE(1000000 // (60 + d.dense_rank), 0) AS BIGINT) AS rrf_micro,
+      |         l.lex_rank IS NOT NULL AS in_lexical,
+      |         d.dense_rank IS NOT NULL AS in_dense
+      |  FROM lex l FULL OUTER JOIN dense d
+      |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+      |SELECT query_id, doc_id, rrf_micro, in_lexical, in_dense,
+      |       CAST(rnk AS INTEGER) AS rank
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY rrf_micro DESC, doc_id) AS rnk FROM fused) t
+      |WHERE rnk <= 10""".stripMargin
+
+  private def bruteTopkOracle(k: Int = 5): String =
+    s"""WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
@@ -2635,7 +2668,7 @@ object SparkEntry {
       |  SELECT *, CAST(ROW_NUMBER() OVER (
       |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
       |  FROM scored) t
-      |WHERE rank <= 5""".stripMargin
+      |WHERE rank <= $k""".stripMargin
 
   private def ivfTopkOracle: String =
     """WITH e AS (
@@ -2713,7 +2746,7 @@ object SparkEntry {
     * set came up empty for a query scores 0, it doesn't vanish.
     */
   private def annRecallOracle: String =
-    s"""WITH brute AS (SELECT * FROM ($bruteTopkOracle) tb),
+    s"""WITH brute AS (SELECT * FROM (${bruteTopkOracle()}) tb),
       |lsh_r AS (SELECT * FROM ($lshTopkOracle) tl),
       |ivf_r AS (SELECT * FROM ($ivfTopkOracle) ti),
       |methods AS (
