@@ -59,11 +59,24 @@ object CosinePairs {
     val feats = features(documents)
     val prefixes = prefixFeatures(feats, tPico)
 
-    val cand = prefixes.as("a")
+    // Pairwise Cauchy–Schwarz prune inside the join predicate: each prefix
+    // row carries tn = ⌈√(Σ_tail wn²)⌉ at its feature. For any qualifying
+    // pair consider its globally-EARLIEST shared feature h* — every shared
+    // feature of the pair sits at position ≥ h* in BOTH docs' (shared)
+    // global order, so dot ≤ ‖tail_a(h*)‖·‖tail_b(h*)‖ ≤ tn_a·tn_b, and
+    // the h*-row-pair always survives the predicate: no false negatives.
+    // It multiplies the two ACTUAL tails where the index-stage bound could
+    // only compare each tail against the corpus-max partner norm. On
+    // deep-prefix corpora it drops deep-shared-feature row-pairs before
+    // they cost anything; on this template-heavy fixture the shared
+    // features sit high in both prefixes, so the measured prune is ~1 %
+    // (10.84 M → 10.75 M) — kept because it is free (two longs already in
+    // the join row) and corpus-shape insurance.
+    val rawPairs = prefixes.as("a")
       .join(prefixes.as("b"),
-        col("a.hv") === col("b.hv") && col("a.doc_id") < col("b.doc_id"))
+        col("a.hv") === col("b.hv") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.tn") * col("b.tn") >= tPico)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
 
     // exact verify: each doc's features pack into ONE hv-sorted sparse
     // vector, and a codegen merge-walk computes the exact pico dot per
@@ -73,15 +86,46 @@ object CosinePairs {
     // candidates are ~10 M. Same long arithmetic, same result.
     val docVecs = graft.Caching.materialize(feats.groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("hv"), col("wn")))).as("fv")))
-    cand
-      .join(docVecs.select(col("doc_id").as("doc_a"), col("fv").as("fva")), "doc_a")
-      .join(docVecs.select(col("doc_id").as("doc_b"), col("fv").as("fvb")), "doc_b")
+
+    // Dedup placement is dispatched on the vector table's size (same
+    // budget discipline as SkewJoin.dispatchedBlockJoin):
+    //  - docVecs fits the broadcast budget → verify the RAW candidate
+    //    rows map-side (two broadcast probes + codegen merge-dot, ZERO
+    //    shuffle) and dedup only the filtered survivors. The pre-distinct
+    //    multiset is ~2.4× the candidate set (26.3 M vs 10.75 M at
+    //    sf0.1); redundant map-side dots cost about what the early
+    //    distinct cost locally (measured parity, ~3.8 s cached-stage
+    //    tail either way at sf0.1 — a local shuffle is RAM-speed), but
+    //    on a real cluster this path moves the 26 M-row pair multiset
+    //    across the network ZERO times instead of once;
+    //  - corpus-scale docVecs → distinct FIRST so the shuffled verify
+    //    joins move each candidate pair once, not 2.4×.
+    val verified =
+      if (docVecs.queryExecution.optimizedPlan.stats.sizeInBytes
+            <= BigInt(64L << 20)) {
+        verifyDot(rawPairs, docVecs, broadcastVecs = true)
+          .filter(col("dot_pico") >= tPico)
+          .distinct()
+      } else {
+        verifyDot(rawPairs.distinct(), docVecs, broadcastVecs = false)
+          .filter(col("dot_pico") >= tPico)
+      }
+    verified.select(col("doc_a"), col("doc_b"),
+      (col("dot_pico").cast("double") / PicoPerUnit).as("cosine"))
+  }
+
+  /** The exact-dot verify join: attach both packed vectors to each
+    * candidate row and compute the pico dot with the codegen merge-walk.
+    */
+  private def verifyDot(pairs: DataFrame, docVecs: DataFrame,
+                        broadcastVecs: Boolean): DataFrame = {
+    val vecs = if (broadcastVecs) broadcast(docVecs) else docVecs
+    pairs
+      .join(vecs.select(col("doc_id").as("doc_a"), col("fv").as("fva")), "doc_a")
+      .join(vecs.select(col("doc_id").as("doc_b"), col("fv").as("fvb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         graft.functions.VectorFunctions.sorted_weight_dot(
           col("fva"), col("fvb")).as("dot_pico"))
-      .filter(col("dot_pico") >= tPico)
-      .select(col("doc_a"), col("doc_b"),
-        (col("dot_pico").cast("double") / PicoPerUnit).as("cosine"))
   }
 
   /** L2-normalized micro-unit TF-IDF features (doc_id, hv, wn) — the
@@ -146,7 +190,8 @@ object CosinePairs {
     // pipeline can see. No features ⇒ no candidate pairs ⇒ empty result.
     val maxN2 = feats.groupBy("doc_id").agg(sum(col("wn") * col("wn")).as("n2"))
       .agg(max(col("n2")).as("mx")).head()
-    if (maxN2.isNullAt(0)) return feats.limit(0).select("doc_id", "hv")
+    if (maxN2.isNullAt(0))
+      return feats.limit(0).select(col("doc_id"), col("hv"), lit(0L).as("tn"))
     val maxPartnerNorm = math.ceil(math.sqrt(maxN2.getLong(0).toDouble)).toLong
 
     // global feature order: (maxw desc, hv asc). A feature is indexed iff
@@ -177,6 +222,9 @@ object CosinePairs {
       .filter(col("tail_dot_bound") >= tPico &&
         ceil(sqrt(col("tail_norm2").cast("double"))).cast("long") *
           maxPartnerNorm >= tPico)
-      .select("doc_id", "hv"))
+      // tn = ⌈‖tail at this feature‖⌉ rides along for the candidate
+      // join's pairwise Cauchy–Schwarz predicate (see cosinePairs)
+      .select(col("doc_id"), col("hv"),
+        ceil(sqrt(col("tail_norm2").cast("double"))).cast("long").as("tn")))
   }
 }

@@ -30,7 +30,8 @@ object ProfileCosine {
     timed("prefixes")(println("prefix rows: " + prefixes.count()))
     val cand = prefixes.as("a")
       .join(prefixes.as("b"),
-        col("a.hv") === col("b.hv") && col("a.doc_id") < col("b.doc_id"))
+        col("a.hv") === col("b.hv") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.tn") * col("b.tn") >= tPico)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     timed("candidates")(println("cand pairs: " + cand.count()))
