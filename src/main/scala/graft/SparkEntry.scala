@@ -185,6 +185,9 @@ object SparkEntry {
     "q_retention"   -> ((s, d) => Breadth3.retention(Tables.events(s, d))),
     "q_scd2_status" -> ((s, d) => Breadth3.scd2StatusHistory(Tables.orders(s, d))),
     "q_fuzzy_pairs" -> ((s, d) => Breadth3.fuzzyNamePairs(Tables.part(s, d))),
+    // blocking → edit-distance match → CC → canonical record per entity
+    "q_entity_resolution" -> ((s, d) =>
+      graft.pipeline.EntityResolution.resolveParts(Tables.part(s, d))),
     "q_salted_join" -> ((s, d) =>
       Breadth3.saltedRevenue(Tables.lineitem(s, d), Tables.orders(s, d))),
     "text_tfidf"    -> ((s, d) => Breadth3.tfidf(Tables.documents(s, d))),
@@ -1260,6 +1263,32 @@ object SparkEntry {
         |FROM part a JOIN part b
         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+    // same match edges as q_fuzzy_pairs, closed transitively by the
+    // recursive-CTE min-label closure (dedup_clusters' oracle pattern),
+    // singletons attached, then the canonical-record rollup
+    "q_entity_resolution" ->
+      """WITH RECURSIVE fpairs AS (
+        |  SELECT a.p_partkey AS doc_a, b.p_partkey AS doc_b
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM fpairs
+        |          UNION SELECT doc_b, doc_a FROM fpairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+        |labels AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+        |members AS (
+        |  SELECT CAST(COALESCE(l.cluster_id, p.p_partkey) AS BIGINT) AS entity_id,
+        |         p.p_partkey AS doc_id, p.p_name, p.p_retailprice
+        |  FROM part p LEFT JOIN labels l ON l.doc_id = p.p_partkey)
+        |SELECT entity_id, COUNT(*) AS n_members,
+        |       arg_min(p_name, doc_id) AS canonical_name,
+        |       MIN(p_retailprice) AS price_min,
+        |       MAX(p_retailprice) AS price_max
+        |FROM members GROUP BY 1""".stripMargin,
     // oracle runs the PLAIN join — hash equality proves the salted join
     // preserves the row multiset
     "q_salted_join" ->
