@@ -298,6 +298,9 @@ object SparkEntry {
     "dedup_survivors" -> ((s, d) =>
       Dedup.clusterSurvivors(
         Dedup.dupClusters(Dedup.minhashDedup(Tables.documents(s, d))))),
+    // split by near-dup CLUSTER so eval never holds a soft copy of train
+    "q_leakage_split" -> ((s, d) =>
+      graft.pipeline.Splits.leakageSafeSplit(Tables.documents(s, d))),
     // keep the best-quality member of each cluster, not the smallest id
     "dedup_best_survivors" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -1688,6 +1691,22 @@ object SparkEntry {
     // survivors = min-id representative per cluster
     "dedup_survivors" ->
       s"SELECT doc_id FROM ($dupClustersOracle) c WHERE doc_id = cluster_id",
+    // same minhash clusters; the split bucket replays the md5-of-cluster
+    // arithmetic (60-bit non-negative, so % 100 agrees across engines)
+    "q_leakage_split" ->
+      s"""WITH m AS (
+        |  SELECT d.doc_id,
+        |         CAST(COALESCE(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+        |  FROM documents d LEFT JOIN ($dupClustersOracle) l USING (doc_id)),
+        |b AS (
+        |  SELECT doc_id, cluster_id,
+        |         ('0x' || substring(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        |  FROM m)
+        |SELECT doc_id, cluster_id,
+        |       CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM b""".stripMargin,
     // survivors = best-quality member per cluster (same score expression
     // as text_quality; product of two deterministic doubles → identical)
     "dedup_best_survivors" ->
