@@ -410,6 +410,10 @@ object SparkEntry {
     "q_clustering_coef" -> ((s, d) =>
       graft.analytics.Triangles.clusteringCoefficient(
         coBoughtEdges(s, d), "item_a", "item_b")),
+    // --- deterministic synchronous LPA communities over the same graph ---
+    "q_label_prop" -> ((s, d) =>
+      graft.analytics.LabelProp.labelPropagation(
+        coBoughtEdges(s, d), "item_a", "item_b")),
     // --- least-squares trend slope per supplier, exact integer sums ---
     // slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) with x = month index and
     // y = integer quantity: every sum is an exact long, the slope is ONE
@@ -1222,6 +1226,9 @@ object SparkEntry {
         |            ELSE CAST(COALESCE(tc.n_tri, 0) * 2 AS DOUBLE)
         |                 / CAST(deg.d * (deg.d - 1) AS DOUBLE) END AS clustering_coef
         |FROM deg LEFT JOIN tc ON deg.n = tc.n""".stripMargin,
+    // synchronous LPA rounds unrolled as CTEs, same (count desc, label
+    // asc) argmax tie-break — bit-identical label evolution
+    "q_label_prop" -> graft.analytics.LabelProp.labelPropOracleSql(),
     // plain id-ordered triple join — a DIFFERENT orientation than the
     // engine's degree-ordered wedges, same triangles: differential proof
     "q_triangles" ->

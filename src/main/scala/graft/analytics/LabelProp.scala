@@ -1,0 +1,96 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Community detection by synchronous label propagation (Raghavan,
+  * Albert & Kumara, "Near linear time algorithm to detect community
+  * structures in large-scale networks", Phys. Rev. E 2007), made fully
+  * deterministic: every node starts as its own label; each round every
+  * node simultaneously adopts its neighbors' most frequent label, ties
+  * broken by the smallest label. The random visit order / random
+  * tie-break of the paper is replaced by (count desc, label asc) — the
+  * same determinism discipline as the repo's other iterative operators
+  * (integer PageRank, Lloyd k-means), so the DuckDB oracle replays the
+  * rounds bit-for-bit as unrolled CTEs.
+  *
+  * A FIXED round count (default 3) rather than convergence detection:
+  * synchronous LPA can 2-cycle on bipartite-ish regions, so production
+  * LPA runs bounded rounds anyway; fixed rounds also keep the oracle a
+  * finite CTE chain.
+  *
+  * 100 TB shape: per round, one equi-join of the 16-byte edge list
+  * against the 16-byte label relation, then two hash aggregations
+  * ((node, label) vote counts → per-node argmax). No adjacency arrays,
+  * no windows — a hub node costs a wide aggregation group, never an
+  * executor-sized array. Label state is 16 B/node. For rounds ≫ 5,
+  * lineage-truncate like PageRank's convergence mode
+  * ([[PageRank.pagerankConverged]]); at the default 3 the plan depth is
+  * trivial.
+  */
+object LabelProp {
+
+  /** Per-node community assignment after `rounds` synchronous LPA
+    * rounds over the undirected edge list.
+    * Output: (node, community, n_members).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "need at least one propagation round")
+    // symmetric distinct edge relation — materialized once, consumed by
+    // every round's join (different subtrees; see graft.Caching)
+    val e = graft.Caching.materialize(
+      edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .union(edges.select(col(dstCol).cast("long").as("src"),
+          col(srcCol).cast("long").as("dst")))
+        .distinct())
+    var labels = e.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    for (_ <- 1 to rounds) {
+      val votes = e
+        .join(labels.select(col("id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      // argmax by (count desc, label asc) — min of struct(-c, lbl); the
+      // symmetric edge list gives every node ≥ 1 neighbor, so this
+      // covers all nodes each round
+      labels = votes.groupBy("id")
+        .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
+        .select(col("id"), col("m.lbl").as("lbl"))
+    }
+    val out = labels.select(col("id").as("node"), col("lbl").as("community"))
+    val sizes = out.groupBy("community").agg(count(lit(1)).as("n_members"))
+    out.join(sizes, "community").select("node", "community", "n_members")
+  }
+
+  /** DuckDB replay over the co-bought-parts graph: the same symmetric
+    * edge list, each round unrolled as a votes CTE + a ROW_NUMBER
+    * argmax CTE with the identical (count desc, label asc) tie-break.
+    */
+  def labelPropOracleSql(rounds: Int = 3): String = {
+    val roundsSql = (1 to rounds).map { r =>
+      s"""v$r AS (
+         |  SELECT e.dst AS id, l.lbl, COUNT(*) AS c
+         |  FROM e JOIN l${r - 1} l ON l.id = e.src GROUP BY 1, 2),
+         |l$r AS (
+         |  SELECT id, lbl FROM (
+         |    SELECT id, lbl,
+         |           ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+         |    FROM v$r) t
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |eh AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |e AS (SELECT u AS src, v AS dst FROM eh UNION SELECT v, u FROM eh),
+       |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),
+       |$roundsSql,
+       |sizes AS (SELECT lbl AS community, COUNT(*) AS n_members
+       |          FROM l$rounds GROUP BY 1)
+       |SELECT l.id AS node, l.lbl AS community, s.n_members
+       |FROM l$rounds l JOIN sizes s ON s.community = l.lbl""".stripMargin
+  }
+}
