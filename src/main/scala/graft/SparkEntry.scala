@@ -508,6 +508,43 @@ object SparkEntry {
         .select(col("month_start"), col("cnt"),
           col("mn").cast("double").as("mn"), col("mx").cast("double").as("mx"))
     }),
+    // --- IVM for a JOIN view: bilinear delta rule over lineitem⋈orders,
+    // folded into the stored per-priority aggregate — never re-joins the
+    // full bases (oracle recomputes the post-batch join from scratch) ---
+    "q_ivm_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions.lit
+      import org.apache.spark.sql.types.DecimalType
+      val ord = Tables.orders(s, d); val li = Tables.lineitem(s, d)
+      val price = col("l_extendedprice").cast(DecimalType(18, 2))
+      // old state: the 13th stripe of each base not yet ingested
+      val aOld = ord.filter(col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val bOld = li.filter(col("l_orderkey") % 13 =!= 0)
+        .select(col("l_orderkey"), col("l_linenumber"), price.as("price"))
+      val base = aOld.join(bOld, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"),
+          org.apache.spark.sql.functions.sum(col("price")).as("total"))
+      // batch: the stripe arrives on both sides; some old rows retract
+      val dA = ord.filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"), lit(false).as("is_delete"))
+        .unionByName(ord
+          .filter(col("o_orderkey") % 13 =!= 0 && col("o_orderkey") % 17 === 3)
+          .select(col("o_orderkey"), col("o_orderpriority"), lit(true).as("is_delete")))
+      val dB = li.filter(col("l_orderkey") % 13 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), price.as("price"),
+          lit(false).as("is_delete"))
+        .unionByName(li.filter(col("l_orderkey") % 13 =!= 0 &&
+            (col("l_orderkey") + col("l_linenumber")) % 19 === 2)
+          .select(col("l_orderkey"), col("l_linenumber"), price.as("price"),
+            lit(true).as("is_delete")))
+      val changes = graft.operators.Ivm
+        .joinViewChanges(aOld, dA, bOld, dB, "o_orderkey", "l_orderkey")
+        .select(col("o_orderpriority"), col("price").as("v"), col("is_delete"))
+      graft.operators.Ivm.applyDelta(base, changes, Seq("o_orderpriority"), "v")
+        .select(col("o_orderpriority"), col("cnt"),
+          col("total").cast("double").as("total"))
+    }),
     // --- temperature-0.5 corpus mixing: rates from counts, sqrt-exact ---
     "q_temperature_mix" -> ((s, d) =>
       Sampling.temperatureMix(Tables.documents(s, d), "source", "doc_id")),
@@ -2285,6 +2322,18 @@ object SparkEntry {
         |       CAST(MIN(p) AS DOUBLE) AS mn,
         |       CAST(MAX(p) AS DOUBLE) AS mx
         |FROM merged
+        |GROUP BY 1""".stripMargin,
+    // full recompute of the post-batch join view — equality proves the
+    // bilinear delta + aggregate merge maintained it exactly
+    "q_ivm_join" ->
+      """SELECT a.o_orderpriority, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (SELECT o_orderkey, o_orderpriority FROM orders
+        |      WHERE o_orderkey % 13 = 0 OR o_orderkey % 17 <> 3) a
+        |JOIN (SELECT l_orderkey, l_extendedprice FROM lineitem
+        |      WHERE l_orderkey % 13 = 0
+        |         OR (l_orderkey + l_linenumber) % 19 <> 2) b
+        |  ON a.o_orderkey = b.l_orderkey
         |GROUP BY 1""".stripMargin,
     // τ=1/2 source rebalancing: rate = √(n_min/n_src) in micro-units
     // (sqrt is correctly rounded — the one cross-engine-safe power), keep

@@ -59,6 +59,44 @@ object Ivm {
       .filter(col(cntCol) > 0)
   }
 
+  /** Signed delta of an inner equi-JOIN view — the missing piece between
+    * a CDC feed over the base tables and [[applyDelta]] on an aggregate
+    * OVER the join. The classic bilinear delta rule
+    * (Δ(A⋈B) = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB, weights multiplying — Gupta &
+    * Mumick again; DBSP/ differential dataflow generalize the same
+    * algebra) with every row weight in {+1, −1}: a delete carries −1,
+    * the weight of a joined pair is the product, and a pair of deletes
+    * re-inserts (+1) exactly because its join row was subtracted twice
+    * by the two cross terms. Since all weights are ±1, the output is
+    * encoded back as a `deleteCol` changes batch — feed it straight to
+    * [[applyDelta]] (or [[applyDeltaMinMax]]) keyed on the view's
+    * groups.
+    *
+    * Both key columns keep their own names (o_orderkey vs l_orderkey
+    * style), so the joined row carries the full A-and-B column set.
+    *
+    * Cost shape: never A⋈B. The two cross terms join the BATCH against
+    * one base relation each — with a CDC-sized batch the batch side
+    * broadcasts (AQE does this from its size) and the base streams
+    * through map-side; ΔA⋈ΔB is batch×batch. This is what makes a
+    * 100 TB join view maintainable: per-batch work is
+    * O(batch × join fan-out), not O(base).
+    */
+  def joinViewChanges(aOld: DataFrame, aChanges: DataFrame,
+                      bOld: DataFrame, bChanges: DataFrame,
+                      aKey: String, bKey: String,
+                      deleteCol: String = "is_delete"): DataFrame = {
+    val w = when(col(deleteCol), lit(-1)).otherwise(lit(1))
+    val aD = aChanges.withColumn("__wa", w).drop(deleteCol)
+    val bD = bChanges.withColumn("__wb", w).drop(deleteCol)
+    val a0 = aOld.withColumn("__wa", lit(1))
+    val b0 = bOld.withColumn("__wb", lit(1))
+    def joined(l: DataFrame, r: DataFrame) = l.join(r, col(aKey) === col(bKey))
+    joined(aD, b0).unionByName(joined(a0, bD)).unionByName(joined(aD, bD))
+      .withColumn(deleteCol, col("__wa") * col("__wb") < 0)
+      .drop("__wa", "__wb")
+  }
+
   /** Maintain a (groupCols, cntCol, minCol, maxCol) view under an
     * insert/delete changes batch.
     *

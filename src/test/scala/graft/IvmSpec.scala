@@ -200,4 +200,55 @@ class IvmSpec extends AnyFunSuite {
     // exactly one parquet scan: the AGGREGATE, never a fact table rescan
     assert(plan.split("Scan parquet").length - 1 === 1, plan)
   }
+
+  test("joinViewChanges + applyDelta equal the recomputed join view") {
+    // A(k, g): join attribute g; B(k, v): measure. Batch exercises all
+    // three bilinear terms: dA⋈B, A⋈dB, and the dA⋈dB re-insert.
+    val aOld = Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("ak", "g")
+    val bOld = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0), (3L, 7.0))
+      .toDF("bk", "v").withColumn("v", $"v".cast("decimal(18,2)"))
+    val base = aOld.join(bOld, $"ak" === $"bk")
+      .groupBy("g").agg(count(lit(1)).as("cnt"),
+        sum($"v".cast("decimal(18,2)")).as("total"))
+    // delete order 2 entirely (A-side), delete one lineitem of order 1
+    // (B-side), insert order 4 with a lineitem (BOTH sides: dA⋈dB)
+    val dA = Seq((2L, "y", true), (4L, "z", false)).toDF("ak", "g", "is_delete")
+    val dB = Seq((1L, 20.0, true), (2L, 5.0, true), (4L, 9.0, false))
+      .toDF("bk", "v", "is_delete").withColumn("v", $"v".cast("decimal(18,2)"))
+    val changes = Ivm.joinViewChanges(aOld, dA, bOld, dB, "ak", "bk")
+      .select($"g", $"v", $"is_delete")
+    val incremental = Ivm.applyDelta(base, changes, Seq("g"), "v")
+    val aNew = Seq((1L, "x"), (3L, "x"), (4L, "z")).toDF("ak", "g")
+    val bNew = Seq((1L, 10.0), (3L, 7.0), (4L, 9.0))
+      .toDF("bk", "v").withColumn("v", $"v".cast("decimal(18,2)"))
+    val recompute = aNew.join(bNew, $"ak" === $"bk")
+      .groupBy("g").agg(count(lit(1)).as("cnt"),
+        sum($"v".cast("decimal(18,2)")).as("total"))
+    assert(incremental.exceptAll(recompute).isEmpty &&
+      recompute.exceptAll(incremental).isEmpty)
+    // y vanished with order 2; z appeared with order 4
+    assert(incremental.filter($"g" === "y").isEmpty)
+    assert(incremental.filter($"g" === "z").count() === 1)
+  }
+
+  test("joinViewChanges: a delete-delete pair re-inserts, net effect exact") {
+    // deleting the A row AND its matching B row must remove the join row
+    // ONCE: the two cross terms subtract twice, dA⋈dB adds back once
+    val aOld = Seq((1L, "x")).toDF("ak", "g")
+    val bOld = Seq((1L, 10.0)).toDF("bk", "v")
+      .withColumn("v", $"v".cast("decimal(18,2)"))
+    val base = aOld.join(bOld, $"ak" === $"bk")
+      .groupBy("g").agg(count(lit(1)).as("cnt"),
+        sum($"v".cast("decimal(18,2)")).as("total"))
+    val dA = Seq((1L, "x", true)).toDF("ak", "g", "is_delete")
+    val dB = Seq((1L, 10.0, true)).toDF("bk", "v", "is_delete")
+      .withColumn("v", $"v".cast("decimal(18,2)"))
+    val changes = Ivm.joinViewChanges(aOld, dA, bOld, dB, "ak", "bk")
+      .select($"g", $"v", $"is_delete")
+    // net: one insert-weight and two delete-weights over the same row
+    val net = changes.groupBy("g")
+      .agg(sum(when($"is_delete", -1L).otherwise(1L)).as("w"))
+    assert(net.as[(String, Long)].collect().toSeq === Seq(("x", -1L)))
+    assert(Ivm.applyDelta(base, changes, Seq("g"), "v").isEmpty)
+  }
 }
