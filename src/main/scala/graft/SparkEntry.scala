@@ -545,6 +545,10 @@ object SparkEntry {
         .select(col("o_orderpriority"), col("cnt"),
           col("total").cast("double").as("total"))
     }),
+    // --- Neyman-optimal stratified sample allocation (∝ N_h·σ_h) ---
+    "q_neyman_alloc" -> ((s, d) =>
+      Sampling.neymanAllocation(Tables.orders(s, d), "o_orderpriority",
+        "o_totalprice")),
     // --- temperature-0.5 corpus mixing: rates from counts, sqrt-exact ---
     "q_temperature_mix" -> ((s, d) =>
       Sampling.temperatureMix(Tables.documents(s, d), "source", "doc_id")),
@@ -2323,6 +2327,27 @@ object SparkEntry {
         |       CAST(MAX(p) AS DOUBLE) AS mx
         |FROM merged
         |GROUP BY 1""".stripMargin,
+    // exact decimal power sums → micro-rounded σ → pure integer Neyman
+    // weights and floor-div allocation: bit-identical on both engines
+    "q_neyman_alloc" ->
+      """WITH sums AS (
+        |  SELECT o_orderpriority AS stratum, COUNT(*) AS n_rows,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+        |                  * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx2
+        |  FROM orders GROUP BY 1),
+        |sig AS (
+        |  SELECT stratum, n_rows,
+        |         CAST(floor(sqrt(greatest(CAST(n_rows AS DOUBLE) * sx2 - sx * sx, 0.0))
+        |                    / CAST(n_rows AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS sigma_micro
+        |  FROM sums),
+        |w AS (SELECT stratum, n_rows, sigma_micro,
+        |             n_rows * sigma_micro AS wt FROM sig),
+        |t AS (SELECT COALESCE(SUM(wt), 0) AS total_w FROM w)
+        |SELECT stratum, n_rows, sigma_micro,
+        |       CAST(CASE WHEN total_w = 0 THEN 0
+        |            ELSE (1000 * wt) // total_w END AS BIGINT) AS alloc_n
+        |FROM w CROSS JOIN t""".stripMargin,
     // full recompute of the post-batch join view — equality proves the
     // bilinear delta + aggregate merge maintained it exactly
     "q_ivm_join" ->

@@ -112,6 +112,54 @@ object Sampling {
         (col("prior_tokens") + col("n_tokens")).as("cum_tokens"))
   }
 
+  /** Neyman-optimal stratified sample ALLOCATION: given a total sample
+    * budget, split it across strata ∝ N_h·σ_h (Neyman 1934) — the
+    * allocation that minimizes the variance of the stratified mean
+    * estimator. This is the planning half of stratified sampling; pair
+    * the resulting per-stratum counts with [[hashSamplePerGroup]] to
+    * draw the rows deterministically.
+    *
+    * Determinism discipline: per-stratum (n, Σx, Σx²) are EXACT decimal
+    * power sums (one hash agg, map-side partials — the
+    * [[graft.analytics.Breadth2.statsSummary]] pattern); the population
+    * σ is one correctly-rounded sqrt micro-rounded to a long; weights
+    * and the final allocation are pure integer arithmetic, so the
+    * DuckDB oracle replays every row bit-for-bit. A zero-variance
+    * stratum gets weight 0 (nothing to estimate); if EVERY stratum is
+    * degenerate the allocation is all-zero rather than a divide-by-zero.
+    *
+    * Long headroom: totalN·N_h·σ_micro must fit 63 bits — ~9e18 covers
+    * a 1e6-row stratum at σ ≤ $10⁵ with a 10⁴ budget; at corpus scale
+    * drop the micro scale to 1e3 (same allocation to ±rounding).
+    *
+    * Output: (stratum, n_rows, sigma_micro, alloc_n) with
+    * Σ alloc_n ≤ totalN (floor division; the remainder is the caller's
+    * largest-remainder tie-break if they need the budget exact).
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
+                       totalN: Long = 1000L): DataFrame = {
+    require(totalN > 0, "sample budget must be positive")
+    val x = col(valueCol).cast(org.apache.spark.sql.types.DataTypes
+      .createDecimalType(18, 2))
+    val sums = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(x).cast("double").as("sx"),
+        sum(x * x).cast("double").as("sx2"))
+      .withColumn("nd", col("n_rows").cast("double"))
+      // population σ = √(n·Σx² − (Σx)²)/n, micro-rounded half-up
+      .withColumn("sigma_micro",
+        floor(sqrt(greatest(col("nd") * col("sx2") - col("sx") * col("sx"),
+          lit(0.0))) / col("nd") * 1e6 + 0.5).cast("long"))
+      .withColumn("w", col("n_rows") * col("sigma_micro"))
+    val totalW = sums.agg(coalesce(sum(col("w")), lit(0L)).as("total_w"))
+    sums.crossJoin(broadcast(totalW))
+      .select(col("stratum"), col("n_rows"), col("sigma_micro"),
+        // integer div (positives ⇒ truncation == floor, matching DuckDB //)
+        when(col("total_w") === 0L, lit(0L))
+          .otherwise(expr(s"($totalN * w) div total_w"))
+          .as("alloc_n"))
+  }
+
   def hashSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
                          k: Int): DataFrame = {
     val w = Window.partitionBy(groupCol)

@@ -128,4 +128,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(out(3L)._2 > out(4L)._2)
     spark.catalog.clearCache()
   }
+
+  test("neymanAllocation: budget splits proportional to N_h·σ_h, exactly") {
+    // stratum a: 4 rows, values {0,10} → σ = 5; stratum b: 2 rows all
+    // equal → σ = 0; stratum c: 2 rows {0,100} → σ = 50.
+    // weights: a = 4·5e6 = 2e7, b = 0, c = 2·5e7 = 1e8 → of 1000:
+    // a = 1000·2e7/1.2e8 = 166, b = 0, c = 1000·1e8/1.2e8 = 833
+    val df = Seq(
+      ("a", 0.0), ("a", 10.0), ("a", 0.0), ("a", 10.0),
+      ("b", 7.0), ("b", 7.0),
+      ("c", 0.0), ("c", 100.0)).toDF("g", "v")
+    val got = graft.operators.Sampling.neymanAllocation(df, "g", "v")
+      .orderBy("stratum")
+      .select("stratum", "n_rows", "sigma_micro", "alloc_n")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("a", 4L, 5000000L, 166L),
+      ("b", 2L, 0L, 0L),
+      ("c", 2L, 50000000L, 833L)))
+  }
+
+  test("neymanAllocation: all-degenerate strata allocate zero, no crash") {
+    val df = Seq(("a", 5.0), ("a", 5.0), ("b", 9.0)).toDF("g", "v")
+    val got = graft.operators.Sampling.neymanAllocation(df, "g", "v")
+    assert(got.agg(sum("alloc_n")).head.getLong(0) === 0L)
+    assert(got.count() === 2)
+  }
 }
