@@ -149,6 +149,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("class_size"))
         .withColumn("at_risk", col("class_size") < 5)
     }),
+    // l-diversity audit: a k-anonymous class is still re-identifiable
+    // when every member shares the sensitive value — count DISTINCT
+    // sensitive values per quasi-identifier class
+    "q_ldiversity" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{count, countDistinct}
+      Tables.customer(s, d)
+        .select(col("c_nationkey"),
+          floor(col("c_acctbal") / 100).as("bal_bucket"), col("c_mktsegment"))
+        .groupBy("c_nationkey", "bal_bucket")
+        .agg(count(lit(1)).as("class_size"),
+          countDistinct(col("c_mktsegment")).as("n_sensitive"))
+        .withColumn("at_risk", col("n_sensitive") < 3)
+    }),
     // count-min sketch estimates vs exact counts (md5 hash rows replay in SQL)
     "q_countmin" -> ((s, d) =>
       graft.analytics.Sketches.countMinEstimates(Tables.events(s, d), "user_id")),
@@ -413,6 +426,10 @@ object SparkEntry {
     // --- deterministic synchronous LPA communities over the same graph ---
     "q_label_prop" -> ((s, d) =>
       graft.analytics.LabelProp.labelPropagation(
+        coBoughtEdges(s, d), "item_a", "item_b")),
+    // --- multi-source BFS hop distance from the top-degree hubs ---
+    "q_bfs_hops" -> ((s, d) =>
+      graft.analytics.Bfs.hubDistances(
         coBoughtEdges(s, d), "item_a", "item_b")),
     // --- least-squares trend slope per supplier, exact integer sums ---
     // slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) with x = month index and
@@ -1270,6 +1287,9 @@ object SparkEntry {
     // synchronous LPA rounds unrolled as CTEs, same (count desc, label
     // asc) argmax tie-break — bit-identical label evolution
     "q_label_prop" -> graft.analytics.LabelProp.labelPropOracleSql(),
+    // frontier rounds unrolled as CTEs; BFS layers are set-valued so
+    // there is no tie-break to diverge on
+    "q_bfs_hops" -> graft.analytics.Bfs.hubDistancesOracleSql(),
     // plain id-ordered triple join — a DIFFERENT orientation than the
     // engine's degree-ordered wedges, same triangles: differential proof
     "q_triangles" ->
@@ -2512,6 +2532,14 @@ object SparkEntry {
         |       COUNT(*) < 5 AS at_risk
         |FROM customer
         |GROUP BY 1, 2, 3""".stripMargin,
+    "q_ldiversity" ->
+      """SELECT c_nationkey,
+        |       CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_bucket,
+        |       COUNT(*) AS class_size,
+        |       COUNT(DISTINCT c_mktsegment) AS n_sensitive,
+        |       COUNT(DISTINCT c_mktsegment) < 3 AS at_risk
+        |FROM customer
+        |GROUP BY 1, 2""".stripMargin,
     // version diff replay: rebuild the next snapshot exactly as
     // q_merge_upsert does, then full-outer it against the base; a key
     // survives only when it is new-only (I), old-only (D), or any payload
