@@ -231,6 +231,39 @@ class IvmSpec extends AnyFunSuite {
     assert(incremental.filter($"g" === "z").count() === 1)
   }
 
+  test("join view folded per CDC micro-batch equals the final recompute") {
+    // dimension static, fact arriving as three CDC batches (the common
+    // warehouse shape): each batch folds through joinViewChanges +
+    // applyDelta against the RUNNING view and the RUNNING fact state
+    val dim = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("ak", "g")
+    def fact(rows: (Long, Double)*) = rows.toDF("bk", "v")
+      .withColumn("v", $"v".cast("decimal(18,2)"))
+    def dfact(rows: (Long, Double, Boolean)*) = rows.toDF("bk", "v", "is_delete")
+      .withColumn("v", $"v".cast("decimal(18,2)"))
+    val emptyA = Seq.empty[(Long, String, Boolean)].toDF("ak", "g", "is_delete")
+
+    var bState = fact((1L, 10.0), (2L, 5.0))
+    var view = dim.join(bState, $"ak" === $"bk")
+      .groupBy("g").agg(count(lit(1)).as("cnt"),
+        sum($"v".cast("decimal(18,2)")).as("total"))
+    val batches = Seq(
+      dfact((3L, 7.0, false), (1L, 20.0, false)),            // inserts
+      dfact((2L, 5.0, true), (3L, 9.0, false)),              // delete + insert
+      dfact((1L, 10.0, true), (1L, 20.0, true)))             // y…x drains
+    for (batch <- batches) {
+      val changes = Ivm.joinViewChanges(dim, emptyA, bState, batch, "ak", "bk")
+        .select($"g", $"v", $"is_delete")
+      view = Ivm.applyDelta(view, changes, Seq("g"), "v")
+      bState = bState.unionByName(batch.filter(!$"is_delete").drop("is_delete"))
+        .exceptAll(batch.filter($"is_delete").drop("is_delete"))
+    }
+    val recompute = dim.join(bState, $"ak" === $"bk")
+      .groupBy("g").agg(count(lit(1)).as("cnt"),
+        sum($"v".cast("decimal(18,2)")).as("total"))
+    assert(view.exceptAll(recompute).isEmpty &&
+      recompute.exceptAll(view).isEmpty)
+  }
+
   test("joinViewChanges: a delete-delete pair re-inserts, net effect exact") {
     // deleting the A row AND its matching B row must remove the join row
     // ONCE: the two cross terms subtract twice, dA⋈dB adds back once
