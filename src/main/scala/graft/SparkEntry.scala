@@ -149,6 +149,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("class_size"))
         .withColumn("at_risk", col("class_size") < 5)
     }),
+    // declarative data-quality expectation suite: row predicates in one
+    // scan, key uniqueness, FK coverage — one (check, verdict) row each
+    "q_expectations" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+      graft.etl.Expectations.rowChecks(ord, Seq(
+          "totalprice_positive" -> (col("o_totalprice") > 0),
+          "orderdate_not_null" -> col("o_orderdate").isNotNull,
+          "status_in_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+          "priority_in_domain" -> col("o_orderpriority").isin(
+            "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")))
+        .unionByName(graft.etl.Expectations.uniqueness(
+          ord, "orderkey_unique", Seq("o_orderkey")))
+        .unionByName(graft.etl.Expectations.referential(
+          ord, "custkey_references_customer", "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+    }),
     // l-diversity audit: a k-anonymous class is still re-identifiable
     // when every member shares the sensitive value — count DISTINCT
     // sensitive values per quasi-identifier class
@@ -2532,6 +2548,41 @@ object SparkEntry {
         |       COUNT(*) < 5 AS at_risk
         |FROM customer
         |GROUP BY 1, 2, 3""".stripMargin,
+    "q_expectations" ->
+      """SELECT 'totalprice_positive' AS check_name, COUNT(*) AS n_rows,
+        |       CAST(SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+        |       SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END) = 0 AS passed
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orderdate_not_null', COUNT(*),
+        |       CAST(SUM(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT),
+        |       SUM(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'status_in_domain', COUNT(*),
+        |       CAST(SUM(CASE WHEN COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 0 ELSE 1 END) AS BIGINT),
+        |       SUM(CASE WHEN COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 0 ELSE 1 END) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'priority_in_domain', COUNT(*),
+        |       CAST(SUM(CASE WHEN COALESCE(o_orderpriority IN
+        |         ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'), FALSE)
+        |         THEN 0 ELSE 1 END) AS BIGINT),
+        |       SUM(CASE WHEN COALESCE(o_orderpriority IN
+        |         ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'), FALSE)
+        |         THEN 0 ELSE 1 END) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orderkey_unique', COUNT(*),
+        |       COUNT(*) - COUNT(DISTINCT o_orderkey),
+        |       COUNT(*) = COUNT(DISTINCT o_orderkey)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'custkey_references_customer', COUNT(*),
+        |       CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) = 0
+        |FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |  ON o_custkey = c_custkey""".stripMargin,
     "q_ldiversity" ->
       """SELECT c_nationkey,
         |       CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_bucket,
