@@ -203,6 +203,8 @@ object SparkEntry {
     "q_grouping_sets"  -> ((s, d) => Breadth2.revenueGroupingSets(s, Tables.orders(s, d))),
     "q_unpivot"        -> ((s, d) => Breadth2.revenueUnpivot(Tables.orders(s, d))),
     "text_top_tokens"  -> ((s, d) => Breadth2.topTokens(Tables.documents(s, d))),
+    // adjacent-bigram PMI collocations (exact counts, one rounded ln)
+    "text_pmi" -> ((s, d) => TextOps.bigramPmi(Tables.documents(s, d))),
     "q_value_windows"  -> ((s, d) => Breadth2.orderTimeline(Tables.orders(s, d))),
     "q_gap_fill"       -> ((s, d) => Breadth2.gapFillDaily(Tables.lineitem(s, d), Tables.orders(s, d))),
     "q_distinct_agg"   -> ((s, d) => Breadth2.distinctAgg(Tables.orders(s, d))),
@@ -674,6 +676,12 @@ object SparkEntry {
       graft.operators.Sampling.tokenBudgetSample(Tables.documents(s, d))),
     // --- exact two-sample KS drift of n_chars between even/odd sources ---
     "q_ks_drift" -> ((s, d) => graft.analytics.Drift.ksDrift(Tables.documents(s, d))),
+    // CUSUM change-point: integer-cents argmax of |n·C_t − t·T|
+    "q_changepoint" -> ((s, d) =>
+      graft.analytics.Drift.cusumChangepoint(Tables.orders(s, d))),
+    // additive trend/seasonal/residual split, exact-rational detrending
+    "q_seasonal" -> ((s, d) =>
+      graft.analytics.Drift.seasonalDecompose(Tables.orders(s, d))),
     // --- repeated-span (substring) dedup stats, Lee et al. ACL'22 style ---
     "dedup_spans" -> ((s, d) =>
       Dedup.duplicatedSpans(Tables.documents(s, d))),
@@ -1552,6 +1560,32 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY n DESC, token
         |LIMIT 20""".stripMargin,
+    // identical left-associative double ratio of exact counts, one ln,
+    // rounded 1e-6 — the engine's expression transcribed
+    "text_pmi" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |uni AS (
+        |  SELECT lower(raw) AS w FROM
+        |  (SELECT unnest(t) AS raw FROM toks) WHERE raw <> ''),
+        |cuni AS (SELECT w, COUNT(*) AS c_w FROM uni GROUP BY 1),
+        |ntok AS (SELECT COUNT(*) AS n_tok FROM uni),
+        |bg AS (
+        |  SELECT split_part(p, ' ', 1) AS w_a, split_part(p, ' ', 2) AS w_b FROM
+        |  (SELECT unnest(list_transform(range(1, len(t)),
+        |     i -> lower(t[i]) || ' ' || lower(t[i+1]))) AS p
+        |   FROM toks WHERE len(t) >= 2)),
+        |nbg AS (SELECT COUNT(*) AS n_bg FROM bg),
+        |cp AS (
+        |  SELECT w_a, w_b, COUNT(*) AS c_pair FROM bg
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT w_a, w_b, c_pair,
+        |       round(ln(CAST(c_pair AS DOUBLE) * n_tok * n_tok /
+        |             (CAST(n_bg AS DOUBLE) * ca.c_w * cb.c_w)), 6) AS pmi
+        |FROM cp
+        |JOIN cuni ca ON ca.w = cp.w_a
+        |JOIN cuni cb ON cb.w = cp.w_b
+        |CROSS JOIN ntok CROSS JOIN nbg""".stripMargin,
     // the same OLS-over-milli-logs: ranks by (count desc, token), each ln
     // rounded once to 1e-3, exact integer moments, one division
     "text_zipf_slope" ->
@@ -2516,6 +2550,47 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, source, n_tokens, prior + n_tokens AS cum_tokens
         |FROM c WHERE prior < 1000""".stripMargin,
+    // ×6-scaled integer detrending (6 // c exact for c ∈ {2,3}), the
+    // same fixed-shape double expressions, each rounded once
+    "q_seasonal" ->
+      """WITH monthly AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |ma AS (
+        |  SELECT month_start, x,
+        |         CAST(SUM(x) OVER (ORDER BY month_start
+        |              ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS s,
+        |         COUNT(*) OVER (ORDER BY month_start
+        |              ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS c,
+        |         month(month_start) AS moy
+        |  FROM monthly),
+        |d AS (SELECT *, 6 * x - (6 // c) * s AS d6 FROM ma),
+        |seas AS (SELECT moy, CAST(SUM(d6) AS BIGINT) AS s6, COUNT(*) AS k
+        |         FROM d GROUP BY 1)
+        |SELECT month_start, x AS revenue_cents,
+        |       floor(CAST(s AS DOUBLE) / c * 1e6 + 0.5) / 1e6 AS trend,
+        |       floor(CAST(s6 AS DOUBLE) / (6.0 * k) * 1e6 + 0.5) / 1e6 AS seasonal,
+        |       floor((CAST(x AS DOUBLE) - CAST(s AS DOUBLE) / c
+        |              - CAST(s6 AS DOUBLE) / (6.0 * k)) * 1e6 + 0.5) / 1e6 AS residual
+        |FROM d JOIN seas USING (moy)""".stripMargin,
+    // pure integer-cents CUSUM deviation; ties break to the earliest day
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS t_cents,
+        |             COUNT(*) AS n_days FROM daily),
+        |c AS (SELECT day,
+        |             CAST(SUM(cents) OVER (ORDER BY day) AS BIGINT) AS cum,
+        |             ROW_NUMBER() OVER (ORDER BY day) AS i
+        |      FROM daily)
+        |SELECT day AS cp_day, n_days,
+        |       abs(n_days * cum - i * t_cents) AS max_abs_dev
+        |FROM c CROSS JOIN t
+        |ORDER BY abs(n_days * cum - i * t_cents) DESC, day
+        |LIMIT 1""".stripMargin,
     // exact KS: integer cross-multiplied numerator picks the argmax, the
     // winning value alone is divided and rounded
     "q_ks_drift" ->

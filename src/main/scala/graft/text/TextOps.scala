@@ -421,6 +421,56 @@ object TextOps {
     * row-local: explode multiplies rows ~n/stride× but nothing shuffles
     * until a downstream aggregation.
     */
+  /** Pointwise mutual information of ADJACENT token pairs — the classic
+    * collocation / multi-word-expression detector (Church & Hanks, "Word
+    * Association Norms, Mutual Information, and Lexicography", CL 1990):
+    * pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with p(a,b) over the bigram
+    * multiset and p(·) over the unigram multiset. High-PMI pairs are
+    * phrases a tokenizer or stopword list should treat as units.
+    *
+    * Determinism: every input to the ln is an exact integer count; the
+    * ratio is assembled in ONE fixed left-associative double expression
+    * written identically in the oracle, and the single ln rounds to
+    * 1e-6 — the repo's cross-engine float-fold rule.
+    *
+    * Scale shape: bigram explode is row-local (the token array is a
+    * staged, persisted attribute — the lambda-CSE rule); then two hash
+    * aggs (bigram and unigram counts) and two joins of the
+    * pair-vocabulary relation against the unigram-vocabulary relation,
+    * both vocabulary-sized, never corpus-sized. The two 1-row totals
+    * broadcast. `minCount` prunes the hapax tail BEFORE the joins —
+    * the same df-ordering armor as the dedup prefixes.
+    */
+  def bigramPmi(documents: DataFrame, minCount: Long = 5): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val staged = documents.select(tokens(col("text")).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // unigram relation: feeds counts AND the total — two subtrees
+    val uni = graft.Caching.materialize(staged
+      .select(explode(col("t")).as("raw"))
+      .filter(col("raw") =!= "")
+      .select(lower(col("raw")).as("w")))
+    val cUni = uni.groupBy("w").agg(count(lit(1)).as("c_w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTok = uni.agg(count(lit(1)).as("n_tok"))
+    val bg = graft.Caching.materialize(staged
+      .filter(org.apache.spark.sql.functions.size(col("t")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), org.apache.spark.sql.functions.size(col("t")) - 2),
+        i => struct(lower(element_at(col("t"), i + 1)).as("w_a"),
+          lower(element_at(col("t"), i + 2)).as("w_b")))).as("p"))
+      .select(col("p.w_a"), col("p.w_b")))
+    val nBg = bg.agg(count(lit(1)).as("n_bg"))
+    bg.groupBy("w_a", "w_b").agg(count(lit(1)).as("c_pair"))
+      .filter(col("c_pair") >= minCount)
+      .join(cUni.select(col("w").as("w_a"), col("c_w").as("c_a")), "w_a")
+      .join(cUni.select(col("w").as("w_b"), col("c_w").as("c_b")), "w_b")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBg))
+      .select(col("w_a"), col("w_b"), col("c_pair"),
+        round(log(col("c_pair").cast("double") * col("n_tok") * col("n_tok") /
+          (col("n_bg").cast("double") * col("c_a") * col("c_b"))), 6).as("pmi"))
+  }
+
   def chunk(documents: DataFrame, size: Int = 32, stride: Int = 24): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,
       "need 0 < stride <= size (overlap = size - stride)")
