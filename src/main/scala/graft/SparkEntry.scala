@@ -627,6 +627,9 @@ object SparkEntry {
     // --- PageRank centrality over the co-purchase graph (integer fixed-point) ---
     "q_pagerank" -> ((s, d) =>
       graft.analytics.PageRank.pagerank(Tables.lineitem(s, d), Tables.orders(s, d))),
+    // --- personalized PageRank: teleport restricted to the hub customers ---
+    "q_ppr" -> ((s, d) => graft.analytics.PageRank.personalizedPagerank(
+      Tables.lineitem(s, d), Tables.orders(s, d))),
     // --- SCD1 MERGE: apply a deterministic CDC batch to the orders snapshot ---
     "q_merge_upsert" -> ((s, d) => {
       import org.apache.spark.sql.functions.{lit, not}
@@ -2475,6 +2478,7 @@ object SparkEntry {
         |      GROUP BY 1) t""".stripMargin,
     // five synchronous integer-arithmetic PageRank rounds unrolled as CTEs
     "q_pagerank" -> graft.analytics.PageRank.pagerankOracleSql(),
+    "q_ppr" -> graft.analytics.PageRank.pprOracleSql(),
     // MERGE replay: next snapshot = unmatched target rows + surviving
     // changes. The 1.1 price bump stays in exact DECIMAL until the final
     // cast so both engines produce the identical double.

@@ -128,6 +128,102 @@ object PageRank {
       (col("r").cast("double") / Mass).as("rank"))
   }
 
+  /** Personalized PageRank (Jeh & Widom, "Scaling Personalized Web
+    * Search", WWW'03): the teleport mass returns only to a SEED set —
+    * here the top-`nSeeds` highest-degree customer nodes (degree desc,
+    * id asc; the [[Bfs.hubDistances]] seed rule) — so the stationary
+    * vector measures proximity to those customers rather than global
+    * centrality: "which suppliers serve the biggest buyers'
+    * neighborhood". Same exact integer recurrence as [[pagerank]]
+    * (1e-12 rank units, `div` arithmetic, synchronous rounds), with
+    * r₀ = Mass/nSeeds on seeds and 0 elsewhere and the per-round
+    * teleport added only on seed rows — bit-identical to the
+    * unrolled-CTE oracle.
+    *
+    * Scale: identical join/agg shape per round as [[pagerank]] plus one
+    * broadcast of the nSeeds-row seed relation.
+    */
+  def personalizedPagerank(lineitem: DataFrame, orders: DataFrame,
+                           iters: Int = 5, nSeeds: Int = 10): DataFrame = {
+    require(iters >= 1 && nSeeds >= 1, "need iterations and seeds")
+    val edges = graft.Caching.materialize(copurchaseEdges(lineitem, orders))
+    val deg = graft.Caching.materialize(
+      edges.groupBy("src").agg(count(lit(1)).as("od")))
+    val edgesDeg = edges.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = deg.filter(col("src") % 2 === 0)
+      .orderBy(col("od").desc, col("src").asc)
+      .limit(nSeeds)
+      .select(col("src").as("id"), lit(true).as("is_seed"))
+    val teleport = (15L * Mass) / (100L * nSeeds)
+    val init = (Mass / nSeeds)
+
+    var ranks = deg.select(col("src").as("id"))
+      .join(broadcast(seeds), Seq("id"), "left")
+      .select(col("id"),
+        when(col("is_seed"), lit(init)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iters) {
+      val prev = ranks
+      ranks = edgesDeg
+        .join(prev, edgesDeg("src") === prev("id"))
+        .select(col("dst"), expr("r div od").as("contrib"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("contrib")).as("s"))
+        .join(broadcast(seeds), Seq("id"), "left")
+        .select(col("id"),
+          (when(col("is_seed"), lit(teleport)).otherwise(lit(0L)) +
+            expr("(85 * s) div 100")).as("r"))
+    }
+    ranks.select(
+      col("id"),
+      when(col("id") % 2 === 1, lit("supplier"))
+        .otherwise(lit("customer")).as("node_type"),
+      col("r").as("rank_units"),
+      (col("r").cast("double") / Mass).as("rank"))
+  }
+
+  /** DuckDB replay of [[personalizedPagerank]]: same seed selection,
+    * same integer recurrence, rounds unrolled as CTEs.
+    */
+  def pprOracleSql(iters: Int = 5, nSeeds: Int = 10): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT agg.id,
+         |         CASE WHEN s.id IS NOT NULL THEN (SELECT tp FROM consts)
+         |              ELSE 0 END + agg.sr AS r
+         |  FROM (SELECT e.dst AS id, (85 * SUM(p.r // d.od)) // 100 AS sr
+         |        FROM edges e
+         |        JOIN r${k - 1} p ON e.src = p.id
+         |        JOIN deg d ON e.src = d.src
+         |        GROUP BY 1) agg
+         |  LEFT JOIN seeds s ON s.id = agg.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base_edges AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (SELECT src, dst FROM base_edges UNION SELECT dst, src FROM base_edges),
+       |deg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY 1),
+       |seeds AS (
+       |  SELECT src AS id FROM (
+       |    SELECT src, ROW_NUMBER() OVER (ORDER BY od DESC, src) AS rn
+       |    FROM deg WHERE src % 2 = 0) t
+       |  WHERE rn <= $nSeeds),
+       |consts AS (
+       |  SELECT 15000000000000 // (100 * $nSeeds) AS tp,
+       |         1000000000000 // $nSeeds AS r_init),
+       |r0 AS (
+       |  SELECT d.src AS id,
+       |         CASE WHEN s.id IS NOT NULL THEN (SELECT r_init FROM consts)
+       |              ELSE 0 END AS r
+       |  FROM deg d LEFT JOIN seeds s ON s.id = d.src),
+       |$rounds
+       |SELECT id,
+       |       CASE WHEN id % 2 = 1 THEN 'supplier' ELSE 'customer' END AS node_type,
+       |       CAST(r AS BIGINT) AS rank_units,
+       |       CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+       |FROM r$iters""".stripMargin
+  }
+
   /** The identical computation as one DuckDB query: the five rounds unroll
     * to CTEs r1..r5 over the same integer recurrence (`//` is DuckDB's
     * integer division; all values positive, so it agrees with `div`).

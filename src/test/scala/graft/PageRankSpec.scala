@@ -76,4 +76,23 @@ class PageRankSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
     spark.catalog.clearCache()
   }
+
+  test("personalized PageRank concentrates mass near the seed neighborhood") {
+    // two disconnected stars: customer 1 (degree 3) and customer 9
+    // (degree 2). nSeeds=1 picks customer 1; its component holds ALL
+    // rank mass, the other component none.
+    val li = Seq((10L, 1L), (11L, 2L), (12L, 3L), (20L, 8L), (21L, 9L))
+      .toDF("l_orderkey", "l_suppkey")
+    val ord = Seq((10L, 1L), (11L, 1L), (12L, 1L), (20L, 9L), (21L, 9L))
+      .toDF("o_orderkey", "o_custkey")
+    val out = PageRank.personalizedPagerank(li, ord, iters = 5, nSeeds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L * 2) > 0L)                    // seed customer
+    assert(out(1L * 2 + 1) > 0L)                // its supplier
+    assert(out(9L * 2) === 0L)                  // far component: zero
+    assert(out(8L * 2 + 1) === 0L)
+    // seed outranks every non-seed node
+    assert(out.filter(_._1 != 2L).values.forall(_ < out(2L)))
+    spark.catalog.clearCache()
+  }
 }
