@@ -289,6 +289,8 @@ object SparkEntry {
       graft.similarity.Pca.invariants(Tables.embeddings(s, d), k = 4)),
     "embed_centroids" -> ((s, d) => Ann.labelCentroids(Tables.embeddings(s, d))),
     "embed_normalize" -> ((s, d) => Ann.l2Normalize(Tables.embeddings(s, d))),
+    // --- signed random projection (JL): derived ±1 matrix, no data ---
+    "embed_rp" -> ((s, d) => Ann.randomProjection(Tables.embeddings(s, d))),
     // --- text analysis (north star: training-data pipeline ops) ---
     "text_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
     "text_quality"     -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
@@ -449,6 +451,16 @@ object SparkEntry {
     "q_bfs_hops" -> ((s, d) =>
       graft.analytics.Bfs.hubDistances(
         coBoughtEdges(s, d), "item_a", "item_b")),
+    // --- bounded k-core peeling over the co-bought graph ---
+    "q_kcore" -> ((s, d) =>
+      graft.analytics.GraphStats.kCore(
+        coBoughtEdges(s, d), "item_a", "item_b")),
+    // --- degree assortativity: do hub parts co-sell with hub parts? ---
+    "q_degree_assort" -> ((s, d) =>
+      graft.analytics.GraphStats.degreeAssortativity(
+        coBoughtEdges(s, d), "item_a", "item_b")),
+    // --- closed-form 2-regressor OLS from exact power sums ---
+    "q_ols" -> ((s, d) => graft.analytics.Ols.priceModel(Tables.lineitem(s, d))),
     // --- least-squares trend slope per supplier, exact integer sums ---
     // slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) with x = month index and
     // y = integer quantity: every sum is an exact long, the slope is ONE
@@ -679,6 +691,10 @@ object SparkEntry {
       graft.operators.Sampling.tokenBudgetSample(Tables.documents(s, d))),
     // --- exact two-sample KS drift of n_chars between even/odd sources ---
     "q_ks_drift" -> ((s, d) => graft.analytics.Drift.ksDrift(Tables.documents(s, d))),
+    // --- PSI over binned doc lengths between the same corpus halves ---
+    "q_psi_drift" -> ((s, d) => graft.analytics.Drift.psiDrift(Tables.documents(s, d))),
+    // --- chi-square homogeneity of the event-type mix between halves ---
+    "q_chisq_drift" -> ((s, d) => graft.analytics.Drift.chiSquareDrift(Tables.events(s, d))),
     // CUSUM change-point: integer-cents argmax of |n·C_t − t·T|
     "q_changepoint" -> ((s, d) =>
       graft.analytics.Drift.cusumChangepoint(Tables.orders(s, d))),
@@ -691,6 +707,9 @@ object SparkEntry {
     // --- exact source-pair shingle Jaccard (cross-crawl overlap audit) ---
     "dedup_source_overlap" -> ((s, d) =>
       Dedup.sourceOverlap(Tables.documents(s, d))),
+    // --- cross-document duplicated segments (boilerplate strip-list) ---
+    "dedup_boilerplate" -> ((s, d) =>
+      Dedup.boilerplateSegments(Tables.documents(s, d))),
     // --- all-pairs TF-IDF cosine near-dup (AllPairs prefix filter, WWW'07) ---
     "dedup_cosine_pairs" -> ((s, d) =>
       graft.dedup.CosinePairs.cosinePairs(Tables.documents(s, d))),
@@ -1317,6 +1336,10 @@ object SparkEntry {
     // frontier rounds unrolled as CTEs; BFS layers are set-valued so
     // there is no tie-break to diverge on
     "q_bfs_hops" -> graft.analytics.Bfs.hubDistancesOracleSql(),
+    // peel rounds unrolled as CTEs; peeling is set-valued, no tie-breaks
+    "q_kcore" -> graft.analytics.GraphStats.kCoreOracleSql(),
+    // exact HUGEINT power sums, one shared IEEE Pearson expression
+    "q_degree_assort" -> graft.analytics.GraphStats.assortativityOracleSql,
     // plain id-ordered triple join — a DIFFERENT orientation than the
     // engine's degree-ordered wedges, same triangles: differential proof
     "q_triangles" ->
@@ -1329,6 +1352,8 @@ object SparkEntry {
         |FROM e e1
         |JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
         |JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin,
+    // ten HUGEINT power sums -> one shared Cramer/IEEE expression tree
+    "q_ols" -> graft.analytics.Ols.priceModelOracleSql,
     "q_trend_slope" ->
       """WITH pts AS (
         |  SELECT l_suppkey,
@@ -1493,6 +1518,24 @@ object SparkEntry {
         |       COUNT(*) AS n_orders
         |FROM orders CROSS JOIN bounds
         |GROUP BY 1""".stripMargin,
+    // same derived sign matrix regenerated in SQL; 1e-9 fixed-point
+    // folds before the signed sum make the per-dim total exact
+    "embed_rp" ->
+      """WITH ex AS (
+        |  SELECT vec_id,
+        |         generate_subscripts(embedding, 1) AS j1,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |dims AS (SELECT CAST(range AS INTEGER) AS out_dim FROM range(8)),
+        |proj AS (
+        |  SELECT vec_id, out_dim,
+        |         SUM(CAST(trunc(x * 1e9) AS BIGINT) *
+        |             (CASE WHEN ((CAST(out_dim AS BIGINT) * 131 + (j1 - 1)) * 2654435761) % 65536 < 32768
+        |                   THEN 1 ELSE -1 END)) AS s9
+        |  FROM ex CROSS JOIN dims
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, out_dim, CAST(s9 AS DOUBLE) / 1e9 AS comp
+        |FROM proj""".stripMargin,
     "embed_normalize" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2595,6 +2638,10 @@ object SparkEntry {
         |FROM c CROSS JOIN t
         |ORDER BY abs(n_days * cum - i * t_cents) DESC, day
         |LIMIT 1""".stripMargin,
+    // smoothed integer-ratio bins, milli-quantized ln, exact long sum
+    "q_psi_drift" -> graft.analytics.Drift.psiOracleSql(),
+    // micro-quantized per-category terms, exact long sum
+    "q_chisq_drift" -> graft.analytics.Drift.chiSquareOracleSql,
     // exact KS: integer cross-multiplied numerator picks the argmax, the
     // winning value alone is divided and rounded
     "q_ks_drift" ->
@@ -2710,6 +2757,26 @@ object SparkEntry {
         |   OR o.o_totalprice    IS DISTINCT FROM n.o_totalprice
         |   OR o.o_orderdate     IS DISTINCT FROM n.o_orderdate
         |   OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority""".stripMargin,
+    // non-overlapping 8-token segments (1-based slice, full segments
+    // only); doc frequency from the distinct projection; fully-keyed
+    // top-k
+    "dedup_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, array_to_string(t[(i * 8 + 1):(i * 8 + 8)], ' ') AS seg
+        |  FROM toks, unnest(range(len(t) // 8)) AS u(i)),
+        |totals AS (SELECT seg, COUNT(*) AS n_total FROM segs GROUP BY 1),
+        |df AS (
+        |  SELECT seg, COUNT(*) AS n_docs
+        |  FROM (SELECT DISTINCT doc_id, seg FROM segs) GROUP BY 1)
+        |SELECT d.seg, d.n_docs, t.n_total
+        |FROM df d JOIN totals t ON t.seg = d.seg
+        |WHERE d.n_docs >= 2
+        |ORDER BY d.n_docs DESC, t.n_total DESC, d.seg ASC
+        |LIMIT 50""".stripMargin,
     // distinct 15-token spans per doc, md5-folded; a span is duplicated
     // when its hash occurs in >= 2 documents (per-doc distinctness makes
     // COUNT(*) the document frequency)

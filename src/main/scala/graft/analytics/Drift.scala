@@ -121,6 +121,183 @@ object Drift {
           - col("s6").cast("double") / (lit(6.0) * col("k"))).as("residual"))
   }
 
+  /** Population Stability Index between the same two corpus halves as
+    * [[ksDrift]], over `bins` fixed-width buckets of `featureCol`:
+    * PSI = Σ_b (p_Ab − p_Bb)·ln(p_Ab / p_Bb) — the standard "has the
+    * score/length distribution shifted enough to retrain?" monitor
+    * (banking's model-risk heuristic: <0.1 stable, >0.25 shifted).
+    *
+    * Determinism discipline: proportions are Laplace-smoothed as exact
+    * integer ratios (2c+1)/(2n+B) so empty bins are defined; the ln of
+    * the exact cross-ratio is quantized to milli units (the Zipf-slope
+    * fold — libm last-ulp differences cannot survive the floor), each
+    * bin's contribution is then quantized to 1e-9 and summed as exact
+    * longs, so the sum is order-independent and both engines emit the
+    * identical double.
+    *
+    * Scale shape: one pass computes global min/max; one shuffle bins
+    * the corpus into B partial counts (map-side combine collapses rows
+    * to ≤ B per task); everything after runs on the B-row relation
+    * against a generated bin spine (no missing-bin holes). Independent
+    * of corpus size past the two aggregations.
+    *
+    * Output: one row (n_a, n_b, psi).
+    */
+  def psiDrift(documents: DataFrame, featureCol: String = "n_chars",
+               bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least two bins")
+    val g = documents.select(
+      col(featureCol).cast("double").as("x"),
+      (expr("CAST(substring(source, 4) AS INT)") % 2 === 0).as("is_a"))
+    val bounds = g.agg(min("x").as("lo"), max("x").as("hi"))
+    val binned = g.crossJoin(broadcast(bounds))
+      .select(when(col("hi") === col("lo"), 0)
+        .otherwise(least(floor((col("x") - col("lo")) /
+          ((col("hi") - col("lo")) / bins)), lit(bins - 1)))
+        .cast("int").as("bin"), col("is_a"))
+    val counts = binned.groupBy("bin").agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+    // generated bin spine: empty bins still contribute a smoothed term
+    val spine = documents.sparkSession.range(bins.toLong)
+      .select(col("id").cast("int").as("bin"))
+    val full = spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    full.count() // feeds the totals agg AND the per-bin terms
+    val tot = full.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val terms = full.crossJoin(broadcast(tot)).select(
+      col("ca"), col("cb"), col("na"), col("nb"),
+      // ln of the exact smoothed cross-ratio, milli-quantized; the
+      // products are DECIMAL(38,0) (long·long overflows past ~3e9 rows)
+      floor(log(((col("ca") * 2 + 1).cast(Dec) * (col("nb") * 2 + bins).cast(Dec))
+          .cast("double") /
+        ((col("cb") * 2 + 1).cast(Dec) * (col("na") * 2 + bins).cast(Dec))
+          .cast("double")) * 1e3 + 0.5).cast("long").as("lr_milli"),
+      ((col("ca") * 2 + 1).cast("double") / (col("na") * 2 + bins).cast("double") -
+       (col("cb") * 2 + 1).cast("double") / (col("nb") * 2 + bins).cast("double"))
+        .as("diff"))
+    terms
+      .select(col("na"), col("nb"),
+        // contribution ×1e9 as an exact long: diff · lr_milli/1e3 · 1e9
+        floor(col("diff") * col("lr_milli").cast("double") * 1e6 + 0.5)
+          .cast("long").as("t9"))
+      .groupBy("na", "nb").agg(sum("t9").as("s9"))
+      .select(col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        (col("s9").cast("double") / 1e9).as("psi"))
+  }
+
+  /** DuckDB replay of [[psiDrift]]: same spine, same smoothing, same
+    * milli-quantized ln, same exact long sum.
+    */
+  def psiOracleSql(bins: Int = 10): String =
+    s"""WITH g AS (
+       |  SELECT CAST(n_chars AS DOUBLE) AS x,
+       |         CAST(substring(source, 4) AS INT) % 2 = 0 AS is_a
+       |  FROM documents),
+       |bounds AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM g),
+       |binned AS (
+       |  SELECT CAST(CASE WHEN hi = lo THEN 0
+       |              ELSE LEAST(FLOOR((x - lo) / ((hi - lo) / $bins)), ${bins - 1})
+       |              END AS INTEGER) AS bin, is_a
+       |  FROM g CROSS JOIN bounds),
+       |counts AS (
+       |  SELECT bin, SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+       |              SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS cb
+       |  FROM binned GROUP BY 1),
+       |spine AS (SELECT CAST(range AS INTEGER) AS bin FROM range($bins)),
+       |full_bins AS (
+       |  SELECT s.bin, COALESCE(c.ca, 0) AS ca, COALESCE(c.cb, 0) AS cb
+       |  FROM spine s LEFT JOIN counts c ON c.bin = s.bin),
+       |tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM full_bins),
+       |terms AS (
+       |  SELECT na, nb,
+       |         CAST(FLOOR(ln(CAST((CAST(ca AS HUGEINT) * 2 + 1) * (CAST(nb AS HUGEINT) * 2 + $bins) AS DOUBLE)
+       |                       / CAST((CAST(cb AS HUGEINT) * 2 + 1) * (CAST(na AS HUGEINT) * 2 + $bins) AS DOUBLE))
+       |                    * 1e3 + 0.5) AS BIGINT) AS lr_milli,
+       |         CAST(ca * 2 + 1 AS DOUBLE) / CAST(na * 2 + $bins AS DOUBLE)
+       |         - CAST(cb * 2 + 1 AS DOUBLE) / CAST(nb * 2 + $bins AS DOUBLE) AS diff
+       |  FROM full_bins CROSS JOIN tot)
+       |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       |       CAST(SUM(CAST(FLOOR(diff * CAST(lr_milli AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+       |       / 1e9 AS psi
+       |FROM terms GROUP BY na, nb""".stripMargin
+
+  /** Pearson chi-square homogeneity statistic for the event-type
+    * distribution between even/odd event-id halves of the event stream —
+    * the categorical counterpart of [[ksDrift]] (numeric) and
+    * [[psiDrift]] (binned): "did the traffic MIX change?".
+    *
+    * chi² = Σ_{g,c} (o_{g,c} − e_{g,c})²/e_{g,c} with e = n_g·rt_c/N.
+    * Each category's two-term contribution is a fixed-shape double
+    * expression of exact integer counts, micro-quantized and summed as
+    * exact longs (order-independent; same fold as [[psiDrift]]).
+    *
+    * Scale shape: one shuffle to the (category × group) contingency
+    * counts with map-side combine; the per-category terms and the final
+    * sum run on the category-count-bounded relation. The 1-row totals
+    * broadcast.
+    *
+    * Output: one row (n_categories, dof, chi2).
+    */
+  def chiSquareDrift(events: DataFrame): DataFrame = {
+    val counts = events.select(col("event_type"),
+        (col("event_id") % 2 === 0).as("is_a"))
+      .groupBy("event_type").agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("oa"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("ob"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    counts.count() // feeds the totals agg AND the per-category terms
+    val tot = counts.agg(sum("oa").as("na"), sum("ob").as("nb"),
+      count(lit(1)).as("ncat"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    counts.crossJoin(broadcast(tot))
+      .select(col("ncat"),
+        floor(((d(col("oa")) - d(col("na")) * (d(col("oa")) + d(col("ob"))) /
+            (d(col("na")) + d(col("nb")))) *
+          (d(col("oa")) - d(col("na")) * (d(col("oa")) + d(col("ob"))) /
+            (d(col("na")) + d(col("nb")))) /
+          (d(col("na")) * (d(col("oa")) + d(col("ob"))) /
+            (d(col("na")) + d(col("nb")))) +
+          (d(col("ob")) - d(col("nb")) * (d(col("oa")) + d(col("ob"))) /
+            (d(col("na")) + d(col("nb")))) *
+          (d(col("ob")) - d(col("nb")) * (d(col("oa")) + d(col("ob"))) /
+            (d(col("na")) + d(col("nb")))) /
+          (d(col("nb")) * (d(col("oa")) + d(col("ob"))) /
+            (d(col("na")) + d(col("nb"))))) * 1e6 + 0.5)
+          .cast("long").as("t6"))
+      .groupBy("ncat").agg(sum("t6").as("s6"))
+      .select(col("ncat").cast("long").as("n_categories"),
+        (col("ncat") - 1).cast("long").as("dof"),
+        (col("s6").cast("double") / 1e6).as("chi2"))
+  }
+
+  /** DuckDB replay of [[chiSquareDrift]]: identical expected-count
+    * expression, micro-quantized terms, exact long sum.
+    */
+  def chiSquareOracleSql: String =
+    """WITH counts AS (
+      |  SELECT event_type,
+      |         SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS oa,
+      |         SUM(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS ob
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT SUM(oa) AS na, SUM(ob) AS nb, COUNT(*) AS ncat FROM counts),
+      |terms AS (
+      |  SELECT ncat,
+      |         CAST(FLOOR(((CAST(oa AS DOUBLE) - CAST(na AS DOUBLE) * (CAST(oa AS DOUBLE) + CAST(ob AS DOUBLE)) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+      |                     * (CAST(oa AS DOUBLE) - CAST(na AS DOUBLE) * (CAST(oa AS DOUBLE) + CAST(ob AS DOUBLE)) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+      |                     / (CAST(na AS DOUBLE) * (CAST(oa AS DOUBLE) + CAST(ob AS DOUBLE)) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+      |                     + (CAST(ob AS DOUBLE) - CAST(nb AS DOUBLE) * (CAST(oa AS DOUBLE) + CAST(ob AS DOUBLE)) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+      |                     * (CAST(ob AS DOUBLE) - CAST(nb AS DOUBLE) * (CAST(oa AS DOUBLE) + CAST(ob AS DOUBLE)) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+      |                     / (CAST(nb AS DOUBLE) * (CAST(oa AS DOUBLE) + CAST(ob AS DOUBLE)) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))))
+      |                    * 1e6 + 0.5) AS BIGINT) AS t6
+      |  FROM counts CROSS JOIN tot)
+      |SELECT CAST(ncat AS BIGINT) AS n_categories,
+      |       CAST(ncat - 1 AS BIGINT) AS dof,
+      |       CAST(SUM(t6) AS DOUBLE) / 1e6 AS chi2
+      |FROM terms GROUP BY ncat""".stripMargin
+
   def ksDrift(documents: DataFrame, featureCol: String = "n_chars"): DataFrame = {
     val g = documents.select(
       col(featureCol).as("x"),

@@ -443,6 +443,60 @@ object Dedup {
         (col("n_dup_spans").cast("double") / col("n_spans")).as("dup_span_frac"))
   }
 
+  // ------------------------------------------------------ boilerplate
+
+  /** Cross-document duplicated text SEGMENTS — the boilerplate detector
+    * behind RefinedWeb/C4-style cleaning (navigation chrome, cookie
+    * banners, footers repeat VERBATIM across pages while body text does
+    * not; cf. Penedo et al., "The RefinedWeb Dataset for Falcon LLM",
+    * NeurIPS 2023 §3). Documents are cut into NON-overlapping
+    * `segTokens`-word segments (paragraph-granularity units — the
+    * line-level variant is this with a newline splitter); the result is
+    * the top-`k` segments appearing in at least `minDocs` distinct
+    * documents — the candidate strip-list a cleaning pass would apply.
+    * Complements [[duplicatedSpans]]: that one slides a window to score
+    * EACH DOC's duplicated fraction; this one aggregates the repeated
+    * UNITS themselves across the corpus.
+    *
+    * Determinism: counts are exact; the top-k order is fully keyed
+    * (n_docs desc, n_total desc, segment asc) so LIMIT is stable.
+    *
+    * 100 TB shape: explode to (doc_id, segment) — non-overlapping, so
+    * the exploded relation is ≤ corpus-token-count/segTokens rows, a
+    * FRACTION of the corpus (the sliding variant multiplies by window
+    * size) — then two partial-agg pipelines over one cached explode
+    * (count, and distinct-doc count via the pre-distinct projection —
+    * no countDistinct expand); the final top-k is a
+    * TakeOrderedAndProject, never a global sort. A mega-viral segment
+    * costs one wide aggregation group, not executor memory.
+    */
+  def boilerplateSegments(documents: DataFrame, segTokens: Int = 8,
+                          minDocs: Long = 2L, k: Int = 50): DataFrame = {
+    require(segTokens >= 1 && minDocs >= 1 && k >= 1,
+      "need segTokens, minDocs, k >= 1")
+    // tokenization staged as a bound attribute BEFORE the slicing
+    // lambda (lambda bodies get no CSE — inlined, the split would rerun
+    // per segment)
+    val segs = documents
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      // size guard: sequence(0, -1) would DESCEND on sub-segment docs
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(t) >= $segTokens THEN
+           |  transform(sequence(0, size(t) div $segTokens - 1),
+           |    i -> array_join(slice(t, i * $segTokens + 1, $segTokens), ' '))
+           |ELSE CAST(array() AS array<string>) END""".stripMargin))
+        .as("seg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = segs.groupBy("seg").agg(count(lit(1)).as("n_total"))
+    val docFreq = segs.distinct().groupBy("seg")
+      .agg(count(lit(1)).as("n_docs"))
+    docFreq.filter(col("n_docs") >= minDocs)
+      .join(totals, "seg")
+      .orderBy(col("n_docs").desc, col("n_total").desc, col("seg").asc)
+      .limit(k)
+      .select("seg", "n_docs", "n_total")
+  }
+
   // ------------------------------------------------------ source overlap
 
   /** EXACT pairwise shingle-set Jaccard between corpus sources — the

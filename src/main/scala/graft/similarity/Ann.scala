@@ -563,6 +563,46 @@ object Ann {
     * exact halves, where Spark's round() (half away from zero) and
     * DuckDB's (half to even) disagree — pin the convention explicitly.
     */
+  /** Signed random projection (Achlioptas, "Database-friendly random
+    * projections", JPDS 2003; the Johnson–Lindenstrauss workhorse): each
+    * output dimension is Σ_j v[j]·sign(i,j) with a DERIVED ±1 matrix —
+    * sign(i,j) = bit 15 of ((131·i + j) · 2654435761) — so the matrix
+    * ships as an expression, not data (nothing to broadcast, nothing to
+    * keep consistent across jobs), and any engine regenerates it
+    * bit-for-bit. The multiplier is Knuth's 2³²/φ hash constant; inputs
+    * stay < 2⁴² so the product never overflows a 64-bit signed int in
+    * engines that trap on overflow.
+    *
+    * Exactness: elements fold to 1e-9 fixed-point longs before the
+    * signed sum (the [[l2Normalize]] discipline), so the per-dimension
+    * sum is exact integer arithmetic and the final /1e9 is one IEEE
+    * division — identical across engines and partitionings.
+    *
+    * 100 TB shape: row-local (narrow) — the transform/aggregate chain
+    * runs inside whole-stage codegen per row, output is |V|·outDims
+    * rows with no shuffle at all. The JL projection that makes the
+    * downstream ANN index 8× cheaper costs one map pass.
+    *
+    * Output: (vec_id, out_dim, comp).
+    */
+  def randomProjection(embeddings: DataFrame, outDims: Int = 8): DataFrame = {
+    require(outDims >= 1 && outDims <= 4096, "need 1 <= outDims <= 4096")
+    embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), expr(
+        s"""explode(transform(sequence(0, ${outDims - 1}), i -> struct(
+           |  CAST(i AS INT) AS out_dim,
+           |  aggregate(
+           |    zip_with(v, sequence(0, size(v) - 1), (x, j) ->
+           |      CAST(x * 1e9 AS BIGINT) *
+           |      (CASE WHEN ((CAST(i AS BIGINT) * 131 + j) * 2654435761) % 65536 < 32768
+           |            THEN 1 ELSE -1 END)),
+           |    CAST(0 AS BIGINT), (acc, e) -> acc + e) AS s9)))""".stripMargin)
+        .as("p"))
+      .select(col("vec_id"), col("p.out_dim").as("out_dim"),
+        (col("p.s9").cast("double") / lit(1.0e9)).as("comp"))
+  }
+
   def l2Normalize(embeddings: DataFrame): DataFrame = {
     val vd = asDouble(col("embedding"))
     embeddings
