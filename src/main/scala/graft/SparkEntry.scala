@@ -636,6 +636,55 @@ object SparkEntry {
           (abs(col("approx_customers") - col("exact_customers")) <=
             col("exact_customers") * 0.05).as("rollup_ok"))
     }),
+    // --- HLL inclusion-exclusion intersection vs exact, verdict row ---
+    "q_hll_intersect" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{abs, count_distinct,
+        hll_sketch_agg, hll_sketch_estimate, when}
+      val c = Tables.orders(s, d).select(col("o_custkey").as("k"),
+        (col("o_orderdate").cast("date") < lit("1995-01-01").cast("date"))
+          .as("is_a"))
+      graft.Caching.materialize(c) // feeds 5 aggregation branches
+      val estA = c.filter(col("is_a"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("k"))).as("est_a"))
+      val estB = c.filter(!col("is_a"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("k"))).as("est_b"))
+      val estU = c.agg(hll_sketch_estimate(hll_sketch_agg(col("k"))).as("est_u"))
+      val exact = c.agg(
+        count_distinct(when(col("is_a"), col("k"))).as("n_a"),
+        count_distinct(when(!col("is_a"), col("k"))).as("n_b"),
+        count_distinct(col("k")).as("n_union"))
+      exact.crossJoin(estA).crossJoin(estB).crossJoin(estU)
+        .select(col("n_a"), col("n_b"),
+          (col("n_a") + col("n_b") - col("n_union")).as("n_common"),
+          // inclusion-exclusion estimate error is bounded by ~3 rse of
+          // the three lgK=12 sketches (≈5% of the union at 3 sigma);
+          // 8% of the exact union is the deterministic verdict bound
+          (abs((col("est_a") + col("est_b") - col("est_u")) -
+            (col("n_a") + col("n_b") - col("n_union")).cast("double")) <=
+            col("n_union").cast("double") * 0.08)
+            .as("inter_ok"))
+    }),
+    // --- t-closeness: EMD of the class balance-decile CDF vs global ---
+    "q_tcloseness" -> ((s, d) =>
+      graft.analytics.Privacy.tCloseness(Tables.customer(s, d))),
+    // --- winsorized robust summary: clip at exact p01/p99, cents-sum mean ---
+    "q_winsorize" -> ((s, d) =>
+      Breadth3.winsorizedStats(Tables.orders(s, d))),
+    // --- Gini coefficient of per-customer revenue (tie-invariant rank form) ---
+    "q_gini" -> ((s, d) =>
+      graft.analytics.Metrics.giniRevenue(Tables.orders(s, d))),
+    // --- exact Mann-Whitney AUC: price as a score for urgent priority ---
+    "q_auc" -> ((s, d) =>
+      graft.analytics.Metrics.aucPriceUrgency(Tables.orders(s, d))),
+    // --- mutual information nation x mktsegment (milli-quantized ln) ---
+    "q_mutual_info" -> ((s, d) =>
+      graft.analytics.Metrics.mutualInfo(Tables.customer(s, d))),
+    // --- Benford first-digit audit of order totals ---
+    "q_benford" -> ((s, d) =>
+      graft.analytics.Metrics.benfordDigits(Tables.orders(s, d))),
+    // --- lag-1..7 autocorrelation of the daily revenue series ---
+    "q_acf" -> ((s, d) =>
+      graft.analytics.Metrics.dailyAcf(Tables.orders(s, d))),
     // --- PageRank centrality over the co-purchase graph (integer fixed-point) ---
     "q_pagerank" -> ((s, d) =>
       graft.analytics.PageRank.pagerank(Tables.lineitem(s, d), Tables.orders(s, d))),
@@ -2519,6 +2568,47 @@ object SparkEntry {
         |      FROM customer JOIN nation ON c_nationkey = n_nationkey
         |                    JOIN region ON n_regionkey = r_regionkey
         |      GROUP BY 1) t""".stripMargin,
+    // exact counts; the estimator verdict is TRUE by the 3-sigma bound
+    // argument (the estimate itself never leaves the Spark side)
+    "q_hll_intersect" ->
+      """WITH c AS (
+        |  SELECT o_custkey AS k,
+        |         CAST(o_orderdate AS DATE) < DATE '1995-01-01' AS is_a
+        |  FROM orders)
+        |SELECT COUNT(DISTINCT CASE WHEN is_a THEN k END) AS n_a,
+        |       COUNT(DISTINCT CASE WHEN NOT is_a THEN k END) AS n_b,
+        |       COUNT(DISTINCT CASE WHEN is_a THEN k END)
+        |         + COUNT(DISTINCT CASE WHEN NOT is_a THEN k END)
+        |         - COUNT(DISTINCT k) AS n_common,
+        |       TRUE AS inter_ok
+        |FROM c""".stripMargin,
+    // spine-filled class and global CDFs, HUGEINT EMD numerators
+    "q_tcloseness" -> graft.analytics.Privacy.tClosenessOracleSql(),
+    // quantile_cont == Spark percentile (linear interpolation); clipped
+    // values fold to cents before the exact sum
+    "q_winsorize" ->
+      """WITH cuts AS (
+        |  SELECT quantile_cont(o_totalprice, 0.01) AS lo,
+        |         quantile_cont(o_totalprice, 0.99) AS hi
+        |  FROM orders),
+        |clipped AS (
+        |  SELECT o_totalprice AS x, lo, hi,
+        |         LEAST(GREATEST(o_totalprice, lo), hi) AS w
+        |  FROM orders CROSS JOIN cuts)
+        |SELECT COUNT(*) AS n,
+        |       CAST(SUM(CASE WHEN x < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+        |       CAST(SUM(CASE WHEN x > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+        |       FLOOR(MAX(lo) * 1e6 + 0.5) / 1e6 AS lo_cut,
+        |       FLOOR(MAX(hi) * 1e6 + 0.5) / 1e6 AS hi_cut,
+        |       FLOOR(CAST(SUM(CAST(FLOOR(w * 100 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |             / 100.0 / CAST(COUNT(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_wins
+        |FROM clipped""".stripMargin,
+    // distinct-value prefix windows, HUGEINT rank sums, one shared fold
+    "q_gini" -> graft.analytics.Metrics.giniRevenueOracleSql(),
+    "q_auc" -> graft.analytics.Metrics.aucPriceUrgencyOracleSql(),
+    "q_mutual_info" -> graft.analytics.Metrics.mutualInfoOracleSql(),
+    "q_benford" -> graft.analytics.Metrics.benfordDigitsOracleSql(),
+    "q_acf" -> graft.analytics.Metrics.dailyAcfOracleSql(),
     // five synchronous integer-arithmetic PageRank rounds unrolled as CTEs
     "q_pagerank" -> graft.analytics.PageRank.pagerankOracleSql(),
     "q_ppr" -> graft.analytics.PageRank.pprOracleSql(),

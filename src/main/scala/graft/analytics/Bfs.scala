@@ -30,12 +30,9 @@ object Bfs {
   def hubDistances(edges: DataFrame, srcCol: String, dstCol: String,
                    nSeeds: Int = 10, rounds: Int = 3): DataFrame = {
     require(nSeeds >= 1 && rounds >= 1, "need seeds and at least one round")
-    val e = graft.Caching.materialize(
-      edges.select(col(srcCol).cast("long").as("src"),
-          col(dstCol).cast("long").as("dst"))
-        .union(edges.select(col(dstCol).cast("long").as("src"),
-          col(srcCol).cast("long").as("dst")))
-        .distinct())
+    // symmetric distinct edge relation, built via the half-edge-cached
+    // union so the upstream pipeline runs once, not once per branch
+    val e = GraphEdges.symmetricDistinct(edges, srcCol, dstCol)
     val seeds = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("node").asc)

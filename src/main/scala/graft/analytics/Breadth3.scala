@@ -371,4 +371,42 @@ object Breadth3 {
         (abs(col("o_totalprice") - col("med")) > lit(4.4478) * col("mad"))
           .as("is_outlier"))
   }
+
+  /** Winsorized summary: clip order totals at the exact [p01, p99]
+    * interpolated percentiles, report the cuts, the clip counts, and
+    * the winsorized mean — the robust-scaling preprocessing step
+    * (outlier-capping before normalization) done as two scalar passes.
+    * Like [[madOutliers]], the percentile pass is the exact sorted
+    * aggregate (Spark `percentile` == DuckDB `quantile_cont`, linear
+    * interpolation); at 100 TB swap in approx_percentile or the
+    * rankDist value-count path — the clip pass is unchanged.
+    *
+    * Exactness: clipped values fold to integer cents before the sum
+    * (exact DECIMAL, order-independent); cuts and mean are single
+    * IEEE expressions folded to 1e-6.
+    * Output: one row (n, n_clipped_lo, n_clipped_hi, lo_cut, hi_cut,
+    * mean_wins).
+    */
+  def winsorizedStats(orders: DataFrame): DataFrame = {
+    val cuts = orders.agg(
+      expr("percentile(o_totalprice, 0.01D)").as("lo"),
+      expr("percentile(o_totalprice, 0.99D)").as("hi"))
+    def fold6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
+    orders.select(col("o_totalprice").as("x"))
+      .crossJoin(broadcast(cuts))
+      .select(col("x"), col("lo"), col("hi"),
+        least(greatest(col("x"), col("lo")), col("hi")).as("w"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("x") < col("lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("x") > col("hi"), 1L).otherwise(0L)).as("n_clipped_hi"),
+        max(col("lo")).as("lo_raw"), max(col("hi")).as("hi_raw"),
+        sum(floor(col("w") * 100 + 0.5).cast(
+          org.apache.spark.sql.types.DecimalType(38, 0))).as("wc"))
+      .select(col("n"),
+        col("n_clipped_lo"), col("n_clipped_hi"),
+        fold6(col("lo_raw")).as("lo_cut"), fold6(col("hi_raw")).as("hi_cut"),
+        fold6(col("wc").cast("double") / 100.0 / col("n").cast("double"))
+          .as("mean_wins"))
+  }
 }

@@ -1,0 +1,36 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Shared symmetric-edge-relation builder for the iterative graph
+  * operators ([[LabelProp]], [[Bfs]], [[GraphStats]]).
+  *
+  * The naive `edges.union(edges.swapped).distinct()` evaluates the
+  * upstream pipeline TWICE — the two union branches are distinct plan
+  * subtrees, and Spark reuses exchanges, not arbitrary subplans. When
+  * the input is the co-bought-parts build (a basket group-by + in-row
+  * pair expansion), that doubles the most expensive stage of every
+  * graph query. Materializing the projected HALF-edge relation first
+  * means both branches read one cache; the interim cache is released
+  * as soon as the symmetric relation is materialized.
+  *
+  * Returns a MATERIALIZED (persisted, computed) relation (src, dst) —
+  * callers either unpersist it when done or rely on the library cache
+  * contract (`Caching.withCaches` / the harness's per-query
+  * clearCache).
+  */
+object GraphEdges {
+
+  def symmetricDistinct(edges: DataFrame, srcCol: String,
+                        dstCol: String): DataFrame = {
+    val half = graft.Caching.materialize(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")))
+    val sym = graft.Caching.materialize(
+      half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    half.unpersist()
+    sym
+  }
+}

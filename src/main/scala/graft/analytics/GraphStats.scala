@@ -29,17 +29,6 @@ import org.apache.spark.sql.types.DecimalType
   */
 object GraphStats {
 
-  /** Symmetric distinct edge relation (src, dst) from an undirected
-    * half-edge list.
-    */
-  private def symmetric(edges: DataFrame, srcCol: String,
-                        dstCol: String): DataFrame =
-    edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .union(edges.select(col(dstCol).cast("long").as("src"),
-        col(srcCol).cast("long").as("dst")))
-      .distinct()
-
   /** Nodes surviving `rounds` peeling rounds at threshold `k`, with
     * their residual degree in the peeled subgraph. One round = compute
     * degrees, keep nodes with degree >= k, restrict edges to kept
@@ -53,7 +42,7 @@ object GraphStats {
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
             k: Int = 3, rounds: Int = 3): DataFrame = {
     require(k >= 1 && rounds >= 1, "need k >= 1 and at least one round")
-    var e = graft.Caching.materialize(symmetric(edges, srcCol, dstCol))
+    var e = GraphEdges.symmetricDistinct(edges, srcCol, dstCol)
     for (_ <- 1 to rounds) {
       // survivor set feeds BOTH endpoint joins — materialize first so
       // the degree agg runs once, not once per join branch
@@ -67,9 +56,11 @@ object GraphStats {
       e.unpersist(); keep.unpersist()
       e = next
     }
-    val out = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
-    e.unpersist()
-    out
+    // the result is LAZY — the final round's cache must stay alive until
+    // the caller consumes it (unpersisting here would force a full
+    // uncached ~2^rounds recompute: measured 45 s vs 6 s at sf0.1); the
+    // harness's per-query clearCache / Caching.withCaches releases it
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
   }
 
   /** Degree assortativity coefficient: the Pearson correlation of
@@ -81,7 +72,7 @@ object GraphStats {
     */
   def degreeAssortativity(edges: DataFrame, srcCol: String,
                           dstCol: String): DataFrame = {
-    val e = graft.Caching.materialize(symmetric(edges, srcCol, dstCol))
+    val e = GraphEdges.symmetricDistinct(edges, srcCol, dstCol)
     // degree relation feeds both endpoint joins
     val deg = graft.Caching.materialize(
       e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))

@@ -38,13 +38,9 @@ object LabelProp {
                        rounds: Int = 3): DataFrame = {
     require(rounds >= 1, "need at least one propagation round")
     // symmetric distinct edge relation — materialized once, consumed by
-    // every round's join (different subtrees; see graft.Caching)
-    val e = graft.Caching.materialize(
-      edges.select(col(srcCol).cast("long").as("src"),
-          col(dstCol).cast("long").as("dst"))
-        .union(edges.select(col(dstCol).cast("long").as("src"),
-          col(srcCol).cast("long").as("dst")))
-        .distinct())
+    // every round's join; built via the half-edge-cached union so the
+    // upstream pipeline runs once, not once per union branch
+    val e = GraphEdges.symmetricDistinct(edges, srcCol, dstCol)
     var labels = e.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
     var prev: DataFrame = null

@@ -1,0 +1,317 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Exact-deterministic statistical metrics a data-quality / model-eval
+  * layer needs over warehouse tables: revenue concentration (Gini),
+  * ranking quality (AUC via the Mann–Whitney rank sum), categorical
+  * association (mutual information), fraud-style digit audit (Benford),
+  * and series memory (autocorrelation).
+  *
+  * Shared exactness discipline (see `Drift`, `GlobalRank`): money folds
+  * to integer cents up front; every sum/product runs in long or
+  * DECIMAL(38,0); `ln` is milli-quantized off an exact integer ratio;
+  * each result performs ONE final IEEE division folded to 1e-6 — so
+  * Spark and the DuckDB oracle are bit-identical, independent of
+  * partitioning and row order.
+  *
+  * Scale shape: every metric collapses the corpus to a bounded relation
+  * first — per-key aggregates, distinct score values, a (class×class)
+  * contingency table, 9 digits, a dated daily series — with map-side
+  * combine; the only ordered windows run over those bounded domains
+  * (the documented `GlobalRank` distinct-value-window argument, with
+  * the same range-partitioned fallback if a domain ever is data-sized).
+  *
+  * Reference anchor: the reference's analytics layer stops at grouped
+  * sums and top-K (`filmETLs.ipynb#cell11-13`); these are the metric
+  * primitives its warehouse users reach for next at 100 TB.
+  */
+object Metrics {
+
+  private val Dec = DecimalType(38, 0)
+
+  private def fold6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+
+  private def cents(c: Column): Column =
+    floor(c * 100 + 0.5).cast("long")
+
+  /** Gini coefficient of per-customer revenue concentration.
+    *
+    * Uses the sorted-rank closed form
+    * `G = (2·Σ i·x_(i) − (n+1)·Σ x) / (n·Σ x)` evaluated per DISTINCT
+    * revenue value: a tie group of c customers at value v with
+    * `before` smaller customers contributes
+    * `v·(2·c·before + c·(c+1))` to `2·Σ i·x_(i)` regardless of how
+    * ties are ordered — so the statistic is deterministic with no
+    * tie-break needed. All terms are exact cents-longs in
+    * DECIMAL(38,0); one division at the end.
+    *
+    * Output: one row (n_customers, gini).
+    */
+  def giniRevenue(orders: DataFrame): DataFrame = {
+    val rev = orders.groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("v"))
+    val byVal = rev.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    // prefix over DISTINCT revenue values (bounded domain; GlobalRank
+    // argument) — range-partition the domain if it ever is data-sized
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    byVal
+      .withColumn("before", coalesce(sum("c").over(w), lit(0L)))
+      .agg(
+        sum(col("c")).as("n"),
+        sum(col("v").cast(Dec) * col("c").cast(Dec)).as("s"),
+        sum(col("v").cast(Dec) *
+          (col("c").cast(Dec) * col("before").cast(Dec) * 2 +
+            col("c").cast(Dec) * (col("c").cast(Dec) + 1))).as("twoRankSum"))
+      .select(col("n").as("n_customers"),
+        fold6((col("twoRankSum") - (col("n").cast(Dec) + 1) * col("s"))
+          .cast("double") /
+          (col("n").cast(Dec) * col("s")).cast("double")).as("gini"))
+  }
+
+  /** DuckDB replay of [[giniRevenue]]. */
+  def giniRevenueOracleSql(): String =
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+      |  FROM orders GROUP BY 1),
+      |byval AS (SELECT v, COUNT(*) AS c FROM rev GROUP BY 1),
+      |pre AS (
+      |  SELECT v, c,
+      |         COALESCE(SUM(c) OVER (ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      |  FROM byval)
+      |SELECT CAST(SUM(c) AS BIGINT) AS n_customers,
+      |       FLOOR(CAST(SUM(CAST(v AS HUGEINT) * (2 * CAST(c AS HUGEINT) * before
+      |                    + CAST(c AS HUGEINT) * (c + 1)))
+      |               - (SUM(c) + 1) * SUM(CAST(v AS HUGEINT) * c) AS DOUBLE)
+      |             / CAST(SUM(c) * SUM(CAST(v AS HUGEINT) * c) AS DOUBLE)
+      |             * 1e6 + 0.5) / 1e6 AS gini
+      |FROM pre""".stripMargin
+
+  /** AUC of order price as a classifier score for urgent priority —
+    * the exact Mann–Whitney rank-sum with midrank tie handling, i.e.
+    * `P(score⁺ > score⁻) + ½·P(tie)`.
+    *
+    * Per distinct score value v with p positives, q negatives and
+    * `beforeNeg` negatives at smaller scores, the doubled U statistic
+    * accumulates `2·p·beforeNeg + p·q` — exact longs, tie-order
+    * invariant; `auc = U₂ / (2·P·Q)` is the single final division.
+    *
+    * Output: one row (n_pos, n_neg, auc).
+    */
+  def aucPriceUrgency(orders: DataFrame): DataFrame = {
+    val scored = orders.select(cents(col("o_totalprice")).as("v"),
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int").as("y"))
+    val byVal = scored.groupBy("v").agg(
+      sum(col("y")).as("p"), sum(lit(1) - col("y")).as("q"))
+    // prefix of negatives over DISTINCT scores (bounded-domain window)
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    byVal
+      .withColumn("beforeNeg", coalesce(sum("q").over(w), lit(0L)))
+      .agg(
+        sum("p").as("n_pos"), sum("q").as("n_neg"),
+        sum(col("p").cast(Dec) * col("beforeNeg").cast(Dec) * 2 +
+          col("p").cast(Dec) * col("q").cast(Dec)).as("u2"))
+      .select(col("n_pos"), col("n_neg"),
+        fold6(col("u2").cast("double") /
+          (col("n_pos").cast(Dec) * col("n_neg").cast(Dec) * 2)
+            .cast("double")).as("auc"))
+  }
+
+  /** DuckDB replay of [[aucPriceUrgency]]. */
+  def aucPriceUrgencyOracleSql(): String =
+    """WITH scored AS (
+      |  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+      |         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |              THEN 1 ELSE 0 END AS y
+      |  FROM orders),
+      |byval AS (
+      |  SELECT v, SUM(y) AS p, SUM(1 - y) AS q FROM scored GROUP BY 1),
+      |pre AS (
+      |  SELECT p, q,
+      |         COALESCE(SUM(q) OVER (ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS beforeNeg
+      |  FROM byval)
+      |SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+      |       CAST(SUM(q) AS BIGINT) AS n_neg,
+      |       FLOOR(CAST(SUM(2 * CAST(p AS HUGEINT) * beforeNeg
+      |                       + CAST(p AS HUGEINT) * q) AS DOUBLE)
+      |             / CAST(2 * SUM(p) * SUM(q) AS DOUBLE)
+      |             * 1e6 + 0.5) / 1e6 AS auc
+      |FROM pre""".stripMargin
+
+  /** Mutual information (nats) between nation and market segment — the
+    * categorical-association / feature-redundancy metric:
+    * `MI = Σ_ij (n_ij/N)·ln(n_ij·N / (r_i·c_j))`.
+    *
+    * The corpus collapses to the contingency table in one combined
+    * shuffle; marginals come from the table itself. Each cell's log
+    * ratio is computed off exact longs and milli-quantized (`Drift`
+    * discipline), the per-cell contribution `n_ij·lr_milli` sums as an
+    * exact long, and `Σ/(N·10³)` is the one final division.
+    *
+    * Output: one row (n_cells, mi).
+    */
+  def mutualInfo(customer: DataFrame): DataFrame = {
+    val cells = customer.groupBy(col("c_nationkey").as("a"),
+        col("c_mktsegment").as("b"))
+      .agg(count(lit(1)).as("nij"))
+    graft.Caching.materialize(cells) // feeds cells, both marginals, N
+    val ra = cells.groupBy("a").agg(sum("nij").as("ra"))
+    val cb = cells.groupBy("b").agg(sum("nij").as("cb"))
+    val tot = cells.agg(sum("nij").as("n"))
+    cells.join(broadcast(ra), "a").join(broadcast(cb), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("nij"),
+        floor(log((col("nij").cast(Dec) * col("n").cast(Dec)).cast("double") /
+          (col("ra").cast(Dec) * col("cb").cast(Dec)).cast("double")) * 1e3
+          + 0.5).cast("long").as("lr_milli"),
+        col("n"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("nij") * col("lr_milli")).as("num"),
+        max(col("n")).as("n"))
+      .select(col("n_cells"),
+        fold6(col("num").cast("double") / (col("n").cast("double") * 1e3))
+          .as("mi"))
+  }
+
+  /** DuckDB replay of [[mutualInfo]]. */
+  def mutualInfoOracleSql(): String =
+    """WITH cells AS (
+      |  SELECT c_nationkey AS a, c_mktsegment AS b, COUNT(*) AS nij
+      |  FROM customer GROUP BY 1, 2),
+      |ra AS (SELECT a, SUM(nij) AS ra FROM cells GROUP BY 1),
+      |cb AS (SELECT b, SUM(nij) AS cb FROM cells GROUP BY 1),
+      |tot AS (SELECT SUM(nij) AS n FROM cells),
+      |scored AS (
+      |  SELECT nij,
+      |         CAST(FLOOR(LN(CAST(nij * n AS DOUBLE)
+      |                       / CAST(ra.ra * cb.cb AS DOUBLE)) * 1e3 + 0.5)
+      |              AS BIGINT) AS lr_milli,
+      |         n
+      |  FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |       FLOOR(CAST(SUM(nij * lr_milli) AS DOUBLE)
+      |             / (CAST(MAX(n) AS DOUBLE) * 1e3) * 1e6 + 0.5) / 1e6 AS mi
+      |FROM scored""".stripMargin
+
+  /** Benford first-significant-digit audit of order totals — the
+    * classic fabricated-amounts screen. The leading digit is read off
+    * the CENTS integer's decimal string (leading-digit is invariant
+    * under the ×100 scale shift, and integer-to-string is exact in
+    * both engines — no float log10 at digit boundaries). Expected
+    * shares `log10(1+1/d)` ship as the SAME ppm literals in engine and
+    * oracle.
+    *
+    * Output: 9 rows (digit, cnt, obs_share, exp_share).
+    */
+  def benfordDigits(orders: DataFrame): DataFrame = {
+    val c = orders.select(cents(col("o_totalprice")).as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+    val tot = c.agg(count(lit(1)).as("n"))
+    val exp = benfordExpPpm.map { case (d, ppm) =>
+      s"WHEN $d THEN ${ppm}L" }.mkString(" ")
+    c.groupBy("digit").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("cnt"),
+        fold6(col("cnt").cast("double") / col("n").cast("double"))
+          .as("obs_share"),
+        (expr(s"CASE digit $exp END").cast("double") / 1e6).as("exp_share"))
+  }
+
+  /** ppm literals for log10(1+1/d), d=1..9 — one shared constant table
+    * so engine and oracle agree bit-for-bit by construction.
+    */
+  private val benfordExpPpm: Seq[(Int, Long)] = (1 to 9).map { d =>
+    d -> math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5).toLong
+  }
+
+  /** DuckDB replay of [[benfordDigits]]. */
+  def benfordDigitsOracleSql(): String = {
+    val exp = benfordExpPpm.map { case (d, ppm) =>
+      s"WHEN $d THEN $ppm" }.mkString(" ")
+    s"""WITH c AS (
+       |  SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5)
+       |                  AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+       |  FROM orders
+       |  WHERE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) > 0),
+       |tot AS (SELECT COUNT(*) AS n FROM c)
+       |SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |       FLOOR(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)
+       |             * 1e6 + 0.5) / 1e6 AS obs_share,
+       |       CAST(CASE digit $exp END AS DOUBLE) / 1e6 AS exp_share
+       |FROM c CROSS JOIN tot
+       |GROUP BY digit""".stripMargin
+  }
+
+  /** Lag-1..`maxLag` autocorrelation of the daily-revenue series — the
+    * series-memory diagnostic behind seasonality/model-order choices.
+    *
+    * The corpus collapses to the dated daily series (bounded domain ≈
+    * date span); positions come from a row_number over that bounded
+    * relation. With S = Σx and n the series length, the mean-centered
+    * products are cleared of the rational mean by scaling with n:
+    * `num_k = Σ_t (n·x_t − S)(n·x_{t+k} − S)`, `den = Σ_t (n·x_t − S)²`
+    * — all exact cents-long arithmetic in DECIMAL(38,0), one division
+    * per lag.
+    *
+    * Output: `maxLag` rows (lag, n_pairs, acf).
+    */
+  def dailyAcf(orders: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, "need at least one lag")
+    val daily = orders
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum(cents(col("o_totalprice"))).as("x"))
+    // position over the bounded daily series (GlobalRank argument)
+    val wd = Window.orderBy("d")
+    val series = graft.Caching.materialize(
+      daily.select(row_number().over(wd).as("i"), col("x")))
+    val tot = series.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(Dec)).as("s"))
+    val centered = series.crossJoin(broadcast(tot))
+      .select(col("i"),
+        (col("x").cast(Dec) * col("n").cast(Dec) - col("s")).as("cx"))
+    graft.Caching.materialize(centered) // both join sides + denominator
+    val den = centered.agg(sum(col("cx") * col("cx")).as("den"))
+    val lags = orders.sparkSession.range(1, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    val pairs = centered.crossJoin(broadcast(lags))
+      .select(col("lag"), (col("i") + col("lag")).as("j"), col("cx"))
+      .join(centered.select(col("i").as("j"), col("cx").as("cy")), "j")
+    pairs.groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("cx") * col("cy")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        fold6(col("num").cast("double") / col("den").cast("double"))
+          .as("acf"))
+  }
+
+  /** DuckDB replay of [[dailyAcf]]. */
+  def dailyAcfOracleSql(maxLag: Int = 7): String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
+       |  FROM orders GROUP BY 1),
+       |series AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, x FROM daily),
+       |tot AS (SELECT COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS s FROM series),
+       |centered AS (
+       |  SELECT i, CAST(x AS HUGEINT) * n - s AS cx
+       |  FROM series CROSS JOIN tot),
+       |den AS (SELECT SUM(cx * cx) AS den FROM centered),
+       |lags AS (SELECT CAST(range AS INTEGER) AS lag FROM range(1, ${maxLag + 1}))
+       |SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |       FLOOR(CAST(SUM(a.cx * b.cx) AS DOUBLE)
+       |             / CAST(MAX(den.den) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS acf
+       |FROM centered a CROSS JOIN lags
+       |JOIN centered b ON b.i = a.i + lag
+       |CROSS JOIN den
+       |GROUP BY lag""".stripMargin
+}
