@@ -30,4 +30,25 @@ object Caching {
     cached.count()
     cached
   }
+
+  /** Eager localCheckpoint: materializes AND truncates lineage — the
+    * round-loop variant of [[materialize]] for iterative operators
+    * (k-core, LPA, BFS, HITS; same pattern as the star-contraction CC).
+    *
+    * Why persist alone is not enough there: a persisted round output
+    * keeps its full LOGICAL plan, and Spark eagerly renders the plan
+    * description string on every action and AQE update
+    * (SQLExecution.withNewExecutionId / onUpdatePlan — even with the UI
+    * off). A cached subtree consumed by two branches is rendered in
+    * BOTH, so the rendered tree doubles per round — jstack during the
+    * BENCH_r04 q_kcore spikes (249 s for ~10 s of executor work) showed
+    * the driver pinned in TreeNode.generateTreeString / nodeName
+    * regex-compile between jobs. Checkpointing makes each round's plan a
+    * LogicalRDD leaf: O(1) plan depth, O(1) description, no re-analysis
+    * of the whole history each round. Storage cost is the same
+    * MEMORY_AND_DISK partitions persist would hold; the lost
+    * recompute-from-lineage fault tolerance is the standard iterative-
+    * algorithm trade (checkpoint discipline), documented per call site.
+    */
+  def checkpointed(df: DataFrame): DataFrame = df.localCheckpoint(true)
 }

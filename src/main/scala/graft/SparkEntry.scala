@@ -459,6 +459,22 @@ object SparkEntry {
     "q_degree_assort" -> ((s, d) =>
       graft.analytics.GraphStats.degreeAssortativity(
         coBoughtEdges(s, d), "item_a", "item_b")),
+    // --- HITS hubs/authorities: exact integer fixed-point, L1 renorm ---
+    "q_hits" -> ((s, d) =>
+      graft.analytics.Hits.hits(Tables.lineitem(s, d), Tables.orders(s, d))),
+    // --- item-item CF: top-5 co-bought neighbors by exact-count cosine ---
+    "q_item_cf" -> ((s, d) =>
+      graft.analytics.Baskets.itemNeighbors(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey")),
+    // --- truncated EWMA volume smoothing (dyadic weights: exact sums) ---
+    "q_ewma" -> ((s, d) =>
+      graft.analytics.Drift.ewmaMonthlyOrders(Tables.orders(s, d))),
+    // --- first/last-touch revenue attribution over user timelines ---
+    "q_attribution" -> ((s, d) =>
+      Breadth3.touchAttribution(Tables.events(s, d))),
+    // --- asymmetric n-gram containment (quote/excerpt detector) ---
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d))),
     // --- closed-form 2-regressor OLS from exact power sums ---
     "q_ols" -> ((s, d) => graft.analytics.Ols.priceModel(Tables.lineitem(s, d))),
     // --- least-squares trend slope per supplier, exact integer sums ---
@@ -1389,6 +1405,88 @@ object SparkEntry {
     "q_kcore" -> graft.analytics.GraphStats.kCoreOracleSql(),
     // exact HUGEINT power sums, one shared IEEE Pearson expression
     "q_degree_assort" -> graft.analytics.GraphStats.assortativityOracleSql,
+    // HITS rounds unrolled as CTE pairs, HUGEINT `//` renormalization
+    "q_hits" -> graft.analytics.Hits.hitsOracleSql(),
+    // same Apriori-pruned pair counts (HAVING >= 2 makes the item prune
+    // lossless), symmetrized, one shared IEEE cosine, ROW_NUMBER top-k
+    "q_item_cf" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ic AS (SELECT l_partkey, COUNT(*) AS c_item FROM items GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, COUNT(*) AS c_pair
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |directed AS (
+        |  SELECT item_a AS item, item_b AS neighbor, c_pair FROM pairs
+        |  UNION ALL
+        |  SELECT item_b, item_a, c_pair FROM pairs),
+        |scored AS (
+        |  SELECT d.item, d.neighbor, d.c_pair,
+        |         CAST(d.c_pair AS DOUBLE) /
+        |           sqrt(CAST(ci.c_item * cn.c_item AS DOUBLE)) AS cosine
+        |  FROM directed d
+        |  JOIN ic ci ON ci.l_partkey = d.item
+        |  JOIN ic cn ON cn.l_partkey = d.neighbor)
+        |SELECT item, neighbor, c_pair, cosine, rank FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY item ORDER BY cosine DESC, neighbor) AS INTEGER) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5""".stripMargin,
+    // identical lag window + left-associated dyadic weighted sum
+    "q_ewma" -> graft.analytics.Drift.ewmaOracleSql(),
+    // IGNORE NULLS first/last over the same (ts, event_id) total order
+    "q_attribution" ->
+      """WITH tl AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CAST(value AS DECIMAL(18,2)) AS v,
+        |         FIRST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_touch,
+        |         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_touch
+        |  FROM events),
+        |purchases AS (
+        |  SELECT COALESCE(first_touch, '(none)') AS ft,
+        |         COALESCE(last_touch, '(none)') AS lt, v
+        |  FROM tl WHERE event_type = 'purchase'),
+        |by_first AS (
+        |  SELECT ft AS channel, CAST(SUM(v) * 100 AS BIGINT) AS first_touch_cents,
+        |         COUNT(*) AS n_first
+        |  FROM purchases GROUP BY 1),
+        |by_last AS (
+        |  SELECT lt AS channel, CAST(SUM(v) * 100 AS BIGINT) AS last_touch_cents,
+        |         COUNT(*) AS n_last
+        |  FROM purchases GROUP BY 1)
+        |SELECT COALESCE(f.channel, l.channel) AS channel,
+        |       COALESCE(first_touch_cents, 0) AS first_touch_cents,
+        |       COALESCE(last_touch_cents, 0) AS last_touch_cents,
+        |       COALESCE(n_first, 0) AS n_first,
+        |       COALESCE(n_last, 0) AS n_last
+        |FROM by_first f FULL OUTER JOIN by_last l ON f.channel = l.channel""".stripMargin,
+    // exact shared-gram counts over raw string shingles (the engine's
+    // xxhash64 fold is injective, so containment values are unchanged)
+    "dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, len(g) AS n_grams FROM grams),
+        |inv AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+        |rare AS (SELECT gram FROM inv GROUP BY 1 HAVING COUNT(*) <= 1000000),
+        |f AS (SELECT inv.doc_id, inv.gram FROM inv JOIN rare USING (gram)),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        |  FROM f a JOIN f b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       CAST(shared AS DOUBLE) / sa.n_grams AS containment
+        |FROM shared
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |WHERE CAST(shared AS DOUBLE) / sa.n_grams >= 0.7""".stripMargin,
     // plain id-ordered triple join — a DIFFERENT orientation than the
     // engine's degree-ordered wedges, same triangles: differential proof
     "q_triangles" ->

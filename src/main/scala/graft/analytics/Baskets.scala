@@ -89,6 +89,54 @@ object Baskets {
       .limit(k)
   }
 
+  /** Item-item collaborative-filtering neighbors (Sarwar et al.,
+    * "Item-based collaborative filtering recommendation algorithms",
+    * WWW'01): for every item, its top-`nPerItem` co-bought partners by
+    * cosine similarity over basket incidence vectors —
+    * cos(a,b) = c_ab / √(c_a·c_b) with all counts exact longs and the
+    * cosine ONE shared IEEE expression (bit-identical cross-engine).
+    *
+    * Output: (item, neighbor, c_pair, cosine, rank), rank 1..nPerItem
+    * per item by (cosine desc, neighbor asc).
+    *
+    * Scale shape: reuses the Apriori-pruned, explode-guarded pair
+    * expansion of [[pairLift]] — the quadratic step stays per-basket and
+    * capped. The per-item top-k window partitions by item, and an item's
+    * partner count is bounded by its basket-capped co-occurrence degree —
+    * no global window, no unbounded partition.
+    */
+  def itemNeighbors(basketItems: DataFrame, basketCol: String, itemCol: String,
+                    minSupport: Long = 2L, nPerItem: Int = 5,
+                    maxBasketSize: Int = 4096): DataFrame = {
+    require(minSupport >= 1 && nPerItem >= 1, "need support and k >= 1")
+    val items = graft.Caching.materialize(
+      basketItems.select(col(basketCol), col(itemCol)).distinct())
+    val itemCnt = graft.Caching.materialize(
+      items.groupBy(itemCol).agg(count(lit(1)).as("c_item")))
+    val frequent = items.join(
+      itemCnt.filter(col("c_item") >= minSupport).select(itemCol), itemCol)
+    val pairs = basketPairs(basketArrays(frequent, basketCol, itemCol, maxBasketSize))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("c_pair"))
+      .filter(col("c_pair") >= minSupport)
+    // symmetrize: each surviving pair is a neighbor candidate in BOTH
+    // directions
+    val directed = pairs.select(col("item_a").as("item"),
+        col("item_b").as("neighbor"), col("c_pair"))
+      .unionByName(pairs.select(col("item_b").as("item"),
+        col("item_a").as("neighbor"), col("c_pair")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("item").orderBy(desc("cosine"), asc("neighbor"))
+    directed
+      .join(itemCnt.select(col(itemCol).as("item"), col("c_item").as("c_i")), "item")
+      .join(itemCnt.select(col(itemCol).as("neighbor"), col("c_item").as("c_n")), "neighbor")
+      .select(col("item"), col("neighbor"), col("c_pair"),
+        (col("c_pair").cast("double") /
+          sqrt((col("c_i") * col("c_n")).cast("double"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= nPerItem)
+  }
+
   /** In-basket co-occurrence pairs (item_a < item_b), one row per
     * (basket, pair) — NOT deduplicated across baskets. Feed this to
     * consumers that canonicalize + distinct the edge relation themselves

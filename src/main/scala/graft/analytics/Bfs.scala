@@ -38,18 +38,18 @@ object Bfs {
       .orderBy(col("d").desc, col("node").asc)
       .limit(nSeeds)
       .select(col("node"), lit(0).as("dist"))
-    // materialize each round BEFORE releasing the previous one (the
-    // graft.Caching discipline): `dist` feeds TWO subtrees per round
-    // (frontier filter + union) — left lazy, the chain recomputes
-    // ~2^rounds times (measured 7.5 s → 3.6 s at sf0.1 for rounds=3;
-    // the residual is the upstream co-occurrence edge build)
-    var dist = graft.Caching.materialize(seeds)
+    // checkpoint each round BEFORE releasing the previous one: `dist`
+    // feeds TWO subtrees per round (frontier filter + union) — left
+    // lazy, the chain recomputes ~2^rounds times; left merely
+    // persisted, the rendered plan-description doubles per round and
+    // the driver stalls between jobs (Caching.checkpointed)
+    var dist = graft.Caching.checkpointed(seeds)
     for (r <- 1 to rounds) {
       val frontier = dist.filter(col("dist") === r - 1)
         .select(col("node").as("src"))
       val expanded = e.join(frontier, "src")
         .select(col("dst").as("node"), lit(r).as("dist"))
-      val next = graft.Caching.materialize(dist.unionByName(expanded)
+      val next = graft.Caching.checkpointed(dist.unionByName(expanded)
         .groupBy("node").agg(min("dist").as("dist")))
       dist.unpersist()
       dist = next

@@ -409,4 +409,56 @@ object Breadth3 {
         fold6(col("wc").cast("double") / 100.0 / col("n").cast("double"))
           .as("mean_wins"))
   }
+
+  // -------------------------------------------------------- attribution
+
+  /** First-touch / last-touch revenue attribution: every `purchase`
+    * event's value is credited to the first and to the most recent
+    * non-purchase event type in that user's preceding history — the two
+    * endpoints of the classic marketing-attribution spectrum (the
+    * position-based models in between are weighted blends of these).
+    *
+    * Both attributions are `first`/`last` with ignoreNulls over the
+    * fully-ordered (ts, event_id) user timeline, so ties cannot
+    * reorder; purchases with no preceding touch fall into the
+    * '(none)' channel rather than vanishing. Value sums go through
+    * DECIMAL(18,2) (order-independent), surfaced as exact cents.
+    *
+    * Scale: ONE shuffle partitions each user's timeline; both window
+    * passes and the purchase filter ride it, and the final rollup is a
+    * hash agg over the (channel × channel)-bounded key space. State per
+    * user is two strings — no timeline is ever collected.
+    *
+    * Output: (channel, first_touch_cents, last_touch_cents,
+    * n_first, n_last) — per channel, revenue and purchase counts it is
+    * credited with under each model.
+    */
+  def touchAttribution(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val purchases = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), dec("value").as("v"))
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(col("first_touch"), lit("(none)")).as("ft"),
+        coalesce(col("last_touch"), lit("(none)")).as("lt"), col("v"))
+    // one rollup per model over the channel-bounded domain, full-outer
+    // merged so a channel that only ever closes (or only opens) still
+    // reports both columns
+    val byFirst = purchases.groupBy(col("ft").as("channel"))
+      .agg((sum("v") * 100).cast("long").as("first_touch_cents"),
+        count(lit(1)).as("n_first"))
+    val byLast = purchases.groupBy(col("lt").as("channel"))
+      .agg((sum("v") * 100).cast("long").as("last_touch_cents"),
+        count(lit(1)).as("n_last"))
+    byFirst.join(byLast, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("first_touch_cents"), lit(0L)).as("first_touch_cents"),
+        coalesce(col("last_touch_cents"), lit(0L)).as("last_touch_cents"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        coalesce(col("n_last"), lit(0L)).as("n_last"))
+  }
 }

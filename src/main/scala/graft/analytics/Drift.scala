@@ -328,4 +328,78 @@ object Drift {
         round(col("d_num").cast("double") /
           (col("na").cast("double") * col("nb").cast("double")), 6).as("ks_stat"))
   }
+
+  // ---------------------------------------------------------------- EWMA
+
+  /** Truncated exponentially-weighted moving average of the monthly
+    * order count per priority class — the standard smoothing for "is
+    * this source's volume trending?" monitors (Roberts, "Control chart
+    * tests based on geometric moving averages", Technometrics 1959),
+    * truncated to `lags` terms so it stays a fixed expression tree:
+    *
+    *   ewma_t = Σ_{k<lags} w_k·y_{t−k} / Σ_{k<lags, present} w_k,
+    *   w_k = 2^{−(k+1)}  (α = 1/2)
+    *
+    * Exactness: α = 1/2 makes every weight a dyadic rational; counts are
+    * longs, so each product merely shifts the exponent and every partial
+    * sum is EXACT in double (common denominator 2^−lags, numerator far
+    * below 2⁵³). The one rounding op is the final division — identical
+    * bits on any engine, no fold needed.
+    *
+    * Scale shape: the corpus collapses to the (month × priority)-bounded
+    * monthly aggregate in one shuffle; the lag window runs over that
+    * bounded domain, partitioned by priority.
+    *
+    * Output: (o_orderpriority, month_start, n_orders, ewma).
+    */
+  def ewmaMonthlyOrders(orders: DataFrame, lags: Int = 6): DataFrame = {
+    require(lags >= 1 && lags <= 30, "lags must be in [1, 30]")
+    val monthly = orders.groupBy(
+        trunc(col("o_orderdate").cast("date"), "month").as("month_start"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("month_start")
+    val withLags = (0 until lags).foldLeft(monthly) { (df, k) =>
+      df.withColumn(s"l$k", lag(col("n_orders"), k).over(w))
+    }
+    val weights = (0 until lags).map(k => math.pow(0.5, k + 1))
+    val num = (0 until lags).map(k =>
+      when(col(s"l$k").isNotNull, col(s"l$k").cast("double") * weights(k))
+        .otherwise(0.0): org.apache.spark.sql.Column).reduce(_ + _)
+    val den = (0 until lags).map(k =>
+      when(col(s"l$k").isNotNull, lit(weights(k)))
+        .otherwise(0.0): org.apache.spark.sql.Column).reduce(_ + _)
+    withLags.select(col("o_orderpriority"), col("month_start"),
+      col("n_orders"), (num / den).as("ewma"))
+  }
+
+  /** DuckDB replay of [[ewmaMonthlyOrders]]: the same lag window and the
+    * same left-associated weighted sum; weights printed as exact decimal
+    * literals with an `e0` exponent so DuckDB parses them as DOUBLE
+    * (bare `0.5` would be DECIMAL and change the arithmetic).
+    */
+  def ewmaOracleSql(lags: Int = 6): String = {
+    val weights = (0 until lags).map(k =>
+      BigDecimal(math.pow(0.5, k + 1)).bigDecimal.toPlainString + "e0")
+    val lagDefs = (0 until lags).map(k =>
+      s"LAG(n_orders, $k) OVER (PARTITION BY o_orderpriority ORDER BY month_start) AS l$k")
+      .mkString(",\n         ")
+    val num = (0 until lags).map(k =>
+      s"CASE WHEN l$k IS NOT NULL THEN CAST(l$k AS DOUBLE) * ${weights(k)} ELSE 0e0 END")
+      .mkString(" + ")
+    val den = (0 until lags).map(k =>
+      s"CASE WHEN l$k IS NOT NULL THEN ${weights(k)} ELSE 0e0 END")
+      .mkString(" + ")
+    s"""WITH monthly AS (
+       |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       |         o_orderpriority, COUNT(*) AS n_orders
+       |  FROM orders GROUP BY 1, 2),
+       |lagged AS (
+       |  SELECT month_start, o_orderpriority, n_orders,
+       |         $lagDefs
+       |  FROM monthly)
+       |SELECT o_orderpriority, month_start, n_orders,
+       |       ($num) / ($den) AS ewma
+       |FROM lagged""".stripMargin
+  }
 }

@@ -49,7 +49,10 @@ object GraphStats {
       val keep = graft.Caching.materialize(
         e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k).select("node"))
-      val next = graft.Caching.materialize(
+      // checkpoint, not persist: the round output feeds next round's TWO
+      // endpoint joins — persisted lineage doubles the rendered plan per
+      // round (see Caching.checkpointed); the leaf plan keeps rounds O(1)
+      val next = graft.Caching.checkpointed(
         e.join(keep.select(col("node").as("src")), "src")
           .join(keep.select(col("node").as("dst")), "dst")
           .select("src", "dst"))

@@ -52,13 +52,12 @@ object LabelProp {
       // argmax by (count desc, label asc) — min of struct(-c, lbl); the
       // symmetric edge list gives every node ≥ 1 neighbor, so this
       // covers all nodes each round.
-      // Materialize each round BEFORE releasing the previous one (the
-      // graft.Caching discipline): the final labels feed TWO consumers
-      // (output + sizes) and each round's labels feed the next round's
-      // join — left lazy, every consumer would recompute the whole
-      // round chain (measured 8.1 s → 4.9 s at sf0.1 for rounds=3;
-      // the residual is the upstream co-occurrence edge build)
-      labels = graft.Caching.materialize(votes.groupBy("id")
+      // Checkpoint each round BEFORE releasing the previous one: the
+      // final labels feed TWO consumers (output + sizes) and each
+      // round's labels feed the next round's join — left lazy, every
+      // consumer recomputes the whole chain, and left merely PERSISTED
+      // the rendered plan doubles per round (Caching.checkpointed)
+      labels = graft.Caching.checkpointed(votes.groupBy("id")
         .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
         .select(col("id"), col("m.lbl").as("lbl")))
       if (prev != null) prev.unpersist()

@@ -87,29 +87,17 @@ object CosinePairs {
     val docVecs = graft.Caching.materialize(feats.groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("hv"), col("wn")))).as("fv")))
 
-    // Dedup placement is dispatched on the vector table's size (same
-    // budget discipline as SkewJoin.dispatchedBlockJoin):
-    //  - docVecs fits the broadcast budget → verify the RAW candidate
-    //    rows map-side (two broadcast probes + codegen merge-dot, ZERO
-    //    shuffle) and dedup only the filtered survivors. The pre-distinct
-    //    multiset is ~2.4× the candidate set (26.3 M vs 10.75 M at
-    //    sf0.1); redundant map-side dots cost about what the early
-    //    distinct cost locally (measured parity, ~3.8 s cached-stage
-    //    tail either way at sf0.1 — a local shuffle is RAM-speed), but
-    //    on a real cluster this path moves the 26 M-row pair multiset
-    //    across the network ZERO times instead of once;
-    //  - corpus-scale docVecs → distinct FIRST so the shuffled verify
-    //    joins move each candidate pair once, not 2.4×.
-    val verified =
-      if (docVecs.queryExecution.optimizedPlan.stats.sizeInBytes
-            <= BigInt(64L << 20)) {
-        verifyDot(rawPairs, docVecs, broadcastVecs = true)
-          .filter(col("dot_pico") >= tPico)
-          .distinct()
-      } else {
-        verifyDot(rawPairs.distinct(), docVecs, broadcastVecs = false)
-          .filter(col("dot_pico") >= tPico)
-      }
+    // Distinct FIRST, then shuffled verify joins: each candidate pair is
+    // verified exactly once. A broadcast-verify variant (probe the raw
+    // 26 M-row pre-distinct multiset against broadcast vectors, dedup
+    // the survivors) was tried and REVERTED: the optimizer's
+    // sizeInBytes estimate for the packed-vector table wildly
+    // understates the in-memory hash-relation (arrays of structs), so
+    // the "under budget" branch built a multi-hundred-MB broadcast and
+    // re-dotted 2.4× the pairs — BENCH_r04 measured it at 22.6 s
+    // steady-state / 237 s cold vs 3.96 s for this formulation.
+    val verified = verifyDot(rawPairs.distinct(), docVecs)
+      .filter(col("dot_pico") >= tPico)
     verified.select(col("doc_a"), col("doc_b"),
       (col("dot_pico").cast("double") / PicoPerUnit).as("cosine"))
   }
@@ -117,12 +105,10 @@ object CosinePairs {
   /** The exact-dot verify join: attach both packed vectors to each
     * candidate row and compute the pico dot with the codegen merge-walk.
     */
-  private def verifyDot(pairs: DataFrame, docVecs: DataFrame,
-                        broadcastVecs: Boolean): DataFrame = {
-    val vecs = if (broadcastVecs) broadcast(docVecs) else docVecs
+  private def verifyDot(pairs: DataFrame, docVecs: DataFrame): DataFrame = {
     pairs
-      .join(vecs.select(col("doc_id").as("doc_a"), col("fv").as("fva")), "doc_a")
-      .join(vecs.select(col("doc_id").as("doc_b"), col("fv").as("fvb")), "doc_b")
+      .join(docVecs.select(col("doc_id").as("doc_a"), col("fv").as("fva")), "doc_a")
+      .join(docVecs.select(col("doc_id").as("doc_b"), col("fv").as("fvb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         graft.functions.VectorFunctions.sorted_weight_dot(
           col("fva"), col("fvb")).as("dot_pico"))

@@ -349,6 +349,72 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric n-gram CONTAINMENT join: pairs (a, b) with
+    * |grams(a) ∩ grams(b)| / |grams(a)| ≥ threshold — the "is this doc
+    * mostly a sub-document of that one" relation Jaccard misses when
+    * sizes differ wildly (a paragraph quoted inside a long page has
+    * tiny Jaccard but containment ≈ 1). This is the quote/excerpt
+    * detector corpus pipelines run alongside symmetric near-dup.
+    *
+    * Exact, with the asymmetric prefix filter (Chaudhuri, Ganti &
+    * Kaushik, "A primitive operator for similarity joins in data
+    * cleaning", ICDE'06): C(a,b) ≥ t needs overlap ≥ ⌈t·|a|⌉, so a
+    * matching pair must share a gram among a's first
+    * |a| − ⌈t·|a|⌉ + 1 grams in global df-ascending order — the PROBE
+    * side indexes only prefixes while the build side keeps all grams
+    * (asymmetric joins get no prefix on the contained-in side), plus
+    * the size prune |b| ≥ ⌈t·|a|⌉. Candidates are verified with exact
+    * array_intersect on the full hashed-gram arrays.
+    *
+    * Scale: candidate volume is Σ_prefix df(gram) with df-ascending
+    * prefixes biasing toward rare grams; `maxDocsPerGram` is the same
+    * last-resort hot-gram cap as [[ngramJaccard]] (documented recall
+    * trade, effectively off by default).
+    *
+    * Output: (doc_a, doc_b, containment) — doc_a is the CONTAINED side;
+    * mutual near-copies appear in both directions.
+    */
+  def containmentPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.7,
+                       maxDocsPerGram: Int = 1000000): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    require(threshold > 0 && threshold <= 1,
+      "threshold must be in (0, 1] — prefix filtering is undefined at 0")
+    // same hashed distinct-gram relation as ngramJaccard: one derivation,
+    // three consumers (probe prefixes, build index, verify arrays)
+    val grams = documents
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), wordShingles(col("toks"), n).as("sgrams"))
+      .select(col("doc_id"),
+        array_distinct(transform(col("sgrams"), g => xxhash64(g))).as("grams"))
+      .select(col("doc_id"), col("grams"), size(col("grams")).as("n_grams"))
+    val gramsM = graft.Caching.materialize(grams)
+    val inv = gramsM.select(col("doc_id"), col("n_grams"),
+      explode(col("grams")).as("gram"))
+    val dfs = inv.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocsPerGram)
+    val capped = graft.Caching.materialize(inv.join(dfs, "gram")
+      .select(col("doc_id"), col("n_grams"), col("gram"), col("df")))
+    val prefixLen = col("n_grams") - ceil(col("n_grams") * threshold) + 1
+    val prefixes = capped
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(asc("df"), asc("gram"))))
+      .filter(col("rn") <= prefixLen)
+    val cand = prefixes.as("a")
+      .join(capped.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.n_grams") >= ceil(col("a.n_grams") * threshold))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(gramsM.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
+        col("n_grams").as("na")), "doc_a")
+      .join(gramsM.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          col("na")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   // ------------------------------------------------------ decontamination
 
   /** Train/eval contamination scan — the decontamination pass LLM data

@@ -75,6 +75,12 @@ object Tables {
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      // some fixture generations write ts as timestamp[us] WITHOUT a
+      // timezone (→ TIMESTAMP_NTZ in Spark 4, which unix_millis/micros
+      // reject); the session runs in UTC, so the cast re-labels the same
+      // micros value as an instant without shifting it
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", raw("ts").cast("timestamp"))
       case _ => raw
     }
   }

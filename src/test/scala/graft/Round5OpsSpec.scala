@@ -1,0 +1,162 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Baskets, Breadth3, Drift, Hits}
+import graft.dedup.Dedup
+
+/** Round-5 operator batch: HITS fixed-point, item-item CF cosine
+  * neighbors, truncated EWMA, touch attribution, and asymmetric n-gram
+  * containment — each checked against an independent brute-force
+  * replication on a hand-sized fixture.
+  */
+class Round5OpsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // --------------------------------------------------------------- HITS
+
+  test("hits matches a driver-side BigInt replication of the recurrence") {
+    // lineitem/orders shaped fixture: orders 1..4 map customers to parts
+    val lineitem = Seq((1L, 101L), (1L, 102L), (2L, 101L), (3L, 103L), (4L, 101L), (4L, 103L))
+      .toDF("l_orderkey", "l_suppkey")
+    val orders = Seq((1L, 11L), (2L, 12L), (3L, 12L), (4L, 13L))
+      .toDF("o_orderkey", "o_custkey")
+    val got = Hits.hits(lineitem, orders, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    // brute force with exact BigInt arithmetic, same L1 renorm
+    val mass = BigInt("1000000000000")
+    val edges = Seq((11L, 101L), (11L, 102L), (12L, 101L), (12L, 103L), (13L, 101L), (13L, 103L))
+      .map { case (c, s) => (2 * c, 2 * s + 1) }.distinct
+    val hubsIds = edges.map(_._1).distinct
+    var h: Map[Long, BigInt] = hubsIds.map(_ -> mass / hubsIds.size).toMap
+    var a: Map[Long, BigInt] = Map.empty
+    def renorm(m: Map[Long, BigInt]): Map[Long, BigInt] = {
+      val tot = m.values.sum
+      m.map { case (k, v) => k -> (v * mass / tot) }
+    }
+    for (_ <- 1 to 3) {
+      a = renorm(edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => h(e._1)).sum })
+      h = renorm(edges.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(e => a(e._2)).sum })
+    }
+    val expect = h.map { case (k, v) => (k, "hub") -> v.toLong } ++
+      a.map { case (k, v) => (k, "authority") -> v.toLong }
+    assert(got === expect)
+    spark.catalog.clearCache()
+  }
+
+  // ------------------------------------------------------- item-item CF
+
+  test("itemNeighbors matches brute-force cosine and per-item top-k") {
+    val rows = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L),
+      (3L, 10L), (3L, 11L), (3L, 13L),
+      (4L, 12L), (4L, 13L),
+      (5L, 10L), (5L, 12L), (5L, 13L))
+    val got = Baskets.itemNeighbors(rows.toDF("b", "i"), "b", "i",
+        minSupport = 2L, nPerItem = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3), r.getInt(4))))
+      .toMap
+
+    val itemCnt = rows.groupBy(_._2).map { case (i, xs) => i -> xs.map(_._1).distinct.size }
+    val pairCnt = rows.groupBy(_._1).values.flatMap { b =>
+      val is = b.map(_._2).distinct.sorted
+      for (i <- is.indices; j <- (i + 1) until is.size) yield (is(i), is(j))
+    }.toSeq.groupBy(identity).map { case (p, xs) => p -> xs.size }
+      .filter(_._2 >= 2)
+    val directed = pairCnt.toSeq.flatMap { case ((x, y), c) => Seq((x, y, c), (y, x, c)) }
+    val expect = directed.groupBy(_._1).flatMap { case (item, ns) =>
+      ns.map { case (_, nb, c) =>
+        (item, nb, c, c.toDouble / math.sqrt((itemCnt(item) * itemCnt(nb)).toDouble))
+      }.sortBy { case (_, nb, _, cos) => (-cos, nb) }
+        .zipWithIndex.take(2)
+        .map { case ((_, nb, c, cos), k) => (item, nb) -> ((c.toLong, cos, k + 1)) }
+    }
+    assert(got === expect)
+    spark.catalog.clearCache()
+  }
+
+  // --------------------------------------------------------------- EWMA
+
+  test("ewma equals the closed-form weighted lag sum; dyadic sums exact") {
+    val orders = Seq(
+      ("1995-01-15", "P1", 10.0), ("1995-01-20", "P1", 10.0),
+      ("1995-02-10", "P1", 10.0), ("1995-03-05", "P1", 10.0),
+      ("1995-01-10", "P2", 10.0))
+      .toDF("o_orderdate", "o_orderpriority", "o_totalprice")
+      .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+    val got = Drift.ewmaMonthlyOrders(orders, lags = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // P1 months: Jan=2, Feb=1, Mar=1; weights 1/2, 1/4, 1/8
+    assert(got(("P1", "1995-01-01"))._2 === 2.0) // only lag 0: 2*0.5/0.5
+    assert(got(("P1", "1995-02-01"))._2 === (1 * 0.5 + 2 * 0.25) / 0.75)
+    assert(got(("P1", "1995-03-01"))._2 === (1 * 0.5 + 1 * 0.25 + 2 * 0.125) / 0.875)
+    assert(got(("P2", "1995-01-01"))._2 === 1.0)
+    spark.catalog.clearCache()
+  }
+
+  // -------------------------------------------------------- attribution
+
+  test("touchAttribution credits first and last non-purchase touch") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: view -> click -> purchase(10) : first=view last=click
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "click", 0.0),
+      (3L, ts("2024-01-01 10:10:00"), 1L, "purchase", 10.0),
+      // user 1 again: purchase(5) -> first still view, last still click
+      (4L, ts("2024-01-01 11:00:00"), 1L, "purchase", 5.0),
+      // user 2: purchase with no preceding touch -> (none)
+      (5L, ts("2024-01-02 09:00:00"), 2L, "purchase", 7.0),
+      // user 3: click only, no purchase -> contributes nothing
+      (6L, ts("2024-01-03 09:00:00"), 3L, "click", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Breadth3.touchAttribution(events)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got("view") === ((1500L, 0L, 2L, 0L)))
+    assert(got("click") === ((0L, 1500L, 0L, 2L)))
+    assert(got("(none)") === ((700L, 700L, 1L, 1L)))
+    assert(got.size === 3)
+    spark.catalog.clearCache()
+  }
+
+  // -------------------------------------------------------- containment
+
+  test("containmentPairs matches brute-force shingle containment") {
+    // doc 2 is a strict excerpt of doc 1 (containment(2 in 1) = 1.0,
+    // jaccard far below); doc 3 unrelated
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "beta gamma delta epsilon"),
+      (3L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, n = 3, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    def shingles(s: String): Set[Seq[String]] = {
+      val t = s.split("\\s+").toSeq
+      if (t.size < 3) Set(t) else t.sliding(3).toSet
+    }
+    val sets = Map(1L -> shingles("alpha beta gamma delta epsilon zeta eta theta"),
+      2L -> shingles("beta gamma delta epsilon"),
+      3L -> shingles("one two three four five six"))
+    val expect = (for {
+      a <- sets.keys; b <- sets.keys if a != b
+      c = (sets(a) & sets(b)).size.toDouble / sets(a).size
+      if c >= 0.7
+    } yield (a, b) -> c).toMap
+    assert(got === expect)
+    assert(got.contains((2L, 1L)) && !got.contains((1L, 2L)))
+    spark.catalog.clearCache()
+  }
+}
