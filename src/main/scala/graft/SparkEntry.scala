@@ -134,6 +134,11 @@ object SparkEntry {
       Tables.events(s, d).select(col("event_id"),
         ZOrder.zValue(col("user_id"), floor(col("value")).cast("long")).as("zval"))
     }),
+    // Hilbert curve value on the same coordinates: adjacency-preserving
+    // layout key (no Z-order diagonal jumps), pure codegen CASE chain
+    "q_hilbert" -> ((s, d) =>
+      graft.operators.Hilbert.hilbertValue(
+        Tables.events(s, d), "event_id", "user_id", "FLOOR(value)")),
     // per-column data profile (nulls + exact distincts, one scan)
     "q_profile" -> ((s, d) => graft.etl.Profile.profile(Tables.orders(s, d))),
     // --- k-anonymity audit (Sweeney 2002): equivalence-class sizes over the
@@ -2366,6 +2371,8 @@ object SparkEntry {
       }.mkString(" | ")
       s"SELECT event_id, ($terms) AS zval FROM events"
     },
+    // identical unrolled quadrant-rotation CTE chain (shared template)
+    "q_hilbert" -> graft.operators.Hilbert.hilbertOracleSql(),
     // BM25: identical literal constants and association order; scores are
     // exact micro-unit long sums, so partial-agg order can't move them
     "text_bm25_topk" -> bm25TopkOracle(),

@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** HITS hubs-and-authorities (Kleinberg, "Authoritative sources in a
   * hyperlinked environment", JACM 1999) over the directed bipartite
@@ -11,26 +12,32 @@ import org.apache.spark.sql.functions._
   * good suppliers, suppliers as authorities endorsed by good hubs).
   *
   * Exact integer fixed-point, the repo's iterative-determinism
-  * discipline (see [[PageRank]]): scores live in 1e-12 units, and each
-  * half-round is
+  * discipline (see [[PageRank]]): scores start in 1e-12 units
+  * (h₀ = Mass div |hubs|) and the rounds run UNNORMALIZED —
   *
-  *   a(s)  = Σ_{c→s} h(c)                 (exact long sum)
-  *   a'(s) = (a(s) · Mass) div Σ a        (L1 renormalize to Mass)
+  *   aₖ(s) = Σ_{c→s} hₖ₋₁(c),   hₖ(c) = Σ_{c→s} aₖ(s)
   *
-  * and symmetrically for hubs. The renormalizing multiply runs in
-  * DECIMAL(38,0) (a·Mass ≤ Σa·Mass ≈ deg·10²⁴ ≪ 10³⁸) and `div`
-  * truncates — every intermediate is exact, so the result is
-  * bit-identical under any partitioning and in the DuckDB replay
-  * ([[hitsOracleSql]] unrolls the same rounds with HUGEINT `//`).
-  * Float HITS would drift by summation order; L2 normalization would
-  * need a square root — L1 keeps the fixed point integral, and scores
-  * are only meaningful up to scale anyway.
+  * — pure exact DECIMAL(38,0) sums, no division at all until ONE final
+  * L1 renormalization of each vector to Mass units:
+  * score' = (score · Mass) div Σ score (DECIMAL multiply, integral
+  * `div`, mirrored by HUGEINT `//` in the DuckDB replay
+  * [[hitsOracleSql]]). HITS scores are scale-free, so normalizing once
+  * at the end is mathematically the same ranking as Kleinberg's
+  * per-round L2 fold with STRICTLY less truncation (the only rounding
+  * in the whole computation is the final div), and it is bit-identical
+  * under any partitioning. Headroom: after k rounds magnitudes are
+  * ≤ h₀·dᵏ⁻¹·…  ~ 10⁸·d^(2k−1); at the default 3 rounds DECIMAL(38,0)
+  * holds degrees past 10⁵ and the final multiply needs Σ·Mass < 10³⁸ —
+  * for graphs beyond that, renormalize every round (the r5-pre shape)
+  * or raise Mass' scale.
   *
-  * Scale shape: per round, two (edge ⋈ score) hash joins and two sums —
-  * the PageRank shape run once per direction. Score state is 16 B/node;
-  * the per-round L1 total is one scalar aggregate (bounded driver
-  * state, the kmeans-centroid pattern). The edge relation is persisted
-  * across all rounds.
+  * Scale shape: one (edge ⋈ score) hash join + one sum per half-round —
+  * the PageRank shape run once per direction, with NO per-round scalar
+  * actions or broadcasts (the round chain is lazy; each half-round has
+  * exactly one consumer, so the plan stays linear and Spark runs the
+  * whole recursion as one job per checkpointed endpoint). Score state
+  * is ≤ 24 B/node; the two L1 totals are broadcast 1-row aggregates.
+  * The edge relation is persisted across all rounds.
   */
 object Hits {
 
@@ -53,60 +60,50 @@ object Hits {
         .select(PageRank.customerNode(col("o_custkey")).as("src"),
           PageRank.supplierNode(col("l_suppkey")).as("dst"))
         .distinct())
-    // renormalize to Mass with the L1 total as a broadcast 1-row
-    // aggregate, NOT a driver .head() — per-round scalar actions double
-    // the job count, and on local[32] each job carries ~0.5 s of fixed
-    // driver latency. The raw agg feeds both the total and the rescale;
-    // the identical subtree shares one exchange (ReuseExchange).
-    // IntegralDivide (`div`) accepts decimal operands and returns
-    // BIGINT, matching the oracle's HUGEINT `//` on non-negatives.
-    def renorm(scores: DataFrame, idCol: String): DataFrame = {
-      val tot = scores.agg(coalesce(sum(col("s")), lit(0L)).as("tot"))
-      scores.crossJoin(broadcast(tot))
-        .select(col(idCol),
-          expr(s"CAST((CAST(s AS DECIMAL(38,0)) * $Mass) div tot AS BIGINT)").as("s"))
-    }
+    val dec = DecimalType(38, 0)
     val nHubs = edges.select("src").distinct().count()
     var hubs = edges.select(col("src")).distinct()
-      .select(col("src"), lit(Mass / nHubs).as("s"))
+      .select(col("src"), lit(Mass / nHubs).cast(dec).as("s"))
     var auths: DataFrame = null
-    // ONE action per round: auths stays lazy inside the round (single
-    // consumer — the hub update), and the round's hub relation is
-    // checkpointed (feeds the next round twice; see Caching.checkpointed)
-    for (_ <- 1 to rounds) {
-      auths = renorm(
-        edges.join(hubs, "src")
-          .groupBy(col("dst")).agg(sum(col("s")).as("s")), "dst")
-      hubs = graft.Caching.checkpointed(renorm(
-        edges.join(auths.withColumnRenamed("dst", "d2"),
-            edges("dst") === col("d2"))
-          .groupBy(col("src")).agg(sum(col("s")).as("s")), "src"))
+    for (k <- 1 to rounds) {
+      auths = edges.join(hubs, "src")
+        .groupBy(col("dst")).agg(sum(col("s")).as("s"))
+      // checkpoint only the LAST round's authority relation: it feeds
+      // both the final hub half-round and the output renorm (two
+      // consumers); interior rounds are single-consumer lazy links
+      if (k == rounds) auths = graft.Caching.checkpointed(auths)
+      hubs = edges.join(auths.withColumnRenamed("dst", "d2"),
+          edges("dst") === col("d2"))
+        .groupBy(col("src")).agg(sum(col("s")).as("s"))
     }
-    hubs.select(col("src").as("id"), lit("hub").as("node_type"), col("s"))
-      .unionByName(
-        auths.select(col("dst").as("id"), lit("authority").as("node_type"), col("s")))
+    hubs = graft.Caching.checkpointed(hubs)
+    // ONE rounding operation per vector: renormalize to Mass units with
+    // the L1 total as a broadcast 1-row aggregate (no driver action)
+    def renorm(scores: DataFrame, idCol: String): DataFrame = {
+      val tot = scores.agg(sum(col("s")).cast(dec).as("tot"))
+      scores.crossJoin(broadcast(tot))
+        .select(col(idCol).as("id"),
+          expr(s"CAST((CAST(s AS DECIMAL(38,0)) * $Mass) div tot AS BIGINT)").as("s"))
+    }
+    renorm(hubs, "src").select(col("id"), lit("hub").as("node_type"), col("s"))
+      .unionByName(renorm(auths, "dst")
+        .select(col("id"), lit("authority").as("node_type"), col("s")))
       .select(col("id"), col("node_type"), col("s").as("score_units"),
         (col("s").cast("double") / Mass).as("score"))
   }
 
-  /** DuckDB replay of [[hits]]: same integer recurrence, rounds unrolled
-    * as CTE pairs, renormalization via HUGEINT `//` (agrees with `div`
-    * on non-negative values).
+  /** DuckDB replay of [[hits]]: same unnormalized integer recurrence,
+    * rounds unrolled as CTE pairs, one final HUGEINT `//`
+    * renormalization per vector (agrees with `div` on non-negatives).
     */
   def hitsOracleSql(rounds: Int = 3): String = {
     val roundsSql = (1 to rounds).map { k =>
-      s"""a${k}_raw AS (
+      s"""a$k AS (
          |  SELECT e.dst, SUM(h.s) AS s FROM edges e
          |  JOIN h${k - 1} h ON h.src = e.src GROUP BY 1),
-         |a$k AS (
-         |  SELECT dst, CAST(CAST(s AS HUGEINT) * 1000000000000 //
-         |    (SELECT SUM(s) FROM a${k}_raw) AS BIGINT) AS s FROM a${k}_raw),
-         |h${k}_raw AS (
-         |  SELECT e.src, SUM(a.s) AS s FROM edges e
-         |  JOIN a$k a ON a.dst = e.dst GROUP BY 1),
          |h$k AS (
-         |  SELECT src, CAST(CAST(s AS HUGEINT) * 1000000000000 //
-         |    (SELECT SUM(s) FROM h${k}_raw) AS BIGINT) AS s FROM h${k}_raw)""".stripMargin
+         |  SELECT e.src, SUM(a.s) AS s FROM edges e
+         |  JOIN a$k a ON a.dst = e.dst GROUP BY 1)""".stripMargin
     }.mkString(",\n")
     s"""WITH edges AS (
        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
@@ -115,11 +112,15 @@ object Hits {
        |  SELECT src, 1000000000000 // (SELECT COUNT(DISTINCT src) FROM edges) AS s
        |  FROM (SELECT DISTINCT src FROM edges)),
        |$roundsSql
-       |SELECT id, node_type, score_units,
-       |       CAST(score_units AS DOUBLE) / 1000000000000.0 AS score
+       |SELECT id, node_type,
+       |       CAST(CAST(s AS HUGEINT) * 1000000000000 // tot AS BIGINT) AS score_units,
+       |       CAST(CAST(CAST(s AS HUGEINT) * 1000000000000 // tot AS BIGINT) AS DOUBLE)
+       |         / 1000000000000.0 AS score
        |FROM (
-       |  SELECT src AS id, 'hub' AS node_type, s AS score_units FROM h$rounds
+       |  SELECT src AS id, 'hub' AS node_type, s,
+       |         (SELECT SUM(s) FROM h$rounds) AS tot FROM h$rounds
        |  UNION ALL
-       |  SELECT dst, 'authority', s FROM a$rounds)""".stripMargin
+       |  SELECT dst, 'authority', s,
+       |         (SELECT SUM(s) FROM a$rounds) AS tot FROM a$rounds)""".stripMargin
   }
 }

@@ -26,25 +26,24 @@ class Round5OpsSpec extends AnyFunSuite {
     val got = Hits.hits(lineitem, orders, rounds = 3)
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
 
-    // brute force with exact BigInt arithmetic, same L1 renorm
+    // brute force with exact BigInt arithmetic: unnormalized rounds,
+    // one final L1 renormalization per vector (the engine's recurrence)
     val mass = BigInt("1000000000000")
     val edges = Seq((11L, 101L), (11L, 102L), (12L, 101L), (12L, 103L), (13L, 101L), (13L, 103L))
       .map { case (c, s) => (2 * c, 2 * s + 1) }.distinct
     val hubsIds = edges.map(_._1).distinct
     var h: Map[Long, BigInt] = hubsIds.map(_ -> mass / hubsIds.size).toMap
     var a: Map[Long, BigInt] = Map.empty
+    for (_ <- 1 to 3) {
+      a = edges.groupBy(_._2).map { case (d, es) => d -> es.map(e => h(e._1)).sum }
+      h = edges.groupBy(_._1).map { case (s, es) => s -> es.map(e => a(e._2)).sum }
+    }
     def renorm(m: Map[Long, BigInt]): Map[Long, BigInt] = {
       val tot = m.values.sum
       m.map { case (k, v) => k -> (v * mass / tot) }
     }
-    for (_ <- 1 to 3) {
-      a = renorm(edges.groupBy(_._2).map { case (d, es) =>
-        d -> es.map(e => h(e._1)).sum })
-      h = renorm(edges.groupBy(_._1).map { case (s, es) =>
-        s -> es.map(e => a(e._2)).sum })
-    }
-    val expect = h.map { case (k, v) => (k, "hub") -> v.toLong } ++
-      a.map { case (k, v) => (k, "authority") -> v.toLong }
+    val expect = renorm(h).map { case (k, v) => (k, "hub") -> v.toLong } ++
+      renorm(a).map { case (k, v) => (k, "authority") -> v.toLong }
     assert(got === expect)
     spark.catalog.clearCache()
   }
@@ -127,6 +126,41 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(got("click") === ((0L, 1500L, 0L, 2L)))
     assert(got("(none)") === ((700L, 700L, 1L, 1L)))
     assert(got.size === 3)
+    spark.catalog.clearCache()
+  }
+
+  // ------------------------------------------------------ hilbert curve
+
+  test("hilbertValue is a bijection with unit-step adjacency on the 8x8 grid") {
+    val bits = 3; val n = 1 << bits
+    val cells = for (x <- 0 until n; y <- 0 until n) yield (x.toLong * n + y, x.toLong, y.toLong)
+    val got = graft.operators.Hilbert.hilbertValue(
+        cells.toDF("id", "x", "y"), "id", "x", "y", bits)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: standard iterative xy2d with full-mask flip
+    def xy2d(x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s.toLong * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    cells.foreach { case (id, x, y) => assert(got(id) === xy2d(x, y)) }
+    // bijection onto [0, 64)
+    assert(got.values.toSet === (0L until (n.toLong * n)).toSet)
+    // Hilbert property: consecutive curve positions are grid-adjacent
+    val byD = cells.map { case (id, x, y) => got(id) -> ((x, y)) }.sortBy(_._1).map(_._2)
+    byD.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1)
+    }
     spark.catalog.clearCache()
   }
 
