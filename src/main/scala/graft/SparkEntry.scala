@@ -697,6 +697,10 @@ object SparkEntry {
     // --- exact Mann-Whitney AUC: price as a score for urgent priority ---
     "q_auc" -> ((s, d) =>
       graft.analytics.Metrics.aucPriceUrgency(Tables.orders(s, d))),
+    // --- decile lift/gains: balance as propensity score, order as label ---
+    "q_decile_lift" -> ((s, d) =>
+      graft.analytics.Metrics.decileLift(
+        Tables.customer(s, d), Tables.orders(s, d))),
     // --- mutual information nation x mktsegment (milli-quantized ln) ---
     "q_mutual_info" -> ((s, d) =>
       graft.analytics.Metrics.mutualInfo(Tables.customer(s, d))),
@@ -2711,6 +2715,7 @@ object SparkEntry {
     // distinct-value prefix windows, HUGEINT rank sums, one shared fold
     "q_gini" -> graft.analytics.Metrics.giniRevenueOracleSql(),
     "q_auc" -> graft.analytics.Metrics.aucPriceUrgencyOracleSql(),
+    "q_decile_lift" -> graft.analytics.Metrics.decileLiftOracleSql(),
     "q_mutual_info" -> graft.analytics.Metrics.mutualInfoOracleSql(),
     "q_benford" -> graft.analytics.Metrics.benfordDigitsOracleSql(),
     "q_acf" -> graft.analytics.Metrics.dailyAcfOracleSql(),

@@ -314,4 +314,75 @@ object Metrics {
        |JOIN centered b ON b.i = a.i + lag
        |CROSS JOIN den
        |GROUP BY lag""".stripMargin
+
+  /** Decile lift / gains table — the standard model-eval report for a
+    * ranking score: bucket the population into `k` score deciles (best
+    * score first), report per decile the response rate, the lift over
+    * the base rate, and the cumulative capture (gains). Here the score
+    * is the customer's account balance and the response is "placed at
+    * least one order" — the shape any propensity model evaluation takes.
+    *
+    * Decile assignment is exact NTILE(k) over the total order
+    * (balance desc, custkey) via the scalable range-partitioned
+    * [[graft.operators.GlobalRank.ntileByRange]] (no data-sized window
+    * partition); counts are exact longs; each reported ratio is one
+    * IEEE division of exact integers folded to 1e-6 — bit-identical to
+    * the oracle's NTILE window replay.
+    *
+    * Scale: one semi-join-shaped label join keyed on custkey, the
+    * ntile's range exchange, then everything runs on the k-row decile
+    * relation (bounded-domain window rationale).
+    *
+    * Output: (decile, n, n_pos, pos_rate, lift, cum_gain).
+    */
+  def decileLift(customer: DataFrame, orders: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 2, "need at least two buckets")
+    val scored = customer
+      .select(col("c_custkey"), cents(col("c_acctbal")).as("v"))
+      .join(orders.select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("v"),
+        col("o_custkey").isNotNull.cast("long").as("y"))
+    val tiled = graft.operators.GlobalRank.ntileByRange(
+      scored.withColumn("negv", -col("v")),
+      k, Seq("negv", "c_custkey"), "decile")
+    val per = tiled.groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = per.agg(sum("n").as("nt"), sum("n_pos").as("pt"))
+    per.withColumn("cum_pos", sum("n_pos").over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n"), col("n_pos"),
+        fold6(col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"),
+        fold6((col("n_pos") * col("nt")).cast("double") /
+          (col("n") * col("pt")).cast("double")).as("lift"),
+        fold6(col("cum_pos").cast("double") / col("pt").cast("double")).as("cum_gain"))
+  }
+
+  /** DuckDB replay of [[decileLift]]: NTILE over the identical total
+    * order (ntileByRange reproduces SQL NTILE bucketing exactly).
+    */
+  def decileLiftOracleSql(k: Int = 10): String =
+    s"""WITH scored AS (
+       |  SELECT c_custkey, CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS v,
+       |         CASE WHEN c_custkey IN (SELECT o_custkey FROM orders)
+       |              THEN 1 ELSE 0 END AS y
+       |  FROM customer),
+       |tiled AS (
+       |  SELECT *, CAST(NTILE($k) OVER (ORDER BY v DESC, c_custkey)
+       |                 AS INTEGER) AS decile
+       |  FROM scored),
+       |per AS (
+       |  SELECT decile, COUNT(*) AS n, SUM(y) AS n_pos FROM tiled GROUP BY 1),
+       |tot AS (SELECT SUM(n) AS nt, SUM(n_pos) AS pt FROM per),
+       |cum AS (
+       |  SELECT *, SUM(n_pos) OVER (ORDER BY decile
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+       |  FROM per)
+       |SELECT decile, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       |       FLOOR(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS pos_rate,
+       |       FLOOR(CAST(n_pos * nt AS DOUBLE) / CAST(n * pt AS DOUBLE) * 1e6 + 0.5) / 1e6 AS lift,
+       |       FLOOR(CAST(cum_pos AS DOUBLE) / CAST(pt AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cum_gain
+       |FROM cum CROSS JOIN tot""".stripMargin
 }

@@ -129,6 +129,28 @@ class Round5OpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  // -------------------------------------------------------- decile lift
+
+  test("decileLift matches brute-force NTILE bucketing and exact ratios") {
+    // 12 customers, balances descending by custkey; odd custkeys ordered
+    val customer = (1L to 12L).map(c => (c, (130 - c * 10).toDouble)).toDF("c_custkey", "c_acctbal")
+    val orders = (1L to 12L).filter(_ % 2 == 1).map(c => (c * 100, c)).toDF("o_orderkey", "o_custkey")
+    val got = graft.analytics.Metrics.decileLift(customer, orders, k = 4)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // score desc == custkey asc; NTILE(4) over 12 rows: 3 per bucket
+    // positives (odd custkey): bucket1 {1,2,3}->2, b2 {4,5,6}->1, b3 {7,8,9}->2, b4 {10,11,12}->1
+    def f6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val base = 6.0 / 12.0
+    val expect = Map(
+      1 -> ((3L, 2L, f6(2.0 / 3), f6((2.0 * 12) / (3 * 6)), f6(2.0 / 6))),
+      2 -> ((3L, 1L, f6(1.0 / 3), f6((1.0 * 12) / (3 * 6)), f6(3.0 / 6))),
+      3 -> ((3L, 2L, f6(2.0 / 3), f6((2.0 * 12) / (3 * 6)), f6(5.0 / 6))),
+      4 -> ((3L, 1L, f6(1.0 / 3), f6((1.0 * 12) / (3 * 6)), f6(6.0 / 6))))
+    assert(got === expect)
+    assert(base === 0.5)
+    spark.catalog.clearCache()
+  }
+
   // ------------------------------------------------------ hilbert curve
 
   test("hilbertValue is a bijection with unit-step adjacency on the 8x8 grid") {
