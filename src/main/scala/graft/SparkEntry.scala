@@ -701,6 +701,12 @@ object SparkEntry {
     "q_decile_lift" -> ((s, d) =>
       graft.analytics.Metrics.decileLift(
         Tables.customer(s, d), Tables.orders(s, d))),
+    // --- leave-one-out mean-target encoding (leakage-safe) ---
+    "q_target_encoding" -> ((s, d) =>
+      graft.analytics.Metrics.targetEncoding(Tables.orders(s, d))),
+    // --- order-independent md5-sum table fingerprint (anti-entropy) ---
+    "q_table_checksum" -> ((s, d) =>
+      graft.analytics.Metrics.tableChecksum(Tables.lineitem(s, d))),
     // --- mutual information nation x mktsegment (milli-quantized ln) ---
     "q_mutual_info" -> ((s, d) =>
       graft.analytics.Metrics.mutualInfo(Tables.customer(s, d))),
@@ -2716,6 +2722,8 @@ object SparkEntry {
     "q_gini" -> graft.analytics.Metrics.giniRevenueOracleSql(),
     "q_auc" -> graft.analytics.Metrics.aucPriceUrgencyOracleSql(),
     "q_decile_lift" -> graft.analytics.Metrics.decileLiftOracleSql(),
+    "q_target_encoding" -> graft.analytics.Metrics.targetEncodingOracleSql(),
+    "q_table_checksum" -> graft.analytics.Metrics.tableChecksumOracleSql(),
     "q_mutual_info" -> graft.analytics.Metrics.mutualInfoOracleSql(),
     "q_benford" -> graft.analytics.Metrics.benfordDigitsOracleSql(),
     "q_acf" -> graft.analytics.Metrics.dailyAcfOracleSql(),

@@ -360,6 +360,104 @@ object Metrics {
         fold6(col("cum_pos").cast("double") / col("pt").cast("double")).as("cum_gain"))
   }
 
+  /** Leave-one-out mean-target encoding — the standard high-cardinality
+    * categorical feature encoder for tabular models, with the
+    * self-exclusion that prevents target leakage (each row's encoding is
+    * the mean of the OTHER rows in its category; Micci-Barreca, SIGKDD
+    * Explorations 2001): enc(i) = (S_c − y_i) / (n_c − 1), falling back
+    * to the global mean for singleton categories (self-exclusion leaves
+    * no data).
+    *
+    * Exactness: targets fold to integer cents; per-category sums and the
+    * global sum are exact longs; each row's encoding is ONE IEEE
+    * division of exact integers folded to 1e-6.
+    *
+    * Scale: one map-side-combined hash agg to the category relation
+    * (tiny — broadcast back), plus a row-local expression; no windows,
+    * no per-row state. A data-sized category domain would broadcast-fail
+    * loudly — switch the join to a plain shuffle join then.
+    *
+    * Output: (o_orderkey, o_orderpriority, target_cents, loo_enc).
+    */
+  def targetEncoding(orders: DataFrame): DataFrame = {
+    val rows = orders.select(col("o_orderkey"), col("o_orderpriority"),
+      cents(col("o_totalprice")).as("y"))
+    val perCat = rows.groupBy("o_orderpriority")
+      .agg(sum("y").as("sc"), count(lit(1)).as("nc"))
+    val global = rows.agg(sum("y").as("sg"), count(lit(1)).as("ng"))
+    rows
+      .join(broadcast(perCat), "o_orderpriority")
+      .crossJoin(broadcast(global))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("y").as("target_cents"),
+        fold6(when(col("nc") > 1,
+            (col("sc") - col("y")).cast("double") / (col("nc") - 1).cast("double"))
+          .otherwise(col("sg").cast("double") / col("ng").cast("double")))
+          .as("loo_enc"))
+  }
+
+  /** DuckDB replay of [[targetEncoding]]. */
+  def targetEncodingOracleSql(): String =
+    """WITH rows_ AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+      |  FROM orders),
+      |per_cat AS (
+      |  SELECT o_orderpriority, SUM(y) AS sc, COUNT(*) AS nc
+      |  FROM rows_ GROUP BY 1),
+      |tot AS (SELECT SUM(y) AS sg, COUNT(*) AS ng FROM rows_)
+      |SELECT o_orderkey, r.o_orderpriority, y AS target_cents,
+      |       FLOOR(CASE WHEN nc > 1
+      |                  THEN CAST(sc - y AS DOUBLE) / CAST(nc - 1 AS DOUBLE)
+      |                  ELSE CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) END
+      |             * 1e6 + 0.5) / 1e6 AS loo_enc
+      |FROM rows_ r
+      |JOIN per_cat USING (o_orderpriority)
+      |CROSS JOIN tot""".stripMargin
+
+  /** Order-independent table content checksum — the anti-entropy
+    * fingerprint replicas/CDC targets compare to detect divergence
+    * without moving data: each row folds to a 60-bit md5-derived hash of
+    * its canonical '|'-joined string form ([[graft.dedup.Dedup.md5Base60]]
+    * — md5 so any engine reproduces it), and the table digest is the
+    * exact DECIMAL(38,0) SUM of row hashes folded modulo 2⁶¹ back into a
+    * BIGINT (the fold keeps the digest a plain long everywhere — pandas
+    * silently degrades int128-ish decimals to float — and modular
+    * addition still commutes). The digest is independent of row order
+    * and partitioning — two tables agree iff (with ~2⁻⁶⁰ collision odds)
+    * they hold the same multiset of rows.
+    *
+    * Scale: one map-side-combined aggregation, no shuffle beyond the
+    * 1-row merge; the canonical string stays inside codegen.
+    *
+    * Output: one row (n_rows, checksum).
+    */
+  def tableChecksum(lineitem: DataFrame): DataFrame = {
+    val canon = concat_ws("|",
+      col("l_orderkey").cast("string"), col("l_partkey").cast("string"),
+      col("l_suppkey").cast("string"), col("l_linenumber").cast("string"),
+      cents(col("l_extendedprice")).cast("string"),
+      col("l_shipdate").cast("date").cast("string"))
+    lineitem.select(
+        conv(substring(md5(canon), 1, 15), 16, 10).cast("long").as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr(s"CAST(SUM(CAST(h AS DECIMAL(38,0))) % ${1L << 61} AS BIGINT)")
+          .as("checksum"))
+  }
+
+  /** DuckDB replay of [[tableChecksum]]. */
+  def tableChecksumOracleSql(): String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |       CAST(SUM(('0x' || substring(md5(
+       |         CAST(l_orderkey AS VARCHAR) || '|' ||
+       |         CAST(l_partkey AS VARCHAR) || '|' ||
+       |         CAST(l_suppkey AS VARCHAR) || '|' ||
+       |         CAST(l_linenumber AS VARCHAR) || '|' ||
+       |         CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR) || '|' ||
+       |         CAST(CAST(l_shipdate AS DATE) AS VARCHAR)
+       |       ), 1, 15))::BIGINT) % ${1L << 61} AS BIGINT) AS checksum
+       |FROM lineitem""".stripMargin
+
   /** DuckDB replay of [[decileLift]]: NTILE over the identical total
     * order (ntileByRange reproduces SQL NTILE bucketing exactly).
     */

@@ -151,6 +151,47 @@ class Round5OpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  // ---------------------------------------------------- target encoding
+
+  test("targetEncoding is the leave-one-out mean with global fallback") {
+    val orders = Seq(
+      (1L, "A", 10.0), (2L, "A", 20.0), (3L, "A", 30.0),
+      (4L, "B", 40.0), // singleton category -> global mean
+      (5L, "C", 50.0), (6L, "C", 70.0))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val got = graft.analytics.Metrics.targetEncoding(orders)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    def f6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val globalMean = (1000.0 + 2000 + 3000 + 4000 + 5000 + 7000) / 6
+    assert(got(1L) === f6((2000.0 + 3000) / 2))
+    assert(got(2L) === f6((1000.0 + 3000) / 2))
+    assert(got(3L) === f6((1000.0 + 2000) / 2))
+    assert(got(4L) === f6(globalMean))
+    assert(got(5L) === f6(7000.0))
+    assert(got(6L) === f6(5000.0))
+    spark.catalog.clearCache()
+  }
+
+  // ------------------------------------------------------ table checksum
+
+  test("tableChecksum is row-order independent and content sensitive") {
+    val mk = (rows: Seq[(Long, Long, Long, Int, Double, String)]) =>
+      rows.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_extendedprice", "l_shipdate")
+    val rows = Seq(
+      (1L, 10L, 100L, 1, 12.34, "1995-01-01"),
+      (1L, 11L, 101L, 2, 56.78, "1995-01-02"),
+      (2L, 12L, 102L, 1, 90.12, "1995-02-03"))
+    val a = graft.analytics.Metrics.tableChecksum(mk(rows)).collect()(0)
+    val b = graft.analytics.Metrics.tableChecksum(mk(rows.reverse)).collect()(0)
+    assert(a === b) // order independent
+    val c = graft.analytics.Metrics.tableChecksum(
+      mk(rows.updated(0, (1L, 10L, 100L, 1, 12.35, "1995-01-01")))).collect()(0)
+    assert(a.getLong(0) === c.getLong(0))
+    assert(a.getLong(1) !== c.getLong(1))
+    spark.catalog.clearCache()
+  }
+
   // ------------------------------------------------------ hilbert curve
 
   test("hilbertValue is a bijection with unit-step adjacency on the 8x8 grid") {
