@@ -456,6 +456,10 @@ object SparkEntry {
     "q_bfs_hops" -> ((s, d) =>
       graft.analytics.Bfs.hubDistances(
         coBoughtEdges(s, d), "item_a", "item_b")),
+    // --- Newman modularity of the LPA partition (one exact expression) ---
+    "q_modularity" -> ((s, d) =>
+      graft.analytics.LabelProp.modularity(
+        coBoughtEdges(s, d), "item_a", "item_b")),
     // --- bounded k-core peeling over the co-bought graph ---
     "q_kcore" -> ((s, d) =>
       graft.analytics.GraphStats.kCore(
@@ -1413,6 +1417,7 @@ object SparkEntry {
     // synchronous LPA rounds unrolled as CTEs, same (count desc, label
     // asc) argmax tie-break — bit-identical label evolution
     "q_label_prop" -> graft.analytics.LabelProp.labelPropOracleSql(),
+    "q_modularity" -> graft.analytics.LabelProp.modularityOracleSql(),
     // frontier rounds unrolled as CTEs; BFS layers are set-valued so
     // there is no tie-break to diverge on
     "q_bfs_hops" -> graft.analytics.Bfs.hubDistancesOracleSql(),

@@ -36,11 +36,23 @@ object LabelProp {
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int = 3): DataFrame = {
-    require(rounds >= 1, "need at least one propagation round")
     // symmetric distinct edge relation — materialized once, consumed by
     // every round's join; built via the half-edge-cached union so the
     // upstream pipeline runs once, not once per union branch
     val e = GraphEdges.symmetricDistinct(edges, srcCol, dstCol)
+    val labels = assignments(e, rounds)
+    val out = labels.select(col("id").as("node"), col("lbl").as("community"))
+    val sizes = out.groupBy("community").agg(count(lit(1)).as("n_members"))
+    out.join(sizes, "community").select("node", "community", "n_members")
+  }
+
+  /** The per-node LPA label map (id, lbl) over an already-symmetric,
+    * already-materialized edge relation — the shared core of
+    * [[labelPropagation]] and [[modularity]]. Returns the final round
+    * CHECKPOINTED (callers may consume it from several subtrees).
+    */
+  private[analytics] def assignments(e: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one propagation round")
     var labels = e.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
     var prev: DataFrame = null
@@ -63,16 +75,59 @@ object LabelProp {
       if (prev != null) prev.unpersist()
       prev = labels
     }
-    val out = labels.select(col("id").as("node"), col("lbl").as("community"))
-    val sizes = out.groupBy("community").agg(count(lit(1)).as("n_members"))
-    out.join(sizes, "community").select("node", "community", "n_members")
+    labels
+  }
+
+  /** Newman modularity of the LPA partition (Newman & Girvan, "Finding
+    * and evaluating community structure in networks", Phys. Rev. E
+    * 2004): Q = Σ_c [ m_c/m − (d_c/2m)² ] over communities c, with m_c
+    * intra-community edges and d_c the community degree sum. Evaluated
+    * on the symmetric relation as ONE exact integer expression —
+    * Q = Σ_c (m2_c·s − d_c²) / s² with s = |sym edges| = 2m, m2_c the
+    * intra SYM edge count and d_c the per-community src count — so the
+    * per-community numerators are exact DECIMAL(38,0) products
+    * (d_c ≤ s ≤ 10¹³ at 100 TB ⇒ d_c² ≤ 10²⁶), their sum is exact,
+    * and the single final division is folded to 1e-6: bit-identical to
+    * the oracle's HUGEINT replay.
+    *
+    * Scale: the label map attaches to the edge relation with two
+    * src/dst-keyed hash joins, then ONE map-side-combined aggregation
+    * per community and a 1-row fold. No windows.
+    *
+    * Output: one row (n_communities, m_edges, modularity).
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 rounds: Int = 3): DataFrame = {
+    val e = GraphEdges.symmetricDistinct(edges, srcCol, dstCol)
+    val labels = assignments(e, rounds)
+    val lblE = e
+      .join(labels.select(col("id").as("src"), col("lbl").as("la")), "src")
+      .join(labels.select(col("id").as("dst"), col("lbl").as("lb")), "dst")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val per = lblE.groupBy(col("la"))
+      .agg(count(lit(1)).as("dc"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("m2c"))
+    val s = per.agg(sum(col("dc")).as("s")) // Σ d_c = |sym edges|
+    per.crossJoin(broadcast(s))
+      .agg(count(lit(1)).as("n_communities"),
+        expr("CAST(MAX(s) div 2 AS BIGINT)").as("m_edges"),
+        sum(col("m2c").cast(dec) * col("s").cast(dec) -
+          col("dc").cast(dec) * col("dc").cast(dec)).as("num"),
+        max(col("s")).as("stot"))
+      .select(col("n_communities"), col("m_edges"),
+        (floor(col("num").cast("double") /
+          (col("stot").cast(dec) * col("stot").cast(dec)).cast("double")
+          * 1e6 + 0.5) / 1e6).as("modularity"))
   }
 
   /** DuckDB replay over the co-bought-parts graph: the same symmetric
     * edge list, each round unrolled as a votes CTE + a ROW_NUMBER
     * argmax CTE with the identical (count desc, label asc) tie-break.
     */
-  def labelPropOracleSql(rounds: Int = 3): String = {
+  /** Shared WITH-prefix: the co-bought symmetric edge relation `e` and
+    * LPA rounds l0..l`rounds` — used by both oracle replays.
+    */
+  private def lpaPrefixSql(rounds: Int): String = {
     val roundsSql = (1 to rounds).map { r =>
       s"""v$r AS (
          |  SELECT e.dst AS id, l.lbl, COUNT(*) AS c
@@ -91,10 +146,34 @@ object LabelProp {
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
        |e AS (SELECT u AS src, v AS dst FROM eh UNION SELECT v, u FROM eh),
        |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),
-       |$roundsSql,
+       |$roundsSql""".stripMargin
+  }
+
+  def labelPropOracleSql(rounds: Int = 3): String =
+    s"""${lpaPrefixSql(rounds)},
        |sizes AS (SELECT lbl AS community, COUNT(*) AS n_members
        |          FROM l$rounds GROUP BY 1)
        |SELECT l.id AS node, l.lbl AS community, s.n_members
        |FROM l$rounds l JOIN sizes s ON s.community = l.lbl""".stripMargin
-  }
+
+  /** DuckDB replay of [[modularity]]: identical LPA rounds, identical
+    * one-expression HUGEINT modularity numerator.
+    */
+  def modularityOracleSql(rounds: Int = 3): String =
+    s"""${lpaPrefixSql(rounds)},
+       |lbl_e AS (
+       |  SELECT la.lbl AS la, lb.lbl AS lb
+       |  FROM e JOIN l$rounds la ON la.id = e.src
+       |         JOIN l$rounds lb ON lb.id = e.dst),
+       |per AS (
+       |  SELECT la, COUNT(*) AS dc,
+       |         SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS m2c
+       |  FROM lbl_e GROUP BY 1),
+       |tot AS (SELECT SUM(dc) AS s FROM per)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+       |       CAST(MAX(s) // 2 AS BIGINT) AS m_edges,
+       |       FLOOR(CAST(SUM(CAST(m2c AS HUGEINT) * s - CAST(dc AS HUGEINT) * dc) AS DOUBLE)
+       |             / CAST(CAST(MAX(s) AS HUGEINT) * MAX(s) AS DOUBLE)
+       |             * 1e6 + 0.5) / 1e6 AS modularity
+       |FROM per CROSS JOIN tot""".stripMargin
 }

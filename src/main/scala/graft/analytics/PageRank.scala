@@ -162,7 +162,7 @@ object PageRank {
       .join(broadcast(seeds), Seq("id"), "left")
       .select(col("id"),
         when(col("is_seed"), lit(init)).otherwise(lit(0L)).as("r"))
-    for (_ <- 1 to iters) {
+    for (round <- 1 to iters) {
       val prev = ranks
       ranks = edgesDeg
         .join(prev, edgesDeg("src") === prev("id"))
@@ -173,6 +173,10 @@ object PageRank {
         .select(col("id"),
           (when(col("is_seed"), lit(teleport)).otherwise(lit(0L)) +
             expr("(85 * s) div 100")).as("r"))
+      // truncate lineage mid-run (Caching.checkpointed rationale): each
+      // round nests a join+agg+broadcast over the previous plan; at the
+      // default 5 iterations one checkpoint halves the rendered depth
+      if (round % 3 == 0) ranks = graft.Caching.checkpointed(ranks)
     }
     ranks.select(
       col("id"),

@@ -151,6 +151,31 @@ class Round5OpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  // ----------------------------------------------------------- modularity
+
+  test("modularity matches the Newman formula on a two-clique graph") {
+    // two triangles bridged by one edge: LPA labels them min-id cliques
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("item_a", "item_b")
+    val got = graft.analytics.LabelProp.modularity(edges, "item_a", "item_b")
+      .collect()(0)
+    // replicate: community of each node from the engine's own LPA result
+    val comm = graft.analytics.LabelProp.labelPropagation(edges, "item_a", "item_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sym = Seq((1L,2L),(1L,3L),(2L,3L),(4L,5L),(4L,6L),(5L,6L),(3L,4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val s = sym.size
+    val per = sym.groupBy { case (a, _) => comm(a) }.map { case (c, es) =>
+      (c, es.size.toLong, es.count { case (a, b) => comm(a) == comm(b) }.toLong)
+    }
+    val num = per.map { case (_, dc, m2c) => m2c.toDouble * s - dc.toDouble * dc }.sum
+    val q = math.floor(num / (s.toDouble * s) * 1e6 + 0.5) / 1e6
+    assert(got.getLong(0) === per.size.toLong)
+    assert(got.getLong(1) === (s / 2).toLong)
+    assert(got.getDouble(2) === q)
+    spark.catalog.clearCache()
+  }
+
   // ---------------------------------------------------- target encoding
 
   test("targetEncoding is the leave-one-out mean with global fallback") {
