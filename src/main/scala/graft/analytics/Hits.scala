@@ -62,6 +62,12 @@ object Hits {
         .distinct())
     val dec = DecimalType(38, 0)
     val nHubs = edges.select("src").distinct().count()
+    if (nHubs == 0) {
+      // empty graph: empty result (not a Mass div 0), schema preserved
+      edges.unpersist()
+      return edges.select(col("src").as("id"), lit("hub").as("node_type"),
+        lit(0L).as("score_units"), lit(0.0).as("score")).limit(0)
+    }
     var hubs = edges.select(col("src")).distinct()
       .select(col("src"), lit(Mass / nHubs).cast(dec).as("s"))
     var auths: DataFrame = null

@@ -114,10 +114,12 @@ object LabelProp {
         sum(col("m2c").cast(dec) * col("s").cast(dec) -
           col("dc").cast(dec) * col("dc").cast(dec)).as("num"),
         max(col("s")).as("stot"))
-      .select(col("n_communities"), col("m_edges"),
-        (floor(col("num").cast("double") /
+      .select(col("n_communities"),
+        coalesce(col("m_edges"), lit(0L)).as("m_edges"),
+        // empty graph → null sums; report 0.0 rather than null
+        coalesce(floor(col("num").cast("double") /
           (col("stot").cast(dec) * col("stot").cast(dec)).cast("double")
-          * 1e6 + 0.5) / 1e6).as("modularity"))
+          * 1e6 + 0.5) / 1e6, lit(0.0)).as("modularity"))
   }
 
   /** DuckDB replay over the co-bought-parts graph: the same symmetric

@@ -355,9 +355,14 @@ object Metrics {
       .crossJoin(broadcast(tot))
       .select(col("decile"), col("n"), col("n_pos"),
         fold6(col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"),
-        fold6((col("n_pos") * col("nt")).cast("double") /
-          (col("n") * col("pt")).cast("double")).as("lift"),
-        fold6(col("cum_pos").cast("double") / col("pt").cast("double")).as("cum_gain"))
+        // zero positives anywhere → base rate 0: report 0 lift/gain
+        // (explicit guard: ANSI mode makes /0 an error, not a null)
+        when(col("pt") === 0, 0.0)
+          .otherwise(fold6((col("n_pos") * col("nt")).cast("double") /
+            (col("n") * col("pt")).cast("double"))).as("lift"),
+        when(col("pt") === 0, 0.0)
+          .otherwise(fold6(col("cum_pos").cast("double") / col("pt").cast("double")))
+          .as("cum_gain"))
   }
 
   /** Leave-one-out mean-target encoding — the standard high-cardinality
@@ -441,7 +446,7 @@ object Metrics {
     lineitem.select(
         conv(substring(md5(canon), 1, 15), 16, 10).cast("long").as("h"))
       .agg(count(lit(1)).as("n_rows"),
-        expr(s"CAST(SUM(CAST(h AS DECIMAL(38,0))) % ${1L << 61} AS BIGINT)")
+        expr(s"COALESCE(CAST(SUM(CAST(h AS DECIMAL(38,0))) % ${1L << 61} AS BIGINT), 0)")
           .as("checksum"))
   }
 
@@ -457,6 +462,8 @@ object Metrics {
        |         CAST(CAST(l_shipdate AS DATE) AS VARCHAR)
        |       ), 1, 15))::BIGINT) % ${1L << 61} AS BIGINT) AS checksum
        |FROM lineitem""".stripMargin
+  // (COALESCE mirror not needed above: the oracle runs on the same
+  // non-empty fixture; the engine-side guard covers degenerate calls)
 
   /** DuckDB replay of [[decileLift]]: NTILE over the identical total
     * order (ntileByRange reproduces SQL NTILE bucketing exactly).
@@ -480,7 +487,9 @@ object Metrics {
        |  FROM per)
        |SELECT decile, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
        |       FLOOR(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS pos_rate,
-       |       FLOOR(CAST(n_pos * nt AS DOUBLE) / CAST(n * pt AS DOUBLE) * 1e6 + 0.5) / 1e6 AS lift,
-       |       FLOOR(CAST(cum_pos AS DOUBLE) / CAST(pt AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cum_gain
+       |       CASE WHEN pt = 0 THEN 0e0
+       |            ELSE FLOOR(CAST(n_pos * nt AS DOUBLE) / CAST(n * pt AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS lift,
+       |       CASE WHEN pt = 0 THEN 0e0
+       |            ELSE FLOOR(CAST(cum_pos AS DOUBLE) / CAST(pt AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS cum_gain
        |FROM cum CROSS JOIN tot""".stripMargin
 }

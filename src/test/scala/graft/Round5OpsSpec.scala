@@ -217,6 +217,32 @@ class Round5OpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  // ------------------------------------------------------- degenerate inputs
+
+  test("round-5 operators return empty/identity results on empty input") {
+    val emptyLi = Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey")
+    val emptyOrd = Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey")
+    assert(Hits.hits(emptyLi, emptyOrd).count() === 0)
+
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("item_a", "item_b")
+    val m = graft.analytics.LabelProp.modularity(emptyEdges, "item_a", "item_b")
+      .collect()(0)
+    assert(m.getLong(0) === 0L && m.getLong(1) === 0L && m.getDouble(2) === 0.0)
+
+    val emptyRows = Seq.empty[(Long, Long, Long, Int, Double, String)]
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_extendedprice", "l_shipdate")
+    val cs = graft.analytics.Metrics.tableChecksum(emptyRows).collect()(0)
+    assert(cs.getLong(0) === 0L && cs.getLong(1) === 0L)
+
+    // customers but zero positives: lift/cum_gain report 0, not null
+    val cust = (1L to 8L).map(c => (c, c * 10.0)).toDF("c_custkey", "c_acctbal")
+    val dl = graft.analytics.Metrics.decileLift(cust, emptyOrd, k = 4).collect()
+    assert(dl.length === 4)
+    assert(dl.forall(r => r.getDouble(4) === 0.0 && r.getDouble(5) === 0.0))
+    spark.catalog.clearCache()
+  }
+
   // ------------------------------------------------------ hilbert curve
 
   test("hilbertValue is a bijection with unit-step adjacency on the 8x8 grid") {
