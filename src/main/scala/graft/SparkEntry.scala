@@ -481,6 +481,10 @@ object SparkEntry {
     // --- first/last-touch revenue attribution over user timelines ---
     "q_attribution" -> ((s, d) =>
       Breadth3.touchAttribution(Tables.events(s, d))),
+    // --- RFM quintile segmentation on the scalable NTILE ---
+    "q_rfm" -> ((s, d) => Breadth3.rfmSegments(Tables.orders(s, d))),
+    // --- cohort LTV matrix: money-weighted retention ---
+    "q_cohort_ltv" -> ((s, d) => Breadth3.cohortLtv(Tables.orders(s, d))),
     // --- asymmetric n-gram containment (quote/excerpt detector) ---
     "dedup_containment" -> ((s, d) =>
       Dedup.containmentPairs(Tables.documents(s, d))),
@@ -1455,6 +1459,10 @@ object SparkEntry {
         |WHERE rank <= 5""".stripMargin,
     // identical lag window + left-associated dyadic weighted sum
     "q_ewma" -> graft.analytics.Drift.ewmaOracleSql(),
+    // NTILE over identical total orders; exact cents and day arithmetic
+    "q_rfm" -> Breadth3.rfmOracleSql(),
+    // exact integer month offsets; cumulative over the cohort matrix
+    "q_cohort_ltv" -> Breadth3.cohortLtvOracleSql(),
     // IGNORE NULLS first/last over the same (ts, event_id) total order
     "q_attribution" ->
       """WITH tl AS (

@@ -410,6 +410,134 @@ object Breadth3 {
           .as("mean_wins"))
   }
 
+  // ---------------------------------------------------------------- RFM
+
+  /** RFM segmentation (Hughes, "Strategic Database Marketing", 1994) —
+    * the classic customer-value grid: recency (days since last order),
+    * frequency (order count), monetary (revenue cents), each scored
+    * 1..5 by quintile with 5 best, concatenated into the familiar
+    * three-digit segment code.
+    *
+    * Quintiles are exact NTILE(5) over fully-ordered keys via the
+    * range-partitioned [[graft.operators.GlobalRank.ntileByRange]] (no
+    * data-sized window partition); the reference date is the corpus max
+    * order date (broadcast 1-row), so the result is a pure function of
+    * the data. All three sort orders carry the custkey tie-break —
+    * bit-identical to the oracle's NTILE windows.
+    *
+    * Scale: one map-side-combined per-customer aggregation, then three
+    * range exchanges over the customer-count relation. Nothing wider.
+    *
+    * Output: (o_custkey, recency_days, frequency, monetary_cents,
+    * r_score, f_score, m_score, rfm).
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    import graft.operators.GlobalRank.ntileByRange
+    val refDate = orders.agg(max(to_date(col("o_orderdate"))).as("ref"))
+    val per = orders
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+        count(lit(1)).as("frequency"),
+        (sum(dec("o_totalprice")) * 100).cast("long").as("monetary_cents"))
+      .crossJoin(broadcast(refDate))
+      .select(col("o_custkey"),
+        datediff(col("ref"), col("last_d")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+    // tile 1 = best (most recent / most frequent / highest spend):
+    // score = 6 - tile puts 5 on the best quintile
+    val r = ntileByRange(per, 5, Seq("recency_days", "o_custkey"), "rt")
+    val f = ntileByRange(r.withColumn("negf", -col("frequency")),
+      5, Seq("negf", "o_custkey"), "ft").drop("negf")
+    val m = ntileByRange(f.withColumn("negm", -col("monetary_cents")),
+      5, Seq("negm", "o_custkey"), "mt").drop("negm")
+    m.select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"),
+        (lit(6) - col("rt")).as("r_score"),
+        (lit(6) - col("ft")).as("f_score"),
+        (lit(6) - col("mt")).as("m_score"))
+      .withColumn("rfm",
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")))
+  }
+
+  /** DuckDB replay of [[rfmSegments]] (NTILE over identical orders). */
+  def rfmOracleSql(): String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |         datediff('day', MAX(CAST(o_orderdate AS DATE)),
+      |                  (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS recency_days,
+      |         COUNT(*) AS frequency,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS monetary_cents
+      |  FROM orders GROUP BY 1),
+      |scored AS (
+      |  SELECT *,
+      |         6 - NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+      |         6 - NTILE(5) OVER (ORDER BY -frequency, o_custkey) AS f_score,
+      |         6 - NTILE(5) OVER (ORDER BY -monetary_cents, o_custkey) AS m_score
+      |  FROM per)
+      |SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+      |       CAST(frequency AS BIGINT) AS frequency, monetary_cents,
+      |       CAST(r_score AS INTEGER) AS r_score,
+      |       CAST(f_score AS INTEGER) AS f_score,
+      |       CAST(m_score AS INTEGER) AS m_score,
+      |       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+      |         CAST(m_score AS VARCHAR) AS rfm
+      |FROM scored""".stripMargin
+
+  // --------------------------------------------------------- cohort LTV
+
+  /** Cohort lifetime-value matrix: customers grouped by first-order
+    * month; for each (cohort month, month offset) the revenue that
+    * cohort produced in that month plus the running cumulative — the
+    * standard LTV curve input ([[retention]]'s money-weighted sibling).
+    *
+    * Exact: revenue in integer cents through DECIMAL(18,2); the offset
+    * is exact integer month arithmetic on (year, month) pairs (no
+    * float months_between). The cumulative window partitions by cohort
+    * over the months²-bounded matrix (bounded-domain rationale).
+    *
+    * Output: (cohort_month, month_offset, n_active, revenue_cents,
+    * cum_revenue_cents).
+    */
+  def cohortLtv(orders: DataFrame): DataFrame = {
+    val o = orders.select(col("o_custkey"),
+      trunc(to_date(col("o_orderdate")), "month").as("om"),
+      dec("o_totalprice").as("v"))
+    val cohort = o.groupBy("o_custkey").agg(min("om").as("cohort_month"))
+    val cells = o.join(cohort, "o_custkey")
+      .groupBy(col("cohort_month"),
+        ((year(col("om")) - year(col("cohort_month"))) * 12 +
+          (month(col("om")) - month(col("cohort_month")))).as("month_offset"))
+      .agg(count_distinct(col("o_custkey")).as("n_active"),
+        (sum(col("v")) * 100).cast("long").as("revenue_cents"))
+    val w = Window.partitionBy("cohort_month").orderBy("month_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("cum_revenue_cents", sum("revenue_cents").over(w))
+  }
+
+  /** DuckDB replay of [[cohortLtv]]. */
+  def cohortLtvOracleSql(): String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS om,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS v
+      |  FROM orders),
+      |cohort AS (SELECT o_custkey, MIN(om) AS cohort_month FROM o GROUP BY 1),
+      |cells AS (
+      |  SELECT cohort_month,
+      |         (year(om) - year(cohort_month)) * 12 +
+      |           (month(om) - month(cohort_month)) AS month_offset,
+      |         COUNT(DISTINCT o.o_custkey) AS n_active,
+      |         CAST(SUM(v) * 100 AS BIGINT) AS revenue_cents
+      |  FROM o JOIN cohort USING (o_custkey)
+      |  GROUP BY 1, 2)
+      |SELECT cohort_month, CAST(month_offset AS INTEGER) AS month_offset,
+      |       CAST(n_active AS BIGINT) AS n_active, revenue_cents,
+      |       CAST(SUM(revenue_cents) OVER (PARTITION BY cohort_month
+      |         ORDER BY month_offset
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS cum_revenue_cents
+      |FROM cells""".stripMargin
+
   // -------------------------------------------------------- attribution
 
   /** First-touch / last-touch revenue attribution: every `purchase`

@@ -217,6 +217,44 @@ class Round5OpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  // ------------------------------------------------------------ RFM/LTV
+
+  test("rfmSegments scores quintiles with 5 best and exact recency") {
+    // 5 customers, one order each on distinct dates with distinct totals:
+    // most recent + highest spend -> r=5, m=5; frequency all ties
+    val orders = (1L to 5L).map(c =>
+        (c * 10, c, s"1995-01-0$c", c * 100.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+    val got = graft.analytics.Breadth3.rfmSegments(orders)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(7)))).toMap
+    // customer 5 ordered last (recency 0) and spent most; the all-tied
+    // frequency resolves by custkey, so c5 takes the WORST freq quintile
+    assert(got(5L) === ((0L, 1L, 50000L, "515")))
+    // customer 1 is oldest (recency 4 days) and spent least; frequency
+    // ties resolve by custkey so c1 takes the best frequency quintile
+    assert(got(1L)._1 === 4L)
+    assert(got(1L)._4 === "151")
+    spark.catalog.clearCache()
+  }
+
+  test("cohortLtv builds exact month offsets and cumulative cents") {
+    val orders = Seq(
+      (1L, 1L, "1995-01-10", 10.0), (2L, 1L, "1995-03-15", 20.0),
+      (3L, 2L, "1995-02-01", 5.0), (4L, 2L, "1995-02-20", 7.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+    val got = graft.analytics.Breadth3.cohortLtv(orders)
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("1995-01-01", 0)) === ((1L, 1000L, 1000L)))
+    assert(got(("1995-01-01", 2)) === ((1L, 2000L, 3000L)))
+    assert(got(("1995-02-01", 0)) === ((1L, 1200L, 1200L)))
+    assert(got.size === 3)
+    spark.catalog.clearCache()
+  }
+
   // ------------------------------------------------------- degenerate inputs
 
   test("round-5 operators return empty/identity results on empty input") {
