@@ -478,6 +478,12 @@ object SparkEntry {
     // --- truncated EWMA volume smoothing (dyadic weights: exact sums) ---
     "q_ewma" -> ((s, d) =>
       graft.analytics.Drift.ewmaMonthlyOrders(Tables.orders(s, d))),
+    // --- seasonal-naive forecast baseline with per-month APE ---
+    "q_forecast_naive" -> ((s, d) =>
+      graft.analytics.Drift.seasonalNaiveBacktest(Tables.orders(s, d))),
+    // --- Welch A/B t-test from exact power sums ---
+    "q_ab_ttest" -> ((s, d) =>
+      graft.analytics.Metrics.welchTTest(Tables.orders(s, d))),
     // --- first/last-touch revenue attribution over user timelines ---
     "q_attribution" -> ((s, d) =>
       Breadth3.touchAttribution(Tables.events(s, d))),
@@ -1461,6 +1467,8 @@ object SparkEntry {
     "q_ewma" -> graft.analytics.Drift.ewmaOracleSql(),
     // NTILE over identical total orders; exact cents and day arithmetic
     "q_rfm" -> Breadth3.rfmOracleSql(),
+    "q_forecast_naive" -> graft.analytics.Drift.seasonalNaiveOracleSql(),
+    "q_ab_ttest" -> graft.analytics.Metrics.welchTTestOracleSql(),
     // exact integer month offsets; cumulative over the cohort matrix
     "q_cohort_ltv" -> Breadth3.cohortLtvOracleSql(),
     // IGNORE NULLS first/last over the same (ts, event_id) total order

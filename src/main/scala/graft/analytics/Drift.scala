@@ -373,6 +373,49 @@ object Drift {
       col("n_orders"), (num / den).as("ewma"))
   }
 
+  /** Seasonal-naive forecast backtest — the standard forecasting
+    * BASELINE every model must beat (Hyndman & Athanasopoulos,
+    * "Forecasting: Principles and Practice": the seasonal-naive
+    * benchmark): forecast for month t is the actual of month t−12; the
+    * report is per-month actual, forecast and absolute percentage
+    * error over the months where a forecast exists.
+    *
+    * Exact: revenue folds to integer cents; the lag is a window over
+    * the month-bounded monthly aggregate; APE is ONE division of exact
+    * longs folded to 1e-6.
+    *
+    * Output: (month_start, actual_cents, forecast_cents, ape).
+    */
+  def seasonalNaiveBacktest(orders: DataFrame, season: Int = 12): DataFrame = {
+    require(season >= 1, "season length must be >= 1")
+    val monthly = orders
+      .groupBy(trunc(col("o_orderdate").cast("date"), "month").as("month_start"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("actual_cents"))
+    val w = Window.orderBy("month_start")
+    monthly
+      .withColumn("forecast_cents", lag(col("actual_cents"), season).over(w))
+      .filter(col("forecast_cents").isNotNull)
+      .select(col("month_start"), col("actual_cents"), col("forecast_cents"),
+        (floor(abs(col("actual_cents") - col("forecast_cents")).cast("double") /
+          col("actual_cents").cast("double") * 1e6 + 0.5) / 1e6).as("ape"))
+  }
+
+  /** DuckDB replay of [[seasonalNaiveBacktest]]. */
+  def seasonalNaiveOracleSql(season: Int = 12): String =
+    s"""WITH monthly AS (
+       |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS actual_cents
+       |  FROM orders GROUP BY 1),
+       |lagged AS (
+       |  SELECT month_start, actual_cents,
+       |         LAG(actual_cents, $season) OVER (ORDER BY month_start) AS forecast_cents
+       |  FROM monthly)
+       |SELECT month_start, actual_cents, forecast_cents,
+       |       FLOOR(CAST(abs(actual_cents - forecast_cents) AS DOUBLE)
+       |             / CAST(actual_cents AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ape
+       |FROM lagged WHERE forecast_cents IS NOT NULL""".stripMargin
+
   /** DuckDB replay of [[ewmaMonthlyOrders]]: the same lag window and the
     * same left-associated weighted sum; weights printed as exact decimal
     * literals with an `e0` exponent so DuckDB parses them as DOUBLE

@@ -465,6 +465,81 @@ object Metrics {
   // (COALESCE mirror not needed above: the oracle runs on the same
   // non-empty fixture; the engine-side guard covers degenerate calls)
 
+  /** Welch's unequal-variance t-test (Welch, Biometrika 1947) between
+    * two experiment arms — the A/B-test primitive. Arms are the
+    * even/odd o_orderkey halves (a deterministic stand-in for an
+    * assignment column), the metric is order value in cents.
+    *
+    * Exactness: per-arm (n, Σx, Σx²) are exact longs/DECIMAL(38,0) from
+    * one map-side-combined pass; mean, sample variance, the t statistic
+    * and the Welch–Satterthwaite df are then ONE fixed double expression
+    * each off those integers, folded to 1e-6 — bit-identical
+    * cross-engine, partition-order independent (a streaming variance
+    * would not be).
+    *
+    * Output: one row (n_a, n_b, mean_a, mean_b, t_stat, df).
+    */
+  def welchTTest(orders: DataFrame): DataFrame = {
+    val g = orders.select(cents(col("o_totalprice")).as("x"),
+      (col("o_orderkey") % 2 === 0).as("is_a"))
+    val sums = g.agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"),
+      sum(when(col("is_a"), col("x")).otherwise(0L).cast(Dec)).as("s1a"),
+      sum(when(!col("is_a"), col("x")).otherwise(0L).cast(Dec)).as("s1b"),
+      sum(when(col("is_a"), col("x") * col("x")).otherwise(0L).cast(Dec)).as("s2a"),
+      sum(when(!col("is_a"), col("x") * col("x")).otherwise(0L).cast(Dec)).as("s2b"))
+    // sample variance via the exact-integer form: (n·Σx² − (Σx)²) / (n·(n−1))
+    val na = col("na").cast("double"); val nb = col("nb").cast("double")
+    val ma = col("s1a").cast("double") / na
+    val mb = col("s1b").cast("double") / nb
+    val va = (na * col("s2a").cast("double") -
+      col("s1a").cast("double") * col("s1a").cast("double")) / (na * (na - 1))
+    val vb = (nb * col("s2b").cast("double") -
+      col("s1b").cast("double") * col("s1b").cast("double")) / (nb * (nb - 1))
+    val sea = va / na; val seb = vb / nb
+    val t = (ma - mb) / sqrt(sea + seb)
+    val df = (sea + seb) * (sea + seb) /
+      (sea * sea / (na - 1) + seb * seb / (nb - 1))
+    sums.select(col("na").as("n_a"), col("nb").as("n_b"),
+      fold6(ma / 100.0).as("mean_a"), fold6(mb / 100.0).as("mean_b"),
+      fold6(t).as("t_stat"), fold6(df).as("df"))
+  }
+
+  /** DuckDB replay of [[welchTTest]] — identical expression shapes. */
+  def welchTTestOracleSql(): String =
+    """WITH g AS (
+      |  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS x,
+      |         o_orderkey % 2 = 0 AS is_a
+      |  FROM orders),
+      |sums AS (
+      |  SELECT SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
+      |         SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS nb,
+      |         SUM(CASE WHEN is_a THEN CAST(x AS HUGEINT) ELSE 0 END) AS s1a,
+      |         SUM(CASE WHEN NOT is_a THEN CAST(x AS HUGEINT) ELSE 0 END) AS s1b,
+      |         SUM(CASE WHEN is_a THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS s2a,
+      |         SUM(CASE WHEN NOT is_a THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS s2b
+      |  FROM g),
+      |d AS (
+      |  SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |         CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+      |         CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+      |         (CAST(na AS DOUBLE) * CAST(s2a AS DOUBLE) -
+      |          CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE))
+      |           / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1)) / CAST(na AS DOUBLE) AS sea,
+      |         (CAST(nb AS DOUBLE) * CAST(s2b AS DOUBLE) -
+      |          CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE))
+      |           / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1)) / CAST(nb AS DOUBLE) AS seb
+      |  FROM sums)
+      |SELECT n_a, n_b,
+      |       FLOOR(ma / 100.0 * 1e6 + 0.5) / 1e6 AS mean_a,
+      |       FLOOR(mb / 100.0 * 1e6 + 0.5) / 1e6 AS mean_b,
+      |       FLOOR((ma - mb) / sqrt(sea + seb) * 1e6 + 0.5) / 1e6 AS t_stat,
+      |       FLOOR((sea + seb) * (sea + seb) /
+      |             (sea * sea / (n_a - 1) + seb * seb / (n_b - 1))
+      |             * 1e6 + 0.5) / 1e6 AS df
+      |FROM d""".stripMargin
+
   /** DuckDB replay of [[decileLift]]: NTILE over the identical total
     * order (ntileByRange reproduces SQL NTILE bucketing exactly).
     */

@@ -217,6 +217,48 @@ class Round5OpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  // ------------------------------------------------------ welch / naive
+
+  test("welchTTest matches a closed-form replication") {
+    val orders = Seq(
+      (2L, 10.0), (4L, 12.0), (6L, 14.0), // arm A (even): mean 12
+      (1L, 20.0), (3L, 24.0), (5L, 28.0), (7L, 24.0)) // arm B: mean 24
+      .toDF("o_orderkey", "o_totalprice")
+    val r = graft.analytics.Metrics.welchTTest(orders).collect()(0)
+    def f6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val a = Seq(1000.0, 1200, 1400); val b = Seq(2000.0, 2400, 2800, 2400)
+    def meanv(xs: Seq[Double]) = xs.sum / xs.size
+    def varv(xs: Seq[Double]) = {
+      val n = xs.size
+      (n * xs.map(x => x * x).sum - xs.sum * xs.sum) / (n.toDouble * (n - 1))
+    }
+    val sea = varv(a) / a.size / a.size * a.size // keep shape simple below
+    val se = varv(a) / a.size + varv(b) / b.size
+    val t = (meanv(a) - meanv(b)) / math.sqrt(se)
+    assert(r.getLong(0) === 3L && r.getLong(1) === 4L)
+    assert(r.getDouble(2) === f6(meanv(a) / 100) && r.getDouble(3) === f6(meanv(b) / 100))
+    assert(math.abs(r.getDouble(4) - t) < 1e-5)
+    assert(sea > 0)
+    spark.catalog.clearCache()
+  }
+
+  test("seasonalNaiveBacktest lags by the season and reports exact APE") {
+    val orders = (1 to 15).map { i =>
+      val m = f"${1994 + (i - 1) / 12}-${(i - 1) % 12 + 1}%02d-10"
+      (i.toLong, m, i * 10.0)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+    val got = graft.analytics.Drift.seasonalNaiveBacktest(orders)
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // months 13..15 have a 12-back forecast: actual i*1000, forecast (i-12)*1000
+    def f6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got.size === 3)
+    assert(got("1995-01-01") === ((13000L, 1000L, f6(12000.0 / 13000))))
+    assert(got("1995-03-01") === ((15000L, 3000L, f6(12000.0 / 15000))))
+    spark.catalog.clearCache()
+  }
+
   // ------------------------------------------------------------ RFM/LTV
 
   test("rfmSegments scores quintiles with 5 best and exact recency") {
