@@ -50,6 +50,10 @@ object Bench {
       // shuffle-heavy query, the System.gc() below floods the cleaner
       // queue; blocking removal stalls subsequent job submission
       .config("spark.cleaner.referenceTracking.blocking", "false")
+      // 185 queries × several codegen stages each ≫ the 100-entry
+      // default class cache: interleaved passes would recompile every
+      // generated class every pass (measured +1.5-3 s floor per query)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -81,8 +85,18 @@ object Bench {
       val all = SparkEntry.queries.keys.toSeq.sorted
       if (only.isEmpty) all else all.filter(only.contains)
     }
+    // INTERLEAVED passes: run every query once per round (rounds outer)
+    // rather than N back-to-back runs per query. JVM health degrades
+    // slowly over a 185-query pass (codegen/class accumulation — the
+    // q_item_cf samples [45.2, 18.0, 10.5] vs 3.2 s isolated); with
+    // consecutive runs one bad epoch poisons ALL samples of a query,
+    // interleaved the N samples land in different epochs and the min
+    // survives.
+    val collected = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to runs; n <- names) collected(n) = collected(n) :+ materialize(n)
     val samples = names.map { n =>
-      val xs = (1 to runs).map(_ => materialize(n))
+      val xs = collected(n)
       System.err.println(s"[bench] $n: ${xs.map(x => f"$x%.3f").mkString(", ")}")
       n -> xs
     }
