@@ -139,6 +139,9 @@ object SparkEntry {
     "q_hilbert" -> ((s, d) =>
       graft.operators.Hilbert.hilbertValue(
         Tables.events(s, d), "event_id", "user_id", "FLOOR(value)")),
+    // data-skipping audit: files scanned under linear/zorder/hilbert
+    "q_layout_prune" -> ((s, d) =>
+      graft.operators.LayoutPrune.layoutPruneStats(Tables.events(s, d))),
     // per-column data profile (nulls + exact distincts, one scan)
     "q_profile" -> ((s, d) => graft.etl.Profile.profile(Tables.orders(s, d))),
     // --- k-anonymity audit (Sweeney 2002): equivalence-class sizes over the
@@ -2404,6 +2407,8 @@ object SparkEntry {
     },
     // identical unrolled quadrant-rotation CTE chain (shared template)
     "q_hilbert" -> graft.operators.Hilbert.hilbertOracleSql(),
+    // NTILE zone maps + overlap predicate per layout; hilbert CTE reuse
+    "q_layout_prune" -> graft.operators.LayoutPrune.layoutPruneOracleSql(),
     // BM25: identical literal constants and association order; scores are
     // exact micro-unit long sums, so partial-agg order can't move them
     "text_bm25_topk" -> bm25TopkOracle(),

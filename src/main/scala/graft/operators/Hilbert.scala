@@ -67,22 +67,30 @@ object Hilbert {
     cur.select(col(idCol), col("acc").as("hval"))
   }
 
+  /** The l1..l`bits` level CTE blocks over a caller-provided `l0`
+    * relation carrying (event_id, hx, hy, acc) — shared by
+    * [[hilbertOracleSql]] and the layout-prune oracle.
+    */
+  def levelCtesSql(bits: Int): String = {
+    val n1 = (1L << bits) - 1
+    ((bits - 1) to 0 by -1).zipWithIndex.map { case (i, k) =>
+      val (acc, hx2, hy2) = levelExprs(1L << i, n1)
+      s"""l${k + 1} AS (
+         |  SELECT event_id, $hx2 AS hx, $hy2 AS hy, $acc AS acc FROM l$k)""".stripMargin
+    }.mkString(",\n")
+  }
+
   /** DuckDB replay over the events table (the q_hilbert wiring): the
     * identical level chain as nested CTEs.
     */
   def hilbertOracleSql(bits: Int = 16): String = {
     val n1 = (1L << bits) - 1
-    val levels = ((bits - 1) to 0 by -1).zipWithIndex.map { case (i, k) =>
-      val (acc, hx2, hy2) = levelExprs(1L << i, n1)
-      s"""l${k + 1} AS (
-         |  SELECT event_id, $hx2 AS hx, $hy2 AS hy, $acc AS acc FROM l$k)""".stripMargin
-    }.mkString(",\n")
     s"""WITH l0 AS (
        |  SELECT event_id, (user_id & $n1) AS hx,
        |         (CAST(FLOOR(value) AS BIGINT) & $n1) AS hy,
        |         CAST(0 AS BIGINT) AS acc
        |  FROM events),
-       |$levels
+       |${levelCtesSql(bits)}
        |SELECT event_id, acc AS hval FROM l$bits""".stripMargin
   }
 }

@@ -358,6 +358,24 @@ class Round5OpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  // ------------------------------------------------------- layout prune
+
+  test("layoutPruneStats: curve layouts confine a quadrant query to one file") {
+    // full 4x4 grid, bits=2, 4 files of 4 points; rectangle = [0,1]^2
+    val events = (for (x <- 0 until 4; y <- 0 until 4)
+      yield ((x * 4 + y).toLong, x.toLong, y.toDouble)).toSeq
+      .toDF("event_id", "user_id", "value")
+    val got = graft.operators.LayoutPrune.layoutPruneStats(
+        events, bits = 2, buckets = 4, rx1 = 0, rx2 = 1, ry1 = 0, ry2 = 1)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // linear (x-major) files are x-rows: two rows intersect x<=1
+    assert(got("1_linear") === ((4L, 2L)))
+    // both curves make the first file exactly the query quadrant
+    assert(got("2_zorder") === ((4L, 1L)))
+    assert(got("3_hilbert") === ((4L, 1L)))
+    spark.catalog.clearCache()
+  }
+
   // -------------------------------------------------------- containment
 
   test("containmentPairs matches brute-force shingle containment") {
