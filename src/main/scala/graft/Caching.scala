@@ -51,4 +51,22 @@ object Caching {
     * algorithm trade (checkpoint discipline), documented per call site.
     */
   def checkpointed(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+  /** Release the storage of a [[checkpointed]] DataFrame NOW.
+    *
+    * `Dataset.unpersist()` is a no-op here: localCheckpoint persists the
+    * underlying RDD directly (it never registers with the CacheManager),
+    * so the Dataset-level call frees nothing and round blocks would only
+    * be reclaimed asynchronously by the ContextCleaner once the RDD is
+    * garbage-collected. Iterative operators (BFS, LPA) release each
+    * round's blocks as soon as the next round is materialized — at scale
+    * the superseded rounds would otherwise stack up in storage for the
+    * whole loop. The checkpointed plan is a LogicalRDD leaf; unpersist
+    * its RDD non-blocking (don't serialize executor RPCs into the round
+    * loop). Safe on non-checkpointed inputs: no LogicalRDD leaf, no-op.
+    */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 }

@@ -28,11 +28,13 @@ object Bfs {
     * Output: (node, dist), one row per reached node.
     */
   def hubDistances(edges: DataFrame, srcCol: String, dstCol: String,
-                   nSeeds: Int = 10, rounds: Int = 3): DataFrame = {
+                   nSeeds: Int = 10, rounds: Int = 3,
+                   canonical: Boolean = false): DataFrame = {
     require(nSeeds >= 1 && rounds >= 1, "need seeds and at least one round")
     // symmetric distinct edge relation, built via the half-edge-cached
     // union so the upstream pipeline runs once, not once per branch
-    val e = GraphEdges.symmetricDistinct(edges, srcCol, dstCol)
+    // (canonical = true skips the symmetrization distinct — GraphEdges)
+    val e = GraphEdges.symmetricDistinct(edges, srcCol, dstCol, canonical)
     val seeds = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("node").asc)
@@ -51,7 +53,9 @@ object Bfs {
         .select(col("dst").as("node"), lit(r).as("dist"))
       val next = graft.Caching.checkpointed(dist.unionByName(expanded)
         .groupBy("node").agg(min("dist").as("dist")))
-      dist.unpersist()
+      // RDD-level release: Dataset.unpersist() would be a no-op on a
+      // localCheckpointed frame (Caching.releaseCheckpoint)
+      graft.Caching.releaseCheckpoint(dist)
       dist = next
     }
     dist

@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   * means both branches read one cache; the interim cache is released
   * as soon as the symmetric relation is materialized.
   *
+  * When the producer already guarantees DISTINCT canonical (u < v)
+  * pairs from a materialized relation (e.g. the session-shared
+  * co-bought edge cache in `SparkEntry`), pass `canonical = true`:
+  * the union of such a relation with its swap is automatically
+  * distinct (u < v on one branch, u > v on the other, never u = v),
+  * so the full-relation distinct shuffle — the widest exchange in the
+  * build — is skipped entirely, and the input cache replaces the
+  * interim half-edge materialization.
+  *
   * Returns a MATERIALIZED (persisted, computed) relation (src, dst) —
   * callers either unpersist it when done or rely on the library cache
   * contract (`Caching.withCaches` / the harness's per-query
@@ -22,15 +31,22 @@ import org.apache.spark.sql.functions._
   */
 object GraphEdges {
 
-  def symmetricDistinct(edges: DataFrame, srcCol: String,
-                        dstCol: String): DataFrame = {
-    val half = graft.Caching.materialize(
-      edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst")))
-    val sym = graft.Caching.materialize(
-      half.union(half.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct())
-    half.unpersist()
-    sym
+  def symmetricDistinct(edges: DataFrame, srcCol: String, dstCol: String,
+                        canonical: Boolean = false): DataFrame = {
+    if (canonical) {
+      val half = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      graft.Caching.materialize(
+        half.union(half.select(col("dst").as("src"), col("src").as("dst"))))
+    } else {
+      val half = graft.Caching.materialize(
+        edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst")))
+      val sym = graft.Caching.materialize(
+        half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct())
+      half.unpersist()
+      sym
+    }
   }
 }

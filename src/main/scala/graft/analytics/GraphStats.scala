@@ -40,9 +40,9 @@ object GraphStats {
     * Output: (node, core_deg) over the round-`rounds` edge set.
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
-            k: Int = 3, rounds: Int = 3): DataFrame = {
+            k: Int = 3, rounds: Int = 3, canonical: Boolean = false): DataFrame = {
     require(k >= 1 && rounds >= 1, "need k >= 1 and at least one round")
-    var e = GraphEdges.symmetricDistinct(edges, srcCol, dstCol)
+    var e = GraphEdges.symmetricDistinct(edges, srcCol, dstCol, canonical)
     for (_ <- 1 to rounds) {
       // survivor set feeds BOTH endpoint joins — materialize first so
       // the degree agg runs once, not once per join branch
@@ -74,8 +74,9 @@ object GraphStats {
     * degree-regular graphs where the variance term vanishes.
     */
   def degreeAssortativity(edges: DataFrame, srcCol: String,
-                          dstCol: String): DataFrame = {
-    val e = GraphEdges.symmetricDistinct(edges, srcCol, dstCol)
+                          dstCol: String,
+                          canonical: Boolean = false): DataFrame = {
+    val e = GraphEdges.symmetricDistinct(edges, srcCol, dstCol, canonical)
     // degree relation feeds both endpoint joins
     val deg = graft.Caching.materialize(
       e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))

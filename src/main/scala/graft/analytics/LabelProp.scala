@@ -35,11 +35,13 @@ object LabelProp {
     * Output: (node, community, n_members).
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-                       rounds: Int = 3): DataFrame = {
+                       rounds: Int = 3, canonical: Boolean = false): DataFrame = {
     // symmetric distinct edge relation — materialized once, consumed by
     // every round's join; built via the half-edge-cached union so the
     // upstream pipeline runs once, not once per union branch
-    val e = GraphEdges.symmetricDistinct(edges, srcCol, dstCol)
+    // (canonical = true: input is already distinct u < v pairs, skip the
+    // symmetrization distinct — see GraphEdges)
+    val e = GraphEdges.symmetricDistinct(edges, srcCol, dstCol, canonical)
     val labels = assignments(e, rounds)
     val out = labels.select(col("id").as("node"), col("lbl").as("community"))
     val sizes = out.groupBy("community").agg(count(lit(1)).as("n_members"))
@@ -72,7 +74,9 @@ object LabelProp {
       labels = graft.Caching.checkpointed(votes.groupBy("id")
         .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
         .select(col("id"), col("m.lbl").as("lbl")))
-      if (prev != null) prev.unpersist()
+      // RDD-level release of the superseded round: Dataset.unpersist()
+      // is a no-op on localCheckpointed frames (Caching.releaseCheckpoint)
+      if (prev != null) graft.Caching.releaseCheckpoint(prev)
       prev = labels
     }
     labels
@@ -97,8 +101,8 @@ object LabelProp {
     * Output: one row (n_communities, m_edges, modularity).
     */
   def modularity(edges: DataFrame, srcCol: String, dstCol: String,
-                 rounds: Int = 3): DataFrame = {
-    val e = GraphEdges.symmetricDistinct(edges, srcCol, dstCol)
+                 rounds: Int = 3, canonical: Boolean = false): DataFrame = {
+    val e = GraphEdges.symmetricDistinct(edges, srcCol, dstCol, canonical)
     val labels = assignments(e, rounds)
     val lblE = e
       .join(labels.select(col("id").as("src"), col("lbl").as("la")), "src")

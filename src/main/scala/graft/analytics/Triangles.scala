@@ -46,14 +46,21 @@ object Triangles {
       .distinct()
   }
 
-  /** Global triangle count over an undirected edge relation given as
-    * (u, v) pairs with u ≠ v, each undirected edge present once (either
-    * direction). Output: one row (n_triangles). `canonical = true`
-    * asserts the input is already distinct (u < v) pairs and skips the
-    * canonicalization shuffle.
+  /** The shared degree-oriented edge-iterator pipeline feeding BOTH
+    * [[triangleCount]] and [[clusteringCoefficient]]: canonicalized
+    * edges → degree relation → (degree, id)-oriented edges → O(√m)
+    * out-adjacency arrays → per-edge closing-neighbor intersections.
+    *
+    * Returns (deg, closers) where `deg` is the materialized (n, d)
+    * degree relation and `closers` carries one row per oriented edge
+    * (src, dst, closing) with `closing` the array of vertices x
+    * completing a triangle {src, dst, x} — each triangle appears in
+    * EXACTLY ONE row's array (counted at its ≺-lowest edge). Every
+    * intermediate that feeds 2+ plan subtrees is materialized
+    * ([[graft.Caching]] discipline).
     */
-  def triangleCount(edges: DataFrame, uCol: String, vCol: String,
-                    canonical: Boolean = false): DataFrame = {
+  private def edgeIterator(edges: DataFrame, uCol: String, vCol: String,
+                           canonical: Boolean): (DataFrame, DataFrame) = {
     // e feeds the degree union (twice) AND the orientation join — persist
     // so the upstream edge build (often itself a join/agg pipeline) runs
     // once, not three times
@@ -76,12 +83,27 @@ object Triangles {
     // materialized because BOTH joins consume it from concurrent stages
     val adj = graft.Caching.materialize(oriented.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("nbrs")))
-    oriented
+    val closers = oriented
       .join(adj.select(col("src"), col("nbrs").as("src_nbrs")), "src")
       .join(adj.select(col("src").as("dst"), col("nbrs").as("dst_nbrs")),
         Seq("dst"), "left")
-      .select(size(array_intersect(col("src_nbrs"),
-        coalesce(col("dst_nbrs"), array().cast("array<long>")))).as("tri"))
+      .select(col("src"), col("dst"),
+        array_intersect(col("src_nbrs"),
+          coalesce(col("dst_nbrs"), array().cast("array<long>"))).as("closing"))
+    (deg, closers)
+  }
+
+  /** Global triangle count over an undirected edge relation given as
+    * (u, v) pairs with u ≠ v, each undirected edge present once (either
+    * direction). Output: one row (n_triangles). `canonical = true`
+    * asserts the input is already distinct (u < v) pairs and skips the
+    * canonicalization shuffle.
+    */
+  def triangleCount(edges: DataFrame, uCol: String, vCol: String,
+                    canonical: Boolean = false): DataFrame = {
+    val (_, closers) = edgeIterator(edges, uCol, vCol, canonical)
+    closers
+      .select(size(col("closing")).as("tri"))
       // coalesce: sum over ZERO edge rows is NULL, but an empty graph has
       // 0 triangles (and the COUNT(*) oracle says 0, not NULL)
       .agg(coalesce(sum(col("tri")), lit(0L)).cast("long").as("n_triangles"))
@@ -100,32 +122,10 @@ object Triangles {
     */
   def clusteringCoefficient(edges: DataFrame, uCol: String, vCol: String,
                             canonical: Boolean = false): DataFrame = {
-    val e = graft.Caching.materialize(canonicalEdges(edges, uCol, vCol, canonical))
-    // deg feeds both endpoint joins AND the final per-node attach
-    val deg = graft.Caching.materialize(
-      e.select(col("u").as("n")).union(e.select(col("v").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("d")))
-    val withDegs = e
-      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
-    val oriented = graft.Caching.materialize(withDegs.select(
-      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
-        .otherwise(col("v")).as("src"),
-      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
-        .otherwise(col("u")).as("dst")))
-    // adj feeds BOTH endpoint joins below — Spark re-derives shared
-    // subtrees per plan branch, so the aggregation is materialized before
-    // the concurrent consumer stages launch
-    val adj = graft.Caching.materialize(oriented.groupBy("src")
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs")))
+    val (deg, closers) = edgeIterator(edges, uCol, vCol, canonical)
     // every (s, t, x) triangle row credits its three corners
-    val corners = oriented
-      .join(adj.select(col("src"), col("nbrs").as("src_nbrs")), "src")
-      .join(adj.select(col("src").as("dst"), col("nbrs").as("dst_nbrs")),
-        Seq("dst"), "left")
-      .select(col("src"), col("dst"),
-        explode(array_intersect(col("src_nbrs"),
-          coalesce(col("dst_nbrs"), array().cast("array<long>")))).as("x"))
+    val corners = closers
+      .select(col("src"), col("dst"), explode(col("closing")).as("x"))
       .select(explode(array(col("src"), col("dst"), col("x"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("n_tri"))
     deg.join(corners, Seq("n"), "left")

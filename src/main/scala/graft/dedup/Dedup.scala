@@ -368,8 +368,16 @@ object Dedup {
     *
     * Scale: candidate volume is Σ_prefix df(gram) with df-ascending
     * prefixes biasing toward rare grams; `maxDocsPerGram` is the same
-    * last-resort hot-gram cap as [[ngramJaccard]] (documented recall
-    * trade, effectively off by default).
+    * last-resort hot-gram cap as [[ngramJaccard]] (effectively off by
+    * default). When the cap binds, the operator computes containment
+    * over the CAPPED gram universe end-to-end: hot grams are excluded
+    * from candidate generation AND from the verify intersection (they
+    * match everything, so counting them would only inflate scores),
+    * while the denominator stays the full |grams(a)| — the conservative
+    * reading, and exactly what the DuckDB oracle replays, so parity
+    * holds whether or not the cap triggers. The prefix length is
+    * computed from the full |a| (≥ the capped count), so the Chaudhuri
+    * prefix filter stays exact within the capped universe.
     *
     * Output: (doc_a, doc_b, containment) — doc_a is the CONTAINED side;
     * mutual near-copies appear in both directions.
@@ -405,10 +413,18 @@ object Dedup {
           col("b.n_grams") >= ceil(col("a.n_grams") * threshold))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // verify over the CAPPED gram arrays (hot grams excluded from the
+    // intersection count, full |a| in the denominator) so engine and
+    // oracle agree when the cap binds; with the cap off these arrays are
+    // set-equal to gramsM's. n_grams rides along from `capped` (it is the
+    // FULL per-doc count, computed before the df filter).
+    val rareArrays = capped.groupBy("doc_id")
+      .agg(collect_list(col("gram")).as("grams"),
+        first(col("n_grams")).as("n_grams"))
     cand
-      .join(gramsM.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
+      .join(rareArrays.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
         col("n_grams").as("na")), "doc_a")
-      .join(gramsM.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
+      .join(rareArrays.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("ga"), col("gb"))).cast("double") /
           col("na")).as("containment"))

@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * happens in batched partition-local functions.
   *
   * The IMAGE leg decodes for real: `javax.imageio` is pure-JVM
-  * (PNG/BMP/GIF need no native libraries), see [[decodeImage]]. Audio
-  * resample and video demux DO need native codecs this container doesn't
-  * ship — those steps stay STUBBED behind [[decodeStub]] with a
-  * deterministic fake. Everything around the stub is real and tested:
+  * (PNG/BMP/GIF need no native libraries), see [[decodeImage]]. The
+  * AUDIO leg decodes WAV/PCM for real too: `javax.sound.sampled` parses
+  * RIFF/WAVE containers without native codecs, see [[decodeWav]] —
+  * only COMPRESSED audio (mp3/ogg) and video demux need codec libs this
+  * container doesn't ship; those steps stay STUBBED behind
+  * [[decodeStub]] with a deterministic fake. Everything around the stub
+  * is real and tested:
   * the schema, the binary packing, the mapPartitions batch shape (the
   * Scala analogue of `mapInPandas` — one iterator per partition so
   * per-partition codec init happens once), and the
@@ -130,6 +133,108 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
       it.flatMap(decodeImage)
     }
+  }
+
+  // ------------------------------------------------------------- audio
+
+  case class AudioRecord(media_id: Long, content: Array[Byte])
+  case class AudioFeatures(media_id: Long, n_samples: Long, sample_rate: Int,
+                           zero_crossings: Long, energy: Long)
+
+  /** REAL audio decode — WAV/PCM parsing is pure-JVM
+    * (`javax.sound.sampled`), no native codec libraries needed for
+    * uncompressed payloads; only COMPRESSED audio (mp3/ogg) stays with
+    * [[decodeStub]] as a container constraint. Features are the exact
+    * integer core of audio curation filters: sample count, rate,
+    * zero-crossing count (the classic voicing/noisiness signal) and
+    * total energy Σ s² (silence / clipping detection) — all integers,
+    * so a SQL oracle replays them bit-for-bit from the generating
+    * signal. A payload that doesn't parse as WAV yields None, the
+    * quarantine path (same contract as [[decodeImage]]).
+    */
+  def decodeWav(r: AudioRecord): Option[AudioFeatures] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.content))
+      val fmt = ais.getFormat
+      // 16-bit signed PCM mono is the fixture/feature contract; anything
+      // else is quarantined rather than mis-decoded
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+      else {
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var zc = 0L
+        var energy = 0L
+        var prevNeg = false
+        var i = 0
+        while (i < n) {
+          val lo = bytes(2 * i) & 0xff
+          val hi = bytes(2 * i + 1).toInt
+          val s = if (fmt.isBigEndian) (lo << 8) | (hi & 0xff) // (never for WAV)
+                  else (hi << 8) | lo
+          val neg = s < 0
+          if (i > 0 && neg != prevNeg) zc += 1
+          prevNeg = neg
+          energy += s.toLong * s
+          i += 1
+        }
+        Some(AudioFeatures(r.media_id, n, fmt.getSampleRate.toInt, zc, energy))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Distributed WAV feature extraction: mapPartitions keeps the
+    * one-init-per-partition decoder shape; unparseable rows are dropped
+    * via flatMap (quarantine).
+    */
+  def audioFeatures(media: Dataset[AudioRecord]): Dataset[AudioFeatures] = {
+    implicit val enc = Encoders.product[AudioFeatures]
+    media.mapPartitions(_.flatMap(decodeWav))
+  }
+
+  /** The deterministic synthetic 16-bit PCM signal for media id `id`:
+    * s_i = ((id·31 + i·7919) mod 2¹⁶) − 2¹⁵, length 256 + (id mod 256).
+    * Shared by the WAV packer and the SQL oracle — the engine
+    * round-trips the signal through a REAL WAV encode+decode while the
+    * oracle computes features straight from this formula, so the hash
+    * match proves the codec path is lossless, not just replayed.
+    */
+  def synthPcm(id: Long): Array[Short] =
+    Array.tabulate((256 + (id % 256)).toInt) { i =>
+      (((id * 31 + i.toLong * 7919) % 65536) - 32768).toShort
+    }
+
+  /** Pack samples into a real RIFF/WAVE container (16-bit signed PCM
+    * mono little-endian) via `javax.sound.sampled` — the encoder half of
+    * the [[decodeWav]] round trip.
+    */
+  def packWavBytes(samples: Array[Short], rate: Float = 8000f): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Synthetic WAV corpus keyed on doc_id: each document becomes a real
+    * WAV payload of [[synthPcm]] samples. Binary packing happens
+    * per-partition (the mapPartitions batch shape — a real corpus reads
+    * payload bytes from parquet binary columns instead).
+    */
+  def packSyntheticWavs(documents: DataFrame): Dataset[AudioRecord] = {
+    implicit val enc = Encoders.product[AudioRecord]
+    import org.apache.spark.sql.Encoders.scalaLong
+    documents.select(col("doc_id")).as[Long](scalaLong)
+      .mapPartitions(_.map(id => AudioRecord(id, packWavBytes(synthPcm(id)))))
   }
 
   /** Frame sampling: slice the payload into up-to-`n` fixed-size byte

@@ -59,6 +59,53 @@ object Ivm {
       .filter(col(cntCol) > 0)
   }
 
+  /** Maintain the per-(group, value) multiplicity SUPPORT relation that
+    * makes COUNT(DISTINCT) incrementally maintainable under inserts AND
+    * deletes. Count-distinct is famously NOT self-maintainable from the
+    * view alone (deleting a value's last row must drop the count, but
+    * the view doesn't know which row was last) — the classic fix (Gupta
+    * & Mumick's auxiliary-view method) stores (groupCols, valueCol,
+    * cnt): inserts/deletes fold in as ±1 on the multiplicity, a value
+    * leaves the group exactly when its multiplicity reaches 0, and the
+    * distinct count is then an exact aggregate over the support —
+    * [[distinctCounts]]. Per-batch cost is one hash agg over the batch
+    * plus one full-outer join keyed on (group, value) — sized by the
+    * DISTINCT domain and the batch, never the base relation.
+    *
+    * NULL group keys AND null values match null-safely (SQL GROUP BY
+    * folds both); note COUNT(DISTINCT v) ignores NULL v, which
+    * [[distinctCounts]] mirrors.
+    */
+  def applyDeltaDistinct(support: DataFrame, changes: DataFrame,
+                         groupCols: Seq[String], valueCol: String,
+                         cntCol: String = "cnt",
+                         deleteCol: String = "is_delete"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val keys = groupCols :+ valueCol
+    val sign = when(col(deleteCol), lit(-1L)).otherwise(lit(1L))
+    val delta = changes.groupBy(keys.map(col): _*).agg(sum(sign).as("__cnt_d"))
+    val b = support.alias("b"); val d = delta.alias("d")
+    val cond = keys.map(c => col(s"b.$c") <=> col(s"d.$c")).reduce(_ && _)
+    b.join(d, cond, "full_outer")
+      .select(
+        keys.map(c => coalesce(col(s"b.$c"), col(s"d.$c")).as(c)) :+
+          (coalesce(col(cntCol), lit(0L)) + coalesce(col("__cnt_d"), lit(0L)))
+            .as(cntCol): _*)
+      .filter(col(cntCol) > 0)
+  }
+
+  /** The COUNT(DISTINCT valueCol) view over an [[applyDeltaDistinct]]
+    * support relation: one map-side-combined aggregate sized by the
+    * distinct domain. NULL values are excluded, matching SQL
+    * COUNT(DISTINCT) semantics on the recompute path.
+    */
+  def distinctCounts(support: DataFrame, groupCols: Seq[String],
+                     valueCol: String,
+                     outCol: String = "n_distinct"): DataFrame =
+    support.filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as(outCol))
+
   /** Signed delta of an inner equi-JOIN view — the missing piece between
     * a CDC feed over the base tables and [[applyDelta]] on an aggregate
     * OVER the join. The classic bilinear delta rule

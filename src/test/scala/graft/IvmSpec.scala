@@ -284,4 +284,52 @@ class IvmSpec extends AnyFunSuite {
     assert(net.as[(String, Long)].collect().toSeq === Seq(("x", -1L)))
     assert(Ivm.applyDelta(base, changes, Seq("g"), "v").isEmpty)
   }
+
+  test("count-distinct support folded per CDC batch equals the recompute") {
+    // (g, v) multiplicities: v leaves g exactly when its LAST row
+    // retracts. Batches exercise: insert of an existing value (count
+    // unchanged), partial delete of a multi-row value (count unchanged),
+    // last-row delete (count drops), new value (count grows), and a
+    // value re-inserted after draining.
+    def rows(xs: (String, Long)*) = xs.toDF("g", "v")
+    def batch(xs: (String, Long, Boolean)*) = xs.toDF("g", "v", "is_delete")
+    var state = rows(("a", 1L), ("a", 1L), ("a", 2L), ("b", 5L))
+    var support = state.groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+    val batches = Seq(
+      batch(("a", 1L, false), ("b", 6L, false)),              // dup insert + new value
+      batch(("a", 1L, true), ("a", 2L, true), ("b", 5L, true)), // partial + last-row deletes
+      batch(("a", 2L, false), ("a", 1L, true), ("a", 1L, true))) // re-insert + drain a/1
+    for (b <- batches) {
+      support = Ivm.applyDeltaDistinct(support, b, Seq("g"), "v")
+      state = state.unionByName(b.filter(!$"is_delete").drop("is_delete"))
+        .exceptAll(b.filter($"is_delete").drop("is_delete"))
+    }
+    val got = Ivm.distinctCounts(support, Seq("g"), "v")
+    val recompute = state.groupBy("g").agg(countDistinct($"v").as("n_distinct"))
+    assert(got.exceptAll(recompute).isEmpty && recompute.exceptAll(got).isEmpty,
+      s"got:\n${got.collect().mkString("\n")}\nexpect:\n${recompute.collect().mkString("\n")}")
+    // a ends with exactly {2}: 1 drained after its re-count dance
+    assert(got.filter($"g" === "a").as[(String, Long)].collect().toSeq
+      === Seq(("a", 1L)))
+  }
+
+  test("applyDeltaDistinct: maintenance cost is delta-sized, null-safe keys") {
+    // null group key and null value: the null GROUP matches null-safely;
+    // a NULL value is tracked in the support but excluded by
+    // distinctCounts, matching COUNT(DISTINCT) semantics
+    val support = Seq((Option("a"), Option(1L), 1L), (Option.empty[String], Option(2L), 2L),
+      (Option("a"), Option.empty[Long], 1L)).toDF("g", "v", "cnt")
+    val changes = Seq((Option.empty[String], Option(2L), true),
+      (Option.empty[String], Option(2L), true),
+      (Option("a"), Option.empty[Long], false))
+      .toDF("g", "v", "is_delete")
+    val sup2 = Ivm.applyDeltaDistinct(support, changes, Seq("g"), "v")
+    // null-group value 2 drained (2 - 2 = 0); a's null value now cnt 2
+    assert(sup2.filter($"g".isNull).isEmpty)
+    assert(sup2.filter($"g" === "a" && $"v".isNull).as[(String, Option[Long], Long)]
+      .collect().map(_._3).toSeq === Seq(2L))
+    // distinctCounts ignores the NULL value: a counts only v=1
+    assert(Ivm.distinctCounts(sup2, Seq("g"), "v").as[(String, Long)]
+      .collect().toSeq === Seq(("a", 1L)))
+  }
 }

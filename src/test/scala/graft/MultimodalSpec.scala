@@ -79,4 +79,40 @@ class MultimodalSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.ceil($"len" / 4.0).cast("int")).count()
     assert(bad === 0)
   }
+
+  test("WAV round-trip: packed signal decodes to formula-exact features") {
+    // distributed path: encode synthPcm to real RIFF/WAVE, decode via
+    // javax.sound, and compare every feature to a direct computation
+    // from the generating formula — codec losslessness, end to end
+    val ids = Seq(0L, 1L, 7L, 255L, 256L, 1000L)
+    val docs = ids.toDF("doc_id")
+    val got = Multimodal.audioFeatures(Multimodal.packSyntheticWavs(docs))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(got.keySet === ids.toSet)
+    ids.foreach { id =>
+      val s = Multimodal.synthPcm(id)
+      val zc = (1 until s.length).count(i => (s(i) < 0) != (s(i - 1) < 0))
+      val energy = s.map(x => x.toLong * x).sum
+      val f = got(id)
+      assert(f.n_samples === s.length.toLong, s"n_samples for $id")
+      assert(f.sample_rate === 8000, s"rate for $id")
+      assert(f.zero_crossings === zc.toLong, s"zc for $id")
+      assert(f.energy === energy, s"energy for $id")
+    }
+  }
+
+  test("decodeWav quarantines non-WAV and non-PCM16-mono payloads") {
+    import Multimodal.AudioRecord
+    assert(Multimodal.decodeWav(AudioRecord(1L, "not a wav".getBytes)).isEmpty)
+    assert(Multimodal.decodeWav(AudioRecord(2L, Array.emptyByteArray)).isEmpty)
+    // a valid WAV but 8-bit: parses, fails the 16-bit PCM mono contract
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val pcm8 = Array.tabulate[Byte](16)(i => (i * 16).toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm8), fmt8, 16),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    assert(Multimodal.decodeWav(AudioRecord(3L, bos.toByteArray)).isEmpty)
+  }
 }

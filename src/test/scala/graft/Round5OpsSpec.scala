@@ -405,4 +405,60 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(got.contains((2L, 1L)) && !got.contains((1L, 2L)))
     spark.catalog.clearCache()
   }
+
+  test("containmentPairs scores over the capped gram universe when maxDocsPerGram binds") {
+    // "x y z" opens every doc -> df = 4 > cap 2: excluded from candidates
+    // AND from the verify intersection; "y z a"/"z a b" shared by docs
+    // 1,2 only (df = 2, kept). Denominator stays the FULL gram count.
+    val docs = Seq(
+      (1L, "x y z a b c"),
+      (2L, "x y z a b q"),
+      (3L, "x y z p q r"),
+      (4L, "x y z m n o"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, n = 3, threshold = 0.5,
+        maxDocsPerGram = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    // brute force with the same capped-universe semantics
+    def shingles(s: String): Set[Seq[String]] = s.split("\\s+").toSeq.sliding(3).toSet
+    val sets = docs.collect().map(r => r.getLong(0) -> shingles(r.getString(1))).toMap
+    val df = sets.values.flatten.groupBy(identity).map { case (g, xs) => g -> xs.size }
+    val rare = sets.map { case (id, g) => id -> g.filter(df(_) <= 2) }
+    val expect = (for {
+      a <- sets.keys; b <- sets.keys if a != b
+      c = (rare(a) & rare(b)).size.toDouble / sets(a).size
+      if c >= 0.5
+    } yield (a, b) -> c).toMap
+    assert(got === expect)
+    // the cap genuinely binds here: docs 1,2 share 3 of 4 grams raw but
+    // only 2 of 4 in the capped universe
+    assert(got((1L, 2L)) === 0.5 && got((2L, 1L)) === 0.5)
+    assert(!got.contains((1L, 3L)))
+    spark.catalog.clearCache()
+  }
+
+  test("itemNeighbors drops over-cap baskets exactly as documented") {
+    // basket 1 holds 6 frequent items > maxBasketSize 5 -> dropped; every
+    // pair count must come from the small baskets only ((10,11) would be
+    // 3, not 2, if the mega-basket leaked in)
+    val rows = Seq(1L -> 10L, 1L -> 11L, 1L -> 12L, 1L -> 13L, 1L -> 14L, 1L -> 15L,
+      2L -> 10L, 2L -> 11L, 3L -> 10L, 3L -> 11L,
+      4L -> 12L, 4L -> 13L, 5L -> 12L, 5L -> 13L,
+      6L -> 14L, 6L -> 15L, 7L -> 14L, 7L -> 15L)
+    val got = Baskets.itemNeighbors(rows.toDF("b", "i"), "b", "i",
+        minSupport = 2L, nPerItem = 2, maxBasketSize = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3), r.getInt(4))))
+      .toMap
+    // item counts stay over ALL baskets (3 each); pair counts over the
+    // surviving baskets: each of (10,11), (12,13), (14,15) co-occurs twice
+    val cos = 2.0 / math.sqrt(9.0)
+    val expect = Map(
+      (10L, 11L) -> ((2L, cos, 1)), (11L, 10L) -> ((2L, cos, 1)),
+      (12L, 13L) -> ((2L, cos, 1)), (13L, 12L) -> ((2L, cos, 1)),
+      (14L, 15L) -> ((2L, cos, 1)), (15L, 14L) -> ((2L, cos, 1)))
+    assert(got === expect)
+    spark.catalog.clearCache()
+  }
 }
