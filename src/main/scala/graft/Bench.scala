@@ -108,8 +108,24 @@ object Bench {
     val raw = samples.map { case (k, xs) =>
       "\"" + k + "\":[" + xs.mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // per-query spread summary (min / median / max over the N interleaved
+    // samples): regressions under ~10% are unreadable from a single point
+    // estimate on this VM — the spread line makes round-over-round deltas
+    // judgeable against run variance without re-deriving from the raws
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0
+      else if (ok.size % 2 == 1) ok(ok.size / 2)
+      else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+    }
+    val spread = samples.map { case (k, xs) =>
+      val ok = xs.filter(_ >= 0)
+      val (mn, mx) = if (ok.isEmpty) (-1.0, -1.0) else (ok.min, ok.max)
+      "\"" + k + s"""\":{"min":$mn,"median":${median(xs)},"max":$mx}"""
+    }.mkString("{", ",", "}")
     Files.write(Paths.get(outPath),
-      (line + "\n" + s"""{"metric":"samples","queries":$raw}""" + "\n")
+      (line + "\n" + s"""{"metric":"samples","queries":$raw}""" + "\n" +
+        s"""{"metric":"spread","queries":$spread}""" + "\n")
         .getBytes(StandardCharsets.UTF_8))
     System.err.println(s"[bench] wrote $outPath")
     // The driver captures only the LAST ~2000 chars of merged output (then

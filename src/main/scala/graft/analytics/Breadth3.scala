@@ -565,14 +565,18 @@ object Breadth3 {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val touch = when(col("event_type") =!= "purchase", col("event_type"))
-    val purchases = events
+    // materialized: the windowed purchase relation feeds BOTH rollups
+    // below — left lazy, each branch re-scans events and re-runs the
+    // user_id exchange + window (the explained plan showed the scan
+    // twice; one pass over the cache replaces it)
+    val purchases = graft.Caching.materialize(events
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"), dec("value").as("v"))
       .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
       .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
       .filter(col("event_type") === "purchase")
       .select(coalesce(col("first_touch"), lit("(none)")).as("ft"),
-        coalesce(col("last_touch"), lit("(none)")).as("lt"), col("v"))
+        coalesce(col("last_touch"), lit("(none)")).as("lt"), col("v")))
     // one rollup per model over the channel-bounded domain, full-outer
     // merged so a channel that only ever closes (or only opens) still
     // reports both columns

@@ -25,11 +25,20 @@ import org.apache.spark.sql.types.DecimalType
   * at the end is mathematically the same ranking as Kleinberg's
   * per-round L2 fold with STRICTLY less truncation (the only rounding
   * in the whole computation is the final div), and it is bit-identical
-  * under any partitioning. Headroom: after k rounds magnitudes are
-  * ≤ h₀·dᵏ⁻¹·…  ~ 10⁸·d^(2k−1); at the default 3 rounds DECIMAL(38,0)
-  * holds degrees past 10⁵ and the final multiply needs Σ·Mass < 10³⁸ —
-  * for graphs beyond that, renormalize every round (the r5-pre shape)
-  * or raise Mass' scale.
+  * under any partitioning.
+  *
+  * Headroom, derived (and ENFORCED by a require() from the actual
+  * degree stats): with h₀ = Mass div |hubs| and dmax the max in/out
+  * degree, every score after the 2k half-rounds is ≤ h₀·dmax^(2k) and
+  * the vector total is ≤ n·h₀·dmax^(2k); DECIMAL(38,0) therefore
+  * needs BOTH  log₁₀h₀ + 2k·log₁₀dmax + log₁₀n < 38  (the totals) and
+  * log₁₀h₀ + 2k·log₁₀dmax + 12 < 38  (the final ·Mass renorm multiply
+  * on a score). At the default 3 rounds that holds comfortably for
+  * dmax ~10³–10⁴ graphs; past the bound the guard refuses with the
+  * fix named: `renormEachRound = true` renormalizes each half-round
+  * vector back to Mass units (one extra integral div of truncation per
+  * half-round — Kleinberg's shape), keeping magnitudes ≤ Mass·dmax, so
+  * it is safe for any dmax < 10¹⁴ at any round count.
   *
   * Scale shape: one (edge ⋈ score) hash join + one sum per half-round —
   * the PageRank shape run once per direction, with NO per-round scalar
@@ -48,7 +57,8 @@ object Hits {
     * scores, suppliers authority scores (the bipartite graph has no
     * mixed roles).
     */
-  def hits(lineitem: DataFrame, orders: DataFrame, rounds: Int = 3): DataFrame = {
+  def hits(lineitem: DataFrame, orders: DataFrame, rounds: Int = 3,
+           renormEachRound: Boolean = false): DataFrame = {
     require(rounds >= 1, "need at least one round")
     // directed distinct customer→supplier edges; parity node ids as in
     // PageRank (collision-free at any key scale). Feeds both per-round
@@ -61,15 +71,49 @@ object Hits {
           PageRank.supplierNode(col("l_suppkey")).as("dst"))
         .distinct())
     val dec = DecimalType(38, 0)
-    val nHubs = edges.select("src").distinct().count()
+    // ONE pre-pass over the cached edges serves both the h₀ split and
+    // the headroom guard: hubs are exactly the even-parity nodes
+    // (PageRank.customerNode = 2·key), so hub count, node count and max
+    // degree all come out of a single degree aggregation — no separate
+    // distinct-count job
+    val st = edges.select(col("src").as("n"))
+      .union(edges.select(col("dst").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .agg(sum(when(col("n") % 2 === 0, 1L).otherwise(0L)).as("nhubs"),
+        max(col("d")).as("dmax"), count(lit(1)).as("nn")).head
+    val nHubs = if (st.isNullAt(0)) 0L else st.getLong(0)
     if (nHubs == 0) {
       // empty graph: empty result (not a Mass div 0), schema preserved
       edges.unpersist()
       return edges.select(col("src").as("id"), lit("hub").as("node_type"),
         lit(0L).as("score_units"), lit(0.0).as("score")).limit(0)
     }
+    if (!renormEachRound) {
+      // enforce the documented DECIMAL(38,0) headroom bound from the
+      // ACTUAL degree stats: score ≤ h₀·dmax^(2k), total ≤ n·that, and
+      // the renorm multiplies a score by 1e12
+      val dmax = st.getLong(1).max(1L); val nn = st.getLong(2).max(1L)
+      val maxDigits = math.log10((Mass / nHubs).max(1L).toDouble) +
+        2 * rounds * math.log10(dmax.toDouble)
+      require(maxDigits + math.log10(nn.toDouble) < 38 && maxDigits + 12 < 38,
+        s"HITS unnormalized headroom exceeded: rounds=$rounds, max degree=$dmax, " +
+          s"$nn nodes would overflow DECIMAL(38,0); pass renormEachRound = true " +
+          "(per-half-round L1 renormalization, safe for any degree < 1e14)")
+    }
     var hubs = edges.select(col("src")).distinct()
       .select(col("src"), lit(Mass / nHubs).cast(dec).as("s"))
+    // per-half-round renormalization back to Mass units (the
+    // renormEachRound mode): one broadcast 1-row total + integral div.
+    // The renormalized relation feeds TWO subtrees (the next half-round
+    // join and its own total), so it is checkpointed — the same
+    // iterative-lineage discipline as BFS/LPA, paid only in this mode.
+    def renormTo(scores: DataFrame, keyCol: String): DataFrame = {
+      val tot = scores.agg(sum(col("s")).cast(dec).as("tot"))
+      graft.Caching.checkpointed(scores.crossJoin(broadcast(tot))
+        .select(col(keyCol),
+          expr(s"CAST((CAST(s AS DECIMAL(38,0)) * $Mass) div tot AS DECIMAL(38,0))")
+            .as("s")))
+    }
     var auths: DataFrame = null
     for (k <- 1 to rounds) {
       auths = edges.join(hubs, "src")
@@ -77,12 +121,14 @@ object Hits {
       // checkpoint only the LAST round's authority relation: it feeds
       // both the final hub half-round and the output renorm (two
       // consumers); interior rounds are single-consumer lazy links
-      if (k == rounds) auths = graft.Caching.checkpointed(auths)
+      if (renormEachRound) auths = renormTo(auths, "dst")
+      else if (k == rounds) auths = graft.Caching.checkpointed(auths)
       hubs = edges.join(auths.withColumnRenamed("dst", "d2"),
           edges("dst") === col("d2"))
         .groupBy(col("src")).agg(sum(col("s")).as("s"))
+      if (renormEachRound) hubs = renormTo(hubs, "src")
     }
-    hubs = graft.Caching.checkpointed(hubs)
+    if (!renormEachRound) hubs = graft.Caching.checkpointed(hubs)
     // ONE rounding operation per vector: renormalize to Mass units with
     // the L1 total as a broadcast 1-row aggregate (no driver action)
     def renorm(scores: DataFrame, idCol: String): DataFrame = {

@@ -36,6 +36,55 @@ object LayoutPrune {
       Seq(s"(((hx >> $i) & 1) << ${2 * i})", s"(((hy >> $i) & 1) << ${2 * i + 1})")
     }.mkString(" | ")
 
+  /** The masked 16-bit coordinate projection (event_id, hx, hy) every
+    * layout keys over — exposed for the soundness property spec.
+    */
+  private[graft] def maskedBase(events: DataFrame, bits: Int): DataFrame = {
+    val n1 = (1L << bits) - 1
+    events.select(col("event_id"),
+      expr(s"CAST(user_id AS BIGINT) & $n1").as("hx"),
+      expr(s"CAST(FLOOR(value) AS BIGINT) & $n1").as("hy"))
+  }
+
+  /** The three candidate layout keys over a masked base — (name, keyed)
+    * pairs, each carrying (event_id, hx, hy, k).
+    */
+  private[graft] def keyedLayouts(base: DataFrame,
+                                      bits: Int): Seq[(String, DataFrame)] = {
+    val n1 = (1L << bits) - 1
+    Seq(
+      "1_linear" -> base.withColumn("k", col("hx") * (n1 + 1) + col("hy")),
+      "2_zorder" -> base.withColumn("k", expr(zInterleaveSql(bits))),
+      "3_hilbert" -> base.join(
+        Hilbert.hilbertValue(base, "event_id", "hx", "hy", bits)
+          .withColumnRenamed("hval", "k"), "event_id"))
+  }
+
+  /** Row→file assignment in layout-key order: NTILE over `buckets`
+    * equal files via the range-partitioned [[GlobalRank.ntileByRange]]
+    * with the event_id tie-break — the "write the sorted data in
+    * `buckets` files" stand-in a layout rewrite pays for real.
+    */
+  private[graft] def tiledFiles(keyed: DataFrame, buckets: Int): DataFrame =
+    GlobalRank.ntileByRange(
+      keyed.select(col("event_id"), col("hx"), col("hy"), col("k")),
+      buckets, Seq("k", "event_id"), "file_id")
+
+  /** Per-file (min, max) zone maps of both dimensions. */
+  private[graft] def fileZones(keyed: DataFrame, buckets: Int): DataFrame =
+    tiledFiles(keyed, buckets).groupBy("file_id").agg(
+      min("hx").as("minx"), max("hx").as("maxx"),
+      min("hy").as("miny"), max("hy").as("maxy"))
+
+  /** The zone-map overlap predicate: a file must be scanned iff its
+    * bounding box intersects the query rectangle. Shared by the audit
+    * and the soundness spec so they can't drift apart.
+    */
+  private[graft] def scannedPredicate(rx1: Long, rx2: Long, ry1: Long,
+                                          ry2: Long): org.apache.spark.sql.Column =
+    !(col("maxx") < rx1 || col("minx") > rx2 ||
+      col("maxy") < ry1 || col("miny") > ry2)
+
   /** Prune statistics for the linear / zorder / hilbert layouts of the
     * events table on (user_id, floor(value)), query rectangle
     * [rx1, rx2] × [ry1, ry2].
@@ -44,33 +93,18 @@ object LayoutPrune {
                        rx1: Long = 10L, rx2: Long = 40L,
                        ry1: Long = 50L, ry2: Long = 150L): DataFrame = {
     require(bits >= 1 && bits <= 16 && buckets >= 1, "bits in [1,16], buckets >= 1")
-    val n1 = (1L << bits) - 1
-    val base = graft.Caching.materialize(events.select(col("event_id"),
-      expr(s"CAST(user_id AS BIGINT) & $n1").as("hx"),
-      expr(s"CAST(FLOOR(value) AS BIGINT) & $n1").as("hy")))
+    val base = graft.Caching.materialize(maskedBase(events, bits))
 
-    def stats(layout: String, keyed: DataFrame): DataFrame = {
-      val tiled = GlobalRank.ntileByRange(
-        keyed.select(col("event_id"), col("hx"), col("hy"), col("k")),
-        buckets, Seq("k", "event_id"), "file_id")
-      val zones = tiled.groupBy("file_id").agg(
-        min("hx").as("minx"), max("hx").as("maxx"),
-        min("hy").as("miny"), max("hy").as("maxy"))
-      val scanned = !(col("maxx") < rx1 || col("minx") > rx2 ||
-        col("maxy") < ry1 || col("miny") > ry2)
-      zones.agg(count(lit(1)).as("n_files"),
-          sum(when(scanned, 1L).otherwise(0L)).as("n_scanned"))
+    def stats(layout: String, keyed: DataFrame): DataFrame =
+      fileZones(keyed, buckets)
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(scannedPredicate(rx1, rx2, ry1, ry2), 1L).otherwise(0L))
+            .as("n_scanned"))
         .select(lit(layout).as("layout"), col("n_files"), col("n_scanned"))
-    }
 
-    val linear = base.withColumn("k", col("hx") * (n1 + 1) + col("hy"))
-    val zord = base.withColumn("k", expr(zInterleaveSql(bits)))
-    val hilb = base.join(
-      Hilbert.hilbertValue(base, "event_id", "hx", "hy", bits)
-        .withColumnRenamed("hval", "k"), "event_id")
-    stats("1_linear", linear)
-      .unionByName(stats("2_zorder", zord))
-      .unionByName(stats("3_hilbert", hilb))
+    keyedLayouts(base, bits)
+      .map { case (name, keyed) => stats(name, keyed) }
+      .reduce(_ unionByName _)
   }
 
   /** DuckDB replay: identical masked coordinates, NTILE file

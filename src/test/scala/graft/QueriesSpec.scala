@@ -38,4 +38,22 @@ class QueriesSpec extends AnyFunSuite {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracleSql keys without queries: $missing")
   }
+
+  test("shared co-bought edge memo survives clearCache and stays correct") {
+    // the harness clears the CacheManager between queries; the memoized
+    // edge relation is localCheckpointed (RDD-level storage) and must
+    // keep producing identical results afterwards — this guards against
+    // ever downgrading the memo to a plain persist, whose blocks
+    // clearCache would drop
+    val before = SparkEntry.queries("q_triangles")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq
+    spark.catalog.clearCache()
+    val after = SparkEntry.queries("q_triangles")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(before === after && before.nonEmpty)
+    // a symmetric consumer over the same memo agrees on the edge count
+    val assort = SparkEntry.queries("q_degree_assort")(spark, sfDir).collect()
+    assert(assort.length === 1 && assort(0).getLong(0) > 0)
+    spark.catalog.clearCache()
+  }
 }

@@ -48,6 +48,56 @@ class Round5OpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("hits guard trips past the headroom bound; renormEachRound survives it") {
+    // star: ONE customer endorsing 300 suppliers — h₀ = Mass (1e12) and
+    // 6 unnormalized rounds would reach ~300⁶·1e12 ≈ 7e26 score units,
+    // whose final ·1e12 renorm multiply exceeds DECIMAL(38,0)
+    val lineitem = (1L to 300L).map(i => (1L, i)).toDF("l_orderkey", "l_suppkey")
+    val orders = Seq((1L, 5L)).toDF("o_orderkey", "o_custkey")
+    val e = intercept[IllegalArgumentException] {
+      Hits.hits(lineitem, orders, rounds = 6)
+    }
+    assert(e.getMessage.contains("renormEachRound"))
+    spark.catalog.clearCache()
+
+    // the named fallback completes and matches an exact BigInt
+    // replication of the per-half-round renormalized recurrence
+    val got = Hits.hits(lineitem, orders, rounds = 6, renormEachRound = true)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val mass = BigInt("1000000000000")
+    val edges = (1L to 300L).map(i => (10L, 2 * i + 1)) // cust 5 -> node 10
+    def renorm(m: Map[Long, BigInt]): Map[Long, BigInt] = {
+      val tot = m.values.sum
+      m.map { case (k, v) => k -> (v * mass / tot) }
+    }
+    var h: Map[Long, BigInt] = Map(10L -> mass)
+    var a: Map[Long, BigInt] = Map.empty
+    for (_ <- 1 to 6) {
+      a = renorm(edges.groupBy(_._2).map { case (d, es) => d -> es.map(e => h(e._1)).sum })
+      h = renorm(edges.groupBy(_._1).map { case (s, es) => s -> es.map(e => a(e._2)).sum })
+    }
+    val expect = renorm(h).map { case (k, v) => (k, "hub") -> v.toLong } ++
+      renorm(a).map { case (k, v) => (k, "authority") -> v.toLong }
+    assert(got === expect)
+    // sanity: the 300 authorities split the mass evenly, the hub holds it all
+    assert(got((10L, "hub")) === 1000000000000L)
+    assert(got((3L, "authority")) === 1000000000000L / 300)
+    spark.catalog.clearCache()
+  }
+
+  test("hits default path is unchanged by the guard at safe configurations") {
+    // the round-3 fixture from the replication test stays inside the
+    // bound: guard computes, passes, and results are identical
+    val lineitem = Seq((1L, 101L), (1L, 102L), (2L, 101L), (3L, 103L), (4L, 101L), (4L, 103L))
+      .toDF("l_orderkey", "l_suppkey")
+    val orders = Seq((1L, 11L), (2L, 12L), (3L, 12L), (4L, 13L))
+      .toDF("o_orderkey", "o_custkey")
+    val a = Hits.hits(lineitem, orders, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(a.nonEmpty && a.values.forall(_ >= 0))
+    spark.catalog.clearCache()
+  }
+
   // ------------------------------------------------------- item-item CF
 
   test("itemNeighbors matches brute-force cosine and per-item top-k") {
