@@ -50,6 +50,43 @@ object CdcStreams {
   def snapshot(spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame =
     spark.read.parquet(latestVersion(tableDir))
 
+  /** All committed version numbers under `tableDir`, ascending — the
+    * table's history listing (Delta's DESCRIBE HISTORY shape).
+    */
+  def versions(tableDir: String): Seq[Long] = {
+    val dirs = Option(new java.io.File(tableDir).listFiles()).getOrElse(Array.empty)
+    dirs.map(_.getName)
+      .filter(_.matches(s"$VersionPrefix\\d+"))
+      .map(_.stripPrefix(VersionPrefix).toLong)
+      .sorted.toSeq
+  }
+
+  /** TIME TRAVEL: the table as of snapshot `version` — the lakehouse
+    * `VERSION AS OF` read. Copy-on-write versioning makes this a plain
+    * parquet scan of the requested version directory: no log replay, no
+    * reconstruction, full predicate/column pushdown like any other scan.
+    * Fails fast (with the available history) on a missing version rather
+    * than silently reading a neighbor.
+    */
+  def snapshotAsOf(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+                   version: Long): DataFrame = {
+    val have = versions(tableDir)
+    require(have.contains(version),
+      s"version $version not present under $tableDir (have: ${have.mkString(", ")})")
+    spark.read.parquet(s"$tableDir/$VersionPrefix$version")
+  }
+
+  /** Row-level audit between two committed versions: inserts, deletes,
+    * and updates keyed on `key`, via [[Merge.snapshotDiff]] — "what did
+    * batch range (fromV, toV] change", the debugging read behind any
+    * CDC pipeline. Cost is one full-outer join of the two version scans.
+    */
+  def versionDiff(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+                  fromV: Long, toV: Long, key: String): DataFrame =
+    Merge.snapshotDiff(
+      snapshotAsOf(spark, tableDir, fromV),
+      snapshotAsOf(spark, tableDir, toV), key)
+
   /** Start folding `changeStream` into a versioned snapshot table seeded
     * with `initial` at version 0. Returns the running query; callers stop
     * it and read [[snapshot]].

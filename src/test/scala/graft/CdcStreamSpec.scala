@@ -43,11 +43,21 @@ class CdcStreamSpec extends AnyFunSuite {
       Set((1L, "a", 10.0), (2L, "b2", 21.0), (4L, "d2", 41.0)))
 
     // time travel: v0 is the seed, v1 reflects only batch1
-    val v0 = spark.read.parquet(s"$tableDir/v0")
+    val v0 = CdcStreams.snapshotAsOf(spark, tableDir, 0L)
     assert(v0.exceptAll(initial).isEmpty && initial.exceptAll(v0).isEmpty)
-    val v1 = spark.read.parquet(s"$tableDir/v1")
+    val v1 = CdcStreams.snapshotAsOf(spark, tableDir, 1L)
     assert(v1.as[(Long, String, Double)].collect().toSet ===
       Set((1L, "a", 10.0), (2L, "b2", 21.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+    assert(CdcStreams.versions(tableDir) === Seq(0L, 1L, 2L))
+    val missing = intercept[IllegalArgumentException] {
+      CdcStreams.snapshotAsOf(spark, tableDir, 9L)
+    }
+    assert(missing.getMessage.contains("have: 0, 1, 2"))
+
+    // version audit (0 -> 2]: one update (2), one delete (3), one insert (4)
+    val diff = CdcStreams.versionDiff(spark, tableDir, 0L, 2L, "id")
+      .select("change_type", "id").as[(String, Long)].collect().toSet
+    assert(diff === Set(("U", 2L), ("D", 3L), ("I", 4L)))
   }
 
   test("latestVersion ignores stray non-version entries") {
