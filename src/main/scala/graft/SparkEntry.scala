@@ -97,6 +97,21 @@ object SparkEntry {
         graft.analytics.Baskets.coOccurrenceEdges(
           Tables.lineitem(s, d), "l_orderkey", "l_partkey")))
 
+  /** Same memo contract for the DIRECTED distinct customer→supplier
+    * purchase graph shared by q_hits / q_pagerank / q_ppr: all three
+    * rank the same bipartite relation, so the lineitem⋈orders distinct
+    * build runs once per (session, dir). PageRank/PPR symmetrize it
+    * without any further distinct (parity disjointness —
+    * [[graft.analytics.PageRank.symmetrized]]).
+    */
+  private val purchaseMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def purchaseEdges(s: SparkSession, d: String): DataFrame =
+    purchaseMemo.computeIfAbsent((s, d), _ =>
+      graft.Caching.checkpointed(
+        graft.analytics.PageRank.directedPurchaseEdges(
+          Tables.lineitem(s, d), Tables.orders(s, d))))
+
   /** One entry per implemented operator group from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- dimension ETLs (S1 + P1 + C1 + C2) ---
@@ -500,7 +515,7 @@ object SparkEntry {
         coBoughtEdges(s, d), "item_a", "item_b", canonical = true)),
     // --- HITS hubs/authorities: exact integer fixed-point, L1 renorm ---
     "q_hits" -> ((s, d) =>
-      graft.analytics.Hits.hits(Tables.lineitem(s, d), Tables.orders(s, d))),
+      graft.analytics.Hits.hitsOnEdges(purchaseEdges(s, d))),
     // --- item-item CF: top-5 co-bought neighbors by exact-count cosine ---
     "q_item_cf" -> ((s, d) =>
       graft.analytics.Baskets.itemNeighbors(
@@ -786,10 +801,12 @@ object SparkEntry {
       graft.analytics.Metrics.dailyAcf(Tables.orders(s, d))),
     // --- PageRank centrality over the co-purchase graph (integer fixed-point) ---
     "q_pagerank" -> ((s, d) =>
-      graft.analytics.PageRank.pagerank(Tables.lineitem(s, d), Tables.orders(s, d))),
+      graft.analytics.PageRank.pagerankOnEdges(graft.Caching.materialize(
+        graft.analytics.PageRank.symmetrized(purchaseEdges(s, d))))),
     // --- personalized PageRank: teleport restricted to the hub customers ---
-    "q_ppr" -> ((s, d) => graft.analytics.PageRank.personalizedPagerank(
-      Tables.lineitem(s, d), Tables.orders(s, d))),
+    "q_ppr" -> ((s, d) => graft.analytics.PageRank.pprOnEdges(
+      graft.Caching.materialize(
+        graft.analytics.PageRank.symmetrized(purchaseEdges(s, d))))),
     // --- SCD1 MERGE: apply a deterministic CDC batch to the orders snapshot ---
     "q_merge_upsert" -> ((s, d) => {
       import org.apache.spark.sql.functions.{lit, not}

@@ -58,18 +58,21 @@ object Hits {
     * mixed roles).
     */
   def hits(lineitem: DataFrame, orders: DataFrame, rounds: Int = 3,
-           renormEachRound: Boolean = false): DataFrame = {
-    require(rounds >= 1, "need at least one round")
+           renormEachRound: Boolean = false): DataFrame =
     // directed distinct customer→supplier edges; parity node ids as in
     // PageRank (collision-free at any key scale). Feeds both per-round
     // joins — materialized so the lineitem⋈orders distinct runs once.
-    val edges = graft.Caching.materialize(
-      lineitem.select("l_orderkey", "l_suppkey")
-        .join(orders.select("o_orderkey", "o_custkey"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(PageRank.customerNode(col("o_custkey")).as("src"),
-          PageRank.supplierNode(col("l_suppkey")).as("dst"))
-        .distinct())
+    hitsOnEdges(graft.Caching.materialize(
+      PageRank.directedPurchaseEdges(lineitem, orders)), rounds, renormEachRound)
+
+  /** [[hits]] over a prebuilt DIRECTED distinct (src, dst) purchase-edge
+    * relation the caller has already materialized/checkpointed — the
+    * session-shared-graph entry point ([[PageRank.directedPurchaseEdges]]
+    * is the matching builder).
+    */
+  def hitsOnEdges(edges: DataFrame, rounds: Int = 3,
+                  renormEachRound: Boolean = false): DataFrame = {
+    require(rounds >= 1, "need at least one round")
     val dec = DecimalType(38, 0)
     // ONE pre-pass over the cached edges serves both the h₀ split and
     // the headroom guard: hubs are exactly the even-parity nodes

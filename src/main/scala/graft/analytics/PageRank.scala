@@ -56,16 +56,32 @@ object PageRank {
   def customerNode(key: Column): Column = key * 2
   def supplierNode(key: Column): Column = key * 2 + 1
 
-  /** (src, dst) symmetric distinct edge relation from lineitem⋈orders. */
-  def copurchaseEdges(lineitem: DataFrame, orders: DataFrame): DataFrame = {
-    val base = lineitem.select("l_orderkey", "l_suppkey")
+  /** Directed distinct customer→supplier purchase edges — the shared
+    * base relation of [[pagerank]], [[personalizedPagerank]] and
+    * [[Hits]] (all three queries walk the same bipartite graph, so a
+    * session can build this once and fan it out).
+    */
+  def directedPurchaseEdges(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem.select("l_orderkey", "l_suppkey")
       .join(orders.select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
       .select(customerNode(col("o_custkey")).as("src"),
         supplierNode(col("l_suppkey")).as("dst"))
       .distinct()
-    base.union(base.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-  }
+
+  /** Symmetrize a distinct directed purchase-edge relation with NO
+    * second distinct: the base branch has even src / odd dst and the
+    * swapped branch the opposite (parity node ids), so the branches are
+    * disjoint and each is distinct — their union is distinct by
+    * construction. Dropping the redundant distinct removes a full
+    * 2|E|-row shuffle from every symmetric-graph consumer.
+    */
+  def symmetrized(directed: DataFrame): DataFrame =
+    directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
+
+  /** (src, dst) symmetric distinct edge relation from lineitem⋈orders. */
+  def copurchaseEdges(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    symmetrized(directedPurchaseEdges(lineitem, orders))
 
   /** PageRank after `iters` synchronous rounds, damping 0.85.
     * Output: (id, node_type, rank_units, rank), one row per node.
@@ -79,15 +95,22 @@ object PageRank {
     *        point); negative disables the convergence check (default)
     */
   def pagerank(lineitem: DataFrame, orders: DataFrame, iters: Int = 5,
-               checkpointEvery: Int = 8, tolUnits: Long = -1L): DataFrame = {
+               checkpointEvery: Int = 8, tolUnits: Long = -1L): DataFrame =
+    // edges feed the degree aggregation AND the per-round join relation
+    // (different subtrees, separate actions) — materialized so the
+    // lineitem⋈orders distinct build runs once, not once per consumer
+    pagerankOnEdges(graft.Caching.materialize(copurchaseEdges(lineitem, orders)),
+      iters, checkpointEvery, tolUnits)
+
+  /** [[pagerank]] over a prebuilt SYMMETRIC distinct edge relation
+    * (src, dst) that the caller has already materialized/checkpointed —
+    * the session-shared-graph entry point.
+    */
+  def pagerankOnEdges(edges: DataFrame, iters: Int = 5,
+                      checkpointEvery: Int = 8, tolUnits: Long = -1L): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
-    // edges feed the degree aggregation AND the per-round join relation
-    // (different subtrees, separate actions: deg.count() below, then the
-    // first round) — materialized so the lineitem⋈orders distinct build
-    // runs once, not once per consumer. deg likewise feeds edgesDeg, the
-    // rank init AND the n count.
-    val edges = graft.Caching.materialize(copurchaseEdges(lineitem, orders))
+    // deg feeds edgesDeg, the rank init AND the n count
     val deg = graft.Caching.materialize(
       edges.groupBy("src").agg(count(lit(1)).as("od")))
     val edgesDeg = edges.join(deg, "src")
@@ -144,9 +167,15 @@ object PageRank {
     * broadcast of the nSeeds-row seed relation.
     */
   def personalizedPagerank(lineitem: DataFrame, orders: DataFrame,
-                           iters: Int = 5, nSeeds: Int = 10): DataFrame = {
+                           iters: Int = 5, nSeeds: Int = 10): DataFrame =
+    pprOnEdges(graft.Caching.materialize(copurchaseEdges(lineitem, orders)),
+      iters, nSeeds)
+
+  /** [[personalizedPagerank]] over a prebuilt SYMMETRIC distinct edge
+    * relation the caller has already materialized/checkpointed.
+    */
+  def pprOnEdges(edges: DataFrame, iters: Int = 5, nSeeds: Int = 10): DataFrame = {
     require(iters >= 1 && nSeeds >= 1, "need iterations and seeds")
-    val edges = graft.Caching.materialize(copurchaseEdges(lineitem, orders))
     val deg = graft.Caching.materialize(
       edges.groupBy("src").agg(count(lit(1)).as("od")))
     val edgesDeg = edges.join(deg, "src")
