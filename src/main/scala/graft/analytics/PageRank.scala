@@ -108,13 +108,31 @@ object PageRank {
     */
   def pagerankOnEdges(edges: DataFrame, iters: Int = 5,
                       checkpointEvery: Int = 8, tolUnits: Long = -1L): DataFrame = {
-    require(iters >= 1, "need at least one iteration")
-    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
-    // deg feeds edgesDeg, the rank init AND the n count
+    val (edgesDeg, deg) = prepareWalk(edges)
+    pagerankPrepared(edgesDeg, deg, iters, checkpointEvery, tolUnits)
+  }
+
+  /** The per-round walk state both PageRank variants consume: the
+    * degree relation and the degree-attached edge relation. `deg` feeds
+    * edgesDeg, the rank init AND the n count — materialized; edgesDeg
+    * feeds every round's join — persisted (single plan chain, so the
+    * first action populates it before reuse).
+    */
+  def prepareWalk(edges: DataFrame): (DataFrame, DataFrame) = {
     val deg = graft.Caching.materialize(
       edges.groupBy("src").agg(count(lit(1)).as("od")))
     val edgesDeg = edges.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (edgesDeg, deg)
+  }
+
+  /** [[pagerank]] over caller-prepared walk state ([[prepareWalk]] or a
+    * session-shared checkpointed equivalent).
+    */
+  def pagerankPrepared(edgesDeg: DataFrame, deg: DataFrame, iters: Int = 5,
+                       checkpointEvery: Int = 8, tolUnits: Long = -1L): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
 
     val n = deg.count() // N nodes: bounded driver scalar, like kmeans' k
     val teleport = (15L * Mass) / (100L * n)
@@ -175,11 +193,14 @@ object PageRank {
     * relation the caller has already materialized/checkpointed.
     */
   def pprOnEdges(edges: DataFrame, iters: Int = 5, nSeeds: Int = 10): DataFrame = {
+    val (edgesDeg, deg) = prepareWalk(edges)
+    pprPrepared(edgesDeg, deg, iters, nSeeds)
+  }
+
+  /** [[personalizedPagerank]] over caller-prepared walk state. */
+  def pprPrepared(edgesDeg: DataFrame, deg: DataFrame, iters: Int = 5,
+                  nSeeds: Int = 10): DataFrame = {
     require(iters >= 1 && nSeeds >= 1, "need iterations and seeds")
-    val deg = graft.Caching.materialize(
-      edges.groupBy("src").agg(count(lit(1)).as("od")))
-    val edgesDeg = edges.join(deg, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds = deg.filter(col("src") % 2 === 0)
       .orderBy(col("od").desc, col("src").asc)
       .limit(nSeeds)
