@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, desc, element_at, floor, lit, lpad}
 
-import graft.analytics.{Breadth, Breadth2, Breadth3, Queries}
+import graft.analytics.{Breadth, Breadth2, Breadth3, Breadth4, Queries}
 import graft.dedup.Dedup
 import graft.etl.{Clean, Dims, Facts}
 import graft.io.Tables
@@ -531,6 +531,15 @@ object SparkEntry {
     "q_degree_assort" -> ((s, d) =>
       graft.analytics.GraphStats.degreeAssortativity(
         coBoughtEdges(s, d), "item_a", "item_b", canonical = true)),
+    // --- link prediction: top non-adjacent pairs by resource-allocation ---
+    "q_link_pred" -> ((s, d) =>
+      Breadth4.linkPrediction(coBoughtEdges(s, d), "item_a", "item_b")),
+    // --- rolling 7-day distinct active users (sliding WAU) ---
+    "q_rolling_active" -> ((s, d) =>
+      Breadth4.rollingActiveUsers(Tables.events(s, d))),
+    // --- Spearman rank correlation: balance vs lifetime spend ---
+    "q_spearman" -> ((s, d) =>
+      Breadth4.spearmanBalanceVsSpend(Tables.customer(s, d), Tables.orders(s, d))),
     // --- HITS hubs/authorities: exact integer fixed-point, L1 renorm ---
     "q_hits" -> ((s, d) =>
       graft.analytics.Hits.hitsOnEdges(purchaseEdges(s, d))),
@@ -1536,6 +1545,14 @@ object SparkEntry {
     "q_kcore" -> graft.analytics.GraphStats.kCoreOracleSql(),
     // exact HUGEINT power sums, one shared IEEE Pearson expression
     "q_degree_assort" -> graft.analytics.GraphStats.assortativityOracleSql,
+    // wedge enumeration re-derived from the raw basket relation; RA as
+    // exact integer-division sums — no IEEE fold on either engine
+    "q_link_pred" -> Breadth4.linkPredictionOracleSql(),
+    // same contribution expansion; COUNT(DISTINCT) per window end
+    "q_rolling_active" -> Breadth4.rollingActiveUsersOracleSql(),
+    // doubled average ranks (exact ints) -> HUGEINT power sums -> one
+    // final IEEE expression, mirroring the engine's DECIMAL(38,0) sums
+    "q_spearman" -> Breadth4.spearmanOracleSql,
     // HITS rounds unrolled as CTE pairs, HUGEINT `//` renormalization
     "q_hits" -> graft.analytics.Hits.hitsOracleSql(),
     // same Apriori-pruned pair counts (HAVING >= 2 makes the item prune

@@ -1,0 +1,240 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Fourth operator-breadth batch: rolling-window distinct actives (the
+  * WAU/MAU shape every product warehouse maintains), neighborhood-based
+  * link prediction over the co-bought graph (resource-allocation index,
+  * Zhou/Lü/Zhang, Eur. Phys. J. B 71:623, 2009 — the 1/deg cousin of
+  * Adamic–Adar), and Spearman rank correlation computed from exact
+  * integer power sums over doubled average ranks.
+  *
+  * Determinism contract matches [[Breadth]]..[[Breadth3]]: every
+  * cross-engine value is an exact integer (counts, doubled ranks,
+  * micro-scaled integer divisions) until at most ONE final IEEE
+  * expression; every top-K carries a total order.
+  */
+object Breadth4 {
+
+  // ------------------------------------------- rolling distinct actives
+
+  /** Rolling `windowDays`-day distinct active users per day — for each
+    * day `d` in the observed range, the number of distinct users with at
+    * least one event in `[d-windowDays+1, d]`, plus the number of
+    * distinct (user, active-day) pairs inside the window.
+    *
+    * COUNT(DISTINCT) is not a legal sliding-window aggregate (it does
+    * not decompose into add/retract), so the engine uses the standard
+    * contribution expansion: dedup events to (user, day), explode each
+    * active day into the ≤ `windowDays` window-end days it contributes
+    * to, and hash-aggregate per window end. Scale: the expansion is a
+    * bounded `windowDays`× blowup of the (user, day) relation — itself
+    * far smaller than the event stream — and the final aggregate is one
+    * shuffle keyed by day with partial distinct aggregation; no window
+    * function, no per-day self-join, no data-sized state. Window ends
+    * past the last observed day are dropped against a broadcast 1-row
+    * bound (partial trailing windows before it are reported, matching
+    * the usual dashboard convention).
+    */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    val userDays = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val bound = events.agg(max(to_date(col("ts"))).as("max_day"))
+    userDays
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), windowDays - 1)))
+          .as("window_end"))
+      .join(broadcast(bound), col("window_end") <= col("max_day"))
+      .groupBy("window_end")
+      .agg(countDistinct(col("user_id")).as("active_users"),
+        count(lit(1)).as("user_days"))
+  }
+
+  def rollingActiveUsersOracleSql(windowDays: Int = 7): String =
+    s"""WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |mx AS (SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events),
+      |contrib AS (
+      |  SELECT ud.user_id, ud.day + CAST(t.i AS INTEGER) AS window_end
+      |  FROM ud CROSS JOIN range(0, $windowDays) t(i))
+      |SELECT c.window_end,
+      |       COUNT(DISTINCT c.user_id) AS active_users,
+      |       COUNT(*) AS user_days
+      |FROM contrib c, mx
+      |WHERE c.window_end <= mx.max_day
+      |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------ link prediction
+
+  /** Neighborhood-overlap link prediction over an undirected graph:
+    * for every non-adjacent node pair sharing at least `minCommon`
+    * neighbors, the common-neighbor count and the resource-allocation
+    * index Σ_w 1/deg(w) (Zhou/Lü/Zhang 2009) — the top `k` candidate
+    * pairs a "customers who bought X also bought Y" recommender would
+    * surface next.
+    *
+    * Determinism: RA is computed as an exact BIGINT sum of
+    * `10^12 div deg(w)` (integer division — no IEEE fold anywhere), so
+    * the cross-engine hash compares integers. Wedges through a common
+    * neighbor w need deg(w) ≥ 2, so the divisor is never degenerate.
+    *
+    * Scale: wedge enumeration is the same Σ deg(w)² cost class as
+    * triangle counting, joined as two co-partitioned hash joins on the
+    * wedge center; `maxWedgeDegree` caps the quadratic blowup through
+    * hub nodes (documented lossy skew guard, inert on the fixture graph
+    * — hubs contribute ≤ 10^12/maxWedgeDegree per wedge to RA anyway,
+    * which is why production link-pred drops them). The existing-edge
+    * anti-join and the final top-K (TakeOrderedAndProject) are one
+    * shuffle each.
+    *
+    * `edges` must be the canonical DISTINCT (src < dst) half-edge
+    * relation (the session-shared co-bought cache).
+    */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+                     k: Int = 50, minCommon: Int = 2,
+                     maxWedgeDegree: Int = 10000): DataFrame = {
+    val half = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val sym = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src").as("w")).agg(count(lit(1)).as("deg"))
+    // adjacency with degree on the wedge-center side, hub-capped
+    val adj = sym.select(col("src").as("w"), col("dst").as("leaf"))
+      .join(deg.filter(col("deg") <= maxWedgeDegree), "w")
+      .withColumn("ra_w", expr("cast(1000000000000 as bigint) div deg"))
+    val wedges = adj.alias("a")
+      .join(adj.alias("b"),
+        col("a.w") === col("b.w") && col("a.leaf") < col("b.leaf"))
+      .select(col("a.leaf").as("item_a"), col("b.leaf").as("item_b"),
+        col("a.ra_w").as("ra_w"))
+    val scored = wedges
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("common_neighbors"), sum("ra_w").as("ra_micro"))
+      .filter(col("common_neighbors") >= minCommon)
+    scored
+      .join(half.select(col("src").as("item_a"), col("dst").as("item_b")),
+        Seq("item_a", "item_b"), "left_anti")
+      .orderBy(desc("ra_micro"), desc("common_neighbors"),
+        col("item_a"), col("item_b"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[linkPrediction]] over the co-bought-parts graph
+    * (same items CTE as the q_triangles oracle — a differential proof,
+    * not a replay: the oracle enumerates wedges from the raw basket
+    * relation with no shared plan).
+    */
+  def linkPredictionOracleSql(k: Int = 50, minCommon: Int = 2,
+                              maxWedgeDegree: Int = 10000): String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+      |deg AS (SELECT src AS w, COUNT(*) AS deg FROM sym GROUP BY 1),
+      |adj AS (
+      |  SELECT s.src AS w, s.dst AS leaf, 1000000000000 // deg.deg AS ra_w
+      |  FROM sym s JOIN deg ON deg.w = s.src AND deg.deg <= $maxWedgeDegree),
+      |scored AS (
+      |  SELECT a.leaf AS item_a, b.leaf AS item_b,
+      |         COUNT(*) AS common_neighbors, SUM(a.ra_w) AS ra_micro
+      |  FROM adj a JOIN adj b ON a.w = b.w AND a.leaf < b.leaf
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= $minCommon)
+      |SELECT CAST(s.item_a AS BIGINT) AS item_a,
+      |       CAST(s.item_b AS BIGINT) AS item_b,
+      |       CAST(s.common_neighbors AS BIGINT) AS common_neighbors,
+      |       CAST(s.ra_micro AS BIGINT) AS ra_micro
+      |FROM scored s
+      |ANTI JOIN e ON e.src = s.item_a AND e.dst = s.item_b
+      |ORDER BY ra_micro DESC, common_neighbors DESC, item_a, item_b
+      |LIMIT $k""".stripMargin
+
+  // ------------------------------------------------ Spearman correlation
+
+  /** Doubled average (fractional) rank of `valueCol` attached as
+    * `outCol`: 2·avgrank(v) = 2·|{x < v}| + |{x = v}| + 1, an exact
+    * BIGINT. Computed per DISTINCT value (group-count, prefix sum over
+    * the value-ordered distinct relation, join back) — the one-partition
+    * window runs over #distinct values, not rows, the same shape
+    * [[graft.operators.GlobalRank.rankDist]] uses.
+    */
+  private def withDoubledAvgRank(df: DataFrame, valueCol: String,
+                                 outCol: String): DataFrame = {
+    val byVal = df.groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(valueCol).rowsBetween(Window.unboundedPreceding, -1)
+    val dist = byVal
+      .withColumn("before", coalesce(sum("cnt").over(w), lit(0L)))
+      .select(col(valueCol).as("__r2_val"),
+        (lit(2L) * col("before") + col("cnt") + lit(1L)).as(outCol))
+    df.join(dist, col(valueCol) <=> col("__r2_val")).drop("__r2_val")
+  }
+
+  /** Spearman rank correlation between a customer's account balance and
+    * their lifetime order spend (customers with no orders rank at spend
+    * 0). Both variables are converted to doubled average ranks (exact
+    * integers, ties resolved by fractional averaging — the textbook
+    * Spearman definition), then rho is Pearson over the ranks from five
+    * DECIMAL(38,0) power sums — exact until the single final IEEE
+    * expression. The common 6/(n(n²−1))·Σd² shortcut is WRONG under
+    * ties, which balance data always has; the power-sum form is the
+    * general one.
+    *
+    * Scale: two group-counts + two broadcast-sized distinct-value
+    * rank maps + one aggregation; no row-level window.
+    */
+  def spearmanBalanceVsSpend(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val spend = orders.groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend"))
+    val base = customer.select(col("c_custkey"), col("c_acctbal"))
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_acctbal").as("x"),
+        coalesce(col("spend"), lit(0).cast(DecimalType(18, 2))).as("y"))
+    val ranked = withDoubledAvgRank(
+      withDoubledAvgRank(base, "x", "rx"), "y", "ry")
+    val d38 = DecimalType(38, 0)
+    val s = ranked.agg(
+      count(lit(1)).cast(d38).as("n"),
+      sum(col("rx").cast(d38)).as("sx"), sum(col("ry").cast(d38)).as("sy"),
+      sum(col("rx").cast(d38) * col("ry").cast(d38)).as("sxy"),
+      sum(col("rx").cast(d38) * col("rx").cast(d38)).as("sxx"),
+      sum(col("ry").cast(d38) * col("ry").cast(d38)).as("syy"))
+    s.select(col("n").cast("long").as("n_customers"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+          (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+        .as("spearman_rho"))
+  }
+
+  def spearmanOracleSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      |  FROM orders GROUP BY 1),
+      |base AS (
+      |  SELECT c.c_custkey, c.c_acctbal AS x,
+      |         COALESCE(s.spend, CAST(0 AS DECIMAL(18,2))) AS y
+      |  FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey),
+      |ranked AS (
+      |  SELECT c_custkey,
+      |         2 * (RANK() OVER (ORDER BY x)) +
+      |           (COUNT(*) OVER (PARTITION BY x)) - 1 AS rx,
+      |         2 * (RANK() OVER (ORDER BY y)) +
+      |           (COUNT(*) OVER (PARTITION BY y)) - 1 AS ry
+      |  FROM base),
+      |s AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |         CAST(SUM(rx) AS HUGEINT) AS sx, CAST(SUM(ry) AS HUGEINT) AS sy,
+      |         SUM(CAST(rx AS HUGEINT) * ry) AS sxy,
+      |         SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+      |         SUM(CAST(ry AS HUGEINT) * ry) AS syy
+      |  FROM ranked)
+      |SELECT CAST(n AS BIGINT) AS n_customers,
+      |       CAST(n * sxy - sx * sy AS DOUBLE) /
+      |         sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+      |              CAST(n * syy - sy * sy AS DOUBLE)) AS spearman_rho
+      |FROM s""".stripMargin
+}

@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.Breadth4
+
+class Breadth4Spec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // ------------------------------------------------ rollingActiveUsers
+
+  test("rollingActiveUsers: hand-checked 3-day window") {
+    // u1 active on d1,d2; u2 on d1; u3 on d3. Windows (end day, 3-day):
+    //   d1: {u1,u2}=2  d2: {u1,u2}=2  d3: all three = 3
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-02 09:00:00")), (2L, ts("2024-01-01 23:59:59")),
+      (3L, ts("2024-01-03 00:00:01"))
+    ).toDF("user_id", "ts")
+    val got = Breadth4.rollingActiveUsers(ev, windowDays = 3)
+      .select($"window_end".cast("string"), $"active_users", $"user_days")
+      .as[(String, Long, Long)].collect()
+      .map { case (k, v, w) => (k, (v, w)) }.toMap
+    assert(got === Map(
+      "2024-01-01" -> ((2L, 2L)), "2024-01-02" -> ((2L, 3L)),
+      "2024-01-03" -> ((3L, 4L))))
+  }
+
+  test("rollingActiveUsers: windowDays=1 equals plain daily distinct") {
+    val ev = Seq(
+      (1L, ts("2024-03-01 01:00:00")), (2L, ts("2024-03-01 02:00:00")),
+      (1L, ts("2024-03-05 03:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Breadth4.rollingActiveUsers(ev, windowDays = 1)
+      .select($"window_end".cast("string"), $"active_users")
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("2024-03-01" -> 2L, "2024-03-05" -> 1L))
+    // no phantom window ends on inactive days
+    assert(!got.contains("2024-03-03"))
+  }
+
+  // ---------------------------------------------------- linkPrediction
+
+  test("linkPrediction: path predicts the endpoints, RA = 10^12 / deg(center)") {
+    // path a—b—c: only non-adjacent pair sharing a neighbor is (a,c)
+    // through b with deg(b)=2
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("item_a", "item_b")
+    val got = Breadth4.linkPrediction(path, "item_a", "item_b", minCommon = 1)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got === Array((1L, 3L, 1L, 500000000000L)))
+  }
+
+  test("linkPrediction: existing edges are excluded; two wedge centers sum") {
+    // 4-cycle 1-2-3-4-1: pair (1,3) shares {2,4}, pair (2,4) shares {1,3};
+    // all degrees 2 so RA = 2 * 10^12/2 = 10^12. Adjacent pairs never appear.
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("item_a", "item_b")
+    val got = Breadth4.linkPrediction(cyc, "item_a", "item_b", minCommon = 1)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 3L, 2L, 1000000000000L), (2L, 4L, 2L, 1000000000000L)))
+  }
+
+  test("linkPrediction: maxWedgeDegree drops wedges through hubs") {
+    // star center 0 with leaves 1..4: all leaf pairs share only the hub;
+    // capping the hub's degree (4) below the threshold removes every wedge
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("item_a", "item_b")
+    assert(Breadth4.linkPrediction(star, "item_a", "item_b",
+      minCommon = 1, maxWedgeDegree = 3).count() === 0)
+    assert(Breadth4.linkPrediction(star, "item_a", "item_b",
+      minCommon = 1, maxWedgeDegree = 4).count() === 6)
+  }
+
+  // ------------------------------------------------------ spearman
+
+  test("spearman: monotone spend in balance gives rho = 1, reversed gives -1") {
+    val customer = Seq((1L, BigDecimal("10.00")), (2L, BigDecimal("20.00")),
+      (3L, BigDecimal("30.00"))).toDF("c_custkey", "c_acctbal")
+    val up = Seq((10L, 1L, BigDecimal("1.00")), (20L, 2L, BigDecimal("5.00")),
+      (30L, 3L, BigDecimal("9.00"))).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val r1 = Breadth4.spearmanBalanceVsSpend(customer, up)
+      .as[(Long, Double)].collect().head
+    assert(r1._1 === 3L && math.abs(r1._2 - 1.0) < 1e-12)
+    val down = up.selectExpr("o_orderkey", "4 - o_custkey AS o_custkey", "o_totalprice")
+    val r2 = Breadth4.spearmanBalanceVsSpend(customer, down)
+      .as[(Long, Double)].collect().head
+    assert(math.abs(r2._2 - (-1.0)) < 1e-12)
+  }
+
+  test("spearman: orderless customers rank as zero spend; ties use average ranks") {
+    // balances 10 < 20 < 30 < 40; customers 1,2 have no orders (spend 0,
+    // tied at doubled-avg-rank 2·1.5 = 3), 3 spends 5, 4 spends 9.
+    // rx = (2,4,6,8), ry = (3,3,6,8): rho = (4·118-20·20)/sqrt((4·120-400)(4·118-400))
+    val customer = Seq((1L, BigDecimal("10.00")), (2L, BigDecimal("20.00")),
+      (3L, BigDecimal("30.00")), (4L, BigDecimal("40.00")))
+      .toDF("c_custkey", "c_acctbal")
+    val orders = Seq((1L, 3L, BigDecimal("5.00")), (2L, 4L, BigDecimal("9.00")))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val r = Breadth4.spearmanBalanceVsSpend(customer, orders)
+      .as[(Long, Double)].collect().head
+    val expected = (4.0 * 118 - 20 * 20) /
+      math.sqrt((4.0 * 120 - 400) * (4.0 * 118 - 400))
+    assert(r._1 === 4L && math.abs(r._2 - expected) < 1e-12)
+  }
+}
