@@ -471,6 +471,15 @@ object SparkEntry {
       Multimodal.audioFeatures(
         Multimodal.packSyntheticWavs(Tables.documents(s, d))).toDF()
     }),
+    // --- REAL animated-GIF round-trip: synthetic grayscale frames →
+    // multi-frame GIF encode → javax.imageio demux+decode → exact
+    // per-frame integer features (intensity/bright/SAD motion); oracle
+    // recomputes from the generating formula (mm_audio contract) ---
+    "mm_video" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.videoFrameFeatures(
+        Multimodal.packSyntheticGifs(Tables.documents(s, d))).toDF()
+    }),
     // --- as-of join: each event matched to the customer's latest prior order ---
     "q_asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
@@ -2379,6 +2388,31 @@ object SparkEntry {
     // s_i = ((id·31 + i·7919) mod 2^16) − 2^15 — the engine round-trips
     // the same signal through a real WAV encode+decode, so equality
     // proves codec losslessness; all features exact integers
+    // per-frame features straight from the generating pixel formula
+    // v(id,f,x,y) = (id·31 + f·97 + x·7 + y·13) mod 256 — the engine
+    // round-trips the frames through a real animated-GIF encode+decode
+    // (palette-indexed, lossless), so the hash match proves the demux
+    // and codec path; all features exact integers
+    "mm_video" ->
+      """WITH nf AS (SELECT doc_id, 2 + doc_id % 4 AS n_frames FROM documents),
+        |px AS (
+        |  SELECT nf.doc_id, f.i AS frame_idx, nf.n_frames,
+        |         (nf.doc_id * 31 + f.i * 97 + x.i * 7 + y.i * 13) % 256 AS v,
+        |         (nf.doc_id * 31 + (f.i - 1) * 97 + x.i * 7 + y.i * 13) % 256 AS pv
+        |  FROM nf
+        |  CROSS JOIN range(0, 5) f(i)
+        |  CROSS JOIN range(0, 16) x(i)
+        |  CROSS JOIN range(0, 12) y(i)
+        |  WHERE f.i < nf.n_frames)
+        |SELECT doc_id AS media_id,
+        |       CAST(frame_idx AS INTEGER) AS frame_idx,
+        |       CAST(n_frames AS INTEGER) AS n_frames,
+        |       CAST(16 AS INTEGER) AS frame_w, CAST(12 AS INTEGER) AS frame_h,
+        |       CAST(SUM(v) AS BIGINT) AS intensity_sum,
+        |       CAST(SUM(CASE WHEN v > 127 THEN 1 ELSE 0 END) AS BIGINT) AS bright_px,
+        |       CAST(SUM(CASE WHEN frame_idx = 0 THEN 0 ELSE abs(v - pv) END) AS BIGINT)
+        |         AS motion_sum
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
     "mm_audio" ->
       """WITH ns AS (SELECT doc_id, 256 + doc_id % 256 AS n FROM documents),
         |s AS (

@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * The IMAGE leg decodes for real: `javax.imageio` is pure-JVM
   * (PNG/BMP/GIF need no native libraries), see [[decodeImage]]. The
   * AUDIO leg decodes WAV/PCM for real too: `javax.sound.sampled` parses
-  * RIFF/WAVE containers without native codecs, see [[decodeWav]] —
-  * only COMPRESSED audio (mp3/ogg) and video demux need codec libs this
-  * container doesn't ship; those steps stay STUBBED behind
-  * [[decodeStub]] with a deterministic fake. Everything around the stub
-  * is real and tested:
+  * RIFF/WAVE containers without native codecs, see [[decodeWav]]. The
+  * VIDEO leg decodes multi-frame (animated) GIF for real — the one
+  * video container with a pure-JVM codec — see [[decodeGifFrames]];
+  * only COMPRESSED audio (mp3/ogg) and inter-frame-coded video
+  * (mp4/h264) need codec libs this container doesn't ship; those stay
+  * STUBBED behind [[decodeStub]] with a deterministic fake. Everything
+  * around the stub is real and tested:
   * the schema, the binary packing, the mapPartitions batch shape (the
   * Scala analogue of `mapInPandas` — one iterator per partition so
   * per-partition codec init happens once), and the
@@ -235,6 +237,138 @@ object Multimodal {
     import org.apache.spark.sql.Encoders.scalaLong
     documents.select(col("doc_id")).as[Long](scalaLong)
       .mapPartitions(_.map(id => AudioRecord(id, packWavBytes(synthPcm(id)))))
+  }
+
+  // ------------------------------------------------------------- video
+
+  case class VideoRecord(media_id: Long, content: Array[Byte])
+  case class VideoFrameFeatures(media_id: Long, frame_idx: Int, n_frames: Int,
+                                frame_w: Int, frame_h: Int,
+                                intensity_sum: Long, bright_px: Long,
+                                motion_sum: Long)
+
+  /** REAL video demux+decode for the one container the JVM ships a
+    * codec for: multi-frame (animated) GIF via `javax.imageio` — no
+    * native libraries. GIF is palette-indexed and lossless, so a
+    * deterministic grayscale signal round-trips exactly; only
+    * inter-frame-compressed formats (mp4/h264/vp9) remain with
+    * [[decodeStub]] as a container constraint. Per-frame features are
+    * the exact integer core of video curation: intensity sum (exposure
+    * filter), bright-pixel count (overexposure), and the
+    * sum-of-absolute-differences motion signal vs the previous frame —
+    * SAD is the standard shot-boundary/static-clip detector. All
+    * integers, so a SQL oracle replays them from the generating
+    * formula, proving the codec path lossless (the mm_audio contract).
+    */
+  def decodeGifFrames(r: VideoRecord): Seq[VideoFrameFeatures] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.content))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) Seq.empty
+      else {
+        val reader = readers.next()
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        var prev: Array[Int] = null
+        (0 until n).map { f =>
+          val img = reader.read(f)
+          val w = img.getWidth
+          val h = img.getHeight
+          val cur = new Array[Int](w * h)
+          var sum = 0L
+          var bright = 0L
+          var motion = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = img.getRGB(x, y) & 0xff // grayscale: B == G == R
+              cur(y * w + x) = v
+              sum += v
+              if (v > 127) bright += 1
+              if (prev != null) motion += math.abs(v - prev(y * w + x))
+              x += 1
+            }
+            y += 1
+          }
+          prev = cur
+          VideoFrameFeatures(r.media_id, f, n, w, h, sum, bright, motion)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  /** Distributed per-frame video features: mapPartitions keeps the
+    * one-init-per-partition decoder shape; undecodable payloads yield no
+    * rows (quarantine), matching [[decodeImage]]/[[decodeWav]].
+    */
+  def videoFrameFeatures(media: Dataset[VideoRecord]): Dataset[VideoFrameFeatures] = {
+    implicit val enc = Encoders.product[VideoFrameFeatures]
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+      it.flatMap(decodeGifFrames)
+    }
+  }
+
+  /** The deterministic synthetic grayscale frame signal for media `id`:
+    * pixel (x, y) of frame f is (id·31 + f·97 + x·7 + y·13) mod 256;
+    * 2 + (id mod 4) frames of 16×12. Shared by the GIF packer and the
+    * SQL oracle — the engine round-trips these frames through a REAL
+    * animated-GIF encode+decode (the [[synthPcm]] contract for video).
+    */
+  val SynthVideoW = 16
+  val SynthVideoH = 12
+  def synthFrames(id: Long): Array[java.awt.image.BufferedImage] =
+    Array.tabulate((2 + (id % 4)).toInt) { f =>
+      val img = new java.awt.image.BufferedImage(
+        SynthVideoW, SynthVideoH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < SynthVideoH) {
+        var x = 0
+        while (x < SynthVideoW) {
+          raster.setSample(x, y, 0,
+            ((id * 31 + f.toLong * 97 + x * 7 + y * 13) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+  /** Encode frames as one multi-frame GIF via `javax.imageio`'s
+    * sequence-writing API — the encoder half of the
+    * [[decodeGifFrames]] round trip. Default per-frame metadata is
+    * enough for a valid animated GIF (no loop/delay extensions needed
+    * for decode parity).
+    */
+  def packGifBytes(frames: Array[java.awt.image.BufferedImage]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { img =>
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Synthetic animated-GIF corpus keyed on doc_id ([[packSyntheticWavs]]
+    * shape): payload packing is partition-local, one encoder per
+    * partition.
+    */
+  def packSyntheticGifs(documents: DataFrame): Dataset[VideoRecord] = {
+    implicit val enc = Encoders.product[VideoRecord]
+    import org.apache.spark.sql.Encoders.scalaLong
+    documents.select(col("doc_id")).as[Long](scalaLong)
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map(id => VideoRecord(id, packGifBytes(synthFrames(id))))
+      }
   }
 
   /** Frame sampling: slice the payload into up-to-`n` fixed-size byte

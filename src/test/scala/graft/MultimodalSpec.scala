@@ -101,6 +101,40 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("GIF round-trip: packed frames decode to formula-exact features") {
+    // distributed path: encode synthFrames to a real multi-frame GIF,
+    // demux+decode via javax.imageio, compare every per-frame feature to
+    // a direct computation from the generating formula
+    val ids = Seq(0L, 1L, 3L, 7L, 255L, 1000L)
+    val docs = ids.toDF("doc_id")
+    val got = Multimodal.videoFrameFeatures(Multimodal.packSyntheticGifs(docs))
+      .collect().map(f => (f.media_id, f.frame_idx) -> f).toMap
+    ids.foreach { id =>
+      val nF = (2 + id % 4).toInt
+      def px(f: Int, x: Int, y: Int) = ((id * 31 + f * 97 + x * 7 + y * 13) % 256).toInt
+      (0 until nF).foreach { f =>
+        val vs = for (y <- 0 until 12; x <- 0 until 16) yield px(f, x, y)
+        val pvs = for (y <- 0 until 12; x <- 0 until 16) yield px(f - 1, x, y)
+        val feat = got((id, f))
+        assert(feat.n_frames === nF, s"n_frames for $id")
+        assert((feat.frame_w, feat.frame_h) === ((16, 12)), s"dims for $id")
+        assert(feat.intensity_sum === vs.map(_.toLong).sum, s"intensity $id/$f")
+        assert(feat.bright_px === vs.count(_ > 127).toLong, s"bright $id/$f")
+        val motion = if (f == 0) 0L
+          else vs.zip(pvs).map { case (a, b) => math.abs(a - b).toLong }.sum
+        assert(feat.motion_sum === motion, s"motion $id/$f")
+      }
+    }
+    assert(got.keySet === ids.flatMap(id => (0 until (2 + id % 4).toInt)
+      .map(f => (id, f))).toSet)
+  }
+
+  test("decodeGifFrames quarantines undecodable payloads") {
+    import Multimodal.VideoRecord
+    assert(Multimodal.decodeGifFrames(VideoRecord(1L, "not a gif".getBytes)).isEmpty)
+    assert(Multimodal.decodeGifFrames(VideoRecord(2L, Array.emptyByteArray)).isEmpty)
+  }
+
   test("decodeWav quarantines non-WAV and non-PCM16-mono payloads") {
     import Multimodal.AudioRecord
     assert(Multimodal.decodeWav(AudioRecord(1L, "not a wav".getBytes)).isEmpty)
