@@ -418,6 +418,8 @@ object SparkEntry {
     "text_lm_score" -> ((s, d) => graft.text.Bm25.unigramLogprob(Tables.documents(s, d))),
     // --- similarity search over embeddings (north star) ---
     "ann_topk_brute" -> ((s, d) => Ann.bruteForceTopK(Tables.embeddings(s, d))),
+    // --- MMR diversified rerank over the brute-force candidate set ---
+    "ann_mmr_rerank" -> ((s, d) => Ann.mmrRerank(Tables.embeddings(s, d))),
     // product quantization (16 codes/vector, 32x compression):
     // deterministic fit/encode/ADC, so the distance-ratio and code-range
     // verdicts are pinned by the oracle
@@ -2218,6 +2220,9 @@ object SparkEntry {
         |       TRUE AS dist_ratio_ok, TRUE AS codes_in_range
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "ann_topk_brute" -> bruteTopkOracle(),
+    // greedy MMR unrolled as k CTE rounds (anti-join selected, argmax by
+    // obj DESC then vec_id); identical 1e-6-rounded cosines both sides
+    "ann_mmr_rerank" -> Ann.mmrOracleSql(),
     // recall@5 of both approximate indexes against the exact brute top-5,
     // composed from the same three replays so all four stay in lockstep
     "ann_recall" -> annRecallOracle,

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -353,6 +353,140 @@ object Ann {
       .filter(col("cosine") >= minSim && col("cosine") < maxSim)
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  // --------------------------------------------------------------- MMR
+
+  case class MmrCand(query_id: Long, vec_id: Long, cosine: Double,
+                     v: Seq[Double])
+  case class MmrPick(query_id: Long, sel_rank: Int, vec_id: Long,
+                     relevance: Double, mmr_obj: Double)
+
+  /** JVM twin of the engine's rounded cosine: same left-to-right IEEE
+    * fold as the `cosine_sim` codegen expression, same HALF_UP 1e-6
+    * round as Spark's `round` (java BigDecimal.valueOf path) — so the
+    * greedy selection below compares exactly the values the relational
+    * side (and the DuckDB oracle) would.
+    */
+  private def cosRound6(a: Seq[Double], b: Seq[Double]): Double = {
+    var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
+    val n = math.min(a.length, b.length)
+    while (i < n) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    java.math.BigDecimal.valueOf(d / (math.sqrt(na) * math.sqrt(nb)))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  /** Maximal-Marginal-Relevance diversified rerank (Carbonell &
+    * Goldstein, SIGIR'98): per query, greedily pick k results maximizing
+    * `lam·rel(d) − mu·max_{s∈selected} sim(d, s)` — the standard
+    * redundancy-penalized retrieval used to diversify RAG context and
+    * dedup near-identical hits. First pick uses max-sim = 0 (pure
+    * relevance).
+    *
+    * Scale shape: candidate generation is the pluggable part
+    * ([[bruteForceTopK]] here; the LSH/IVF paths at corpus scale) and
+    * caps each query's group at `nCandidates` rows, so the greedy loop
+    * runs per-group over a BOUNDED in-memory candidate set
+    * (O(k·nCandidates) rounded cosines of already-shipped vectors) —
+    * groups distribute across executors, nothing data-sized anywhere.
+    * `lam`/`mu` are passed separately (NOT derived as 1−lam: 1−0.7 is
+    * not the IEEE double 0.3, and the oracle interpolates the same
+    * literals).
+    */
+  def mmrRerank(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
+                nCandidates: Int = 20, lam: Double = 0.7,
+                mu: Double = 0.3): DataFrame = {
+    require(k > 0 && nCandidates >= k, "need 0 < k <= nCandidates")
+    val spark = embeddings.sparkSession
+    implicit val encC = Encoders.product[MmrCand]
+    implicit val encP = Encoders.product[MmrPick]
+    implicit val encK = Encoders.scalaLong
+    val cands = bruteForceTopK(embeddings, nCandidates, nQueries)
+      .join(corpus(embeddings), "vec_id")
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("v"))
+    cands.as[MmrCand].groupByKey(_.query_id).flatMapGroups { (qid, it) =>
+      val cs = it.toArray.sortBy(c => (c.vec_id)) // deterministic scan order
+      val used = scala.collection.mutable.HashSet.empty[Long]
+      val sel = scala.collection.mutable.ArrayBuffer.empty[MmrCand]
+      val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+      var r = 1
+      while (r <= k && used.size < cs.length) {
+        var best: MmrCand = null
+        var bestObj = Double.NegativeInfinity
+        cs.foreach { c =>
+          if (!used.contains(c.vec_id)) {
+            val msim = if (sel.isEmpty) 0.0
+                       else sel.iterator.map(s => cosRound6(c.v, s.v)).max
+            val obj = lam * c.cosine - mu * msim
+            // strict > plus ascending-vec_id scan = argmax with min-id tie-break
+            if (obj > bestObj) { bestObj = obj; best = c }
+          }
+        }
+        used += best.vec_id
+        sel += best
+        out += MmrPick(qid, r, best.vec_id, best.cosine, bestObj)
+        r += 1
+      }
+      out.iterator
+    }.toDF()
+  }
+
+  /** DuckDB twin of [[mmrRerank]]: the greedy loop unrolled as k CTE
+    * rounds (the kmeans-oracle pattern) — each round anti-joins the
+    * selected set, recomputes `lam·rel − mu·MAX(rounded cosine to
+    * selected)`, and picks ROW_NUMBER()=1 by (obj DESC, vec_id).
+    */
+  def mmrOracleSql(k: Int = 5, nQueries: Int = 10, nCandidates: Int = 20,
+                   lam: Double = 0.7, mu: Double = 0.3): String = {
+    def cosSql(a: String, b: String) =
+      s"round(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])) / " +
+        s"(sqrt(list_sum(list_transform($a, x -> x*x))) * " +
+        s"sqrt(list_sum(list_transform($b, x -> x*x)))), 6)"
+    val header =
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries),
+         |scored AS (
+         |  SELECT query_id, vec_id, e.v, ${cosSql("qv", "v")} AS rel
+         |  FROM q, e WHERE vec_id <> query_id),
+         |cands AS (
+         |  SELECT query_id, vec_id, v, rel FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rk
+         |    FROM scored) t
+         |  WHERE rk <= $nCandidates),
+         |sel1 AS (
+         |  SELECT query_id, vec_id, v, rel, $lam * rel - $mu * 0.0 AS obj FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY $lam * rel - $mu * 0.0 DESC, vec_id) AS rk
+         |    FROM cands) t
+         |  WHERE rk = 1),
+         |selu1 AS (SELECT * FROM sel1)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      s""",
+         |cand$r AS (
+         |  SELECT c.query_id, c.vec_id, c.v, c.rel FROM cands c
+         |  ANTI JOIN selu${r - 1} s
+         |    ON s.query_id = c.query_id AND s.vec_id = c.vec_id),
+         |obj$r AS (
+         |  SELECT c.query_id, c.vec_id, c.v, c.rel,
+         |         $lam * c.rel - $mu * MAX(${cosSql("c.v", "s.v")}) AS obj
+         |  FROM cand$r c JOIN selu${r - 1} s ON s.query_id = c.query_id
+         |  GROUP BY c.query_id, c.vec_id, c.v, c.rel),
+         |sel$r AS (
+         |  SELECT query_id, vec_id, v, rel, obj FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY obj DESC, vec_id) AS rk
+         |    FROM obj$r) t
+         |  WHERE rk = 1),
+         |selu$r AS (SELECT * FROM selu${r - 1} UNION ALL SELECT * FROM sel$r)""".stripMargin
+    }.mkString
+    val parts = (1 to k).map { r =>
+      s"SELECT query_id, CAST($r AS INTEGER) AS sel_rank, vec_id,\n" +
+        s"       rel AS relevance, obj AS mmr_obj FROM sel$r"
+    }.mkString("\nUNION ALL\n")
+    header + rounds + "\n" + parts
   }
 
   /** Contrastive training-pair manifest for a small anchor set: per

@@ -159,4 +159,32 @@ class AnnSpec extends AnyFunSuite {
     }
     spark.catalog.clearCache()
   }
+
+  test("mmrRerank: pure-relevance limit equals brute top-k; heavy penalty diversifies") {
+    // query 0 = [1,0]; candidates: 1,2 near-duplicates highly relevant,
+    // 3 moderately relevant but orthogonal to them
+    val vecs = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(1f, 0.01f)),
+      (2L, Array(1f, 0.011f)),
+      (3L, Array(0.6f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    // mu = 0: MMR degenerates to relevance order = bruteForceTopK order
+    val pure = Ann.mmrRerank(vecs, k = 3, nQueries = 1, nCandidates = 3,
+      lam = 1.0, mu = 0.0)
+      .select("sel_rank", "vec_id").as[(Int, Long)].collect().sortBy(_._1)
+    val brute = Ann.bruteForceTopK(vecs, k = 3, nQueries = 1)
+      .select("rank", "vec_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(pure.map(_._2).toSeq === brute.map(_._2).toSeq)
+    // heavy redundancy penalty: after picking 1, the near-duplicate 2 is
+    // penalized below the orthogonal 3 — diversity overrides relevance
+    val div = Ann.mmrRerank(vecs, k = 3, nQueries = 1, nCandidates = 3,
+      lam = 0.1, mu = 0.9)
+      .select("sel_rank", "vec_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(div.map(_._2).toSeq === Seq(1L, 3L, 2L))
+    // relevance column carries the original rounded cosine either way
+    val rel = Ann.mmrRerank(vecs, k = 1, nQueries = 1, nCandidates = 3)
+      .select("relevance").as[Double].collect().head
+    assert(math.abs(rel - 1.0) < 1e-3)
+  }
 }
