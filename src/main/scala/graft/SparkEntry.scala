@@ -416,6 +416,8 @@ object SparkEntry {
       Tables.documents(s, d), Tables.embeddings(s, d))),
     // unigram LM quality scoring (CCNet-style perplexity filter)
     "text_lm_score" -> ((s, d) => graft.text.Bm25.unigramLogprob(Tables.documents(s, d))),
+    // interpolated Kneser-Ney bigram LM (Chen & Goodman 1998)
+    "text_kn_bigram" -> ((s, d) => graft.text.Bm25.knBigramLogprob(Tables.documents(s, d))),
     // --- similarity search over embeddings (north star) ---
     "ann_topk_brute" -> ((s, d) => Ann.bruteForceTopK(Tables.embeddings(s, d))),
     // --- MMR diversified rerank over the brute-force candidate set ---
@@ -2528,6 +2530,9 @@ object SparkEntry {
         |            ELSE CAST(sc.lp_sum_micro AS DOUBLE) / (sc.n_tokens * 1000000.0) END
         |         AS avg_logprob
         |FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id""".stripMargin,
+    // KN continuation-probability smoothing, micro-long pinned like
+    // text_lm_score; every division forced double by identical casts
+    "text_kn_bigram" -> graft.text.Bm25.knBigramOracleSql,
     // same RapidFuzz-convention Jaro-Winkler on both engines, round 1e-6
     "q_jaro_pairs" ->
       """SELECT key_a, key_b, jw FROM (

