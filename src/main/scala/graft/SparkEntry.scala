@@ -544,6 +544,11 @@ object SparkEntry {
     "q_degree_assort" -> ((s, d) =>
       graft.analytics.GraphStats.degreeAssortativity(
         coBoughtEdges(s, d), "item_a", "item_b", canonical = true)),
+    // --- weighted shortest paths: delta-frontier Bellman-Ford over
+    // affinity distances (10^6 div co-purchase count) ---
+    "q_sssp_weighted" -> ((s, d) =>
+      graft.analytics.Sssp.hubWeightedDistances(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey")),
     // --- link prediction: top non-adjacent pairs by resource-allocation ---
     "q_link_pred" -> ((s, d) =>
       Breadth4.linkPrediction(coBoughtEdges(s, d), "item_a", "item_b")),
@@ -1558,6 +1563,10 @@ object SparkEntry {
     "q_kcore" -> graft.analytics.GraphStats.kCoreOracleSql(),
     // exact HUGEINT power sums, one shared IEEE Pearson expression
     "q_degree_assort" -> graft.analytics.GraphStats.assortativityOracleSql,
+    // FULL per-round relaxation vs the engine's delta frontier — same
+    // <=r-edge distances, different algorithm shape (differential proof);
+    // exact BIGINT weights and path sums
+    "q_sssp_weighted" -> graft.analytics.Sssp.hubWeightedOracleSql(),
     // wedge enumeration re-derived from the raw basket relation; RA as
     // exact integer-division sums — no IEEE fold on either engine
     "q_link_pred" -> Breadth4.linkPredictionOracleSql(),
