@@ -558,6 +558,9 @@ object SparkEntry {
     // --- Spearman rank correlation: balance vs lifetime spend ---
     "q_spearman" -> ((s, d) =>
       Breadth4.spearmanBalanceVsSpend(Tables.customer(s, d), Tables.orders(s, d))),
+    // --- delete-one-bucket jackknife SE of the mean order value ---
+    "q_jackknife" -> ((s, d) =>
+      Breadth4.jackknifeMeanSe(Tables.orders(s, d))),
     // --- HITS hubs/authorities: exact integer fixed-point, L1 renorm ---
     "q_hits" -> ((s, d) =>
       graft.analytics.Hits.hitsOnEdges(purchaseEdges(s, d))),
@@ -1575,6 +1578,9 @@ object SparkEntry {
     // doubled average ranks (exact ints) -> HUGEINT power sums -> one
     // final IEEE expression, mirroring the engine's DECIMAL(38,0) sums
     "q_spearman" -> Breadth4.spearmanOracleSql,
+    // exact integer-cents bucket subtotals, micro-cent integer-division
+    // LOO means, scaled-identity deviation sums; one final IEEE sqrt
+    "q_jackknife" -> Breadth4.jackknifeOracleSql(),
     // HITS rounds unrolled as CTE pairs, HUGEINT `//` renormalization
     "q_hits" -> graft.analytics.Hits.hitsOracleSql(),
     // same Apriori-pruned pair counts (HAVING >= 2 makes the item prune

@@ -154,6 +154,76 @@ object Breadth4 {
       |ORDER BY ra_micro DESC, common_neighbors DESC, item_a, item_b
       |LIMIT $k""".stripMargin
 
+  // ------------------------------------------------ jackknife variance
+
+  /** Delete-one-bucket jackknife standard error of the mean order value
+    * (Efron & Stein 1981; the delete-d grouped variant — the standard
+    * distributed uncertainty estimate when bootstrap resampling is too
+    * expensive to shuffle): rows are assigned to `buckets` deterministic
+    * groups by key residue, each leave-one-bucket-out mean is computed
+    * exactly in integer micro-cents, and
+    * `var_jack = (B−1)/B · Σ_b (m_b − m̄)²` collapses to a single IEEE
+    * expression over exact DECIMAL(38,0) sums via the scaling identity
+    * `Σ(m_b − m̄)² = Σ(B·m_b − Σm)² / B²`.
+    *
+    * Scale: one hash aggregation to B bucket subtotals (map-side
+    * combined), then all remaining arithmetic runs on the B-row
+    * relation with a broadcast 1-row totals join — nothing data-sized
+    * past the first aggregate.
+    */
+  def jackknifeMeanSe(orders: DataFrame, buckets: Int = 20): DataFrame = {
+    require(buckets >= 2, "need at least two buckets")
+    val per = orders
+      .select((col("o_orderkey") % buckets).cast("int").as("bucket"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_b"), sum("cents").as("s_b"))
+    val tot = per.agg(sum("n_b").as("n"), sum("s_b").as("s"),
+      count(lit(1)).as("nb"))
+    val loo = per.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n"), col("s"), col("nb"),
+        expr("cast((s - s_b) as decimal(38,0)) * 1000000 div (n - n_b)")
+          .as("loo_micro"))
+    val stats = loo.agg(sum("loo_micro").as("sm"), count(lit(1)).as("b2"))
+    val q = loo.crossJoin(broadcast(stats))
+      .select(col("n"), col("s"), col("nb"),
+        (col("nb") * col("loo_micro") - col("sm")).cast(DecimalType(38, 0))
+          .as("dev"))
+      .groupBy("n", "s", "nb")
+      .agg(sum(col("dev") * col("dev")).as("q"))
+    q.select(col("n").as("n_orders"),
+      col("nb").cast("int").as("n_buckets"),
+      (col("s").cast("double") / 100.0 / col("n")).as("mean_price"),
+      (sqrt((col("nb") - 1).cast("double") * col("q").cast("double") /
+        (col("nb") * col("nb") * col("nb")).cast("double")) / 1.0e8)
+        .as("jk_se"))
+  }
+
+  def jackknifeOracleSql(buckets: Int = 20): String =
+    s"""WITH per AS (
+      |  SELECT CAST(o_orderkey % $buckets AS INTEGER) AS bucket,
+      |         COUNT(*) AS n_b,
+      |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |              AS BIGINT) AS s_b
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n, CAST(SUM(s_b) AS BIGINT) AS s,
+      |               COUNT(*) AS nb FROM per),
+      |loo AS (
+      |  SELECT per.bucket, tot.n, tot.s, tot.nb,
+      |         CAST((CAST(tot.s - per.s_b AS HUGEINT) * 1000000)
+      |              // (tot.n - per.n_b) AS BIGINT) AS loo_micro
+      |  FROM per, tot),
+      |stats AS (SELECT CAST(SUM(loo_micro) AS BIGINT) AS sm, COUNT(*) AS b2 FROM loo),
+      |q AS (
+      |  SELECT loo.n, loo.s, loo.nb,
+      |         SUM(CAST(loo.nb * loo.loo_micro - stats.sm AS HUGEINT) *
+      |             CAST(loo.nb * loo.loo_micro - stats.sm AS HUGEINT)) AS q
+      |  FROM loo, stats GROUP BY 1, 2, 3)
+      |SELECT n AS n_orders, CAST(nb AS INTEGER) AS n_buckets,
+      |       CAST(s AS DOUBLE) / 100.0 / n AS mean_price,
+      |       sqrt(CAST(nb - 1 AS DOUBLE) * CAST(q AS DOUBLE) /
+      |            CAST(nb * nb * nb AS DOUBLE)) / 100000000.0 AS jk_se
+      |FROM q""".stripMargin
+
   // ------------------------------------------------ Spearman correlation
 
   /** Doubled average (fractional) rank of `valueCol` attached as

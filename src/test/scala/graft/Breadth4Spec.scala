@@ -74,6 +74,28 @@ class Breadth4Spec extends AnyFunSuite {
       minCommon = 1, maxWedgeDegree = 4).count() === 6)
   }
 
+  // ------------------------------------------------------ jackknife
+
+  test("jackknife: constant values give zero SE; hand-checked two-value case") {
+    // constant order value: every LOO mean equals the mean, SE = 0
+    val const = (1L to 40L).map(k => (k, BigDecimal("100.00")))
+      .toDF("o_orderkey", "o_totalprice")
+    val z = graft.analytics.Breadth4.jackknifeMeanSe(const, buckets = 4)
+      .select("n_orders", "mean_price", "jk_se").as[(Long, Double, Double)]
+      .collect().head
+    assert(z === ((40L, 100.0, 0.0)))
+    // 2 buckets, values 100 in bucket 0 / 300 in bucket 1 (one order each):
+    // LOO means are 300 and 100 dollars, m-bar = 200,
+    // var_jack = ((B-1)/B)*(100^2+100^2) = 10^4 -> se = 100 dollars
+    val two = Seq((2L, BigDecimal("100.00")), (3L, BigDecimal("300.00")))
+      .toDF("o_orderkey", "o_totalprice")
+    val j = graft.analytics.Breadth4.jackknifeMeanSe(two, buckets = 2)
+      .select("n_buckets", "mean_price", "jk_se").as[(Int, Double, Double)]
+      .collect().head
+    assert(j._1 === 2 && math.abs(j._2 - 200.0) < 1e-9)
+    assert(math.abs(j._3 - 100.0) < 1e-6)
+  }
+
   // ------------------------------------------------------ spearman
 
   test("spearman: monotone spend in balance gives rho = 1, reversed gives -1") {
