@@ -91,11 +91,31 @@ object SparkEntry {
     */
   private val coBoughtMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def coBoughtEdges(s: SparkSession, d: String): DataFrame =
+  /** Counted co-bought pairs (item_a, item_b, c_pair) — the widened base
+    * relation: its projection is the distinct edge set the seven graph
+    * queries consume, `c_pair >= minSupport` recovers the market-basket/
+    * item-CF pair relation losslessly, and `10^6 div c_pair` is the SSSP
+    * affinity weight — ONE quadratic basket expansion serving eleven
+    * queries (the count column costs the same shuffle the old distinct
+    * paid, plus 8 bytes/row).
+    */
+  private def coBoughtCounts(s: SparkSession, d: String): DataFrame =
     coBoughtMemo.computeIfAbsent((s, d), _ =>
       graft.Caching.checkpointed(
-        graft.analytics.Baskets.coOccurrenceEdges(
+        graft.analytics.Baskets.coOccurrenceCounts(
           Tables.lineitem(s, d), "l_orderkey", "l_partkey")))
+  private def coBoughtEdges(s: SparkSession, d: String): DataFrame =
+    coBoughtCounts(s, d).select(col("item_a"), col("item_b"))
+
+  /** Item incidence counts + basket count shared by the market-basket /
+    * item-CF pair (same memo contract).
+    */
+  private val itemStatsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+  private def basketItemStats(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    itemStatsMemo.computeIfAbsent((s, d), _ =>
+      graft.analytics.Baskets.itemStats(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey"))
 
   /** Same memo contract for the DIRECTED distinct customer→supplier
     * purchase graph shared by q_hits / q_pagerank / q_ppr: all three
@@ -511,11 +531,13 @@ object SparkEntry {
     "pipeline_corpus_prep" -> ((s, d) =>
       graft.pipeline.Curation.prepareCorpus(Tables.documents(s, d))),
     // --- market-basket lift: co-bought part pairs, exact integer lift ---
-    "q_market_basket" -> ((s, d) =>
-      graft.analytics.Baskets.pairLift(
-          Tables.lineitem(s, d), "l_orderkey", "l_partkey")
+    "q_market_basket" -> ((s, d) => {
+      val (itemCnt, nBaskets) = basketItemStats(s, d)
+      graft.analytics.Baskets.pairLiftOnCounts(
+          coBoughtCounts(s, d), itemCnt, nBaskets)
         .select(col("item_a").as("part_a"), col("item_b").as("part_b"),
-          col("c_pair"), col("lift"))),
+          col("c_pair"), col("lift"))
+    }),
     // --- triangle count over the co-bought-parts graph (degree-oriented) ---
     "q_triangles" -> ((s, d) =>
       graft.analytics.Triangles.triangleCount(
@@ -547,8 +569,8 @@ object SparkEntry {
     // --- weighted shortest paths: delta-frontier Bellman-Ford over
     // affinity distances (10^6 div co-purchase count) ---
     "q_sssp_weighted" -> ((s, d) =>
-      graft.analytics.Sssp.hubWeightedDistances(
-        Tables.lineitem(s, d), "l_orderkey", "l_partkey")),
+      graft.analytics.Sssp.weightedDistances(
+        graft.analytics.Sssp.affinityEdgesFromCounts(coBoughtCounts(s, d)))),
     // --- link prediction: top non-adjacent pairs by resource-allocation ---
     "q_link_pred" -> ((s, d) =>
       Breadth4.linkPrediction(coBoughtEdges(s, d), "item_a", "item_b")),
@@ -566,8 +588,8 @@ object SparkEntry {
       graft.analytics.Hits.hitsOnEdges(purchaseEdges(s, d))),
     // --- item-item CF: top-5 co-bought neighbors by exact-count cosine ---
     "q_item_cf" -> ((s, d) =>
-      graft.analytics.Baskets.itemNeighbors(
-        Tables.lineitem(s, d), "l_orderkey", "l_partkey")),
+      graft.analytics.Baskets.itemNeighborsOnCounts(
+        coBoughtCounts(s, d), basketItemStats(s, d)._1)),
     // --- truncated EWMA volume smoothing (dyadic weights: exact sums) ---
     "q_ewma" -> ((s, d) =>
       graft.analytics.Drift.ewmaMonthlyOrders(Tables.orders(s, d))),
@@ -1515,7 +1537,7 @@ object SparkEntry {
         |fi AS (
         |  SELECT i.l_orderkey, i.l_partkey FROM items i
         |  JOIN ic ON ic.l_partkey = i.l_partkey AND ic.c_item >= 2),
-        |okb AS (SELECT l_orderkey FROM fi GROUP BY 1 HAVING COUNT(*) <= 4096),
+        |okb AS (SELECT l_orderkey FROM items GROUP BY 1 HAVING COUNT(*) <= 4096),
         |pairs AS (
         |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS c_pair
         |  FROM fi a
@@ -1583,17 +1605,18 @@ object SparkEntry {
     "q_jackknife" -> Breadth4.jackknifeOracleSql(),
     // HITS rounds unrolled as CTE pairs, HUGEINT `//` renormalization
     "q_hits" -> graft.analytics.Hits.hitsOracleSql(),
-    // same Apriori-pruned pair counts (HAVING >= 2 makes the item prune
-    // lossless), symmetrized, one shared IEEE cosine, ROW_NUMBER top-k.
-    // fi/okb mirror the engine's maxBasketSize cap over surviving frequent
-    // items (inert on ≤7-item TPC-H baskets, exact if it ever binds)
+    // same pair counts (the HAVING >= 2 pair filter subsumes the item
+    // prune losslessly), symmetrized, one shared IEEE cosine, ROW_NUMBER
+    // top-k. okb mirrors the engine's maxBasketSize cap over FULL
+    // baskets — the shared counted-pair base relation caps before any
+    // prune (inert on ≤7-item TPC-H baskets, exact if it ever binds)
     "q_item_cf" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |ic AS (SELECT l_partkey, COUNT(*) AS c_item FROM items GROUP BY 1),
         |fi AS (
         |  SELECT i.l_orderkey, i.l_partkey FROM items i
         |  JOIN ic ON ic.l_partkey = i.l_partkey AND ic.c_item >= 2),
-        |okb AS (SELECT l_orderkey FROM fi GROUP BY 1 HAVING COUNT(*) <= 4096),
+        |okb AS (SELECT l_orderkey FROM items GROUP BY 1 HAVING COUNT(*) <= 4096),
         |pairs AS (
         |  SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, COUNT(*) AS c_pair
         |  FROM fi a

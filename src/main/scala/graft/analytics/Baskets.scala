@@ -151,6 +151,81 @@ object Baskets {
       basketItems.select(col(basketCol), col(itemCol)),
       basketCol, itemCol, maxBasketSize))
 
+  /** UNPRUNED co-occurrence pair counts (item_a < item_b, c_pair) — the
+    * single base relation every basket consumer derives from: its
+    * projection is the distinct co-bought edge set (grouped keys are
+    * distinct by construction), `c_pair >= minSupport` recovers the
+    * Apriori-pruned pair relation losslessly (c_pair ≤ min(c_a, c_b),
+    * so no pair of an infrequent item survives the filter), and
+    * `10^6 div c_pair` is the SSSP affinity weight. Build it once per
+    * (session, input) and share ([[graft.SparkEntry]] memo).
+    *
+    * NOTE the `maxBasketSize` explode guard applies to FULL baskets
+    * (distinct items, before any frequency prune) — the one semantic
+    * difference vs pruning items first, visible only when the cap
+    * binds (never on ≤7-item TPC-H baskets); oracles mirror this.
+    */
+  def coOccurrenceCounts(basketItems: DataFrame, basketCol: String,
+                         itemCol: String, maxBasketSize: Int = 4096): DataFrame =
+    coOccurrencePairs(basketItems, basketCol, itemCol, maxBasketSize)
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("c_pair"))
+
+  /** Per-item incidence counts (`item`, `c_item`) and the 1-row basket
+    * count (`n_baskets`) off ONE materialized distinct (basket, item)
+    * relation — the other two model relations basket consumers share.
+    */
+  def itemStats(basketItems: DataFrame, basketCol: String,
+                itemCol: String): (DataFrame, DataFrame) = {
+    val items = graft.Caching.materialize(
+      basketItems.select(col(basketCol), col(itemCol)).distinct())
+    val itemCnt = graft.Caching.checkpointed(
+      items.groupBy(col(itemCol).as("item")).agg(count(lit(1)).as("c_item")))
+    val nBaskets = graft.Caching.checkpointed(
+      items.agg(countDistinct(col(basketCol)).as("n_baskets")))
+    items.unpersist()
+    (itemCnt, nBaskets)
+  }
+
+  /** [[pairLift]] tail over prebuilt [[coOccurrenceCounts]] /
+    * [[itemStats]] relations — identical output (the pair-level
+    * `c_pair >= minSupport` filter subsumes the Apriori item prune).
+    */
+  def pairLiftOnCounts(counts: DataFrame, itemCnt: DataFrame,
+                       nBaskets: DataFrame, minSupport: Long = 2L,
+                       k: Int = 100): DataFrame =
+    counts.filter(col("c_pair") >= minSupport)
+      .join(itemCnt.select(col("item").as("item_a"), col("c_item").as("c_a")), "item_a")
+      .join(itemCnt.select(col("item").as("item_b"), col("c_item").as("c_b")), "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("c_pair"),
+        ((col("c_pair") * col("n_baskets")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double")).as("lift"))
+      .orderBy(desc("lift"), col("item_a"), col("item_b"))
+      .limit(k)
+
+  /** [[itemNeighbors]] tail over prebuilt relations — identical output
+    * for the same reason as [[pairLiftOnCounts]].
+    */
+  def itemNeighborsOnCounts(counts: DataFrame, itemCnt: DataFrame,
+                            minSupport: Long = 2L, nPerItem: Int = 5): DataFrame = {
+    val pairs = counts.filter(col("c_pair") >= minSupport)
+    val directed = pairs.select(col("item_a").as("item"),
+        col("item_b").as("neighbor"), col("c_pair"))
+      .unionByName(pairs.select(col("item_b").as("item"),
+        col("item_a").as("neighbor"), col("c_pair")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("item").orderBy(desc("cosine"), asc("neighbor"))
+    directed
+      .join(itemCnt.select(col("item"), col("c_item").as("c_i")), "item")
+      .join(itemCnt.select(col("item").as("neighbor"), col("c_item").as("c_n")), "neighbor")
+      .select(col("item"), col("neighbor"), col("c_pair"),
+        (col("c_pair").cast("double") /
+          sqrt((col("c_i") * col("c_n")).cast("double"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= nPerItem)
+  }
+
   /** Distinct co-occurrence edges (item_a < item_b) — the input graph for
     * [[Triangles.triangleCount]] and other graph statistics. Same guard
     * as [[coOccurrencePairs]].

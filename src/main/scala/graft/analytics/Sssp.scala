@@ -32,11 +32,16 @@ object Sssp {
     */
   def affinityEdges(basketItems: DataFrame, basketCol: String,
                     itemCol: String): DataFrame =
-    Baskets.coOccurrencePairs(basketItems, basketCol, itemCol)
-      .groupBy("item_a", "item_b").agg(count(lit(1)).as("c_pair"))
-      .select(col("item_a").cast("long").as("src"),
-        col("item_b").cast("long").as("dst"),
-        greatest(expr("cast(1000000 as bigint) div c_pair"), lit(1L)).as("w"))
+    affinityEdgesFromCounts(
+      Baskets.coOccurrenceCounts(basketItems, basketCol, itemCol))
+
+  /** The affinity-weight projection over a prebuilt
+    * [[Baskets.coOccurrenceCounts]] relation (the session-shared base).
+    */
+  def affinityEdgesFromCounts(counts: DataFrame): DataFrame =
+    counts.select(col("item_a").cast("long").as("src"),
+      col("item_b").cast("long").as("dst"),
+      greatest(expr("cast(1000000 as bigint) div c_pair"), lit(1L)).as("w"))
 
   /** Bellman-Ford distances from the top-degree node over a canonical
     * weighted half-edge relation (src < dst, w). Output: (node, dist),

@@ -85,4 +85,24 @@ class BasketsSpec extends AnyFunSuite {
     got.foreach { case (a, b) => assert(a < b) }
     spark.catalog.clearCache()
   }
+
+  test("OnCounts paths equal the self-contained pairLift/itemNeighbors") {
+    // random-ish larger fixture incl. items below minSupport
+    val big = (1L to 120L).flatMap(b =>
+      (0L until 1 + b % 4).map(j => b -> (b * 7 % 23 + j)))
+    val df = big.toDF("b", "i")
+    val counts = Baskets.coOccurrenceCounts(df, "b", "i")
+    val (itemCnt, nBaskets) = Baskets.itemStats(df, "b", "i")
+    val liftA = Baskets.pairLift(df, "b", "i")
+      .collect().map(_.toSeq).toSeq
+    val liftB = Baskets.pairLiftOnCounts(counts, itemCnt, nBaskets)
+      .collect().map(_.toSeq).toSeq
+    assert(liftA === liftB && liftA.nonEmpty)
+    val nbrA = Baskets.itemNeighbors(df, "b", "i")
+      .collect().map(_.toSeq).toSet
+    val nbrB = Baskets.itemNeighborsOnCounts(counts, itemCnt)
+      .collect().map(_.toSeq).toSet
+    assert(nbrA === nbrB && nbrA.nonEmpty)
+    spark.catalog.clearCache()
+  }
 }
