@@ -583,6 +583,11 @@ object SparkEntry {
     // --- delete-one-bucket jackknife SE of the mean order value ---
     "q_jackknife" -> ((s, d) =>
       Breadth4.jackknifeMeanSe(Tables.orders(s, d))),
+    // --- TPC-H Q8-shaped national market share (6-table star join) ---
+    "q_market_share" -> ((s, d) =>
+      Breadth4.marketShare(Tables.region(s, d), Tables.nation(s, d),
+        Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.supplier(s, d), Tables.part(s, d))),
     // --- HITS hubs/authorities: exact integer fixed-point, L1 renorm ---
     "q_hits" -> ((s, d) =>
       graft.analytics.Hits.hitsOnEdges(purchaseEdges(s, d))),
@@ -1603,6 +1608,9 @@ object SparkEntry {
     // exact integer-cents bucket subtotals, micro-cent integer-division
     // LOO means, scaled-identity deviation sums; one final IEEE sqrt
     "q_jackknife" -> Breadth4.jackknifeOracleSql(),
+    // q_pricing_summary decimal-volume convention; share is one IEEE
+    // division of exact decimal sums per year
+    "q_market_share" -> Breadth4.marketShareOracleSql(),
     // HITS rounds unrolled as CTE pairs, HUGEINT `//` renormalization
     "q_hits" -> graft.analytics.Hits.hitsOracleSql(),
     // same pair counts (the HAVING >= 2 pair filter subsumes the item

@@ -154,6 +154,99 @@ object Breadth4 {
       |ORDER BY ra_micro DESC, common_neighbors DESC, item_a, item_b
       |LIMIT $k""".stripMargin
 
+  // ------------------------------------------------ national market share
+
+  /** TPC-H Q8-shaped national market share: within orders placed by
+    * customers of one REGION for parts of one TYPE family, the fraction
+    * of yearly revenue volume supplied by one target NATION — the
+    * classic two-level share-of-total over a six-table star join.
+    *
+    * Determinism: volume follows the q_pricing_summary convention
+    * (DECIMAL(18,2) price × (1 − DECIMAL(18,2) discount) → DECIMAL(18,4),
+    * order-independent exact sums); the share is ONE IEEE division of
+    * two exact decimal sums per year.
+    *
+    * Scale shape: part/supplier/nation/region/customer sides reduce to
+    * key(+flag) projections that broadcast (largest is customer — at
+    * 100 TB it shuffles instead, AQE decides); lineitem⋈orders is the
+    * one fact-fact sort-merge join, shuffled on orderkey; the final
+    * aggregate is per-year — a handful of groups, map-side combined.
+    */
+  def marketShare(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                  orders: DataFrame, lineitem: DataFrame, supplier: DataFrame,
+                  part: DataFrame, targetNation: String = "NATION_1",
+                  regionName: String = "AMERICA",
+                  typePrefix: String = "ECONOMY",
+                  yearFrom: Int = 1995, yearTo: Int = 1996): DataFrame = {
+    val vol = expr(
+      "cast(cast(l_extendedprice as decimal(18,2)) * " +
+        "(1 - cast(l_discount as decimal(18,2))) as decimal(18,4))")
+    val p = part.filter(col("p_type").startsWith(typePrefix))
+      .select(col("p_partkey"))
+    val suppNation = supplier
+      .join(nation.select(col("n_nationkey"), col("n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val regionCust = customer
+      .join(nation.select(col("n_nationkey").as("cnk"), col("n_regionkey")),
+        col("c_nationkey") === col("cnk"))
+      .join(region.filter(col("r_name") === regionName).select(col("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val ord = orders
+      .filter(year(col("o_orderdate")).between(yearFrom, yearTo))
+      .join(regionCust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    lineitem
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_year"), col("supp_nation"), vol.as("volume"))
+      .groupBy("o_year")
+      .agg(
+        sum(when(col("supp_nation") === targetNation, col("volume"))
+          .otherwise(lit(0).cast(DecimalType(18, 4)))).as("nation_vol"),
+        sum(col("volume")).as("total_vol"))
+      .select(col("o_year"),
+        (col("nation_vol").cast("double") / col("total_vol").cast("double"))
+          .as("mkt_share"),
+        col("nation_vol").cast("double").as("nation_volume"),
+        col("total_vol").cast("double").as("total_volume"))
+  }
+
+  def marketShareOracleSql(targetNation: String = "NATION_1",
+                           regionName: String = "AMERICA",
+                           typePrefix: String = "ECONOMY",
+                           yearFrom: Int = 1995, yearTo: Int = 1996): String =
+    s"""WITH vols AS (
+      |  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+      |         n2.n_name AS supp_nation,
+      |         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+      |              (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+      |           AS volume
+      |  FROM lineitem l
+      |  JOIN part p ON p.p_partkey = l.l_partkey
+      |   AND p.p_type LIKE '$typePrefix%'
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |   AND year(o.o_orderdate) BETWEEN $yearFrom AND $yearTo
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      |  JOIN region r ON r.r_regionkey = n1.n_regionkey
+      |   AND r.r_name = '$regionName'),
+      |agg AS (
+      |  SELECT o_year,
+      |         SUM(CASE WHEN supp_nation = '$targetNation' THEN volume
+      |                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS nation_vol,
+      |         SUM(volume) AS total_vol
+      |  FROM vols GROUP BY 1)
+      |SELECT o_year,
+      |       CAST(nation_vol AS DOUBLE) / CAST(total_vol AS DOUBLE) AS mkt_share,
+      |       CAST(nation_vol AS DOUBLE) AS nation_volume,
+      |       CAST(total_vol AS DOUBLE) AS total_volume
+      |FROM agg""".stripMargin
+
   // ------------------------------------------------ jackknife variance
 
   /** Delete-one-bucket jackknife standard error of the mean order value

@@ -74,6 +74,35 @@ class Breadth4Spec extends AnyFunSuite {
       minCommon = 1, maxWedgeDegree = 4).count() === 6)
   }
 
+  // ------------------------------------------------------ market share
+
+  test("marketShare: hand-checked share; out-of-region and out-of-window drop") {
+    val region = Seq((1, "AMERICA"), (2, "ASIA")).toDF("r_regionkey", "r_name")
+    val nation = Seq((1, "NATION_1", 1), (2, "NATION_2", 1), (3, "NATION_3", 2))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val customer = Seq((10L, 1), (11L, 3)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq(
+      (100L, 10L, java.sql.Timestamp.valueOf("1995-06-01 00:00:00")),
+      (101L, 11L, java.sql.Timestamp.valueOf("1995-07-01 00:00:00")), // ASIA cust
+      (102L, 10L, java.sql.Timestamp.valueOf("1999-01-01 00:00:00"))  // out of window
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val supplier = Seq((20L, 1), (21L, 2)).toDF("s_suppkey", "s_nationkey")
+    val part = Seq((30L, "ECONOMY BRASS"), (31L, "PROMO STEEL"))
+      .toDF("p_partkey", "p_type")
+    val lineitem = Seq(
+      (100L, 30L, 20L, 100.0, 0.0), // NATION_1 supplier, vol 100
+      (100L, 30L, 21L, 300.0, 0.0), // NATION_2 supplier, vol 300
+      (100L, 31L, 20L, 999.0, 0.0), // wrong part type: dropped
+      (101L, 30L, 20L, 50.0, 0.0),  // ASIA customer: dropped
+      (102L, 30L, 20L, 50.0, 0.0)   // 1999 order: dropped
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val got = graft.analytics.Breadth4.marketShare(
+      region, nation, customer, orders, lineitem, supplier, part)
+      .select("o_year", "mkt_share", "total_volume")
+      .as[(Int, Double, Double)].collect()
+    assert(got.toSeq === Seq((1995, 0.25, 400.0)))
+  }
+
   // ------------------------------------------------------ jackknife
 
   test("jackknife: constant values give zero SE; hand-checked two-value case") {
