@@ -577,6 +577,9 @@ object SparkEntry {
     // --- rolling 7-day distinct active users (sliding WAU) ---
     "q_rolling_active" -> ((s, d) =>
       Breadth4.rollingActiveUsers(Tables.events(s, d))),
+    // --- the mergeable-sketch scale path: per-day HLLs union-merged ---
+    "q_rolling_hll" -> ((s, d) =>
+      Breadth4.rollingActiveHll(Tables.events(s, d))),
     // --- Spearman rank correlation: balance vs lifetime spend ---
     "q_spearman" -> ((s, d) =>
       Breadth4.spearmanBalanceVsSpend(Tables.customer(s, d), Tables.orders(s, d))),
@@ -1602,6 +1605,9 @@ object SparkEntry {
     "q_link_pred" -> Breadth4.linkPredictionOracleSql(),
     // same contribution expansion; COUNT(DISTINCT) per window end
     "q_rolling_active" -> Breadth4.rollingActiveUsersOracleSql(),
+    // verdict-style: each engine's own HLL vs its own exact (sketch
+    // internals never cross); hashed cols (window_end, exact, bool)
+    "q_rolling_hll" -> Breadth4.rollingActiveHllOracleSql(),
     // doubled average ranks (exact ints) -> HUGEINT power sums -> one
     // final IEEE expression, mirroring the engine's DECIMAL(38,0) sums
     "q_spearman" -> Breadth4.spearmanOracleSql,

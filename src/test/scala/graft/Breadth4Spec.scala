@@ -44,6 +44,20 @@ class Breadth4Spec extends AnyFunSuite {
     assert(!got.contains("2024-03-03"))
   }
 
+  test("rollingActiveHll: verdicts hold and windows match the exact path") {
+    val ev = (1L to 200L).map(u =>
+      (u, ts(f"2024-02-${1 + (u % 9)}%02d 10:00:00"))).toDF("user_id", "ts")
+    val got = graft.analytics.Breadth4.rollingActiveHll(ev, windowDays = 3)
+      .select("window_end", "active_users", "sliding_ok")
+      .as[(java.sql.Date, Long, Boolean)].collect()
+    assert(got.length === 9) // window ends = the 9 active days (capped at max)
+    assert(got.forall(_._3), "every sliding HLL verdict within bound")
+    val exact = graft.analytics.Breadth4.rollingActiveUsers(ev, windowDays = 3)
+      .select("window_end", "active_users")
+      .as[(java.sql.Date, Long)].collect().toMap
+    got.foreach { case (d, n, _) => assert(exact(d) === n) }
+  }
+
   // ---------------------------------------------------- linkPrediction
 
   test("linkPrediction: path predicts the endpoints, RA = 10^12 / deg(center)") {
