@@ -586,6 +586,12 @@ object SparkEntry {
     // --- delete-one-bucket jackknife SE of the mean order value ---
     "q_jackknife" -> ((s, d) =>
       Breadth4.jackknifeMeanSe(Tables.orders(s, d))),
+    // --- time-to-convert histogram: first view -> first purchase ---
+    "q_conversion_lag" -> ((s, d) =>
+      Breadth4.conversionLag(Tables.events(s, d))),
+    // --- repeat-purchase rate by acquisition cohort ---
+    "q_repeat_rate" -> ((s, d) =>
+      Breadth4.cohortRepeatRate(Tables.orders(s, d))),
     // --- TPC-H Q8-shaped national market share (6-table star join) ---
     "q_market_share" -> ((s, d) =>
       Breadth4.marketShare(Tables.region(s, d), Tables.nation(s, d),
@@ -1617,6 +1623,10 @@ object SparkEntry {
     // q_pricing_summary decimal-volume convention; share is one IEEE
     // division of exact decimal sums per year
     "q_market_share" -> Breadth4.marketShareOracleSql(),
+    // exact integer day lags; per-user firsts by min-agg both sides
+    "q_conversion_lag" -> Breadth4.conversionLagOracleSql,
+    // trunc(min) vs min(trunc) — equivalent by monotonicity (differential)
+    "q_repeat_rate" -> Breadth4.cohortRepeatRateOracleSql,
     // HITS rounds unrolled as CTE pairs, HUGEINT `//` renormalization
     "q_hits" -> graft.analytics.Hits.hitsOracleSql(),
     // same pair counts (the HAVING >= 2 pair filter subsumes the item

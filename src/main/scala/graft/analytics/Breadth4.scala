@@ -203,6 +203,81 @@ object Breadth4 {
       |ORDER BY ra_micro DESC, common_neighbors DESC, item_a, item_b
       |LIMIT $k""".stripMargin
 
+  // ------------------------------------------------ conversion lag
+
+  /** Conversion-lag distribution: for each user, days between their
+    * FIRST view and their first purchase at-or-after it, histogrammed —
+    * the time-to-convert curve behind funnel dashboards. Exact integer
+    * day lags and counts.
+    *
+    * Scale: two event-type-filtered min-aggregations keyed by user (the
+    * filters reach the scan), one co-partitioned join, and a small
+    * histogram aggregate — no windows.
+    */
+  def conversionLag(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("first_view"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+    v.join(p, Seq("user_id"))
+      .filter(col("ts") >= col("first_view"))
+      .groupBy("user_id", "first_view")
+      .agg(min(col("ts")).as("first_purchase"))
+      .select(datediff(to_date(col("first_purchase")), to_date(col("first_view")))
+        .as("lag_days"))
+      .groupBy("lag_days").agg(count(lit(1)).as("n_users"))
+  }
+
+  def conversionLagOracleSql: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS first_view
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS first_purchase
+      |  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts >= v.first_view
+      |  WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT CAST(date_diff('day', CAST(v.first_view AS DATE),
+      |            CAST(p.first_purchase AS DATE)) AS INTEGER) AS lag_days,
+      |       COUNT(*) AS n_users
+      |FROM v JOIN p ON p.user_id = v.user_id
+      |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------ cohort repeat rate
+
+  /** Repeat-purchase rate by acquisition cohort: customers grouped by
+    * their first-order month; per cohort, how many ever ordered again
+    * and the repeat share — the standard retail loyalty read beside the
+    * retention matrix. Counts exact; the share is ONE IEEE division.
+    *
+    * Scale: one customer-keyed aggregate (first order month + lifetime
+    * order count off the same pass), one cohort-keyed aggregate.
+    */
+  def cohortRepeatRate(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_custkey"))
+      .agg(min(trunc(col("o_orderdate"), "month")).as("cohort_month"),
+        count(lit(1)).as("n_orders"))
+      .groupBy("cohort_month")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("n_orders") >= 2, 1L).otherwise(0L)).as("n_repeaters"))
+      .select(col("cohort_month"), col("n_customers"), col("n_repeaters"),
+        (col("n_repeaters").cast("double") / col("n_customers"))
+          .as("repeat_rate"))
+
+  def cohortRepeatRateOracleSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |         CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS cohort_month,
+      |         COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT cohort_month,
+      |       COUNT(*) AS n_customers,
+      |       CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_repeaters,
+      |       CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / COUNT(*) AS repeat_rate
+      |FROM per GROUP BY 1""".stripMargin
+
   // ------------------------------------------------ national market share
 
   /** TPC-H Q8-shaped national market share: within orders placed by

@@ -88,6 +88,41 @@ class Breadth4Spec extends AnyFunSuite {
       minCommon = 1, maxWedgeDegree = 4).count() === 6)
   }
 
+  // ---------------------------------------------- conversion lag / repeat
+
+  test("conversionLag: first-view-to-first-purchase day lags, non-converters drop") {
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "purchase", ts("2024-01-03 09:00:00")), // lag 2
+      (1L, "purchase", ts("2024-01-05 09:00:00")), // later purchase ignored
+      (2L, "purchase", ts("2024-01-01 08:00:00")), // before first view
+      (2L, "view", ts("2024-01-01 09:00:00")),     // no purchase after -> drop
+      (3L, "purchase", ts("2024-01-02 00:00:00")), // no view at all -> drop
+      (4L, "view", ts("2024-01-02 00:00:00")),     // never purchases -> drop
+      (5L, "view", ts("2024-01-02 01:00:00")),
+      (5L, "purchase", ts("2024-01-02 23:00:00"))  // same day: lag 0
+    ).toDF("user_id", "event_type", "ts")
+    val got = graft.analytics.Breadth4.conversionLag(ev)
+      .as[(Int, Long)].collect().toMap
+    assert(got === Map(2 -> 1L, 0 -> 1L))
+  }
+
+  test("cohortRepeatRate: repeaters counted within first-order cohorts") {
+    val orders = Seq(
+      (1L, 10L, ts("2024-01-05 00:00:00")), (2L, 10L, ts("2024-03-01 00:00:00")),
+      (3L, 11L, ts("2024-01-20 00:00:00")),
+      (4L, 12L, ts("2024-02-02 00:00:00")), (5L, 12L, ts("2024-02-03 00:00:00")),
+      (6L, 12L, ts("2024-02-04 00:00:00"))
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val got = graft.analytics.Breadth4.cohortRepeatRate(orders)
+      .select($"cohort_month".cast("string"), $"n_customers", $"n_repeaters", $"repeat_rate")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      "2024-01-01" -> ((2L, 1L, 0.5)),
+      "2024-02-01" -> ((1L, 1L, 1.0))))
+  }
+
   // ------------------------------------------------------ market share
 
   test("marketShare: hand-checked share; out-of-region and out-of-window drop") {
