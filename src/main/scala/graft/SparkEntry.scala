@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, desc, element_at, floor, lit, lpad}
 
-import graft.analytics.{Breadth, Breadth2, Breadth3, Breadth4, Queries}
+import graft.analytics.{Breadth, Breadth2, Breadth3, Breadth4, Breadth5, Queries}
 import graft.dedup.Dedup
 import graft.etl.{Clean, Dims, Facts}
 import graft.io.Tables
@@ -597,6 +597,54 @@ object SparkEntry {
       Breadth4.marketShare(Tables.region(s, d), Tables.nation(s, d),
         Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
         Tables.supplier(s, d), Tables.part(s, d))),
+    // --- Kaplan-Meier / Nelson-Aalen time-to-repeat life table ---
+    "q_survival" -> ((s, d) =>
+      Breadth5.survivalCurve(Tables.orders(s, d))),
+    // --- nDCG@10 of the BM25 ranking vs source/lang graded relevance ---
+    "q_ndcg" -> ((s, d) =>
+      Breadth5.ndcgAtK(Tables.documents(s, d))),
+    // --- reliability bins + Brier score: balance score vs repeat label ---
+    "q_calibration" -> ((s, d) =>
+      Breadth5.calibrationBins(Tables.customer(s, d), Tables.orders(s, d))),
+    // --- U-shaped (40/20/40) multi-touch attribution of first purchases ---
+    "q_attribution_position" -> ((s, d) =>
+      Breadth5.positionAttribution(Tables.events(s, d))),
+    // --- landmark harmonic centrality over the co-bought graph ---
+    "q_harmonic" -> ((s, d) =>
+      graft.analytics.Harmonic.landmarkHarmonic(
+        coBoughtEdges(s, d), "item_a", "item_b", canonical = true)),
+    // --- landmark-sampled Brandes betweenness (exact sigma, nano delta) ---
+    "q_betweenness" -> ((s, d) =>
+      graft.analytics.Betweenness.landmarkBetweenness(
+        coBoughtEdges(s, d), "item_a", "item_b", canonical = true)),
+    // --- MAP@10 / MRR of the BM25 ranking (binary source relevance) ---
+    "q_map_mrr" -> ((s, d) =>
+      Breadth5.mapMrrAtK(Tables.documents(s, d))),
+    // --- Jensen-Shannon divergence: each source vs the corpus ---
+    "text_jsd" -> ((s, d) =>
+      graft.text.Divergence.sourceTokenJsd(Tables.documents(s, d))),
+    // --- temporal-holdout hit-rate@rank of the item-item CF model ---
+    "q_cf_eval" -> ((s, d) =>
+      graft.analytics.Baskets.cfHitRate(
+        Tables.lineitem(s, d), Tables.orders(s, d))),
+    // --- maintained top-10 parts-by-quantity view under a CDC batch ---
+    "q_ivm_topk" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{count, lit, sum}
+      val li = Tables.lineitem(s, d)
+      val qty = col("l_quantity").cast("long")
+      // old state: the 13th stripe not yet ingested
+      val old = li.filter(col("l_orderkey") % 13 =!= 0)
+      val base = old.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("cnt"), sum(qty).as("total"))
+      // batch: the stripe arrives; the 17-stripe of old rows retracts
+      val ins = li.filter(col("l_orderkey") % 13 === 0)
+        .select(col("l_partkey"), qty.as("q"), lit(false).as("is_delete"))
+      val del = li.filter(col("l_orderkey") % 13 =!= 0 &&
+          col("l_orderkey") % 17 === 3)
+        .select(col("l_partkey"), qty.as("q"), lit(true).as("is_delete"))
+      graft.operators.Ivm.topKView(base, ins.unionByName(del),
+        Seq("l_partkey"), "q", k = 10)
+    }),
     // --- HITS hubs/authorities: exact integer fixed-point, L1 renorm ---
     "q_hits" -> ((s, d) =>
       graft.analytics.Hits.hitsOnEdges(purchaseEdges(s, d))),
@@ -1623,6 +1671,51 @@ object SparkEntry {
     // q_pricing_summary decimal-volume convention; share is one IEEE
     // division of exact decimal sums per year
     "q_market_share" -> Breadth4.marketShareOracleSql(),
+    // Nelson-Aalen hazard as exact 10^12-div integer sums (the hashed
+    // column); KM survival via nano-quantized ln terms (the q_psi_drift
+    // quantized-transcendental convention), 1e-6-rounded both sides
+    "q_survival" -> Breadth5.survivalOracleSql,
+    // BM25 replay at depth 10 as the subquery; discounts are a shared
+    // literal VALUES table (no transcendental on either engine); IDCG
+    // from count-rearranged per-level relevance
+    "q_ndcg" -> Breadth5.ndcgOracleSql(bm25TopkOracle(10)),
+    // exact-cents min-max ppm score, bin by integer division; Brier from
+    // exact squared-ppm residual sums, one IEEE division per column
+    "q_calibration" -> Breadth5.calibrationOracleSql(),
+    // 40/20/40 micro credits with integer-division middles; credited
+    // value exact micro-cents
+    "q_attribution_position" -> Breadth5.positionAttributionOracleSql,
+    // per-landmark frontier rounds unrolled as CTE pairs; harmonic sum
+    // as exact 10^6-div integers
+    "q_harmonic" -> graft.analytics.Harmonic.landmarkHarmonicOracleSql(),
+    // forward sigma levels anti-joined per round; backward dependency
+    // folds replay the SAME per-edge HUGEINT product // division terms
+    // level by level — all values nonnegative, so truncate == floor
+    "q_betweenness" ->
+      graft.analytics.Betweenness.landmarkBetweennessOracleSql(),
+    // BM25 replay at depth 10; precision prefix and reciprocal rank as
+    // pure integer divisions — the whole row hash-compares as integers
+    "q_map_mrr" -> Breadth5.mapMrrOracleSql(bm25TopkOracle(10)),
+    // nano-quantized ln over EXACT integer-count ratios; final fold in
+    // correctly-rounded IEEE doubles (integer div would split on
+    // truncate-vs-floor for near-zero negative folds)
+    "text_jsd" -> graft.text.Divergence.sourceTokenJsdOracleSql,
+    // q_item_cf replay on train baskets; test edges from raw baskets;
+    // canonical-pair verdict join, counts exact, rate one IEEE division
+    "q_cf_eval" -> graft.analytics.Baskets.cfHitRateOracleSql(),
+    // oracle recomputes the top-10 from the merged snapshot — proves
+    // incremental == recompute including the delete stripe
+    "q_ivm_topk" ->
+      """WITH merged AS (
+        |  SELECT l_partkey, l_quantity FROM lineitem
+        |  WHERE l_orderkey % 13 <> 0 AND NOT (l_orderkey % 17 = 3)
+        |  UNION ALL
+        |  SELECT l_partkey, l_quantity FROM lineitem WHERE l_orderkey % 13 = 0)
+        |SELECT l_partkey, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+        |FROM merged GROUP BY 1
+        |ORDER BY total DESC, l_partkey ASC
+        |LIMIT 10""".stripMargin,
     // exact integer day lags; per-user firsts by min-agg both sides
     "q_conversion_lag" -> Breadth4.conversionLagOracleSql,
     // trunc(min) vs min(trunc) — equivalent by monotonicity (differential)

@@ -233,4 +233,114 @@ object Baskets {
   def coOccurrenceEdges(basketItems: DataFrame, basketCol: String,
                         itemCol: String, maxBasketSize: Int = 4096): DataFrame =
     coOccurrencePairs(basketItems, basketCol, itemCol, maxBasketSize).distinct()
+
+  /** Temporal holdout evaluation of [[itemNeighbors]] — the offline
+    * hit-rate@rank protocol every recommender ships with: train the
+    * item-item CF model on baskets BEFORE `splitDate`, then call a
+    * recommendation (item → neighbor at rank r) a HIT if the pair
+    * actually co-occurs in some basket ON/AFTER the split. Output one
+    * row per rank position: (rank, n_recs, n_hits, hit_rate) — counts
+    * exact, the rate ONE IEEE division — so "how much better is rank 1
+    * than rank 5" is read directly.
+    *
+    * Scale: train-side cost is [[itemNeighbors]] (Apriori-pruned,
+    * explode-guarded); test-side is one more guarded pair expansion to
+    * the DISTINCT test edge set; the verdict join is recs (≤ k·|items|
+    * rows) against test edges on the canonical pair key — one hash
+    * join, then a k-row aggregate.
+    */
+  def cfHitRate(lineitem: DataFrame, orders: DataFrame,
+                splitDate: String = "1997-01-01",
+                minSupport: Long = 2L, nPerItem: Int = 5,
+                maxBasketSize: Int = 4096): DataFrame = {
+    val dated = lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_partkey"), col("o_orderdate"))
+    val train = dated.filter(col("o_orderdate") < lit(splitDate))
+    val test = dated.filter(col("o_orderdate") >= lit(splitDate))
+    val recs = itemNeighbors(train, "l_orderkey", "l_partkey",
+      minSupport, nPerItem, maxBasketSize)
+    val testEdges = coOccurrenceEdges(test, "l_orderkey", "l_partkey",
+      maxBasketSize)
+    val canon = recs.select(col("rank"),
+      least(col("item"), col("neighbor")).as("item_a"),
+      greatest(col("item"), col("neighbor")).as("item_b"))
+    canon
+      .join(testEdges.withColumn("__hit", lit(1L)),
+        Seq("item_a", "item_b"), "left_outer")
+      .groupBy("rank")
+      .agg(count(lit(1)).as("n_recs"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .select(col("rank"), col("n_recs"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_recs")).as("hit_rate"))
+  }
+
+  /** DuckDB twin of [[cfHitRate]]: the q_item_cf replay restricted to
+    * train baskets, the test edge set re-derived from raw baskets, and
+    * the same canonical-pair verdict join. The maxBasketSize cap is the
+    * same documented parity precondition as q_item_cf (inert on ≤7-item
+    * TPC-H baskets).
+    */
+  def cfHitRateOracleSql(splitDate: String = "1997-01-01",
+                         minSupport: Long = 2L, nPerItem: Int = 5,
+                         maxBasketSize: Int = 4096): String =
+    s"""WITH dated AS (
+      |  SELECT l.l_orderkey, l.l_partkey, o.o_orderdate
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+      |titems AS (SELECT DISTINCT l_orderkey, l_partkey FROM dated
+      |           WHERE o_orderdate < TIMESTAMP '$splitDate 00:00:00'),
+      |ic AS (SELECT l_partkey, COUNT(*) AS c_item FROM titems GROUP BY 1),
+      |fi AS (
+      |  SELECT i.l_orderkey, i.l_partkey FROM titems i
+      |  JOIN ic ON ic.l_partkey = i.l_partkey AND ic.c_item >= $minSupport),
+      |okb AS (SELECT l_orderkey FROM titems GROUP BY 1
+      |        HAVING COUNT(*) <= $maxBasketSize),
+      |pairs AS (
+      |  SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, COUNT(*) AS c_pair
+      |  FROM fi a
+      |  JOIN okb ON okb.l_orderkey = a.l_orderkey
+      |  JOIN fi b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+      |directed AS (
+      |  SELECT item_a AS item, item_b AS neighbor, c_pair FROM pairs
+      |  UNION ALL
+      |  SELECT item_b, item_a, c_pair FROM pairs),
+      |scored AS (
+      |  SELECT d.item, d.neighbor,
+      |         CAST(d.c_pair AS DOUBLE) /
+      |           sqrt(CAST(ci.c_item * cn.c_item AS DOUBLE)) AS cosine
+      |  FROM directed d
+      |  JOIN ic ci ON ci.l_partkey = d.item
+      |  JOIN ic cn ON cn.l_partkey = d.neighbor),
+      |ranked AS (
+      |  SELECT item, neighbor, rank FROM (
+      |    SELECT *, CAST(ROW_NUMBER() OVER (
+      |      PARTITION BY item ORDER BY cosine DESC, neighbor) AS INTEGER) AS rank
+      |    FROM scored) t
+      |  WHERE rank <= $nPerItem),
+      |teitems AS (SELECT DISTINCT l_orderkey, l_partkey FROM dated
+      |            WHERE o_orderdate >= TIMESTAMP '$splitDate 00:00:00'),
+      |tokb AS (SELECT l_orderkey FROM teitems GROUP BY 1
+      |         HAVING COUNT(*) <= $maxBasketSize),
+      |tedges AS (
+      |  SELECT DISTINCT a.l_partkey AS item_a, b.l_partkey AS item_b
+      |  FROM teitems a
+      |  JOIN tokb ON tokb.l_orderkey = a.l_orderkey
+      |  JOIN teitems b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |canon AS (
+      |  SELECT rank, LEAST(item, neighbor) AS item_a,
+      |         GREATEST(item, neighbor) AS item_b
+      |  FROM ranked),
+      |verdict AS (
+      |  SELECT c.rank,
+      |         CASE WHEN t.item_a IS NULL THEN 0 ELSE 1 END AS hit
+      |  FROM canon c LEFT JOIN tedges t
+      |    ON t.item_a = c.item_a AND t.item_b = c.item_b)
+      |SELECT CAST(rank AS INTEGER) AS rank, COUNT(*) AS n_recs,
+      |       CAST(SUM(hit) AS BIGINT) AS n_hits,
+      |       CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS hit_rate
+      |FROM verdict GROUP BY 1""".stripMargin
 }

@@ -106,6 +106,29 @@ object Ivm {
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as(outCol))
 
+  /** Maintained TOP-K view refresh: fold the changes batch into the
+    * (groupCols, cnt, total) aggregate via [[applyDelta]], then re-rank
+    * to the top `k` groups by the maintained total (desc, group asc —
+    * a total order). The ranking step is the cheap part — it runs over
+    * the AGGREGATE, never the base relation, and plans as
+    * TakeOrderedAndProject (per-partition top-k, then a k-row merge on
+    * the driver side of the exchange) — so a 100 TB "top sellers"
+    * dashboard view refreshes at CDC-batch cost. Unlike MIN/MAX, no
+    * retraction repair is ever needed: the full ordered domain IS the
+    * maintained aggregate, so a deleted top element simply falls out of
+    * the re-rank.
+    */
+  def topKView(baseAgg: DataFrame, changes: DataFrame,
+               groupCols: Seq[String], valueCol: String, k: Int,
+               cntCol: String = "cnt", sumCol: String = "total",
+               deleteCol: String = "is_delete"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val maintained = applyDelta(baseAgg, changes, groupCols, valueCol,
+      cntCol, sumCol, deleteCol)
+    maintained.orderBy(col(sumCol).desc +: groupCols.map(c => col(c).asc): _*)
+      .limit(k)
+  }
+
   /** Signed delta of an inner equi-JOIN view — the missing piece between
     * a CDC feed over the base tables and [[applyDelta]] on an aggregate
     * OVER the join. The classic bilinear delta rule

@@ -105,4 +105,26 @@ class BasketsSpec extends AnyFunSuite {
     assert(nbrA === nbrB && nbrA.nonEmpty)
     spark.catalog.clearCache()
   }
+
+  test("cfHitRate: temporal holdout hits exactly the re-co-bought pairs") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // train (<1997): {A,B} twice -> rec A<->B; {C,D} twice -> rec C<->D
+    val lineitem = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 3L), (3L, 4L), (4L, 3L), (4L, 4L),
+      // test basket: only {A,B} co-buys again
+      (5L, 1L), (5L, 2L), (6L, 3L)
+    ).toDF("l_orderkey", "l_partkey")
+    val orders = Seq(
+      (1L, ts("1996-01-01 00:00:00")), (2L, ts("1996-02-01 00:00:00")),
+      (3L, ts("1996-03-01 00:00:00")), (4L, ts("1996-04-01 00:00:00")),
+      (5L, ts("1997-05-01 00:00:00")), (6L, ts("1997-06-01 00:00:00"))
+    ).toDF("o_orderkey", "o_orderdate")
+    val got = Baskets.cfHitRate(lineitem, orders)
+      .as[(Int, Long, Long, Double)].collect()
+    // rank 1 recs: A->B, B->A, C->D, D->C; hits: the A/B directions
+    assert(got.toSeq === Seq((1, 4L, 2L, 0.5)))
+    spark.catalog.clearCache()
+  }
 }
