@@ -141,6 +141,23 @@ object Breadth4 {
     * anti-join and the final top-K (TakeOrderedAndProject) are one
     * shuffle each.
     *
+    * The wedge→pair aggregation is the dominant cost: |wedges| rows
+    * collapse into |candidate pairs| groups (4.4:1 at sf0.1 — 148M
+    * wedges into 33.6M pairs), so the default pre-shuffle partial
+    * HashAggregate sees almost no reduction per map partition, falls
+    * back to sort-based spill, and burns ~3× the time of the exchange
+    * it was meant to save (measured 64 s vs 22 s at sf0.1). We
+    * therefore EXCHANGE FIRST on the pair key and let the aggregate
+    * run once, co-partitioned, with full reduction. When every node id
+    * fits in 31 bits (checked at runtime against the actual id bounds
+    * — one max/min scan of the cached edge relation), the pair is
+    * packed into a single BIGINT `a<<32|b`, halving shuffle key width
+    * and hash cost (16 s vs 22 s measured); wider ids take the same
+    * exchange-first plan on the two-column key. The existing-edge
+    * anti-join runs on the same packed key, and AQE may broadcast the
+    * edge side when its runtime size allows — we do not force it,
+    * since |edges| is unbounded at corpus scale.
+    *
     * `edges` must be the canonical DISTINCT (src < dst) half-edge
     * relation (the session-shared co-bought cache).
     */
@@ -155,18 +172,44 @@ object Breadth4 {
     val adj = sym.select(col("src").as("w"), col("dst").as("leaf"))
       .join(deg.filter(col("deg") <= maxWedgeDegree), "w")
       .withColumn("ra_w", expr("cast(1000000000000 as bigint) div deg"))
-    val wedges = adj.alias("a")
+
+    // runtime id-bounds probe: one scan of the (cached) edge relation
+    val bounds = edges.agg(
+      min(least(col(srcCol), col(dstCol)).cast("long")).as("lo"),
+      max(greatest(col(srcCol), col(dstCol)).cast("long")).as("hi")).head()
+    val packable = !bounds.isNullAt(0) &&
+      bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << 31)
+
+    val wedgeJoin = adj.alias("a")
       .join(adj.alias("b"),
         col("a.w") === col("b.w") && col("a.leaf") < col("b.leaf"))
-      .select(col("a.leaf").as("item_a"), col("b.leaf").as("item_b"),
-        col("a.ra_w").as("ra_w"))
-    val scored = wedges
-      .groupBy("item_a", "item_b")
-      .agg(count(lit(1)).as("common_neighbors"), sum("ra_w").as("ra_micro"))
-      .filter(col("common_neighbors") >= minCommon)
+
+    val scored =
+      if (packable) {
+        wedgeJoin
+          .select((shiftleft(col("a.leaf"), 32) + col("b.leaf")).as("pk"),
+            col("a.ra_w").as("ra_w"))
+          .repartition(col("pk"))
+          .groupBy("pk")
+          .agg(count(lit(1)).as("common_neighbors"), sum("ra_w").as("ra_micro"))
+          .filter(col("common_neighbors") >= minCommon)
+          .join(half.select((shiftleft(col("src"), 32) + col("dst")).as("pk")),
+            Seq("pk"), "left_anti")
+          .select(shiftright(col("pk"), 32).as("item_a"),
+            col("pk").bitwiseAND(lit(0xffffffffL)).as("item_b"),
+            col("common_neighbors"), col("ra_micro"))
+      } else {
+        wedgeJoin
+          .select(col("a.leaf").as("item_a"), col("b.leaf").as("item_b"),
+            col("a.ra_w").as("ra_w"))
+          .repartition(col("item_a"), col("item_b"))
+          .groupBy("item_a", "item_b")
+          .agg(count(lit(1)).as("common_neighbors"), sum("ra_w").as("ra_micro"))
+          .filter(col("common_neighbors") >= minCommon)
+          .join(half.select(col("src").as("item_a"), col("dst").as("item_b")),
+            Seq("item_a", "item_b"), "left_anti")
+      }
     scored
-      .join(half.select(col("src").as("item_a"), col("dst").as("item_b")),
-        Seq("item_a", "item_b"), "left_anti")
       .orderBy(desc("ra_micro"), desc("common_neighbors"),
         col("item_a"), col("item_b"))
       .limit(k)
