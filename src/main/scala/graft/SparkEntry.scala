@@ -627,6 +627,20 @@ object SparkEntry {
     "q_cf_eval" -> ((s, d) =>
       graft.analytics.Baskets.cfHitRate(
         Tables.lineitem(s, d), Tables.orders(s, d))),
+    // --- DeepWalk corpus: deterministic truncated random walks ---
+    "q_random_walks" -> ((s, d) =>
+      graft.analytics.GraphSample.randomWalks(
+        coBoughtEdges(s, d), "item_a", "item_b")),
+    // --- GraphSAGE fanout: deterministic k1 x k2 two-hop samples ---
+    "q_neighbor_sample" -> ((s, d) =>
+      graft.analytics.GraphSample.neighborSample(
+        coBoughtEdges(s, d), "item_a", "item_b")),
+    // --- word2vec skip-gram (center, context) training-pair counts ---
+    "text_skipgrams" -> ((s, d) =>
+      TextOps.skipgramPairs(Tables.documents(s, d))),
+    // --- Wasserstein-1 drift: integrated CDF gap beside KS's max gap ---
+    "q_wasserstein" -> ((s, d) =>
+      graft.analytics.Drift.wassersteinDrift(Tables.documents(s, d))),
     // --- maintained top-10 parts-by-quantity view under a CDC batch ---
     "q_ivm_topk" -> ((s, d) => {
       import org.apache.spark.sql.functions.{count, lit, sum}
@@ -1703,6 +1717,15 @@ object SparkEntry {
     // q_item_cf replay on train baskets; test edges from raw baskets;
     // canonical-pair verdict join, counts exact, rate one IEEE division
     "q_cf_eval" -> graft.analytics.Baskets.cfHitRateOracleSql(),
+    // walk rounds unrolled as CTEs, identical md5 neighbor draws
+    "q_random_walks" -> graft.analytics.GraphSample.randomWalksOracleSql(),
+    // same md5 tape ranks; two windowed top-k joins replayed verbatim
+    "q_neighbor_sample" -> graft.analytics.GraphSample.neighborSampleOracleSql(),
+    // position self-join formulation vs the engine's row-local explode
+    // (differential proof, not a replay)
+    "text_skipgrams" -> TextOps.skipgramOracleSql(),
+    // identical integer numerator, one final division
+    "q_wasserstein" -> graft.analytics.Drift.wassersteinOracleSql(),
     // oracle recomputes the top-10 from the merged snapshot — proves
     // incremental == recompute including the delete stripe
     "q_ivm_topk" ->

@@ -329,6 +329,97 @@ object Drift {
           (col("na").cast("double") * col("nb").cast("double")), 6).as("ks_stat"))
   }
 
+  /** Wasserstein-1 (earth-mover) distance between the same two corpus
+    * halves' distributions of `featureCol` — the drift metric that,
+    * unlike KS's single worst point, integrates the WHOLE CDF gap
+    * (Vallender, Theory Probab. Appl. 18:784, 1974:
+    * W₁ = ∫ |F_a − F_b| dx, which for discrete samples is the sum over
+    * consecutive distinct values of |F_a − F_b| times the value gap).
+    * Reported beside ks_stat because a distribution can drift
+    * everywhere-a-little (large W₁, small KS) or in one spot (the
+    * converse) — monitors want both.
+    *
+    * Exactness: with cumulative counts cA, cB and totals nA, nB,
+    *   W₁·nA·nB = Σ |cA·nB − cB·nA| · gap
+    * is a sum of products of exact longs, held in DECIMAL(38,0)
+    * internally; the hash-compared output is the micro-quantized
+    * `w1_micro = (numerator·10⁶) div (nA·nB)` — an exact integer
+    * division of exact integers, bounded by 10⁶·(feature range)
+    * regardless of corpus size (DECIMAL outputs would hash-mismatch:
+    * the oracle harness reads DECIMAL as float). ONE final IEEE
+    * division produces the human-readable `w1` (rounded 1e-6, both
+    * engines divide the same integers).
+    *
+    * Scale shape: identical to [[ksDrift]] — corpus collapses to one
+    * row per distinct feature value (bounded domain: document length),
+    * the cumulative/lead window runs over that bounded relation only.
+    */
+  def wassersteinDrift(documents: DataFrame, featureCol: String = "n_chars"): DataFrame = {
+    val g = documents.select(
+      col(featureCol).cast("long").as("x"),
+      (expr("CAST(substring(source, 4) AS INT)") % 2 === 0).as("is_a"))
+    val counts = g.groupBy("x").agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    counts.count() // materialize once (window branch + totals branch)
+    val wcum = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.select(col("x"),
+      sum("ca").over(wcum).as("cuma"), sum("cb").over(wcum).as("cumb"),
+      lead("x", 1).over(Window.orderBy("x")).as("nxt"))
+    val tot = counts.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val D38 = DecimalType(38, 0)
+    cum.filter(col("nxt").isNotNull)
+      .crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        (abs(col("cuma").cast(D38) * col("nb").cast(D38) -
+             col("cumb").cast(D38) * col("na").cast(D38)) *
+          (col("nxt") - col("x")).cast(D38)).as("term"))
+      .groupBy("na", "nb").agg(sum("term").cast(D38).as("w1_num"))
+      .select(col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        expr("CAST(w1_num * 1000000 AS DECIMAL(38,0)) div CAST(na * nb AS DECIMAL(38,0))")
+          .cast("long").as("w1_micro"),
+        round(col("w1_num").cast("double") /
+          (col("na").cast("double") * col("nb").cast("double")), 6).as("w1"))
+  }
+
+  /** DuckDB replay of [[wassersteinDrift]]: identical integer numerator
+    * (HUGEINT internally, DECIMAL(38,0) on output), one final division.
+    */
+  def wassersteinOracleSql(featureCol: String = "n_chars"): String =
+    s"""WITH g AS (
+      |  SELECT CAST($featureCol AS BIGINT) AS x,
+      |         CAST(substring(source, 4) AS INT) % 2 = 0 AS is_a
+      |  FROM documents),
+      |counts AS (
+      |  SELECT x,
+      |         SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+      |         SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS cb
+      |  FROM g GROUP BY 1),
+      |cum AS (
+      |  SELECT x,
+      |         SUM(ca) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+      |         SUM(cb) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+      |         LEAD(x) OVER (ORDER BY x) AS nxt
+      |  FROM counts),
+      |tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM counts),
+      |num AS (
+      |  SELECT tot.na, tot.nb,
+      |         SUM(ABS(CAST(cum.cuma AS HUGEINT) * tot.nb -
+      |                 CAST(cum.cumb AS HUGEINT) * tot.na)
+      |             * (cum.nxt - cum.x)) AS w1_num
+      |  FROM cum CROSS JOIN tot
+      |  WHERE cum.nxt IS NOT NULL
+      |  GROUP BY tot.na, tot.nb)
+      |SELECT CAST(na AS BIGINT) AS n_a,
+      |       CAST(nb AS BIGINT) AS n_b,
+      |       CAST((w1_num * 1000000) // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS w1_micro,
+      |       ROUND(CAST(w1_num AS DOUBLE)
+      |             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS w1
+      |FROM num""".stripMargin
+
   // ---------------------------------------------------------------- EWMA
 
   /** Truncated exponentially-weighted moving average of the monthly

@@ -471,6 +471,66 @@ object TextOps {
           (col("n_bg").cast("double") * col("c_a") * col("c_b"))), 6).as("pmi"))
   }
 
+  /** Skip-gram (center, context) pair counts — the training-pair
+    * extraction word2vec's skip-gram objective consumes (Mikolov et al.,
+    * "Distributed Representations of Words and Phrases and their
+    * Compositionality", NIPS 2013): every ordered pair of tokens at
+    * distance ≤ `window` within a document, in BOTH directions (the
+    * symmetric context window), counted corpus-wide; top `k` pairs by
+    * count with a total-order tie-break. Feeding an embedding trainer is
+    * exactly this relation plus negative samples
+    * ([[graft.similarity.Ann]] hard negatives).
+    *
+    * Scale shape: pair emission is ROW-LOCAL — a nested
+    * sequence×transform expression over the staged token array (the
+    * lambda-CSE rule: `t` is a bound attribute), exploded once; no
+    * self-join on positions anywhere (the oracle uses the position
+    * self-join formulation — a differential proof, not a replay). Then
+    * one hash agg on the pair vocabulary and a TakeOrderedAndProject.
+    * Output volume is ≤ 2·window·|tokens| rows pre-agg, linear in the
+    * corpus like the tokenizer itself.
+    */
+  def skipgramPairs(documents: DataFrame, window: Int = 2, k: Int = 100): DataFrame = {
+    require(window >= 1 && k >= 1, "window and k must be >= 1")
+    val sz = org.apache.spark.sql.functions.size(col("t"))
+    val staged = documents.select(tokens(col("text")).as("t"))
+      .filter(org.apache.spark.sql.functions.size(col("t")) >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // forward pairs (i, i+o), o ∈ [1, min(window, n−1−i)]: the inner
+    // bound is ≥ 1 for every i ≤ n−2, so no degenerate sequence
+    val fwd = staged.select(explode(flatten(transform(
+      sequence(lit(0), sz - 2),
+      i => transform(
+        sequence(lit(1), least(lit(window), sz - 1 - i)),
+        o => struct(lower(element_at(col("t"), i + 1)).as("w_a"),
+          lower(element_at(col("t"), i + 1 + o)).as("w_b")))))).as("p"))
+      .select(col("p.w_a"), col("p.w_b"))
+    val sym = fwd.union(fwd.select(col("w_b").as("w_a"), col("w_a").as("w_b")))
+    sym.groupBy("w_a", "w_b").agg(count(lit(1)).as("c_pair"))
+      .orderBy(desc("c_pair"), asc("w_a"), asc("w_b"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[skipgramPairs]] via the position self-join
+    * formulation (different algorithm shape — differential proof).
+    */
+  def skipgramOracleSql(window: Int = 2, k: Int = 100): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, i, lower(t[i]) AS w
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+      |        FROM toks WHERE len(t) >= 2)),
+      |pr AS (
+      |  SELECT a.w AS w_a, b.w AS w_b
+      |  FROM pos a JOIN pos b
+      |    ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + $window),
+      |sp AS (SELECT w_a, w_b FROM pr UNION ALL SELECT w_b, w_a FROM pr)
+      |SELECT w_a, w_b, CAST(COUNT(*) AS BIGINT) AS c_pair
+      |FROM sp GROUP BY 1, 2
+      |ORDER BY c_pair DESC, w_a, w_b LIMIT $k""".stripMargin
+
   def chunk(documents: DataFrame, size: Int = 32, stride: Int = 24): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,
       "need 0 < stride <= size (overlap = size - stride)")

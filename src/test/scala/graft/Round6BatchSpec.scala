@@ -1,0 +1,125 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Drift, GraphSample}
+import graft.text.TextOps
+
+/** Round-6 batch 3: deterministic graph training-data sampling
+  * (DeepWalk walks, GraphSAGE fanouts), skip-gram pair extraction, and
+  * exact Wasserstein-1 drift — each checked against an independent
+  * driver-side replication on a hand-sized fixture.
+  */
+class Round6BatchSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** JVM twin of the cross-engine md5-derived 60-bit digest. */
+  private def h60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  // path graph 1-2-3 plus a spur 2-4: degrees 1:1, 2:3, 3:1, 4:1
+  private def pathEdges =
+    Seq((1L, 2L), (2L, 3L), (2L, 4L)).toDF("item_a", "item_b")
+
+  test("randomWalks replays a driver-side walk simulation exactly") {
+    val walkLen = 3
+    val got = GraphSample
+      .randomWalks(pathEdges, "item_a", "item_b", walkLen = walkLen, startMod = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    val adj = Map( // neighbors ordered by id — the engine's index order
+      1L -> Vector(2L), 2L -> Vector(1L, 3L, 4L),
+      3L -> Vector(2L), 4L -> Vector(2L))
+    val expected = adj.keys.flatMap { start =>
+      var cur = start
+      (start, 0, start) +: (1 to walkLen).map { t =>
+        val ns = adj(cur)
+        cur = ns((h60(s"walk:$start:$t") % ns.size).toInt)
+        (start, t, cur)
+      }
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("randomWalks: every transition is an edge; one row per walk-step") {
+    val walkLen = 4
+    val rows = GraphSample
+      .randomWalks(pathEdges, "item_a", "item_b", walkLen = walkLen, startMod = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val sym = Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (2L, 4L), (4L, 2L))
+    val byWalk = rows.groupBy(_._1)
+    assert(byWalk.keySet == Set(1L, 2L, 3L, 4L))
+    byWalk.foreach { case (_, steps) =>
+      assert(steps.length == walkLen + 1)
+      val ordered = steps.sortBy(_._2).map(_._3)
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(sym.contains((a, b)))
+        case _           => ()
+      }
+    }
+  }
+
+  test("neighborSample replays a driver-side fanout simulation exactly") {
+    val (k1, k2) = (2, 1)
+    val got = GraphSample
+      .neighborSample(pathEdges, "item_a", "item_b", k1 = k1, k2 = k2, startMod = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+      .toSet
+
+    val adj = Map(
+      1L -> Vector(2L), 2L -> Vector(1L, 3L, 4L),
+      3L -> Vector(2L), 4L -> Vector(2L))
+    def tape(src: Long): Vector[(Long, Int)] = adj(src)
+      .sortBy(dst => (md5Hex(s"sage:$src:$dst"), dst)).zipWithIndex
+      .map { case (d, i) => (d, i + 1) }
+    val expected = (for {
+      root <- adj.keys
+      (n1, r1) <- tape(root).take(k1)
+      (n2, r2) <- tape(n1).take(k2)
+    } yield (root, n1, n2, r1, r2)).toSet
+    assert(got == expected)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  test("skipgramPairs counts symmetric window pairs") {
+    val docs = Seq("a b c", "b a").toDF("text")
+    val got = TextOps.skipgramPairs(docs, window = 2, k = 100)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // forward pairs: (a,b),(a,c),(b,c) from doc1; (b,a) from doc2;
+    // symmetric union doubles each direction
+    assert(got == Map(
+      ("a", "b") -> 2L, ("b", "a") -> 2L,
+      ("a", "c") -> 1L, ("c", "a") -> 1L,
+      ("b", "c") -> 1L, ("c", "b") -> 1L))
+  }
+
+  test("wassersteinDrift matches the hand-computed CDF integral") {
+    // A = {1,1,3} (web0), B = {2,3} (web1): W1 = (|2·2−0·3| + |2·2−1·3|)/6
+    val docs = Seq(
+      ("web0", 1), ("web0", 1), ("web0", 3),
+      ("web1", 2), ("web1", 3)).toDF("source", "n_chars")
+    val r = Drift.wassersteinDrift(docs).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 3L) // n_a
+    assert(r(0).getLong(1) == 2L) // n_b
+    assert(r(0).getLong(2) == 833333L) // (5 * 1e6) div 6
+    assert(math.abs(r(0).getDouble(3) - 0.833333) < 1e-9)
+  }
+
+  test("wassersteinDrift is zero iff the halves share a distribution") {
+    val same = Seq(
+      ("web0", 5), ("web0", 9), ("web1", 5), ("web1", 9)).toDF("source", "n_chars")
+    val r = Drift.wassersteinDrift(same).collect()(0)
+    assert(r.getLong(2) == 0L && r.getDouble(3) == 0.0)
+  }
+}
