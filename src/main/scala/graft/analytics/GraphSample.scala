@@ -67,6 +67,10 @@ object GraphSample {
                   seed: String = "walk"): DataFrame = {
     require(walkLen >= 1 && startMod >= 1, "walkLen and startMod must be >= 1")
     val sym = symmetric(edges, srcCol, dstCol)
+    // NOT materialized: the per-step adjacency/degree subtrees are
+    // identical map stages, so ReuseExchange computes each exchange once
+    // (an eager cache was measured 2x SLOWER at sf0.1 — two blocking
+    // passes bought nothing; see the Caching scaladoc's self-join rule)
     val adjIdx = sym.select(col("src"), col("dst"),
       row_number().over(Window.partitionBy("src").orderBy("dst")).as("idx"))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
