@@ -641,6 +641,12 @@ object SparkEntry {
     // --- Wasserstein-1 drift: integrated CDF gap beside KS's max gap ---
     "q_wasserstein" -> ((s, d) =>
       graft.analytics.Drift.wassersteinDrift(Tables.documents(s, d))),
+    // --- LSH audit: precision/recall of banded MinHash vs exact Jaccard ---
+    "dedup_eval" -> ((s, d) =>
+      Dedup.lshEval(Tables.documents(s, d))),
+    // --- TextRank keywords: PageRank over the word co-occurrence graph ---
+    "text_textrank" -> ((s, d) =>
+      graft.text.TextRank.keywords(Tables.documents(s, d))),
     // --- maintained top-10 parts-by-quantity view under a CDC batch ---
     "q_ivm_topk" -> ((s, d) => {
       import org.apache.spark.sql.functions.{count, lit, sum}
@@ -1726,6 +1732,10 @@ object SparkEntry {
     "text_skipgrams" -> TextOps.skipgramOracleSql(),
     // identical integer numerator, one final division
     "q_wasserstein" -> graft.analytics.Drift.wassersteinOracleSql(),
+    // the dedup_minhash + dedup_ngram_jaccard oracle pipelines, intersected
+    "dedup_eval" -> Dedup.lshEvalOracleSql(),
+    // identical word graph; PageRank rounds unrolled (q_pagerank structure)
+    "text_textrank" -> graft.text.TextRank.keywordsOracleSql(),
     // oracle recomputes the top-10 from the merged snapshot — proves
     // incremental == recompute including the delete stripe
     "q_ivm_topk" ->

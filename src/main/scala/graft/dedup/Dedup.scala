@@ -853,4 +853,111 @@ object Dedup {
       .union(loops)
       .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
   }
+
+  /** LSH candidate-quality audit: precision/recall of the banded-MinHash
+    * near-dup pairs ([[minhashDedup]], est_jaccard ≥ t) against the
+    * EXACT n-gram Jaccard ground truth ([[ngramJaccard]], true
+    * jaccard ≥ t over the same 3-gram shingle sets). The dedup analog of
+    * `ann_recall`: before trusting a banded index at corpus scale you
+    * measure what its band/row config actually catches — precision <1
+    * counts estimator false-positives (32-hash agreement overshooting a
+    * sub-threshold pair), recall <1 counts banding misses plus estimator
+    * undershoot. Both are properties of the LSH S-curve, not bugs; this
+    * query puts a number on them per corpus.
+    *
+    * Output (one row): n_pred, n_truth, n_hit, precision_micro,
+    * recall_micro (exact integer divisions — the hash-compared columns),
+    * precision, recall (one IEEE division each, rounded 1e-6).
+    *
+    * Scale: runs the two existing bucketed pipelines (nothing all-pairs)
+    * plus one pair-keyed semi-join and three 1-row broadcast aggregates.
+    */
+  def lshEval(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pred = graft.Caching.materialize(
+      minhashDedup(documents, threshold = threshold).select("doc_a", "doc_b"))
+    val truth = graft.Caching.materialize(
+      ngramJaccard(documents, threshold = threshold).select("doc_a", "doc_b"))
+    val np = pred.agg(count(lit(1)).as("n_pred"))
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    val nh = pred.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    np.crossJoin(broadcast(nt)).crossJoin(broadcast(nh))
+      .select(col("n_pred"), col("n_truth"), col("n_hit"),
+        when(col("n_pred") === 0, 0L)
+          .otherwise(expr("(1000000 * n_hit) div n_pred")).as("precision_micro"),
+        when(col("n_truth") === 0, 0L)
+          .otherwise(expr("(1000000 * n_hit) div n_truth")).as("recall_micro"),
+        round(when(col("n_pred") === 0, 0.0)
+          .otherwise(col("n_hit").cast("double") / col("n_pred")), 6).as("precision"),
+        round(when(col("n_truth") === 0, 0.0)
+          .otherwise(col("n_hit").cast("double") / col("n_truth")), 6).as("recall"))
+  }
+
+  /** DuckDB twin of [[lshEval]]: the dedup_minhash and
+    * dedup_ngram_jaccard oracle pipelines as CTEs, intersected.
+    */
+  def lshEvalOracleSql(threshold: Double = 0.5): String = {
+    val perms = seedTriples(32)
+      .map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |    ELSE list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+       |  FROM toks),
+       |bases AS (
+       |  SELECT doc_id, ('0x' || substring(md5(gram), 1, 15))::BIGINT % 2147483647 AS h
+       |  FROM (SELECT doc_id, unnest(g) AS gram FROM grams)),
+       |perms(perm, a, b) AS (VALUES $perms),
+       |sig AS (
+       |  SELECT doc_id, perm, MIN((a * h + b) % 2147483647) AS s
+       |  FROM bases CROSS JOIN perms GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, perm // 4 AS band,
+       |         string_agg(CAST(s AS VARCHAR), ',' ORDER BY perm) AS bh
+       |  FROM sig GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |pred AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b,
+       |           SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 32.0 AS est_jaccard
+       |    FROM cand JOIN sig sa ON sa.doc_id = doc_a
+       |              JOIN sig sb ON sb.doc_id = doc_b AND sa.perm = sb.perm
+       |    GROUP BY 1, 2) t
+       |  WHERE est_jaccard >= $threshold),
+       |sizes AS (SELECT doc_id, len(g) AS n_grams FROM grams),
+       |inv AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+       |rare AS (SELECT gram FROM inv GROUP BY 1 HAVING COUNT(*) <= 1000000),
+       |f AS (SELECT inv.doc_id, inv.gram FROM inv JOIN rare USING (gram)),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |  FROM f a JOIN f b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT doc_a, doc_b
+       |  FROM shared
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(shared AS DOUBLE) / (sa.n_grams + sb.n_grams - shared) >= $threshold),
+       |hit AS (SELECT p.doc_a FROM pred p JOIN truth t
+       |        ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b),
+       |c AS (
+       |  SELECT (SELECT COUNT(*) FROM pred) AS n_pred,
+       |         (SELECT COUNT(*) FROM truth) AS n_truth,
+       |         (SELECT COUNT(*) FROM hit) AS n_hit)
+       |SELECT CAST(n_pred AS BIGINT) AS n_pred,
+       |       CAST(n_truth AS BIGINT) AS n_truth,
+       |       CAST(n_hit AS BIGINT) AS n_hit,
+       |       CAST(CASE WHEN n_pred = 0 THEN 0
+       |            ELSE (1000000 * n_hit) // n_pred END AS BIGINT) AS precision_micro,
+       |       CAST(CASE WHEN n_truth = 0 THEN 0
+       |            ELSE (1000000 * n_hit) // n_truth END AS BIGINT) AS recall_micro,
+       |       ROUND(CASE WHEN n_pred = 0 THEN 0.0
+       |             ELSE CAST(n_hit AS DOUBLE) / n_pred END, 6) AS precision,
+       |       ROUND(CASE WHEN n_truth = 0 THEN 0.0
+       |             ELSE CAST(n_hit AS DOUBLE) / n_truth END, 6) AS recall
+       |FROM c""".stripMargin
+  }
 }

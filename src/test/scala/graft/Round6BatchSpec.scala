@@ -116,6 +116,51 @@ class Round6BatchSpec extends AnyFunSuite {
     assert(math.abs(r(0).getDouble(3) - 0.833333) < 1e-9)
   }
 
+  test("textrank replays a driver-side integer PageRank on a word path") {
+    // corpus word graph: a-b, b-c (path) — b must rank first
+    val docs = Seq("a b", "b c").toDF("text")
+    val got = graft.text.TextRank.keywords(docs, k = 10, iters = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    // independent replication of the exact integer recurrence
+    val adj = Map("a" -> Seq("b"), "b" -> Seq("a", "c"), "c" -> Seq("b"))
+    val od = adj.map { case (w, ns) => w -> ns.size.toLong }
+    val mass = 1000000000000L
+    val n = 3L
+    val tp = (15L * mass) / (100L * n)
+    var r: Map[String, Long] = adj.keys.map(w => (w, mass / n)).toMap
+    for (_ <- 1 to 5) {
+      val prev = r // explicit snapshot: the closure must not see updates
+      r = adj.keySet.toList.map { v =>
+        val contribs = adj.toList
+          .collect { case (u, ns) if ns.contains(v) => prev(u) / od(u) }
+          .sum
+        (v, tp + (85L * contribs) / 100L)
+      }.toMap
+    }
+    val expected = r.toSeq.sortBy { case (w, u) => (-u, w) }
+    assert(got.toSeq == expected)
+    assert(got.head._1 == "b") // the hub word ranks first
+  }
+
+  test("lshEval is consistent with its two component pipelines") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different text about spark physical plans here"),
+      (4L, "unrelated third subject entirely with its own words")
+    ).toDF("doc_id", "text")
+    val r = graft.dedup.Dedup.lshEval(docs).collect()(0)
+    val nPred = graft.dedup.Dedup.minhashDedup(docs, threshold = 0.5).count()
+    val nTruth = graft.dedup.Dedup.ngramJaccard(docs, threshold = 0.5).count()
+    assert(r.getLong(0) == nPred)
+    assert(r.getLong(1) == nTruth)
+    assert(nTruth >= 1L) // the exact duplicate pair is ground truth
+    assert(r.getLong(2) <= math.min(r.getLong(0), r.getLong(1))) // hits bounded
+    assert(r.getLong(3) == (if (nPred == 0) 0L else 1000000L * r.getLong(2) / nPred))
+    assert(r.getLong(4) == (if (nTruth == 0) 0L else 1000000L * r.getLong(2) / nTruth))
+  }
+
   test("wassersteinDrift is zero iff the halves share a distribution") {
     val same = Seq(
       ("web0", 5), ("web0", 9), ("web1", 5), ("web1", 9)).toDF("source", "n_chars")
