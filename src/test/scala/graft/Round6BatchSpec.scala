@@ -167,4 +167,72 @@ class Round6BatchSpec extends AnyFunSuite {
     val r = Drift.wassersteinDrift(same).collect()(0)
     assert(r.getLong(2) == 0L && r.getDouble(3) == 0.0)
   }
+
+  // ---------------- seeded-random differential properties ----------------
+
+  private val rnd = new scala.util.Random(6026)
+
+  test("randomWalks replays the driver simulation on random graphs") {
+    for (_ <- 1 to 3) {
+      val n = 8 + rnd.nextInt(8)
+      val edges = (1 to 40).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val df = edges.toDF("item_a", "item_b")
+      val walkLen = 3
+      val got = GraphSample.randomWalks(df, "item_a", "item_b",
+        walkLen = walkLen, startMod = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted.toVector }
+      val starts = adj.keys.filter(v => h60(s"walk:start:$v") % 2 == 0)
+      val expected = starts.flatMap { start =>
+        var cur = start
+        (start, 0, start) +: (1 to walkLen).map { t =>
+          val ns = adj(cur)
+          cur = ns((h60(s"walk:$start:$t") % ns.size).toInt)
+          (start, t, cur)
+        }
+      }.toSet
+      assert(got == expected)
+    }
+  }
+
+  test("skipgramPairs matches a brute-force reference on random docs") {
+    val docs = (1 to 50).map { _ =>
+      Seq.fill(rnd.nextInt(12))("w" + rnd.nextInt(6)).mkString(" ")
+    }
+    val win = 3
+    val got = TextOps.skipgramPairs(docs.toDF("text"), window = win, k = 100000)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val expected = docs.flatMap { text =>
+      val t = text.trim.split("\\s+").filter(_.nonEmpty).map(_.toLowerCase)
+      for {
+        i <- t.indices; j <- (i + 1) until math.min(i + win + 1, t.length)
+        p <- Seq((t(i), t(j)), (t(j), t(i)))
+      } yield p
+    }.groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+    assert(got == expected)
+  }
+
+  test("wassersteinDrift matches a brute integer integral on random data") {
+    for (_ <- 1 to 3) {
+      val rows = (1 to 60).map { _ =>
+        (if (rnd.nextBoolean()) "web0" else "web1", 1 + rnd.nextInt(20))
+      }
+      val r = Drift.wassersteinDrift(rows.toDF("source", "n_chars")).collect()(0)
+      val a = rows.filter(_._1 == "web0").map(_._2.toLong).sorted
+      val b = rows.filter(_._1 == "web1").map(_._2.toLong).sorted
+      val vals = (a ++ b).distinct.sorted
+      var num = BigInt(0)
+      for (Seq(x, nx) <- vals.sliding(2) if vals.size >= 2) {
+        val ca = a.count(_ <= x); val cb = b.count(_ <= x)
+        num += BigInt((ca.toLong * b.size - cb.toLong * a.size).abs) * (nx - x)
+      }
+      assert(r.getLong(0) == a.size.toLong && r.getLong(1) == b.size.toLong)
+      assert(BigInt(r.getLong(2)) == num * 1000000 / (BigInt(a.size) * b.size))
+    }
+  }
 }
