@@ -647,6 +647,9 @@ object SparkEntry {
     // --- TextRank keywords: PageRank over the word co-occurrence graph ---
     "text_textrank" -> ((s, d) =>
       graft.text.TextRank.keywords(Tables.documents(s, d))),
+    // --- per-hour W1 drift gate vs the corpus reference histogram ---
+    "q_drift_windows" -> ((s, d) =>
+      graft.analytics.Drift.hourlyValueDrift(Tables.events(s, d))),
     // --- maintained top-10 parts-by-quantity view under a CDC batch ---
     "q_ivm_topk" -> ((s, d) => {
       import org.apache.spark.sql.functions.{count, lit, sum}
@@ -847,6 +850,24 @@ object SparkEntry {
         ins.unionByName(del), Seq("month_start"), "o_custkey")
       graft.operators.Ivm.distinctCounts(sup2, Seq("month_start"),
         "o_custkey", "n_active")
+    }),
+    // --- maintained exact median per part under the same CDC stripes ---
+    "q_ivm_median" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{count, lit}
+      val li = Tables.lineitem(s, d)
+      val qty = col("l_quantity").cast("long").as("qty")
+      val old = li.filter(col("l_orderkey") % 13 =!= 0)
+      val support = old.select(col("l_partkey"), qty)
+        .groupBy("l_partkey", "qty").agg(count(lit(1)).as("cnt"))
+      val ins = li.filter(col("l_orderkey") % 13 === 0)
+        .select(col("l_partkey"), qty, lit(false).as("is_delete"))
+      val del = li.filter(col("l_orderkey") % 13 =!= 0 &&
+          col("l_orderkey") % 17 === 3)
+        .select(col("l_partkey"), qty, lit(true).as("is_delete"))
+      val sup2 = graft.operators.Ivm.applyDeltaDistinct(support,
+        ins.unionByName(del), Seq("l_partkey"), "qty")
+      graft.operators.Ivm.medianView(sup2, Seq("l_partkey"), "qty",
+        outCol = "median_qty")
     }),
     // --- Neyman-optimal stratified sample allocation (∝ N_h·σ_h) ---
     "q_neyman_alloc" -> ((s, d) =>
@@ -1736,6 +1757,8 @@ object SparkEntry {
     "dedup_eval" -> Dedup.lshEvalOracleSql(),
     // identical word graph; PageRank rounds unrolled (q_pagerank structure)
     "text_textrank" -> graft.text.TextRank.keywordsOracleSql(),
+    // unrolled per-bucket CASE sums, HUGEINT cum products, one int div
+    "q_drift_windows" -> graft.analytics.Drift.hourlyValueDriftOracleSql(),
     // oracle recomputes the top-10 from the merged snapshot — proves
     // incremental == recompute including the delete stripe
     "q_ivm_topk" ->
@@ -3057,6 +3080,25 @@ object SparkEntry {
         |WHERE o_orderkey % 13 = 0
         |   OR (o_orderkey % 13 <> 0 AND o_orderkey % 17 <> 3)
         |GROUP BY 1""".stripMargin,
+    // exact-median recompute from the merged snapshot, written as the
+    // same smallest-value-reaching-half-mass window (no quantile-function
+    // interpolation semantics to drift cross-engine)
+    "q_ivm_median" ->
+      """WITH merged AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+        |  WHERE l_orderkey % 13 = 0
+        |     OR (l_orderkey % 13 <> 0 AND l_orderkey % 17 <> 3)),
+        |pv AS (SELECT l_partkey, qty, COUNT(*) AS c FROM merged GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_partkey, qty,
+        |         SUM(c) OVER (PARTITION BY l_partkey ORDER BY qty
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+        |         SUM(c) OVER (PARTITION BY l_partkey) AS n_rows
+        |  FROM pv)
+        |SELECT l_partkey, CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(MIN(qty) AS BIGINT) AS median_qty
+        |FROM cum WHERE cumc * 2 >= n_rows
+        |GROUP BY l_partkey, n_rows""".stripMargin,
     // τ=1/2 source rebalancing: rate = √(n_min/n_src) in micro-units
     // (sqrt is correctly rounded — the one cross-engine-safe power), keep
     // test on the seeded 60-bit md5 uniform, same as q_mix_sources

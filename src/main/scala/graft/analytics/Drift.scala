@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -419,6 +419,120 @@ object Drift {
       |       ROUND(CAST(w1_num AS DOUBLE)
       |             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS w1
       |FROM num""".stripMargin
+
+  // ------------------------------------------------ windowed drift gate
+
+  /** Clamped fixed-width value bin — bounded domain [0, buckets). The
+    * double division+floor is IEEE-identical cross-engine.
+    */
+  private[graft] def bucketCol(value: Column, buckets: Int, vmax: Double): Column =
+    least(greatest(floor(value / (vmax / buckets)), lit(0.0)),
+      lit((buckets - 1).toDouble)).cast("int")
+
+  /** One count column per bucket over a `b` bin column — the fixed-width
+    * histogram as a SINGLE aggregation (streaming-legal: no second
+    * chained agg needed for the cumulative pass, which happens in the
+    * select below over the bounded bucket count).
+    */
+  private[graft] def histAggs(buckets: Int, prefix: String): Seq[Column] =
+    (0 until buckets).map(i =>
+      sum(when(col("b") === i, 1L).otherwise(0L)).as(s"$prefix$i"))
+
+  /** W1 numerator + outputs over joined window (c*) and reference (r*)
+    * histogram columns: Σ_k |cumW_k·nR − cumR_k·nW| in DECIMAL(38,0)
+    * (cum·n products overflow BIGINT at corpus scale), micro-quantized
+    * by one integer division. Unit: bucket widths.
+    */
+  private[graft] def w1Select(buckets: Int, thresholdMicro: Long): Seq[Column] = {
+    val D38 = DecimalType(38, 0)
+    val cw = (0 until buckets).map(i => col(s"c$i"))
+    val cr = (0 until buckets).map(i => col(s"r$i"))
+    val nw = cw.reduce(_ + _)
+    val nr = cr.reduce(_ + _)
+    val num = (0 until buckets - 1).map { k =>
+      val cumW = cw.take(k + 1).reduce(_ + _)
+      val cumR = cr.take(k + 1).reduce(_ + _)
+      abs(cumW.cast(D38) * nr.cast(D38) - cumR.cast(D38) * nw.cast(D38))
+    }.reduce(_ + _)
+    Seq(col("window_start"), nw.as("n_window"), nr.as("n_ref"), num.as("__w1_num"))
+  }
+
+  private[graft] def w1Finish(thresholdMicro: Long): Seq[Column] = Seq(
+    col("window_start"), col("n_window"),
+    expr("CAST(__w1_num * 1000000 AS DECIMAL(38,0)) div " +
+      "CAST(CAST(n_window AS DECIMAL(38,0)) * n_ref AS DECIMAL(38,0))")
+      .cast("long").as("w1_micro"),
+    (expr("CAST(__w1_num * 1000000 AS DECIMAL(38,0)) div " +
+      "CAST(CAST(n_window AS DECIMAL(38,0)) * n_ref AS DECIMAL(38,0))")
+      .cast("long") >= thresholdMicro).as("drifted"))
+
+  /** Per-hour distribution-drift gate — batch twin of
+    * [[graft.streaming.EventStreams.driftGate]]: for every event hour,
+    * the EXACT integer Wasserstein-1 distance (in bucket-width units,
+    * micro-quantized) between that hour's binned `value` histogram and
+    * the full-corpus reference histogram. The online data-quality
+    * monitor a training pipeline runs on its ingest stream: a window
+    * whose value distribution walks away from the reference gets
+    * flagged before it contaminates downstream statistics.
+    *
+    * The histogram is ONE aggregation (a fixed column per bucket), so
+    * the identical code path is streaming-legal; the cumulative/W1 pass
+    * is a fixed expression over the bounded bucket count — no second
+    * agg, no window function. Products held in DECIMAL(38,0); the
+    * hash-compared output is the micro-quantized integer division.
+    */
+  def hourlyValueDrift(events: DataFrame, buckets: Int = 20,
+                       vmax: Double = 500.0,
+                       thresholdMicro: Long = 300000L): DataFrame = {
+    val binned = graft.Caching.materialize(events.select(
+      date_trunc("hour", col("ts")).as("window_start"),
+      bucketCol(col("value"), buckets, vmax).as("b")))
+    val wh = binned.groupBy("window_start")
+      .agg(histAggs(buckets, "c").head, histAggs(buckets, "c").tail: _*)
+    val rh = binned.groupBy()
+      .agg(histAggs(buckets, "r").head, histAggs(buckets, "r").tail: _*)
+    wh.crossJoin(broadcast(rh))
+      .select(w1Select(buckets, thresholdMicro): _*)
+      .select(w1Finish(thresholdMicro): _*)
+  }
+
+  /** DuckDB replay of [[hourlyValueDrift]]: the same unrolled per-bucket
+    * CASE sums, HUGEINT cumulative products, one integer division.
+    */
+  def hourlyValueDriftOracleSql(buckets: Int = 20, vmax: Double = 500.0,
+                                thresholdMicro: Long = 300000L): String = {
+    val width = vmax / buckets
+    val cs = (0 until buckets).map(i =>
+      s"SUM(CASE WHEN b = $i THEN 1 ELSE 0 END) AS c$i").mkString(",\n|         ")
+    val rs = (0 until buckets).map(i =>
+      s"SUM(CASE WHEN b = $i THEN 1 ELSE 0 END) AS r$i").mkString(",\n|         ")
+    val nw = (0 until buckets).map(i => s"c$i").mkString(" + ")
+    val nr = (0 until buckets).map(i => s"r$i").mkString(" + ")
+    val num = (0 until buckets - 1).map { k =>
+      val cumW = (0 to k).map(i => s"c$i").mkString(" + ")
+      val cumR = (0 to k).map(i => s"r$i").mkString(" + ")
+      s"ABS(CAST($cumW AS HUGEINT) * ($nr) - CAST($cumR AS HUGEINT) * ($nw))"
+    }.mkString("\n|           + ")
+    s"""WITH binned AS (
+       |  SELECT date_trunc('hour', ts) AS ws,
+       |         CAST(LEAST(GREATEST(FLOOR(value / $width), 0), ${buckets - 1}) AS INT) AS b
+       |  FROM events),
+       |wh AS (
+       |  SELECT ws,
+       |         $cs
+       |  FROM binned GROUP BY 1),
+       |rh AS (
+       |  SELECT $rs
+       |  FROM binned),
+       |j AS (SELECT * FROM wh CROSS JOIN rh)
+       |SELECT ws AS window_start,
+       |       CAST($nw AS BIGINT) AS n_window,
+       |       CAST((($num) * 1000000)
+       |            // (CAST($nw AS HUGEINT) * ($nr)) AS BIGINT) AS w1_micro,
+       |       (($num) * 1000000)
+       |            // (CAST($nw AS HUGEINT) * ($nr)) >= $thresholdMicro AS drifted
+       |FROM j""".stripMargin
+  }
 
   // ---------------------------------------------------------------- EWMA
 

@@ -106,6 +106,38 @@ object Ivm {
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as(outCol))
 
+  /** Maintained exact MEDIAN (PERCENTILE_DISC(0.5)) view over the SAME
+    * [[applyDeltaDistinct]] support relation — percentiles are the other
+    * famously non-self-maintainable aggregate (a delete can move the
+    * median to a value the view no longer stores), and the same
+    * (group, value, multiplicity) auxiliary relation fixes both: fold
+    * CDC batches into the support with [[applyDeltaDistinct]], then read
+    * the median as the smallest value whose cumulative multiplicity
+    * reaches half the group total (the discrete-percentile definition —
+    * exact integer comparisons, no interpolation to drift
+    * cross-engine).
+    *
+    * Output: (groupCols*, n_rows, outCol).
+    *
+    * Scale: the per-group cumulative window partitions by group and is
+    * bounded by the group's DISTINCT-value domain (the support grain),
+    * never its row count; the totals join is support-sized. NULL values
+    * are excluded, matching PERCENTILE_DISC over non-null inputs.
+    */
+  def medianView(support: DataFrame, groupCols: Seq[String], valueCol: String,
+                 cntCol: String = "cnt", outCol: String = "median"): DataFrame = {
+    val gcols = groupCols.map(col)
+    val nn = support.filter(col(valueCol).isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*).orderBy(col(valueCol))
+    val tot = nn.groupBy(gcols: _*).agg(sum(col(cntCol)).as("n_rows"))
+    nn.withColumn("__cum", sum(col(cntCol)).over(w))
+      .join(tot, groupCols)
+      .filter(col("__cum") * 2 >= col("n_rows"))
+      .groupBy((groupCols :+ "n_rows").map(col): _*)
+      .agg(min(col(valueCol)).as(outCol))
+  }
+
   /** Maintained TOP-K view refresh: fold the changes batch into the
     * (groupCols, cnt, total) aggregate via [[applyDelta]], then re-rank
     * to the top `k` groups by the maintained total (desc, group asc —

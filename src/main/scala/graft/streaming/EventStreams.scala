@@ -53,6 +53,51 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** The broadcast side of [[driftGate]]: the 1-row reference histogram
+    * (r0..r{buckets−1}) over a STATIC corpus — built once from the
+    * trusted baseline, joined onto every streaming window.
+    */
+  def referenceHistogram(events: DataFrame, buckets: Int = 20,
+                         vmax: Double = 500.0): DataFrame = {
+    val rs = graft.analytics.Drift.histAggs(buckets, "r")
+    events.select(graft.analytics.Drift.bucketCol(col("value"), buckets, vmax).as("b"))
+      .groupBy().agg(rs.head, rs.tail: _*)
+  }
+
+  /** Streaming distribution-drift gate — the online twin of
+    * `Drift.hourlyValueDrift`: per event-time tumbling window, the EXACT
+    * integer Wasserstein-1 distance (bucket-width units,
+    * micro-quantized) between the window's binned `value` histogram and
+    * a static reference histogram, with a `drifted` flag once the
+    * distance crosses `thresholdMicro`. The ingest monitor that flags a
+    * bad upstream batch BEFORE it lands in the corpus.
+    *
+    * Streaming-legal by construction: the histogram is ONE windowed
+    * aggregation (a fixed count column per bucket — no chained agg, no
+    * window function), the reference joins on as a stream-static
+    * broadcast equi-join, and the cumulative/W1 pass is a fixed
+    * expression over the bounded bucket count. State per open window is
+    * `buckets` longs; the watermark evicts closed windows.
+    */
+  def driftGate(events: DataFrame, reference: DataFrame, buckets: Int = 20,
+                vmax: Double = 500.0, watermark: String = "2 hours",
+                windowDur: String = "1 hour",
+                thresholdMicro: Long = 300000L): DataFrame = {
+    val cs = graft.analytics.Drift.histAggs(buckets, "c")
+    val wh = events
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        graft.analytics.Drift.bucketCol(col("value"), buckets, vmax).as("b"))
+      .groupBy(window(col("ts"), windowDur))
+      .agg(cs.head, cs.tail: _*)
+      .select(col("window.start").as("window_start") +:
+        (0 until buckets).map(i => col(s"c$i")): _*)
+    wh.withColumn("__k", lit(1))
+      .join(broadcast(reference.withColumn("__k", lit(1))), "__k")
+      .select(graft.analytics.Drift.w1Select(buckets, thresholdMicro): _*)
+      .select(graft.analytics.Drift.w1Finish(thresholdMicro): _*)
+  }
+
   /** Session windows (30-minute inactivity gap) per user via the built-in
     * `session_window` — streaming twin of `Breadth.eventSessions`' grain.
     */

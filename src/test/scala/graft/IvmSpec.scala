@@ -313,6 +313,36 @@ class IvmSpec extends AnyFunSuite {
       === Seq(("a", 1L)))
   }
 
+  test("median view folded per CDC batch equals the recompute") {
+    // deletes that MOVE the median are the non-self-maintainable case the
+    // support relation exists for: drain the values above the median and
+    // it must slide down; insert a run below and it must slide up.
+    def rows(xs: (String, Long)*) = xs.toDF("g", "v")
+    def batch(xs: (String, Long, Boolean)*) = xs.toDF("g", "v", "is_delete")
+    var state = rows(("a", 1L), ("a", 3L), ("a", 5L), ("a", 7L), ("b", 2L))
+    var support = state.groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+    val batches = Seq(
+      batch(("a", 5L, true), ("a", 7L, true)),               // median slides down
+      batch(("a", 0L, false), ("a", 0L, false), ("b", 9L, false)), // slides again
+      batch(("a", 1L, true), ("a", 0L, true)))               // partial drain
+    for (b <- batches) {
+      support = Ivm.applyDeltaDistinct(support, b, Seq("g"), "v")
+      state = state.unionByName(b.filter(!$"is_delete").drop("is_delete"))
+        .exceptAll(b.filter($"is_delete").drop("is_delete"))
+    }
+    val got = Ivm.medianView(support, Seq("g"), "v")
+      .as[(String, Long, Long)].collect()
+      .map { case (g, n, m) => g -> ((n, m)) }.toMap
+    // recompute: smallest v whose cumulative count reaches half the total
+    val st = state.as[(String, Long)].collect().toSeq.groupBy(_._1)
+      .map { case (g, vs) =>
+        val sorted = vs.map(_._2).sorted
+        val n = sorted.size
+        g -> ((n.toLong, sorted((n - 1) / 2))) // PERCENTILE_DISC(0.5)
+      }
+    assert(got == st, s"got $got expect $st")
+  }
+
   test("applyDeltaDistinct: maintenance cost is delta-sized, null-safe keys") {
     // null group key and null value: the null GROUP matches null-safely;
     // a NULL value is tracked in the support but excluded by

@@ -44,6 +44,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming drift gate converges to the batch twin") {
+    val batchEvents = Tables.events(spark, sfDir)
+    val reference = EventStreams.referenceHistogram(batchEvents)
+    val stream = MemoryStream[Event]
+    stream.addData(eventRows)
+    val q = EventStreams.driftGate(stream.toDF(), reference)
+      .writeStream.format("memory").queryName("drift").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("drift")
+      .select("window_start", "n_window", "w1_micro", "drifted")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.analytics.Drift.hourlyValueDrift(batchEvents)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
   test("session windows produce per-user sessions") {
     val stream = MemoryStream[Event]
     stream.addData(eventRows)
