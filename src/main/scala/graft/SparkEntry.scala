@@ -650,6 +650,12 @@ object SparkEntry {
     // --- per-hour W1 drift gate vs the corpus reference histogram ---
     "q_drift_windows" -> ((s, d) =>
       graft.analytics.Drift.hourlyValueDrift(Tables.events(s, d))),
+    // --- Wald SPRT: daily cumulative LLR with nano-literal increments ---
+    "q_sprt" -> ((s, d) =>
+      graft.analytics.Experiments.sprtDaily(Tables.events(s, d))),
+    // --- CUPED variance reduction from exact integer-cents power sums ---
+    "q_cuped" -> ((s, d) =>
+      graft.analytics.Experiments.cuped(Tables.events(s, d))),
     // --- maintained top-10 parts-by-quantity view under a CDC batch ---
     "q_ivm_topk" -> ((s, d) => {
       import org.apache.spark.sql.functions.{count, lit, sum}
@@ -1759,6 +1765,10 @@ object SparkEntry {
     "text_textrank" -> graft.text.TextRank.keywordsOracleSql(),
     // unrolled per-bucket CASE sums, HUGEINT cum products, one int div
     "q_drift_windows" -> graft.analytics.Drift.hourlyValueDriftOracleSql(),
+    // same nano ln-literals interpolated into both plans (q_ndcg rule)
+    "q_sprt" -> graft.analytics.Experiments.sprtOracleSql(),
+    // Welch-convention power sums; fixed-form IEEE derived columns
+    "q_cuped" -> graft.analytics.Experiments.cupedOracleSql(),
     // oracle recomputes the top-10 from the merged snapshot — proves
     // incremental == recompute including the delete stripe
     "q_ivm_topk" ->

@@ -1,0 +1,209 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Sequential and variance-reduced experimentation — the two analyses an
+  * A/B platform runs beyond the fixed-horizon Welch test
+  * ([[Metrics.welchTTest]]):
+  *
+  *   - Wald's Sequential Probability Ratio Test (Wald, Ann. Math. Stat.
+  *     16:117, 1945): monitor the cumulative log-likelihood ratio day by
+  *     day and STOP as soon as it crosses the (α, β) boundaries — the
+  *     "can we call the experiment yet" curve.
+  *   - CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013):
+  *     regress the experiment metric on its pre-period value and analyze
+  *     the residual — same mean, strictly smaller variance, tighter
+  *     confidence at the same sample size.
+  *
+  * Determinism contract: SPRT's per-observation log-likelihood
+  * increments are NANO-QUANTIZED LITERALS computed once in Scala and
+  * shared verbatim with the oracle SQL (the q_ndcg discount-table
+  * convention — no transcendental evaluates in either engine at query
+  * time), so the cumulative LLR is an exact integer; CUPED follows the
+  * Welch convention — exact integer-cents power sums in DECIMAL(38,0)
+  * as the hashed columns, fixed-form IEEE expressions written
+  * identically in the oracle for the derived floats.
+  */
+object Experiments {
+
+  private val Dec = DecimalType(38, 0)
+  private def fold6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+  private def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
+
+  /** Round an IEEE double to integer nanos the way both engines agree
+    * on: floor(x·1e9 + 0.5). Applied at PLAN-BUILD time to constants.
+    */
+  private def nano(x: Double): Long = math.floor(x * 1e9 + 0.5).toLong
+
+  // ------------------------------------------------------------- SPRT
+
+  /** Daily SPRT monitor over the treatment arm's purchase-conversion
+    * rate: H0 p = `p0` vs H1 p = `p1`, success = a `purchase` event.
+    * One row per day with the cumulative trial/success counts, the
+    * cumulative LLR in nanos, and the Wald decision at that day:
+    *
+    *   llr_n = s·ln(p1/p0) + (n−s)·ln((1−p1)/(1−p0))
+    *   accept_h1 when llr ≥ ln((1−β)/α), accept_h0 when llr ≤ ln(β/(1−α))
+    *
+    * Both ln-increments and both boundaries are nano literals baked into
+    * the plan (and into the oracle text) — the runtime arithmetic is
+    * pure BIGINT multiply/add, hash-exact.
+    *
+    * Scale: one corpus pass into a per-day aggregate (≤ |days| rows);
+    * the cumulative window runs over that bounded relation. llr_nano
+    * stays BIGINT-exact to ~5·10¹⁰ cumulative trials (increments are
+    * ~10⁸ nanos) — far past any boundary crossing; a monitor that keeps
+    * accumulating beyond that lifts the sum to DECIMAL.
+    */
+  def sprtDaily(events: DataFrame, p0: Double = 0.10, p1: Double = 0.12,
+                alpha: Double = 0.05, beta: Double = 0.20): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p1 != p0, "need 0<p0,p1<1, p1 != p0")
+    val lS = nano(math.log(p1 / p0))             // per-success increment
+    val lF = nano(math.log((1 - p1) / (1 - p0))) // per-failure increment
+    val a = nano(math.log((1 - beta) / alpha))   // upper boundary
+    val b = nano(math.log(beta / (1 - alpha)))   // lower boundary
+    val daily = events.filter(col("event_id") % 2 === 0) // treatment arm
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_day"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("s_day"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .select(col("day"),
+        sum("n_day").over(w).as("n_cum"), sum("s_day").over(w).as("s_cum"))
+      .select(col("day"), col("n_cum"), col("s_cum"),
+        (col("s_cum") * lS + (col("n_cum") - col("s_cum")) * lF).as("llr_nano"))
+      .withColumn("decision",
+        when(col("llr_nano") >= a, lit("accept_h1"))
+          .when(col("llr_nano") <= b, lit("accept_h0"))
+          .otherwise(lit("continue")))
+  }
+
+  /** DuckDB replay of [[sprtDaily]]: the SAME nano literals interpolated
+    * into the SQL text — no ln evaluates at query time in either engine.
+    */
+  def sprtOracleSql(p0: Double = 0.10, p1: Double = 0.12,
+                    alpha: Double = 0.05, beta: Double = 0.20): String = {
+    val lS = nano(math.log(p1 / p0))
+    val lF = nano(math.log((1 - p1) / (1 - p0)))
+    val a = nano(math.log((1 - beta) / alpha))
+    val b = nano(math.log(beta / (1 - alpha)))
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_day,
+       |         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s_day
+       |  FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+       |cum AS (
+       |  SELECT day,
+       |         SUM(n_day) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_cum,
+       |         SUM(s_day) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_cum
+       |  FROM daily)
+       |SELECT day, CAST(n_cum AS BIGINT) AS n_cum, CAST(s_cum AS BIGINT) AS s_cum,
+       |       CAST(s_cum * $lS + (n_cum - s_cum) * $lF AS BIGINT) AS llr_nano,
+       |       CASE WHEN s_cum * $lS + (n_cum - s_cum) * $lF >= $a THEN 'accept_h1'
+       |            WHEN s_cum * $lS + (n_cum - s_cum) * $lF <= $b THEN 'accept_h0'
+       |            ELSE 'continue' END AS decision
+       |FROM cum""".stripMargin
+  }
+
+  // ------------------------------------------------------------ CUPED
+
+  /** CUPED-adjusted experiment readout: per user, the pre-period
+    * (first half of the observation window) and post-period event-value
+    * sums in exact cents; θ = cov(pre, post)/var(pre) pooled over all
+    * users; the adjusted metric post − θ·(pre − mean(pre)) has the same
+    * mean and variance shrunk by the squared correlation. Output is ONE
+    * row: user count and the exact BIGINT pre/post cent totals (the
+    * hashed integer columns), plus θ, raw and adjusted variance, and
+    * the achieved reduction — each a fixed-form IEEE expression over the
+    * exact DECIMAL(38,0) power sums, written identically in the oracle.
+    * Requires a non-degenerate pre-period (var(pre) > 0).
+    *
+    * Scale: one corpus pass to per-user pre/post sums (hash agg keyed by
+    * user), one power-sum aggregate — the Welch shape with a split.
+    */
+  def cuped(events: DataFrame): DataFrame = {
+    // integer-second midpoint (div, not /): the oracle floors epoch()
+    // to whole seconds the same way before the same integer division
+    val mid = events.agg(
+      expr("to_date(from_unixtime((unix_timestamp(min(ts)) + " +
+        "unix_timestamp(max(ts))) div 2))").as("mid"))
+    val perUser = events.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(
+        sum(when(to_date(col("ts")) < col("mid"), cents(col("value")))
+          .otherwise(0L)).as("pre"),
+        sum(when(to_date(col("ts")) >= col("mid"), cents(col("value")))
+          .otherwise(0L)).as("post"))
+    val sums = perUser.agg(
+      count(lit(1)).as("n_users"),
+      sum(col("pre").cast(Dec)).as("s_pre"),
+      sum(col("post").cast(Dec)).as("s_post"),
+      sum((col("pre") * col("pre")).cast(Dec)).as("s_pre2"),
+      sum((col("post") * col("post")).cast(Dec)).as("s_post2"),
+      sum((col("pre") * col("post")).cast(Dec)).as("s_prepost"))
+    val n = col("n_users").cast("double")
+    val covN = n * col("s_prepost").cast("double") -
+      col("s_pre").cast("double") * col("s_post").cast("double")
+    val varPreN = n * col("s_pre2").cast("double") -
+      col("s_pre").cast("double") * col("s_pre").cast("double")
+    val varPostN = n * col("s_post2").cast("double") -
+      col("s_post").cast("double") * col("s_post").cast("double")
+    val theta = covN / varPreN
+    // var(post − θ·pre) · n² = varPostN − 2θ·covN + θ²·varPreN
+    val varAdjN = varPostN - theta * covN // algebra: θ·(2covN − θ·varPreN) = θ·covN
+    // Σpre/Σpost stay BIGINT-exact to ~10¹⁶ total cents and are the
+    // hash-compared integer columns; the squared sums live only inside
+    // the fixed-form IEEE expressions (DECIMAL outputs would read back
+    // as floats in the oracle harness — the q_wasserstein lesson)
+    sums.select(col("n_users"),
+      col("s_pre").cast("long").as("sum_pre_cents"),
+      col("s_post").cast("long").as("sum_post_cents"),
+      fold6(theta).as("theta"),
+      fold6(varPostN / (n * n) / 10000.0).as("var_post"),
+      fold6(varAdjN / (n * n) / 10000.0).as("var_adj"),
+      fold6(lit(1.0) - varAdjN / varPostN).as("var_reduction"))
+  }
+
+  /** DuckDB replay of [[cuped]] — identical expression shapes. */
+  def cupedOracleSql(): String =
+    """WITH mid AS (
+      |  SELECT CAST(to_timestamp((CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) +
+      |                            CAST(FLOOR(epoch(MAX(ts))) AS BIGINT)) // 2) AS DATE) AS mid
+      |  FROM events),
+      |pu AS (
+      |  SELECT user_id,
+      |         SUM(CASE WHEN CAST(ts AS DATE) < mid
+      |             THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS pre,
+      |         SUM(CASE WHEN CAST(ts AS DATE) >= mid
+      |             THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS post
+      |  FROM events CROSS JOIN mid GROUP BY 1),
+      |sums AS (
+      |  SELECT COUNT(*) AS n_users,
+      |         SUM(CAST(pre AS HUGEINT)) AS s_pre,
+      |         SUM(CAST(post AS HUGEINT)) AS s_post,
+      |         SUM(CAST(pre AS HUGEINT) * pre) AS s_pre2,
+      |         SUM(CAST(post AS HUGEINT) * post) AS s_post2,
+      |         SUM(CAST(pre AS HUGEINT) * post) AS s_prepost
+      |  FROM pu),
+      |d AS (
+      |  SELECT *,
+      |         CAST(n_users AS DOUBLE) AS n,
+      |         CAST(n_users AS DOUBLE) * CAST(s_prepost AS DOUBLE)
+      |           - CAST(s_pre AS DOUBLE) * CAST(s_post AS DOUBLE) AS covn,
+      |         CAST(n_users AS DOUBLE) * CAST(s_pre2 AS DOUBLE)
+      |           - CAST(s_pre AS DOUBLE) * CAST(s_pre AS DOUBLE) AS varpren,
+      |         CAST(n_users AS DOUBLE) * CAST(s_post2 AS DOUBLE)
+      |           - CAST(s_post AS DOUBLE) * CAST(s_post AS DOUBLE) AS varpostn
+      |  FROM sums)
+      |SELECT CAST(n_users AS BIGINT) AS n_users,
+      |       CAST(s_pre AS BIGINT) AS sum_pre_cents,
+      |       CAST(s_post AS BIGINT) AS sum_post_cents,
+      |       FLOOR(covn / varpren * 1e6 + 0.5) / 1e6 AS theta,
+      |       FLOOR(varpostn / (n * n) / 10000.0 * 1e6 + 0.5) / 1e6 AS var_post,
+      |       FLOOR((varpostn - covn / varpren * covn) / (n * n) / 10000.0 * 1e6 + 0.5) / 1e6 AS var_adj,
+      |       FLOOR((1.0 - (varpostn - covn / varpren * covn) / varpostn) * 1e6 + 0.5) / 1e6 AS var_reduction
+      |FROM d""".stripMargin
+}

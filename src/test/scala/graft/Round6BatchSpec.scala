@@ -168,6 +168,44 @@ class Round6BatchSpec extends AnyFunSuite {
     assert(r.getLong(2) == 0L && r.getDouble(3) == 0.0)
   }
 
+  test("cuped recovers a planted linear pre/post relation exactly") {
+    // post = 2·pre, no noise: theta = 2, adjusted variance = 0,
+    // reduction = 1. Days 1-10 are pre (mid = Jan 6), 11-20 post.
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    val rows = (1L to 4L).flatMap { u =>
+      // pre-value u dollars on a pre day; post-value 2u on a post day
+      Seq((1L, ts(2), u, "view", u.toDouble, ""),
+        (2L, ts(15), u, "view", 2.0 * u, ""))
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.analytics.Experiments.cuped(df).collect()(0)
+    assert(r.getLong(0) == 4L)
+    assert(r.getLong(1) == 1000L) // (1+2+3+4)·100 cents
+    assert(r.getLong(2) == 2000L)
+    assert(r.getDouble(3) == 2.0) // theta
+    assert(r.getDouble(5) == 0.0) // var_adj
+    assert(r.getDouble(6) == 1.0) // var_reduction
+  }
+
+  test("sprt replays the Wald recurrence with the shared nano literals") {
+    def nano(x: Double) = math.floor(x * 1e9 + 0.5).toLong
+    val lS = nano(math.log(0.12 / 0.10))
+    val lF = nano(math.log(0.88 / 0.90))
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 09:00:00")
+    // treatment arm = even event_id; day 1: 2 trials 1 success;
+    // day 2: +2 trials +2 successes
+    val rows = Seq(
+      (2L, ts(1), 1L, "purchase", 1.0, ""), (4L, ts(1), 2L, "view", 1.0, ""),
+      (3L, ts(1), 3L, "purchase", 1.0, ""), // odd: control, excluded
+      (6L, ts(2), 4L, "purchase", 1.0, ""), (8L, ts(2), 5L, "purchase", 1.0, ""))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.analytics.Experiments.sprtDaily(df)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got(0) == ((2L, 1L, lS + lF, "continue")))
+    assert(got(1) == ((4L, 3L, 3 * lS + lF, "continue")))
+  }
+
   // ---------------- seeded-random differential properties ----------------
 
   private val rnd = new scala.util.Random(6026)
