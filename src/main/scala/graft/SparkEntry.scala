@@ -656,6 +656,9 @@ object SparkEntry {
     // --- CUPED variance reduction from exact integer-cents power sums ---
     "q_cuped" -> ((s, d) =>
       graft.analytics.Experiments.cuped(Tables.events(s, d))),
+    // --- Poisson-bootstrap SE: md5-uniform inverse-CDF weights ---
+    "q_poisson_bootstrap" -> ((s, d) =>
+      graft.analytics.Experiments.poissonBootstrap(Tables.orders(s, d))),
     // --- maintained top-10 parts-by-quantity view under a CDC batch ---
     "q_ivm_topk" -> ((s, d) => {
       import org.apache.spark.sql.functions.{count, lit, sum}
@@ -1769,6 +1772,9 @@ object SparkEntry {
     "q_sprt" -> graft.analytics.Experiments.sprtOracleSql(),
     // Welch-convention power sums; fixed-form IEEE derived columns
     "q_cuped" -> graft.analytics.Experiments.cupedOracleSql(),
+    // identical Poisson-CDF threshold literals; scaled-identity spread
+    "q_poisson_bootstrap" ->
+      graft.analytics.Experiments.poissonBootstrapOracleSql(),
     // oracle recomputes the top-10 from the merged snapshot — proves
     // incremental == recompute including the delete stripe
     "q_ivm_topk" ->

@@ -108,6 +108,119 @@ object Experiments {
        |FROM cum""".stripMargin
   }
 
+  // ------------------------------------------- Poisson bootstrap SE
+
+  /** Poisson-bootstrap standard error of the mean order value (Chamandy,
+    * Muralidharan, Najmi & Naidu, "Estimating uncertainty for massive
+    * data streams", Google TR 2012) — THE distributed bootstrap: instead
+    * of resampling n rows WITH replacement (which needs coordinated
+    * global draws), every row gets an independent Poisson(1) weight per
+    * replicate, which converges to multinomial resampling and needs only
+    * one pass. Beside [[Breadth4.jackknifeMeanSe]]: the jackknife is
+    * deterministic-by-buckets, the bootstrap captures the full sampling
+    * distribution; platforms run both.
+    *
+    * Determinism: replicate r's weight for a row is the inverse
+    * Poisson(1) CDF applied to the md5-derived 60-bit uniform of
+    * (seed, r, key) — the CDF thresholds are PLAN-BUILD literals
+    * floor(P(X≤k)·2⁶⁰) shared verbatim with the oracle, so weights are
+    * exact integer comparisons (the SPRT nano-literal rule; weights cap
+    * at 7, P(X>7|λ=1) < 10⁻⁵). Replicate means are micro-cent integer
+    * divisions; the spread uses the jackknife's scaled identity
+    * Σ(m−m̄)² = Σ(B·m−Σm)²/B² in DECIMAL(38,0) with ONE final IEEE
+    * sqrt.
+    *
+    * Output (one row): n_replicates, sum_means_micro (exact hashed
+    * BIGINT), boot_se (dollars).
+    *
+    * Scale: the replicate explode is a B× map-side pass folded straight
+    * into a B-row aggregate (map-side combined) — no shuffle carries
+    * more than B rows per partition; everything after runs on the B-row
+    * relation with 1-row broadcast joins.
+    */
+  def poissonBootstrap(orders: DataFrame, reps: Int = 16,
+                       seed: String = "boot"): DataFrame = {
+    require(reps >= 2, "need at least two replicates")
+    val thresholds = poissonThresholds
+    val base = orders.select(col("o_orderkey"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    val u60 = conv(substring(md5(concat(lit(s"$seed:"), col("rep").cast("string"),
+      lit(":"), col("o_orderkey").cast("string"))), 1, 15), 16, 10).cast("long")
+    val w = (0 to 6).reverse.foldLeft(lit(7L): Column)((acc, k) =>
+      when(col("u60") < thresholds(k), lit(k.toLong)).otherwise(acc))
+    val per = base
+      .select(col("o_orderkey"), col("cents"),
+        explode(array((0 until reps).map(i => lit(i)): _*)).as("rep"))
+      .withColumn("u60", u60)
+      .withColumn("w", w)
+      .groupBy("rep")
+      .agg(sum(col("w")).as("n_w"), sum(col("w") * col("cents")).as("s_w"))
+    val means = per.select(col("rep"),
+      expr("CAST(s_w AS DECIMAL(38,0)) * 1000000 div n_w").as("m_micro"))
+    val stats = means.agg(sum("m_micro").as("sm"), count(lit(1)).as("br"))
+    means.crossJoin(broadcast(stats))
+      .select(col("br"), col("sm"),
+        (col("br") * col("m_micro") - col("sm")).cast(Dec).as("dev"))
+      .groupBy("br", "sm")
+      .agg(sum(col("dev") * col("dev")).as("q2"))
+      .select(col("br").cast("int").as("n_replicates"),
+        col("sm").cast("long").as("sum_means_micro"),
+        (sqrt(col("q2").cast("double") /
+          ((col("br") - 1).cast("double") *
+            (col("br") * col("br")).cast("double"))) / 1.0e8).as("boot_se"))
+  }
+
+  /** floor(P(Poisson(1) ≤ k)·2⁶⁰) for k = 0..6 — computed once, shared
+    * with the oracle text.
+    */
+  private def poissonThresholds: Seq[Long] = {
+    var fact = 1.0
+    var c = 0.0
+    (0 to 6).map { k =>
+      if (k > 0) fact *= k
+      c += math.exp(-1.0) / fact
+      math.floor(c * math.pow(2, 60)).toLong
+    }
+  }
+
+  /** DuckDB replay of [[poissonBootstrap]]: identical threshold
+    * literals, micro-cent divisions, scaled-identity spread.
+    */
+  def poissonBootstrapOracleSql(reps: Int = 16, seed: String = "boot"): String = {
+    val t = poissonThresholds
+    val wCase = (0 to 6).map(k => s"WHEN u60 < ${t(k)} THEN $k")
+      .mkString("CASE ", " ", " ELSE 7 END")
+    s"""WITH base AS (
+       |  SELECT o_orderkey,
+       |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM orders),
+       |reps AS (SELECT CAST(i AS INTEGER) AS rep FROM range(0, $reps) t(i)),
+       |drawn AS (
+       |  SELECT rep, cents,
+       |         ('0x' || substring(md5('$seed:' || CAST(rep AS VARCHAR) || ':' ||
+       |                                CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS u60
+       |  FROM base CROSS JOIN reps),
+       |per AS (
+       |  SELECT rep,
+       |         CAST(SUM($wCase) AS BIGINT) AS n_w,
+       |         CAST(SUM(($wCase) * cents) AS BIGINT) AS s_w
+       |  FROM drawn GROUP BY 1),
+       |means AS (
+       |  SELECT rep, CAST((CAST(s_w AS HUGEINT) * 1000000) // n_w AS BIGINT) AS m_micro
+       |  FROM per),
+       |stats AS (SELECT CAST(SUM(m_micro) AS BIGINT) AS sm, COUNT(*) AS br FROM means),
+       |q AS (
+       |  SELECT stats.br, stats.sm,
+       |         SUM(CAST(stats.br * means.m_micro - stats.sm AS HUGEINT) *
+       |             CAST(stats.br * means.m_micro - stats.sm AS HUGEINT)) AS q2
+       |  FROM means, stats GROUP BY 1, 2)
+       |SELECT CAST(br AS INTEGER) AS n_replicates,
+       |       CAST(sm AS BIGINT) AS sum_means_micro,
+       |       sqrt(CAST(q2 AS DOUBLE) /
+       |            (CAST(br - 1 AS DOUBLE) * CAST(br * br AS DOUBLE))) / 1.0e8 AS boot_se
+       |FROM q""".stripMargin
+  }
+
   // ------------------------------------------------------------ CUPED
 
   /** CUPED-adjusted experiment readout: per user, the pre-period

@@ -206,6 +206,23 @@ class Round6BatchSpec extends AnyFunSuite {
     assert(got(1) == ((4L, 3L, 3 * lS + lF, "continue")))
   }
 
+  test("poissonBootstrap: constant data has exactly zero SE; weights ~ n") {
+    val const = (1L to 200L).map(k => (k, 250.00)).toDF("o_orderkey", "o_totalprice")
+    val r = graft.analytics.Experiments.poissonBootstrap(const, reps = 8).collect()(0)
+    assert(r.getInt(0) == 8)
+    // every replicate mean is exactly 250.00 regardless of its weights
+    assert(r.getLong(1) == 8L * 25000L * 1000000L)
+    assert(r.getDouble(2) == 0.0)
+
+    // Poisson(1) weights: each replicate's effective n stays near n
+    val varied = (1L to 500L).map(k => (k, k.toDouble)).toDF("o_orderkey", "o_totalprice")
+    val r2 = graft.analytics.Experiments.poissonBootstrap(varied, reps = 4).collect()(0)
+    assert(r2.getDouble(2) > 0.0) // varied data: positive uncertainty
+    // determinism: byte-identical on re-run
+    val r3 = graft.analytics.Experiments.poissonBootstrap(varied, reps = 4).collect()(0)
+    assert(r2 == r3)
+  }
+
   // ---------------- seeded-random differential properties ----------------
 
   private val rnd = new scala.util.Random(6026)
