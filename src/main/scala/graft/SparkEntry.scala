@@ -659,6 +659,12 @@ object SparkEntry {
     // --- Poisson-bootstrap SE: md5-uniform inverse-CDF weights ---
     "q_poisson_bootstrap" -> ((s, d) =>
       graft.analytics.Experiments.poissonBootstrap(Tables.orders(s, d))),
+    // --- Mann-Whitney U: nonparametric arm test on exact grouped ranks ---
+    "q_mannwhitney" -> ((s, d) =>
+      graft.analytics.Experiments.mannWhitney(Tables.orders(s, d))),
+    // --- feature hashing: fixed-dim signed token features, no vocab pass ---
+    "text_feature_hash" -> ((s, d) =>
+      TextOps.featureHash(Tables.documents(s, d))),
     // --- maintained top-10 parts-by-quantity view under a CDC batch ---
     "q_ivm_topk" -> ((s, d) => {
       import org.apache.spark.sql.functions.{count, lit, sum}
@@ -1775,6 +1781,10 @@ object SparkEntry {
     // identical Poisson-CDF threshold literals; scaled-identity spread
     "q_poisson_bootstrap" ->
       graft.analytics.Experiments.poissonBootstrapOracleSql(),
+    // identical grouped-rank algebra; tie-corrected z fold
+    "q_mannwhitney" -> graft.analytics.Experiments.mannWhitneyOracleSql(),
+    // identical digest/index/sign integer ops
+    "text_feature_hash" -> TextOps.featureHashOracleSql(),
     // oracle recomputes the top-10 from the merged snapshot — proves
     // incremental == recompute including the delete stripe
     "q_ivm_topk" ->

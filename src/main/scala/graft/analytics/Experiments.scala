@@ -221,6 +221,91 @@ object Experiments {
        |FROM q""".stripMargin
   }
 
+  // ----------------------------------------------- Mann-Whitney U
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) test between the same even/odd
+    * order arms as [[Metrics.welchTTest]] — the NONPARAMETRIC companion:
+    * rank-based, so heavy-tailed revenue distributions can't distort it
+    * the way they inflate a t-test's variance estimate (Mann & Whitney,
+    * Ann. Math. Stat. 18:50, 1947). Platforms report both and trust the
+    * one whose assumptions hold.
+    *
+    * Exactness: works entirely on the VALUE-GROUPED relation — for each
+    * distinct cent value the arm counts and the doubled average rank
+    * 2·before + t + 1 are exact integers, so the doubled rank sum
+    * 2·R_a and the tie-correction Σ(t³−t) are exact DECIMAL(38,0)
+    * sums; U, the common-language effect size U/(n_a·n_b) and the
+    * tie-corrected normal z are fixed-form IEEE expressions written
+    * identically in the oracle (fold 1e-6).
+    *
+    * Scale shape: one corpus pass to per-value arm counts, one window
+    * over the value-distinct relation (the rankDist/ksDrift precedent),
+    * one 1-row aggregate.
+    */
+  def mannWhitney(orders: DataFrame): DataFrame = {
+    val g = orders.select(cents(col("o_totalprice")).as("x"),
+      (col("o_orderkey") % 2 === 0).as("is_a"))
+    val byV = g.groupBy("x").agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    byV.count() // materialize once: window branch + totals branch
+    val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    val t = col("ca") + col("cb")
+    val s = byV
+      .select(col("ca"), col("cb"),
+        coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)).as("before"))
+      .select(col("ca"), col("cb"),
+        (col("ca") * (lit(2L) * col("before") + t + lit(1L))).cast(Dec).as("r2t"),
+        (t * t * t - t).cast(Dec).as("tiet"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        sum(col("r2t")).as("ra2"), sum(col("tiet")).as("ties"))
+    val na = col("na").cast("double"); val nb = col("nb").cast("double")
+    val n = na + nb
+    val u = (col("ra2").cast("double") - na * (na + 1)) / 2.0
+    val variance = na * nb / 12.0 *
+      ((n + 1) - col("ties").cast("double") / (n * (n - 1)))
+    s.select(col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      fold6(u / (na * nb)).as("cles"),
+      fold6((u - na * nb / 2.0) / sqrt(variance)).as("z"))
+  }
+
+  /** DuckDB replay of [[mannWhitney]] — identical grouped-rank algebra. */
+  def mannWhitneyOracleSql(): String =
+    """WITH g AS (
+      |  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS x,
+      |         o_orderkey % 2 = 0 AS is_a
+      |  FROM orders),
+      |byv AS (
+      |  SELECT x,
+      |         SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+      |         SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS cb
+      |  FROM g GROUP BY 1),
+      |cum AS (
+      |  SELECT ca, cb,
+      |         COALESCE(SUM(ca + cb) OVER (ORDER BY x
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      |  FROM byv),
+      |s AS (
+      |  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+      |         SUM(CAST(ca AS HUGEINT) * (2 * before + ca + cb + 1)) AS ra2,
+      |         SUM(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb)
+      |             - (ca + cb)) AS ties
+      |  FROM cum),
+      |d AS (
+      |  SELECT na, nb,
+      |         CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+      |         CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) AS n,
+      |         (CAST(ra2 AS DOUBLE) - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1)) / 2.0 AS u,
+      |         CAST(ties AS DOUBLE) AS tiesd
+      |  FROM s)
+      |SELECT na AS n_a, nb AS n_b,
+      |       FLOOR(u / (nad * nbd) * 1e6 + 0.5) / 1e6 AS cles,
+      |       FLOOR((u - nad * nbd / 2.0) /
+      |             sqrt(nad * nbd / 12.0 * ((n + 1) - tiesd / (n * (n - 1))))
+      |             * 1e6 + 0.5) / 1e6 AS z
+      |FROM d""".stripMargin
+
   // ------------------------------------------------------------ CUPED
 
   /** CUPED-adjusted experiment readout: per user, the pre-period

@@ -531,6 +531,64 @@ object TextOps {
       |FROM sp GROUP BY 1, 2
       |ORDER BY c_pair DESC, w_a, w_b LIMIT $k""".stripMargin
 
+  /** Feature hashing (the "hashing trick", Weinberger, Dasgupta,
+    * Langford, Smola & Attenberg, ICML 2009): map every corpus token
+    * into a fixed `dim`-bucket feature space via its md5 digest, with
+    * the ±1 sign hash that makes collision noise zero-mean — the
+    * featurization that needs NO vocabulary pass, no driver dictionary,
+    * and a bounded model width regardless of corpus size. Output is the
+    * corpus-level feature table: per feature index, the token
+    * occurrences landing there, the DISTINCT words colliding into it
+    * (the collision audit), and the net signed weight; top `k` by
+    * occupancy with a total-order tie-break.
+    *
+    * Determinism: index = digest mod dim, sign = bit of digest/dim —
+    * pure integer ops on the md5-derived 60-bit value, replayed exactly
+    * by the oracle.
+    *
+    * Scale: tokenize → one hash agg keyed by feature index (≤ dim
+    * groups) with a distinct-count over (idx, word) — vocabulary-sized,
+    * never corpus-sized past the first aggregate.
+    */
+  def featureHash(documents: DataFrame, dim: Int = 1024, k: Int = 100): DataFrame = {
+    require(dim >= 2 && k >= 1, "dim must be >= 2, k >= 1")
+    val uni = documents.select(tokens(col("text")).as("t"))
+      .select(explode(col("t")).as("raw"))
+      .filter(col("raw") =!= "")
+      .select(lower(col("raw")).as("w"))
+      .select(col("w"),
+        conv(substring(md5(concat(lit("fh:"), col("w"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .select(col("w"),
+        pmod(col("h"), lit(dim.toLong)).as("feature_idx"),
+        when(pmod(expr(s"h div $dim"), lit(2L)) === 0L, lit(1L))
+          .otherwise(lit(-1L)).as("sign"))
+    uni.groupBy("feature_idx")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("w")).as("n_words"),
+        sum(col("sign")).as("net_sign"))
+      .orderBy(desc("n_tokens"), asc("feature_idx"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[featureHash]] — identical digest/index/sign ops. */
+  def featureHashOracleSql(dim: Int = 1024, k: Int = 100): String =
+    s"""WITH toks AS (
+      |  SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+      |uni AS (
+      |  SELECT lower(raw) AS w FROM
+      |  (SELECT unnest(t) AS raw FROM toks) WHERE raw <> ''),
+      |hashed AS (
+      |  SELECT w,
+      |         ('0x' || substring(md5('fh:' || w), 1, 15))::BIGINT AS h
+      |  FROM uni)
+      |SELECT h % $dim AS feature_idx,
+      |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words,
+      |       CAST(SUM(CASE WHEN (h // $dim) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS net_sign
+      |FROM hashed GROUP BY 1
+      |ORDER BY n_tokens DESC, feature_idx LIMIT $k""".stripMargin
+
   def chunk(documents: DataFrame, size: Int = 32, stride: Int = 24): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,
       "need 0 < stride <= size (overlap = size - stride)")

@@ -223,6 +223,36 @@ class Round6BatchSpec extends AnyFunSuite {
     assert(r2 == r3)
   }
 
+  test("mannWhitney matches hand-computed U/CLES including ties") {
+    // arm A (even keys) = {1.00, 2.00}, arm B = {2.00, 3.00}:
+    // ranks 1, 2.5, 2.5, 4 -> R_a = 3.5, U_a = 0.5, CLES = 0.125
+    val df = Seq((2L, 1.00), (4L, 2.00), (1L, 2.00), (3L, 3.00))
+      .toDF("o_orderkey", "o_totalprice")
+    val r = graft.analytics.Experiments.mannWhitney(df).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.125) // CLES
+    assert(r.getDouble(3) < 0.0)    // A stochastically below B
+    // symmetric arms: CLES = 0.5, z = 0 exactly
+    val sym = Seq((2L, 1.00), (4L, 3.00), (1L, 1.00), (3L, 3.00))
+      .toDF("o_orderkey", "o_totalprice")
+    val r2 = graft.analytics.Experiments.mannWhitney(sym).collect()(0)
+    assert(r2.getDouble(2) == 0.5 && r2.getDouble(3) == 0.0)
+  }
+
+  test("featureHash conserves tokens and bounds the signed mass") {
+    val docs = Seq("alpha beta gamma alpha", "beta delta").toDF("text")
+    val full = TextOps.featureHash(docs, dim = 16, k = 1000).collect()
+    assert(full.map(_.getLong(1)).sum == 6L)       // every token lands once
+    full.foreach { r =>
+      assert(math.abs(r.getLong(3)) <= r.getLong(1)) // |net| <= occupancy
+      assert(r.getLong(2) <= r.getLong(1))           // distinct <= tokens
+      assert(r.getLong(0) >= 0 && r.getLong(0) < 16)
+    }
+    // deterministic across runs
+    val again = TextOps.featureHash(docs, dim = 16, k = 1000).collect()
+    assert(full.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   // ---------------- seeded-random differential properties ----------------
 
   private val rnd = new scala.util.Random(6026)
