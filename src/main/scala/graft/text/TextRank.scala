@@ -48,6 +48,15 @@ object TextRank {
         .distinct()
         .select(col("w"),
           conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("id")))
+    // empty word graph (empty/degenerate corpus): no keywords — guard
+    // before PageRank, whose n-node teleport constant divides by |V|
+    if (words.head(1).isEmpty) {
+      import org.apache.spark.sql.types._
+      return documents.sparkSession.createDataFrame(
+        documents.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("word", StringType),
+          StructField("rank_units", LongType), StructField("rank", DoubleType))))
+    }
     val idEdges = canon
       .join(words.select(col("w").as("a"), col("id").as("src")), "a")
       .join(words.select(col("w").as("b"), col("id").as("dst")), "b")

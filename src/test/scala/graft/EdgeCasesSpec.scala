@@ -168,6 +168,27 @@ class EdgeCasesSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("round-6 operators on empty inputs: empty results, no crashes") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("item_a", "item_b")
+    assert(graft.analytics.GraphSample.randomWalks(noEdges, "item_a", "item_b")
+      .count() === 0)
+    assert(graft.analytics.GraphSample.neighborSample(noEdges, "item_a", "item_b")
+      .count() === 0)
+    val noDocs = Seq.empty[(Long, String, Long)].toDF("doc_id", "text", "n_chars")
+    assert(graft.text.TextOps.skipgramPairs(noDocs.select("text")).count() === 0)
+    assert(graft.text.TextOps.featureHash(noDocs.select("text")).count() === 0)
+    assert(graft.text.TextRank.keywords(noDocs.select("text")).count() === 0)
+    val noOrders = Seq.empty[(Long, Double)].toDF("o_orderkey", "o_totalprice")
+    // degenerate aggregates produce their empty relation, not a crash
+    assert(graft.analytics.Experiments.sprtDaily(
+      Seq.empty[(Long, java.sql.Timestamp, String)].toDF("event_id", "ts", "event_type"))
+      .count() === 0)
+    assert(graft.operators.Ivm.medianView(
+      Seq.empty[(String, Long, Long)].toDF("g", "v", "cnt"), Seq("g"), "v")
+      .count() === 0)
+    spark.catalog.clearCache()
+  }
+
   test("weightedSample with k larger than the population returns everything") {
     val pop = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "w")
     val got = graft.operators.Sampling.weightedSample(pop, "id", "w", 100)
