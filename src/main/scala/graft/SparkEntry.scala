@@ -665,6 +665,13 @@ object SparkEntry {
     // --- feature hashing: fixed-dim signed token features, no vocab pass ---
     "text_feature_hash" -> ((s, d) =>
       TextOps.featureHash(Tables.documents(s, d))),
+    // --- isotonic (PAV) calibration via the closed-form minimax identity ---
+    "q_isotonic" -> ((s, d) =>
+      graft.analytics.Experiments.isotonicCalibration(
+        Tables.customer(s, d), Tables.orders(s, d))),
+    // --- split-conformal interval for the seasonal-naive forecast ---
+    "q_conformal" -> ((s, d) =>
+      graft.analytics.Experiments.conformalInterval(Tables.orders(s, d))),
     // --- maintained top-10 parts-by-quantity view under a CDC batch ---
     "q_ivm_topk" -> ((s, d) => {
       import org.apache.spark.sql.functions.{count, lit, sum}
@@ -1785,6 +1792,10 @@ object SparkEntry {
     "q_mannwhitney" -> graft.analytics.Experiments.mannWhitneyOracleSql(),
     // identical digest/index/sign integer ops
     "text_feature_hash" -> TextOps.featureHashOracleSql(),
+    // same minimax algebra on the bins^3-bounded interval relation
+    "q_isotonic" -> graft.analytics.Experiments.isotonicOracleSql(),
+    // same k = ceil((n+1)(1-alpha)) rank arithmetic, integer fractions
+    "q_conformal" -> graft.analytics.Experiments.conformalOracleSql(),
     // oracle recomputes the top-10 from the merged snapshot — proves
     // incremental == recompute including the delete stripe
     "q_ivm_topk" ->

@@ -221,6 +221,177 @@ object Experiments {
        |FROM q""".stripMargin
   }
 
+  // ------------------------------------------ isotonic calibration
+
+  /** Isotonic (PAV) calibration of the reliability bins behind
+    * `q_calibration` — the monotone repair that turns a miscalibrated
+    * score into usable probabilities (Zadrozny & Elkan, KDD 2002;
+    * Ayer et al., Ann. Math. Stat. 26:641, 1955). Instead of the
+    * sequential pool-adjacent-violators sweep (data-dependent iteration
+    * order — hostile to both a declarative plan and a SQL oracle), this
+    * uses the CLOSED-FORM minimax identity of the same fit:
+    *
+    *   iso_i = max_{j ≤ i} min_{k ≥ i} mean(pos rate over bins j..k)
+    *
+    * with interval means micro-quantized by exact integer division
+    * (identical quantization both engines, and the minimax form is
+    * monotone by construction for ANY interval-mean matrix — the
+    * property the spec asserts). All joins run on the `bins`-row
+    * relation: bins³ ≤ 1000 rows at the default 10.
+    *
+    * Output per bin: (bin, n_customers, n_pos, raw_micro, iso_micro) —
+    * every column an exact integer.
+    *
+    * Scale: the corpus collapses to `bins` rows in one aggregation
+    * (same scored relation as q_calibration); everything after is
+    * bounded by bins³.
+    */
+  def isotonicCalibration(customer: DataFrame, orders: DataFrame,
+                          bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least two bins")
+    val cts = customer.select(col("c_custkey"),
+      (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    val bounds = cts.agg(min("cents").as("mn"), max("cents").as("mx"))
+    val nOrders = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
+    val perBin = cts
+      .join(nOrders, col("c_custkey") === col("o_custkey"), "left")
+      .crossJoin(broadcast(bounds))
+      .select(expr(s"(cents - mn) * $bins div (mx - mn + 1)").as("bin"),
+        when(coalesce(col("n_ord"), lit(0L)) >= 2, 1L).otherwise(0L).as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_customers"), sum("y").as("n_pos"))
+    val b = graft.Caching.materialize(perBin) // feeds intervals ×2 + output
+    val intervals = b.alias("j").join(b.alias("k"),
+        col("j.bin") <= col("k.bin"))
+      .select(col("j.bin").as("lo"), col("k.bin").as("hi"))
+      .join(b.alias("m"), col("m.bin") >= col("lo") && col("m.bin") <= col("hi"))
+      .groupBy("lo", "hi")
+      .agg(expr("(1000000 * sum(n_pos)) div sum(n_customers)").as("avg_micro"))
+    val fitted = b.select(col("bin"))
+      .join(intervals, col("lo") <= col("bin") && col("bin") <= col("hi"))
+      .groupBy("bin", "lo").agg(min("avg_micro").as("mn_over_k"))
+      .groupBy("bin").agg(max("mn_over_k").as("iso_micro"))
+    b.join(fitted, "bin")
+      .select(col("bin").cast("int").as("bin"),
+        col("n_customers"), col("n_pos"),
+        expr("(1000000 * n_pos) div n_customers").as("raw_micro"),
+        col("iso_micro"))
+  }
+
+  /** DuckDB replay of [[isotonicCalibration]] — same minimax algebra. */
+  def isotonicOracleSql(bins: Int = 10): String =
+    s"""WITH cents AS (
+      |  SELECT c_custkey,
+      |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer),
+      |bounds AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx FROM cents),
+      |no AS (SELECT o_custkey, COUNT(*) AS n_ord FROM orders GROUP BY 1),
+      |per AS (
+      |  SELECT ((c.cents - b.mn) * $bins) // (b.mx - b.mn + 1) AS bin,
+      |         CASE WHEN COALESCE(no.n_ord, 0) >= 2 THEN 1 ELSE 0 END AS y
+      |  FROM cents c CROSS JOIN bounds b
+      |  LEFT JOIN no ON no.o_custkey = c.c_custkey),
+      |pb AS (SELECT bin, COUNT(*) AS n_customers, SUM(y) AS n_pos
+      |       FROM per GROUP BY 1),
+      |iv AS (
+      |  SELECT j.bin AS lo, k.bin AS hi,
+      |         (1000000 * SUM(m.n_pos)) // SUM(m.n_customers) AS avg_micro
+      |  FROM pb j JOIN pb k ON j.bin <= k.bin
+      |  JOIN pb m ON m.bin BETWEEN j.bin AND k.bin
+      |  GROUP BY 1, 2),
+      |fit AS (
+      |  SELECT bin, MAX(mn_over_k) AS iso_micro FROM (
+      |    SELECT pb.bin, iv.lo, MIN(iv.avg_micro) AS mn_over_k
+      |    FROM pb JOIN iv ON iv.lo <= pb.bin AND pb.bin <= iv.hi
+      |    GROUP BY 1, 2) t
+      |  GROUP BY 1)
+      |SELECT CAST(pb.bin AS INTEGER) AS bin,
+      |       CAST(pb.n_customers AS BIGINT) AS n_customers,
+      |       CAST(pb.n_pos AS BIGINT) AS n_pos,
+      |       CAST((1000000 * pb.n_pos) // pb.n_customers AS BIGINT) AS raw_micro,
+      |       CAST(fit.iso_micro AS BIGINT) AS iso_micro
+      |FROM pb JOIN fit ON fit.bin = pb.bin""".stripMargin
+
+  // ------------------------------------------ conformal intervals
+
+  /** Split-conformal prediction interval for the seasonal-naive monthly
+    * forecast (Vovk et al., "Algorithmic Learning in a Random World",
+    * 2005; Lei et al., JASA 2018): the calibration scores are the
+    * absolute forecast residuals |actual − ŷ| in exact cents, and the
+    * interval half-width is the k-th smallest with
+    * k = ⌈(n+1)(1−α)⌉ — distribution-free ≥(1−α) coverage, which is
+    * the guarantee a forecasting pipeline actually wants from its error
+    * bars. Output also reports the EMPIRICAL calibration-set coverage
+    * at the chosen q̂ (an exact integer ratio) — the self-check that
+    * the rank arithmetic is right.
+    *
+    * Exactness: residuals are integer cents; k is integer arithmetic
+    * ⌈(n+1)·(1−α)⌉ with α expressed as the exact fraction num/den; the
+    * order statistic is a rank over the bounded backtest relation
+    * (≤ |months|), tie-broken by month for a total order.
+    */
+  def conformalInterval(orders: DataFrame, alphaNum: Int = 1,
+                        alphaDen: Int = 10, season: Int = 12): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen, "need 0 < alpha < 1")
+    val monthly = orders
+      .groupBy(trunc(col("o_orderdate").cast("date"), "month").as("month_start"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("actual_cents"))
+    val w = Window.orderBy("month_start")
+    val resid = monthly
+      .withColumn("forecast_cents", lag(col("actual_cents"), season).over(w))
+      .filter(col("forecast_cents").isNotNull)
+      .select(col("month_start"),
+        abs(col("actual_cents") - col("forecast_cents")).as("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    resid.count() // rank branch + totals branch
+    val tot = resid.agg(count(lit(1)).as("n_cal"))
+    val ranked = resid.select(col("r"),
+      row_number().over(Window.orderBy(col("r"), col("month_start"))).as("rk"))
+    // k = ceil((n+1)·(den−num)/den), capped at n (k > n would demand an
+    // infinite interval; the cap is the standard finite-sample fallback)
+    val kExpr = expr(
+      s"least(((n_cal + 1) * ${alphaDen - alphaNum} + $alphaDen - 1) div $alphaDen, n_cal)")
+    val qhat = ranked.crossJoin(broadcast(tot))
+      .filter(col("rk") === kExpr)
+      .select(col("n_cal"), col("rk").as("k"), col("r").as("qhat_cents"))
+    val cover = resid.crossJoin(broadcast(qhat))
+      .agg(max(col("n_cal")).as("n_cal"), max(col("k")).as("k"),
+        max(col("qhat_cents")).as("qhat_cents"),
+        sum(when(col("r") <= col("qhat_cents"), 1L).otherwise(0L)).as("n_within"))
+    cover.select(col("n_cal"), col("k"), col("qhat_cents"),
+      expr("(1000000 * n_within) div n_cal").as("coverage_micro"))
+  }
+
+  /** DuckDB replay of [[conformalInterval]] — same rank arithmetic. */
+  def conformalOracleSql(alphaNum: Int = 1, alphaDen: Int = 10,
+                         season: Int = 12): String =
+    s"""WITH monthly AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS actual_cents
+      |  FROM orders GROUP BY 1),
+      |resid AS (
+      |  SELECT month_start, ABS(actual_cents - forecast_cents) AS r FROM (
+      |    SELECT month_start, actual_cents,
+      |           LAG(actual_cents, $season) OVER (ORDER BY month_start) AS forecast_cents
+      |    FROM monthly) t
+      |  WHERE forecast_cents IS NOT NULL),
+      |tot AS (SELECT COUNT(*) AS n_cal FROM resid),
+      |ranked AS (
+      |  SELECT r, ROW_NUMBER() OVER (ORDER BY r, month_start) AS rk FROM resid),
+      |qhat AS (
+      |  SELECT tot.n_cal, ranked.rk AS k, ranked.r AS qhat_cents
+      |  FROM ranked CROSS JOIN tot
+      |  WHERE ranked.rk = LEAST(((tot.n_cal + 1) * ${alphaDen - alphaNum}
+      |                           + $alphaDen - 1) // $alphaDen, tot.n_cal))
+      |SELECT CAST(q.n_cal AS BIGINT) AS n_cal,
+      |       CAST(q.k AS INTEGER) AS k,
+      |       CAST(q.qhat_cents AS BIGINT) AS qhat_cents,
+      |       CAST((1000000 * SUM(CASE WHEN resid.r <= q.qhat_cents THEN 1 ELSE 0 END))
+      |            // q.n_cal AS BIGINT) AS coverage_micro
+      |FROM resid CROSS JOIN qhat q
+      |GROUP BY q.n_cal, q.k, q.qhat_cents""".stripMargin
+
   // ----------------------------------------------- Mann-Whitney U
 
   /** Mann–Whitney U (Wilcoxon rank-sum) test between the same even/odd

@@ -253,6 +253,44 @@ class Round6BatchSpec extends AnyFunSuite {
     assert(full.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("isotonic fit is monotone and replays the driver-side minimax") {
+    val iso = graft.analytics.Experiments.isotonicCalibration(
+      graft.io.Tables.customer(spark, TestSpark.sfDir),
+      graft.io.Tables.orders(spark, TestSpark.sfDir))
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    // monotone non-decreasing by construction of the minimax identity
+    iso.map(_._4).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b); case _ => ()
+    }
+    // exact replication: iso_i = max_{j<=i} min_{k>=i} (1e6*pos)/(n) over j..k
+    val n = iso.map(_._2); val p = iso.map(_._3)
+    val b = iso.length
+    val expected = (0 until b).map { i =>
+      (0 to i).map { j =>
+        (i until b).map { k =>
+          val sn = (j to k).map(n).sum; val sp = (j to k).map(p).sum
+          1000000L * sp / sn
+        }.min
+      }.max
+    }
+    assert(iso.map(_._4).toSeq == expected)
+  }
+
+  test("conformal qhat is the k-th smallest residual with valid coverage") {
+    val orders = graft.io.Tables.orders(spark, TestSpark.sfDir)
+    val r = graft.analytics.Experiments.conformalInterval(orders).collect()(0)
+    val (nCal, k, qhat, cov) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))
+    val resid = graft.analytics.Drift.seasonalNaiveBacktest(orders)
+      .select(abs(col("actual_cents") - col("forecast_cents")).as("r"))
+      .as[Long].collect().sorted
+    assert(nCal == resid.length.toLong)
+    assert(k == math.min((nCal + 1) * 9 / 10 + (if ((nCal + 1) * 9 % 10 == 0) 0 else 1), nCal).toInt)
+    assert(qhat == resid(k - 1))
+    assert(cov >= 1000000L * k / nCal) // at least k/n of residuals within
+  }
+
   // ---------------- seeded-random differential properties ----------------
 
   private val rnd = new scala.util.Random(6026)
