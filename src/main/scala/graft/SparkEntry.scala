@@ -672,6 +672,12 @@ object SparkEntry {
     // --- split-conformal interval for the seasonal-naive forecast ---
     "q_conformal" -> ((s, d) =>
       graft.analytics.Experiments.conformalInterval(Tables.orders(s, d))),
+    // --- SRM gate: chi-square of the arm split, the pre-metric check ---
+    "q_srm" -> ((s, d) =>
+      graft.analytics.Experiments.sampleRatioMismatch(Tables.events(s, d))),
+    // --- ABC/Pareto part classes on the distributed prefix sum ---
+    "q_pareto_abc" -> ((s, d) =>
+      graft.analytics.Metrics.paretoAbc(Tables.lineitem(s, d))),
     // --- maintained top-10 parts-by-quantity view under a CDC batch ---
     "q_ivm_topk" -> ((s, d) => {
       import org.apache.spark.sql.functions.{count, lit, sum}
@@ -1796,6 +1802,10 @@ object SparkEntry {
     "q_isotonic" -> graft.analytics.Experiments.isotonicOracleSql(),
     // same k = ceil((n+1)(1-alpha)) rank arithmetic, integer fractions
     "q_conformal" -> graft.analytics.Experiments.conformalOracleSql(),
+    // exact rational chi-square, shared threshold literal
+    "q_srm" -> graft.analytics.Experiments.srmOracleSql(),
+    // window-formulation twin of the distributed prefix-sum ranking
+    "q_pareto_abc" -> graft.analytics.Metrics.paretoAbcOracleSql(),
     // oracle recomputes the top-10 from the merged snapshot — proves
     // incremental == recompute including the delete stripe
     "q_ivm_topk" ->

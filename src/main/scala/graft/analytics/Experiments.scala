@@ -221,6 +221,43 @@ object Experiments {
        |FROM q""".stripMargin
   }
 
+  // --------------------------------------- sample-ratio mismatch
+
+  /** Sample-ratio-mismatch gate — the FIRST check every experimentation
+    * platform runs before reading any metric (Fabijan et al., "Diagnosing
+    * sample ratio mismatch in online controlled experiments", KDD 2019):
+    * under a 50/50 split, arm counts follow a binomial, and the 1-dof
+    * chi-square (n_a−n_b)²/(n_a+n_b) explodes when the assignment
+    * pipeline drops one arm's traffic. A metric read on SRM'd arms is
+    * garbage regardless of its p-value.
+    *
+    * Exactness: chi² is the exact rational (n_a−n_b)²/(n_a+n_b),
+    * micro-quantized by integer division; the detection threshold is
+    * the χ²₁ 95th-percentile literal 3.841459 in micros, a plan
+    * constant shared with the oracle. One corpus pass, one row out.
+    */
+  def sampleRatioMismatch(events: DataFrame,
+                          thresholdMicro: Long = 3841459L): DataFrame = {
+    val s = events.agg(
+      sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L)).as("na"),
+      sum(when(col("event_id") % 2 =!= 0, 1L).otherwise(0L)).as("nb"))
+    s.select(col("na").as("n_a"), col("nb").as("n_b"),
+      expr("((na - nb) * (na - nb) * 1000000) div (na + nb)").as("chi2_micro"),
+      (expr("((na - nb) * (na - nb) * 1000000) div (na + nb)") >=
+        thresholdMicro).as("srm_detected"))
+  }
+
+  /** DuckDB replay of [[sampleRatioMismatch]]. */
+  def srmOracleSql(thresholdMicro: Long = 3841459L): String =
+    s"""WITH s AS (
+      |  SELECT SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+      |         SUM(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS nb
+      |  FROM events)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |       CAST(((na - nb) * (na - nb) * 1000000) // (na + nb) AS BIGINT) AS chi2_micro,
+      |       ((na - nb) * (na - nb) * 1000000) // (na + nb) >= $thresholdMicro AS srm_detected
+      |FROM s""".stripMargin
+
   // ------------------------------------------ isotonic calibration
 
   /** Isotonic (PAV) calibration of the reliability bins behind

@@ -51,6 +51,68 @@ object Metrics {
     *
     * Output: one row (n_customers, gini).
     */
+  /** ABC (Pareto) classification of parts by shipped revenue — the
+    * warehouse-classic 80/95 split: rank parts by revenue descending,
+    * class A while the cumulative share stays ≤ 80%, B to 95%, C after
+    * (inclusive-≤ boundary, exact integer comparisons
+    * cum·100 ≤ pct·total — no float share ever computed for the
+    * classification). Output per class: part count, class revenue in
+    * cents, and the micro-quantized share.
+    *
+    * Scale: the revenue ranking uses the two-pass distributed prefix
+    * sum ([[graft.operators.Packing.withRunningTotal]] over
+    * (−revenue, partkey)) — NO single-partition window over the part
+    * relation, which at catalog scale is data-sized (this is the same
+    * prefix-sum shape the sequence packer uses; the oracle's window
+    * formulation is the differential twin, not the scale path).
+    */
+  def paretoAbc(lineitem: DataFrame, aPct: Int = 80, bPct: Int = 95): DataFrame = {
+    require(aPct > 0 && aPct < bPct && bPct < 100, "need 0 < aPct < bPct < 100")
+    val perPart = lineitem.groupBy(col("l_partkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev"))
+      .select(col("l_partkey"), col("rev"), (-col("rev")).as("neg"))
+    val run = graft.operators.Packing.withRunningTotal(
+      perPart, Seq("neg", "l_partkey"), "rev", "before")
+    val tot = perPart.agg(sum("rev").as("total"))
+    run.crossJoin(broadcast(tot))
+      .select(col("rev"),
+        when((col("before") + col("rev")).cast(Dec) * 100 <=
+            col("total").cast(Dec) * aPct, "A")
+          .when((col("before") + col("rev")).cast(Dec) * 100 <=
+            col("total").cast(Dec) * bPct, "B")
+          .otherwise("C").as("abc_class"),
+        col("total"))
+      .groupBy("abc_class", "total")
+      .agg(count(lit(1)).as("n_parts"), sum("rev").as("class_cents"))
+      .select(col("abc_class"), col("n_parts"),
+        col("class_cents").cast("long").as("class_cents"),
+        expr("CAST(class_cents * 1000000 AS DECIMAL(38,0)) div CAST(total AS DECIMAL(38,0))")
+          .cast("long").as("share_micro"))
+  }
+
+  /** DuckDB replay of [[paretoAbc]] via the window formulation. */
+  def paretoAbcOracleSql(aPct: Int = 80, bPct: Int = 95): String =
+    s"""WITH per AS (
+      |  SELECT l_partkey,
+      |         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |run AS (
+      |  SELECT rev,
+      |         COALESCE(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+      |         SUM(rev) OVER () AS total
+      |  FROM per),
+      |cls AS (
+      |  SELECT rev, total,
+      |         CASE WHEN CAST(before + rev AS HUGEINT) * 100 <= CAST(total AS HUGEINT) * $aPct THEN 'A'
+      |              WHEN CAST(before + rev AS HUGEINT) * 100 <= CAST(total AS HUGEINT) * $bPct THEN 'B'
+      |              ELSE 'C' END AS abc_class
+      |  FROM run)
+      |SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |       CAST(SUM(rev) AS BIGINT) AS class_cents,
+      |       CAST((CAST(SUM(rev) AS HUGEINT) * 1000000) // MAX(total) AS BIGINT) AS share_micro
+      |FROM cls GROUP BY abc_class""".stripMargin
+
   def giniRevenue(orders: DataFrame): DataFrame = {
     val rev = orders.groupBy(col("o_custkey"))
       .agg(sum(cents(col("o_totalprice"))).as("v"))

@@ -291,6 +291,32 @@ class Round6BatchSpec extends AnyFunSuite {
     assert(cov >= 1000000L * k / nCal) // at least k/n of residuals within
   }
 
+  test("paretoAbc splits a hand-built revenue tail at 80/95 exactly") {
+    // parts with revenue 0.50, 0.30, 0.15, 0.05 (cents 50/30/15/5):
+    // cumulative 50, 80 (A, <=80%), 95 (B, <=95%), 100 (C)
+    val li = Seq((1L, 0.50), (2L, 0.30), (3L, 0.15), (4L, 0.05))
+      .toDF("l_partkey", "l_extendedprice")
+    val got = graft.analytics.Metrics.paretoAbc(li).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      "A" -> ((2L, 80L, 800000L)),
+      "B" -> ((1L, 15L, 150000L)),
+      "C" -> ((1L, 5L, 50000L))))
+  }
+
+  test("sampleRatioMismatch fires on a skewed split, not a balanced one") {
+    def ev(ids: Seq[Long]) = ids.map(i => (i, "view")).toDF("event_id", "event_type")
+    val balanced = graft.analytics.Experiments
+      .sampleRatioMismatch(ev(1L to 1000L)).collect()(0)
+    assert(balanced.getLong(2) == 0L && !balanced.getBoolean(3))
+    // 900 even vs 100 odd: chi2 = 800^2/1000 = 640 >> 3.84
+    val skewIds = (1L to 1800L by 2).map(_ + 1) ++ (1L to 199L by 2)
+    val skewed = graft.analytics.Experiments
+      .sampleRatioMismatch(ev(skewIds)).collect()(0)
+    assert(skewed.getLong(2) == 640000000L && skewed.getBoolean(3))
+  }
+
   // ---------------- seeded-random differential properties ----------------
 
   private val rnd = new scala.util.Random(6026)
