@@ -303,6 +303,8 @@ object SparkEntry {
     "text_tfidf"    -> ((s, d) => Breadth3.tfidf(Tables.documents(s, d))),
     "q_sliding_windows" -> ((s, d) => Breadth3.slidingEventCounts(Tables.events(s, d))),
     "q_transitions"  -> ((s, d) => Breadth3.eventTransitions(Tables.events(s, d))),
+    // --- top whole-session navigation paths (prefix-capped) ---
+    "q_top_paths" -> ((s, d) => Breadth3.topSessionPaths(Tables.events(s, d))),
     "q_revenue_share" -> ((s, d) => Breadth3.nationRevenueShare(
       Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
     // contact strings are constructed identically in the oracle — the
@@ -1806,6 +1808,8 @@ object SparkEntry {
     "q_srm" -> graft.analytics.Experiments.srmOracleSql(),
     // window-formulation twin of the distributed prefix-sum ranking
     "q_pareto_abc" -> graft.analytics.Metrics.paretoAbcOracleSql(),
+    // same (ts, event_id) order, same prefix cap via ranked subquery
+    "q_top_paths" -> Breadth3.topSessionPathsOracleSql(),
     // oracle recomputes the top-10 from the merged snapshot — proves
     // incremental == recompute including the delete stripe
     "q_ivm_topk" ->

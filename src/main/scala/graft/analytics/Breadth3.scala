@@ -233,6 +233,55 @@ object Breadth3 {
         (col("n").cast("double") / col("n_from").cast("double")).as("prob"))
   }
 
+  /** Top user-day navigation paths: each user's chronological event-type
+    * sequence per calendar day, joined with '>' and counted corpus-wide —
+    * the "what do sessions actually look like" companion to the Markov
+    * transition matrix ([[eventTransitions]] shows edges; this shows the
+    * frequent WHOLE walks product analysts page through). Top `k` paths
+    * by frequency with a total-order tie-break.
+    *
+    * Determinism: events within a day sort by (ts, event_id) — the
+    * transition-matrix convention — and the path string is the ordered
+    * join, identical in both engines. Sessions longer than `maxEvents`
+    * keep their PREFIX (documented skew guard: a runaway bot session
+    * would otherwise build an unbounded string; the prefix is what a
+    * funnel analyst reads anyway). The cap is mirrored in the oracle.
+    *
+    * Scale: one hash agg keyed by (user, day) building a ≤maxEvents
+    * array, one path-count agg, one TakeOrderedAndProject.
+    */
+  def topSessionPaths(events: DataFrame, k: Int = 20,
+                      maxEvents: Int = 20): DataFrame = {
+    require(k >= 1 && maxEvents >= 1, "k and maxEvents must be >= 1")
+    val paths = events
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        struct(col("ts"), col("event_id"), col("event_type")).as("e"))
+      .groupBy("user_id", "day")
+      .agg(array_join(
+        slice(transform(array_sort(collect_list(col("e"))),
+          x => x.getField("event_type")), 1, maxEvents), ">").as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), asc("path"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[topSessionPaths]] — same (ts, event_id) order and
+    * prefix cap via a ranked subquery.
+    */
+  def topSessionPathsOracleSql(k: Int = 20, maxEvents: Int = 20): String =
+    s"""WITH ranked AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |                            ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |paths AS (
+      |  SELECT user_id, day,
+      |         string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM ranked WHERE rn <= $maxEvents GROUP BY 1, 2)
+      |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      |FROM paths GROUP BY 1
+      |ORDER BY n_sessions DESC, path LIMIT $k""".stripMargin
+
   // ------------------------------------------------------- revenue share
 
   /** Share-of-total per nation WITHOUT the one-partition window trap:

@@ -317,6 +317,23 @@ class Round6BatchSpec extends AnyFunSuite {
     assert(skewed.getLong(2) == 640000000L && skewed.getBoolean(3))
   }
 
+  test("topSessionPaths orders by (ts, event_id) and caps the prefix") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 7L, "view"),
+      (3L, ts("2024-01-01 09:05:00"), 7L, "click"),
+      (2L, ts("2024-01-01 09:05:00"), 7L, "cart"), // ts tie -> event_id order
+      (9L, ts("2024-01-02 10:00:00"), 7L, "view"), // next day: new session
+      (8L, ts("2024-01-01 11:00:00"), 8L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.analytics.Breadth3.topSessionPaths(ev)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("view>cart>click" -> 1L, "view" -> 2L))
+    val capped = graft.analytics.Breadth3.topSessionPaths(ev, maxEvents = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(capped == Map("view>cart" -> 1L, "view" -> 2L))
+  }
+
   // ---------------- seeded-random differential properties ----------------
 
   private val rnd = new scala.util.Random(6026)
