@@ -443,7 +443,7 @@ object Drift {
     * (cum·n products overflow BIGINT at corpus scale), micro-quantized
     * by one integer division. Unit: bucket widths.
     */
-  private[graft] def w1Select(buckets: Int, thresholdMicro: Long): Seq[Column] = {
+  private[graft] def w1Select(buckets: Int): Seq[Column] = {
     val D38 = DecimalType(38, 0)
     val cw = (0 until buckets).map(i => col(s"c$i"))
     val cr = (0 until buckets).map(i => col(s"r$i"))
@@ -492,7 +492,7 @@ object Drift {
     val rh = binned.groupBy()
       .agg(histAggs(buckets, "r").head, histAggs(buckets, "r").tail: _*)
     wh.crossJoin(broadcast(rh))
-      .select(w1Select(buckets, thresholdMicro): _*)
+      .select(w1Select(buckets): _*)
       .select(w1Finish(thresholdMicro): _*)
   }
 

@@ -94,7 +94,7 @@ object EventStreams {
         (0 until buckets).map(i => col(s"c$i")): _*)
     wh.withColumn("__k", lit(1))
       .join(broadcast(reference.withColumn("__k", lit(1))), "__k")
-      .select(graft.analytics.Drift.w1Select(buckets, thresholdMicro): _*)
+      .select(graft.analytics.Drift.w1Select(buckets): _*)
       .select(graft.analytics.Drift.w1Finish(thresholdMicro): _*)
   }
 
