@@ -389,6 +389,9 @@ object SparkEntry {
     // --- corpus-scale BPE tokenizer apply: codegen replace chain, no UDF ---
     "text_bpe_encode"  -> ((s, d) =>
       graft.text.Bpe.encodeCorpus(Tables.documents(s, d), bpeMerges)),
+    // --- tokenizer fertility (chars per BPE token) per source ---
+    "text_fertility" -> ((s, d) =>
+      graft.text.Bpe.fertilityBySource(Tables.documents(s, d), bpeMerges)),
     // --- Zipf power-law fit of the frequency distribution (corpus health) ---
     "text_zipf_slope"  -> ((s, d) => TextOps.zipfSlope(Tables.documents(s, d))),
     // --- deduplication (north star) ---
@@ -2318,6 +2321,29 @@ object SparkEntry {
          |       CAST(SUM(length(s) - length(replace(s, '(', ''))) AS BIGINT) AS n_bpe_tokens
          |FROM enc
          |GROUP BY doc_id""".stripMargin,
+    // same replace chain per word, per-source sums, one integer division
+    "text_fertility" ->
+      s"""WITH words AS (
+         |  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |flt AS (SELECT source, word FROM words WHERE regexp_matches(word, '^[a-z]+$$')),
+         |sym AS (
+         |  SELECT source, length(word) AS n_chars,
+         |         substring(regexp_replace(word, '(.)', '(\\1)', 'g'), 1,
+         |                   length(regexp_replace(word, '(.)', '(\\1)', 'g')) - 1)
+         |           || '</w>)' AS s0
+         |  FROM flt),
+         |enc AS (SELECT source, n_chars, $bpeReplaceChainSql AS s FROM sym),
+         |agg AS (
+         |  SELECT source,
+         |         CAST(COUNT(*) AS BIGINT) AS n_words,
+         |         CAST(SUM(n_chars) AS BIGINT) AS n_word_chars,
+         |         CAST(SUM(length(s) - length(replace(s, '(', ''))) AS BIGINT) AS n_bpe_tokens
+         |  FROM enc GROUP BY source)
+         |SELECT source, n_words, n_word_chars, n_bpe_tokens,
+         |       CAST((1000000 * CAST(n_word_chars AS HUGEINT)) // n_bpe_tokens AS BIGINT) AS fertility_micro,
+         |       FLOOR(CAST(n_word_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE) * 1e6 + 0.5) / 1e6 AS fertility
+         |FROM agg""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id, n_chars,
         |       CAST(CASE WHEN length(trim(text)) = 0 THEN 0

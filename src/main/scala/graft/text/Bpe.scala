@@ -247,6 +247,46 @@ object Bpe {
         sum(col("n_sym")).cast("long").as("n_bpe_tokens"))
   }
 
+  /** Tokenizer fertility by source: characters per BPE token for each
+    * corpus slice — THE tokenizer-health metric (a source whose fertility
+    * collapses toward 1 is being shattered into characters: the
+    * vocabulary doesn't fit it, its effective context shrinks, and its
+    * training cost per character balloons). Same merge-table replace
+    * chain as [[encodeCorpus]], aggregated per `source` with the exact
+    * word-character total carried alongside, fertility micro-quantized
+    * by integer division (the hash-compared column) plus one
+    * fixed-form double.
+    *
+    * Scale: identical to encodeCorpus — a per-row replace chain (no
+    * UDF, no shuffle before the per-source aggregation ≤ |sources|).
+    */
+  def fertilityBySource(documents: DataFrame,
+                        merges: Seq[(Int, String, String, String, Long)],
+                        tokenPattern: String = "^[a-z]+$"): DataFrame = {
+    import org.apache.spark.sql.functions.{replace => sreplace}
+    val staged = documents
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike(tokenPattern))
+      .select(col("source"), length(col("word")).as("n_chars"),
+        regexp_replace(col("word"), "(.)", "($1)").as("w"))
+    val sym0 = concat(expr("substring(w, 1, length(w) - 1)"), lit(Eow + ")"))
+    val encoded = merges.sortBy(_._1).foldLeft(sym0) { case (c, (_, l, r, m, _)) =>
+      sreplace(c, lit(s"($l)($r)"), lit(s"($m)"))
+    }
+    staged
+      .select(col("source"), col("n_chars"),
+        (length(encoded) - length(sreplace(encoded, lit("("), lit("")))).as("n_sym"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_chars")).cast("long").as("n_word_chars"),
+        sum(col("n_sym")).cast("long").as("n_bpe_tokens"))
+      .select(col("source"), col("n_words"), col("n_word_chars"),
+        col("n_bpe_tokens"),
+        expr("(1000000 * n_word_chars) div n_bpe_tokens").as("fertility_micro"),
+        (floor(col("n_word_chars").cast("double") /
+          col("n_bpe_tokens").cast("double") * 1e6 + 0.5) / 1e6).as("fertility"))
+  }
+
   /** Encode a single word with an ordered merge table — the driver-side
     * reference encoder (tests, interactive use; [[encodeCorpus]] is the
     * distributed equivalent, spec-proven to agree).

@@ -334,6 +334,18 @@ class Round6BatchSpec extends AnyFunSuite {
     assert(capped == Map("view>cart" -> 1L, "view" -> 2L))
   }
 
+  test("fertilityBySource: no merges = 1 char/token; a merge raises it") {
+    val docs = Seq(("web", "ab cd")).toDF("source", "text")
+    val none = graft.text.Bpe.fertilityBySource(docs, Nil).collect()(0)
+    // every char its own symbol: 4 chars, 4 tokens, fertility exactly 1
+    assert(none.getLong(1) == 2L && none.getLong(2) == 4L && none.getLong(3) == 4L)
+    assert(none.getLong(4) == 1000000L && none.getDouble(5) == 1.0)
+    val merged = graft.text.Bpe.fertilityBySource(docs,
+      Seq((1, "a", "b</w>", "ab</w>", 1L))).collect()(0)
+    // "ab" fuses to one token: 4 chars / 3 tokens
+    assert(merged.getLong(3) == 3L && merged.getLong(4) == 1333333L)
+  }
+
   // ---------------- seeded-random differential properties ----------------
 
   private val rnd = new scala.util.Random(6026)
