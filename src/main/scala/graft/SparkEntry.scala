@@ -457,6 +457,8 @@ object SparkEntry {
     "ann_topk_ivf"   -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),
     // trained-centroid path: 2 Lloyd iterations, fully oracle-replayed
     "ann_kmeans" -> ((s, d) => Ann.kmeansAssign(Tables.embeddings(s, d))),
+    // --- simplified silhouette: the internal quality number that picks k ---
+    "embed_silhouette" -> ((s, d) => Ann.kmeansSilhouette(Tables.embeddings(s, d))),
     // --- SemDeDup: within-cluster semantic dedup, farthest-from-centroid
     // survivors (Abbas et al. 2023); same 0.35 near-dup band as embed_neardup ---
     "embed_semdedup" -> ((s, d) => Ann.semDedup(Tables.embeddings(s, d))),
@@ -2463,6 +2465,8 @@ object SparkEntry {
     // the k-means training loop replayed end-to-end (seeding, rounded
     // argmin, fixed-point means) — generated CTE-per-iteration
     "ann_kmeans" -> graft.similarity.Ann.kmeansOracleSql(),
+    // identical training CTEs; b = min distance over OTHER centroids
+    "embed_silhouette" -> graft.similarity.Ann.silhouetteOracleSql(),
     // identical kmeans replay + within-cluster pair filter + survivor rule
     "embed_semdedup" -> graft.similarity.Ann.semDedupOracleSql(),
     // survivors = min-id representative per cluster

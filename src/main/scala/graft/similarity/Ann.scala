@@ -121,28 +121,45 @@ object Ann {
     require(k > 0 && iters >= 0, "need k > 0, iters >= 0")
     val e = corpus(embeddings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // deterministic seeds; k×dim doubles to the driver (model state)
+    val cents = trainCentroids(e, k, iters)
+    assignTo(e, cents).select(col("vec_id"), col("cid"), col("dist"))
+  }
+
+  /** The per-centroid (dist, cid) candidate structs against `cents`
+    * literals — shared by assignment and the silhouette read.
+    */
+  private def centDistStructs(cents: Seq[(Int, Array[Double])]): Seq[Column] =
+    cents.map { case (cid, c) =>
+      val lits = array(c.map(lit): _*)
+      struct(
+        round(aggregate(zip_with(col("v"), lits, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d), 6).as("d"),
+        lit(cid).as("cid"))
+    }
+
+  private def assignTo(e: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame = {
+    val candidates = centDistStructs(cents)
+    // least() demands >= 2 args; k = 1 degenerates to the single candidate
+    val best = if (candidates.size == 1) candidates.head else least(candidates: _*)
+    e.select(col("vec_id"), col("v"),
+      best.getField("cid").as("cid"), best.getField("d").as("dist"))
+  }
+
+  /** The Lloyd training loop of [[kmeansAssign]], extracted so metric
+    * reads ([[kmeansSilhouette]]) replay the identical run: deterministic
+    * md5-tape seeds, fixed-point 1e-9 means, empty clusters keep their
+    * previous centroid. Model state is k×dim doubles on the driver.
+    */
+  private def trainCentroids(e: DataFrame, k: Int,
+                             iters: Int): Seq[(Int, Array[Double])] = {
     var cents: Seq[(Int, Array[Double])] = e
       .select(col("vec_id"), col("v"), md5(col("vec_id").cast("string")).as("h"))
       .orderBy(col("h"), col("vec_id")).limit(k)
       .select(col("v")).collect()
       .toIndexedSeq.map(_.getSeq[Double](0).toArray).zipWithIndex
       .map { case (v, i) => (i + 1, v) }
-    def assign(): DataFrame = {
-      val candidates = cents.map { case (cid, c) =>
-        val lits = array(c.map(lit): _*)
-        struct(
-          round(aggregate(zip_with(col("v"), lits, (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, d) => acc + d), 6).as("d"),
-          lit(cid).as("cid"))
-      }
-      // least() demands >= 2 args; k = 1 degenerates to the single candidate
-      val best = if (candidates.size == 1) candidates.head else least(candidates: _*)
-      e.select(col("vec_id"), col("v"),
-        best.getField("cid").as("cid"), best.getField("d").as("dist"))
-    }
     for (_ <- 1 to iters) {
-      val means = assign()
+      val means = assignTo(e, cents)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
         .agg(sum((col("x") * lit(1.0e9)).cast("long")).as("s"),
@@ -157,8 +174,76 @@ object Ann {
         }
       cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
-    assign().select(col("vec_id"), col("cid"), col("dist"))
+    cents
   }
+
+  /** Simplified (centroid-based) silhouette of the trained k-means
+    * partition (Kaufman & Rousseeuw, "Finding Groups in Data", 1990,
+    * §2.5 — the O(n·k) variant production clustering evals use, since
+    * the classic O(n²) pairwise silhouette cannot be computed at corpus
+    * scale): per point, a = distance to OWN centroid, b = distance to
+    * the nearest OTHER centroid, s = (b − a)/max(a, b); averaged per
+    * cluster. The internal clustering-quality number that decides k —
+    * the evaluation companion to `ann_kmeans` the way `ann_recall`
+    * audits the ANN indexes.
+    *
+    * Determinism: distances are the same rounded-1e-6 doubles as the
+    * assignment; a is the lexicographic min over (d, cid) structs and b
+    * the second element of the same sorted array, so ties resolve
+    * exactly like the oracle's (d, cid) ROW_NUMBER; per-point s is
+    * micro-quantized and the per-cluster mean is one integer division.
+    * Degenerate a = b = 0 pins s to 0 (both engines, CASE'd).
+    *
+    * Scale: one pass of k fold-expressions per row (no shuffle), one
+    * hash agg keyed by cid.
+    */
+  def kmeansSilhouette(embeddings: DataFrame, k: Int = 4,
+                       iters: Int = 2): DataFrame = {
+    require(k >= 2 && iters >= 0, "silhouette needs k >= 2")
+    val e = corpus(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = trainCentroids(e, k, iters)
+    val sorted = array_sort(array(centDistStructs(cents): _*))
+    val a = element_at(sorted, 1).getField("d")
+    val b = element_at(sorted, 2).getField("d")
+    val s6 = when(greatest(a, b) === 0.0, 0L)
+      .otherwise(floor((b - a) / greatest(a, b) * 1e6 + 0.5).cast("long"))
+    e.select(element_at(sorted, 1).getField("cid").as("cid"), s6.as("s6"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_points"), sum("s6").as("ssum"))
+      .select(col("cid"), col("n_points"),
+        expr("ssum div n_points").as("mean_sil_micro"),
+        (col("ssum").cast("double") / (col("n_points").cast("double") * 1e6))
+          .as("mean_sil"))
+  }
+
+  /** DuckDB replay of [[kmeansSilhouette]]: the [[kmeansOracleCtes]]
+    * training run (own assignment = afinal), b as the min distance over
+    * OTHER centroids, identical quantization.
+    */
+  def silhouetteOracleSql(k: Int = 4, iters: Int = 2, dim: Int = 64): String =
+    s"""WITH ${kmeansOracleCtes(k, iters, dim)},
+       |alld AS (
+       |  SELECT e.vec_id, c.cid,
+       |         round(list_sum(list_transform(range(1, ${dim + 1}),
+       |           i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6) AS d
+       |  FROM e CROSS JOIN c$iters c),
+       |bdist AS (
+       |  SELECT a.vec_id, MIN(ad.d) AS b
+       |  FROM afinal a JOIN alld ad
+       |    ON ad.vec_id = a.vec_id AND ad.cid <> a.cid
+       |  GROUP BY 1),
+       |sil AS (
+       |  SELECT a.cid,
+       |         CASE WHEN GREATEST(a.d, b.b) = 0 THEN 0
+       |              ELSE CAST(FLOOR((b.b - a.d) / GREATEST(a.d, b.b) * 1e6 + 0.5) AS BIGINT)
+       |         END AS s6
+       |  FROM afinal a JOIN bdist b ON b.vec_id = a.vec_id)
+       |SELECT CAST(cid AS INTEGER) AS cid,
+       |       CAST(COUNT(*) AS BIGINT) AS n_points,
+       |       CAST(SUM(s6) // COUNT(*) AS BIGINT) AS mean_sil_micro,
+       |       CAST(SUM(s6) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e6) AS mean_sil
+       |FROM sil GROUP BY 1""".stripMargin
 
   /** The DuckDB replay of [[kmeansAssign]] (same k/iters/seeding/
     * rounding), generated CTE-per-iteration — lives here so the two

@@ -55,4 +55,22 @@ class KMeansSpec extends AnyFunSuite {
     assert(out.map(_._2).toSet.size === 1)
     spark.catalog.clearCache()
   }
+
+  test("silhouette: tight far blobs score near 1; one blob split scores low") {
+    val blobA = (1L to 10L).map(i => i -> Seq(10f + i * 0.001f, 10f, 10f, 10f))
+    val blobB = (11L to 20L).map(i => i -> Seq(-10f - i * 0.001f, -10f, -10f, -10f))
+    val good = Ann.kmeansSilhouette(emb(blobA ++ blobB: _*), k = 2, iters = 3)
+      .collect()
+    assert(good.length == 2)
+    good.foreach { r =>
+      assert(r.getLong(1) == 10L)
+      assert(r.getLong(2) > 990000L, s"tight separated blobs: ${r.getLong(2)}")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // k=4 over the same 2 true blobs: some cluster must score much lower
+    val split = Ann.kmeansSilhouette(emb(blobA ++ blobB: _*), k = 4, iters = 3)
+      .collect().map(_.getLong(2))
+    assert(split.min < 900000L)
+    spark.catalog.clearCache()
+  }
 }
