@@ -1104,7 +1104,27 @@ object SparkEntry {
           sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"),
           count(lit(1)).as("n_items"))
-    })
+    }),
+    // --- Theil–Sen robust trend slope: median of pairwise monthly slopes ---
+    "q_theil_sen" -> ((s, d) =>
+      graft.analytics.Breadth6.theilSenSlope(Tables.orders(s, d))),
+    // --- one-way ANOVA F across the five order-priority arms ---
+    "q_anova" -> ((s, d) =>
+      graft.analytics.Breadth6.anovaPriority(Tables.orders(s, d))),
+    // --- Herfindahl–Hirschman supplier-revenue concentration per region ---
+    "q_hhi" -> ((s, d) =>
+      graft.analytics.Breadth6.hhiSupplierConcentration(
+        Tables.lineitem(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d), Tables.region(s, d))),
+    // --- Flesch / Flesch–Kincaid readability per source ---
+    "text_readability" -> ((s, d) =>
+      TextOps.readability(Tables.documents(s, d))),
+    // --- Matryoshka prefix-dim recall gate vs full-dim ground truth ---
+    "embed_matryoshka" -> ((s, d) =>
+      Ann.matryoshkaRecall(Tables.embeddings(s, d))),
+    // --- per-label centroid cosine to the corpus centroid (drift) ---
+    "embed_centroid_drift" -> ((s, d) =>
+      Ann.centroidDrift(Tables.embeddings(s, d)))
   )
 
   /** Recursive-CTE oracle for duplicate clustering: the full minhash
@@ -3591,8 +3611,57 @@ object SparkEntry {
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders
         |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000.0)
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    "q_theil_sen" -> graft.analytics.Breadth6.theilSenOracleSql(),
+    "q_anova" -> graft.analytics.Breadth6.anovaOracleSql(),
+    "q_hhi" -> graft.analytics.Breadth6.hhiOracleSql(),
+    "text_readability" -> TextOps.readabilityOracleSql(),
+    "embed_matryoshka" -> matryoshkaOracle(),
+    "embed_centroid_drift" -> Ann.centroidDriftOracleSql()
   )
+
+  /** DuckDB replay of `Ann.matryoshkaRecall` — the bruteTopkOracle CTE
+    * shape instantiated twice (full vectors, then `v[1:dims]` prefixes)
+    * and graded with the recallEval join.
+    */
+  private def matryoshkaOracle(dims: Int = 16, k: Int = 5,
+                               nQueries: Int = 10): String = {
+    def cosSql = (qv: String, v: String) =>
+      s"""round(list_sum(list_transform(range(1, len($qv)+1), i -> $qv[i]*$v[i])) /
+         |               (sqrt(list_sum(list_transform($qv, x -> x*x))) *
+         |                sqrt(list_sum(list_transform($v, x -> x*x)))), 6)""".stripMargin
+    s"""WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries),
+      |scored AS (
+      |  SELECT query_id, vec_id, ${cosSql("qv", "v")} AS cosine
+      |  FROM q, e WHERE vec_id <> query_id),
+      |brute AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      |    FROM scored) t WHERE rank <= $k),
+      |et AS (SELECT vec_id, v[1:$dims] AS v FROM e),
+      |qt AS (SELECT vec_id AS query_id, v AS qv FROM et WHERE vec_id < $nQueries),
+      |scored_t AS (
+      |  SELECT query_id, vec_id, ${cosSql("qv", "v")} AS cosine
+      |  FROM qt, et e WHERE vec_id <> query_id),
+      |tr AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      |    FROM scored_t) t WHERE rank <= $k),
+      |hits AS (
+      |  SELECT t.query_id, COUNT(*) AS n_hit
+      |  FROM tr t JOIN brute b ON b.query_id = t.query_id AND b.vec_id = t.vec_id
+      |  GROUP BY 1),
+      |grid AS (SELECT DISTINCT query_id FROM brute)
+      |SELECT g.query_id,
+      |       CAST(COALESCE(h.n_hit, 0) AS INTEGER) AS n_hit,
+      |       round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / $k, 6) AS recall_at_$k
+      |FROM grid g LEFT JOIN hits h USING (query_id)""".stripMargin
+  }
 
   /** SCD2 history derivation (islands-and-gaps runs chained into
     * [eff_from, eff_to) intervals) as a reusable WITH prefix — shared by

@@ -3,6 +3,7 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`), BASELINE.json north star.
@@ -869,4 +870,110 @@ object Ann {
             transform(col("v"), x => round(x / col("scale")).cast("int")), ","))
           .as("q_csv"))
   }
+
+  /** Matryoshka truncation gate (Kusupati et al., NeurIPS'22 "Matryoshka
+    * Representation Learning"): recall@k of brute-force cosine retrieval
+    * run on only the FIRST `dims` dimensions of each embedding, graded
+    * against the full-dimension ground truth — the number a pipeline
+    * checks before storing truncated vectors to cut index size. Same
+    * output shape and grading join as [[recallEval]] (one row per query,
+    * empty candidate sets score 0, never vanish).
+    *
+    * Scale: both sides are [[bruteForceTopK]] — broadcast query sample
+    * over the partitioned corpus; the truncated side additionally prunes
+    * every vector to `dims` floats row-locally BEFORE the scoring join,
+    * so it also measures the bandwidth the truncation would save.
+    */
+  def matryoshkaRecall(embeddings: DataFrame, dims: Int = 16, k: Int = 5,
+                       nQueries: Int = 10): DataFrame = {
+    require(dims >= 1, "need at least one prefix dimension")
+    val full = bruteForceTopK(embeddings, k, nQueries)
+      .select(col("query_id"), col("vec_id"))
+    val truncated = bruteForceTopK(
+      embeddings.select(col("vec_id"),
+        slice(col("embedding"), 1, dims).as("embedding")), k, nQueries)
+      .select(col("query_id"), col("vec_id"))
+    val qs = full.select("query_id").distinct()
+    val hits = truncated.join(full, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    qs.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).cast("int").as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / k, 6)
+          .as(s"recall_at_$k"))
+  }
+
+  /** Embedding-space drift monitor: the cosine of each label's centroid
+    * to the CORPUS centroid — the cheap mean-vector check a training
+    * pipeline runs per source/slice before and after ingestion to catch
+    * embedding-space shifts (a slice whose centroid swings away from the
+    * corpus mean changed distribution, whatever the individual vectors
+    * say).
+    *
+    * Exactness: coordinates fold to 1e-9 fixed-point longs (truncation
+    * toward zero — the [[labelCentroids]] convention), per-(label, dim)
+    * sums run exact in DECIMAL(38,0), each MEAN is ONE truncating
+    * integer division (bounded by 1e9 in magnitude regardless of corpus
+    * size — scale-invariant headroom), and the cosine is one final IEEE
+    * expression over exact integer dot/norms, folded to 1e-6. The corpus
+    * centroid derives from the per-label sums (one extra bounded agg),
+    * not a second corpus pass.
+    *
+    * Output: (label, n_vecs, cos_to_corpus).
+    */
+  def centroidDrift(embeddings: DataFrame): DataFrame = {
+    val ex = embeddings
+      .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+        (col("x") * lit(1.0e9)).cast("long").as("xq"))
+    val perLabel = graft.Caching.materialize(
+      ex.groupBy("label", "pos")
+        .agg(sum(col("xq").cast(DecimalType(38, 0))).as("sl"),
+          count(lit(1)).as("nl")))
+    val global = perLabel.groupBy("pos")
+      .agg(sum(col("sl")).as("sg"), sum(col("nl")).as("ng"))
+    val dec = DecimalType(38, 0)
+    perLabel.join(broadcast(global), "pos")
+      .select(col("label"), col("nl"),
+        expr("sl div nl").as("ml"), expr("sg div ng").as("mg"))
+      .groupBy("label")
+      .agg(max(col("nl")).as("n_vecs"),
+        sum((col("ml") * col("mg")).cast(dec)).as("dot"),
+        sum((col("ml") * col("ml")).cast(dec)).as("n1"),
+        sum((col("mg") * col("mg")).cast(dec)).as("n2"))
+      .select(col("label"), col("n_vecs"),
+        when(col("n1") > 0 && col("n2") > 0,
+          floor(col("dot").cast("double") /
+            (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double")))
+            * 1e6 + 0.5) / 1e6).as("cos_to_corpus"))
+  }
+
+  /** DuckDB replay of [[centroidDrift]]. */
+  def centroidDriftOracleSql(): String =
+    """WITH ex AS (
+      |  SELECT label,
+      |         generate_subscripts(embedding, 1) AS pos,
+      |         CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * 1.0E9) AS BIGINT) AS xq
+      |  FROM embeddings),
+      |pl AS (
+      |  SELECT label, pos, SUM(CAST(xq AS HUGEINT)) AS sl, COUNT(*) AS nl
+      |  FROM ex GROUP BY 1, 2),
+      |g AS (SELECT pos, SUM(sl) AS sg, SUM(nl) AS ng FROM pl GROUP BY 1),
+      |m AS (
+      |  SELECT pl.label, pl.nl,
+      |         CAST(pl.sl // pl.nl AS BIGINT) AS ml,
+      |         CAST(g.sg // g.ng AS BIGINT) AS mg
+      |  FROM pl JOIN g USING (pos)),
+      |a AS (
+      |  SELECT label, MAX(nl) AS n_vecs,
+      |         SUM(CAST(ml AS HUGEINT) * mg) AS dot,
+      |         SUM(CAST(ml AS HUGEINT) * ml) AS n1,
+      |         SUM(CAST(mg AS HUGEINT) * mg) AS n2
+      |  FROM m GROUP BY 1)
+      |SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+      |       CASE WHEN n1 > 0 AND n2 > 0
+      |            THEN FLOOR(CAST(dot AS DOUBLE)
+      |                 / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))
+      |                 * 1e6 + 0.5) / 1e6 END AS cos_to_corpus
+      |FROM a""".stripMargin
 }

@@ -604,4 +604,83 @@ object TextOps {
         array_join(slice(col("t"), col("start") + 1, lit(size)), " ").as("chunk_text"),
         least(col("n") - col("start"), lit(size)).cast("int").as("n_tokens"))
   }
+
+  /** Per-source readability: Flesch reading ease + Flesch–Kincaid grade
+    * (Flesch 1948; Kincaid et al. 1975) — the classic corpus-quality
+    * signals readability-based filters bucket web text with:
+    *
+    *   flesch = 206.835 − 1.015·(W/S) − 84.6·(Y/W)
+    *   fk_grade = 0.39·(W/S) + 11.8·(Y/W) − 15.59
+    *
+    * with W whitespace words ([[tokens]]), S sentence-ender runs
+    * (`[.!?]+`, floored at 1 per doc so unpunctuated text still counts
+    * one sentence), Y the vowel-run syllable proxy (`[aeiouy]+` runs in
+    * the lowercased text — the standard heuristic where a dictionary is
+    * unavailable; runs never span whitespace, so it equals the per-word
+    * sum).
+    *
+    * Exactness: W/S/Y are exact long counts aggregated per source; each
+    * formula is ONE fixed IEEE expression over the exact integers,
+    * folded to 1e-6 — same determinism argument as [[Metrics]]'s Welch
+    * shape. Sources with zero words emit NULL scores rather than NaN.
+    *
+    * Scale shape: three codegen'd regex counts per row (no UDF), one
+    * map-side-combined aggregate to the source-bounded relation.
+    */
+  def readability(documents: DataFrame): DataFrame = {
+    val perDoc = documents.select(
+      col("source"),
+      org.apache.spark.sql.functions.size(tokens(col("text")))
+        .cast("long").as("w"),
+      greatest(lit(1L),
+        org.apache.spark.sql.functions.size(
+          expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long")).as("s"),
+      org.apache.spark.sql.functions.size(
+        expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+        .cast("long").as("y"))
+    val wd = col("n_words").cast("double")
+    val sd = col("n_sentences").cast("double")
+    val yd = col("n_syllables").cast("double")
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("s")).as("n_sentences"), sum(col("y")).as("n_syllables"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_sentences"), col("n_syllables"),
+        when(col("n_words") > 0,
+          floor((lit(206.835) - lit(1.015) * (wd / sd) - lit(84.6) * (yd / wd))
+            * 1e6 + 0.5) / 1e6).as("flesch"),
+        when(col("n_words") > 0,
+          floor((lit(0.39) * (wd / sd) + lit(11.8) * (yd / wd) - lit(15.59))
+            * 1e6 + 0.5) / 1e6).as("fk_grade"))
+  }
+
+  /** DuckDB replay of [[readability]] — identical counts and fixed
+    * expression shapes; float literals carry `e0` so DuckDB parses them
+    * as DOUBLE (bare decimals would be DECIMAL and change arithmetic).
+    */
+  def readabilityOracleSql(): String =
+    """WITH per AS (
+      |  SELECT source,
+      |         CASE WHEN length(trim(text)) = 0 THEN 0
+      |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS w,
+      |         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
+      |         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+      |  FROM documents),
+      |agg AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |         SUM(w) AS nw, SUM(s) AS ns, SUM(y) AS ny
+      |  FROM per GROUP BY 1)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |       CAST(nw AS BIGINT) AS n_words,
+      |       CAST(ns AS BIGINT) AS n_sentences,
+      |       CAST(ny AS BIGINT) AS n_syllables,
+      |       CASE WHEN nw > 0 THEN FLOOR((206.835e0
+      |            - 1.015e0 * (CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE))
+      |            - 84.6e0 * (CAST(ny AS DOUBLE) / CAST(nw AS DOUBLE)))
+      |            * 1e6 + 0.5) / 1e6 END AS flesch,
+      |       CASE WHEN nw > 0 THEN FLOOR((0.39e0
+      |            * (CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE))
+      |            + 11.8e0 * (CAST(ny AS DOUBLE) / CAST(nw AS DOUBLE))
+      |            - 15.59e0) * 1e6 + 0.5) / 1e6 END AS fk_grade
+      |FROM agg""".stripMargin
 }
