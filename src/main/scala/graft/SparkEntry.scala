@@ -1124,7 +1124,15 @@ object SparkEntry {
       Ann.matryoshkaRecall(Tables.embeddings(s, d))),
     // --- per-label centroid cosine to the corpus centroid (drift) ---
     "embed_centroid_drift" -> ((s, d) =>
-      Ann.centroidDrift(Tables.embeddings(s, d)))
+      Ann.centroidDrift(Tables.embeddings(s, d))),
+    // --- GDPR erasure cascade audit: affected counts + surviving-key checksums ---
+    "q_delete_propagation" -> ((s, d) =>
+      graft.etl.Erasure.erasureAudit(
+        Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    // --- Apriori level-3: top-k frequent item triples in order baskets ---
+    "q_basket_triples" -> ((s, d) =>
+      graft.analytics.Baskets.frequentTriples(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey"))
   )
 
   /** Recursive-CTE oracle for duplicate clustering: the full minhash
@@ -3617,7 +3625,9 @@ object SparkEntry {
     "q_hhi" -> graft.analytics.Breadth6.hhiOracleSql(),
     "text_readability" -> TextOps.readabilityOracleSql(),
     "embed_matryoshka" -> matryoshkaOracle(),
-    "embed_centroid_drift" -> Ann.centroidDriftOracleSql()
+    "embed_centroid_drift" -> Ann.centroidDriftOracleSql(),
+    "q_delete_propagation" -> graft.etl.Erasure.erasureAuditOracleSql(),
+    "q_basket_triples" -> graft.analytics.Baskets.frequentTriplesOracleSql()
   )
 
   /** DuckDB replay of `Ann.matryoshkaRecall` — the bruteTopkOracle CTE

@@ -343,4 +343,78 @@ object Baskets {
       |       CAST(SUM(hit) AS BIGINT) AS n_hits,
       |       CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS hit_rate
       |FROM verdict GROUP BY 1""".stripMargin
+
+  /** Top-k frequent 3-itemsets (Agrawal & Srikant, VLDB'94 Apriori,
+    * level 3): the unordered item triples co-occurring in the most
+    * baskets — what a bundling/assortment analysis reads after the pair
+    * family ([[pairLift]], [[itemNeighbors]]).
+    *
+    * Level-1 Apriori prune (items below `minSupport` can't be in any
+    * frequent triple — lossless) runs before the expansion; the triple
+    * expansion itself is ROW-LOCAL over each basket's sorted
+    * frequent-item array (nested slice-lambdas under codegen, each
+    * canonical a<b<c triple emitted exactly once), explode-guarded by
+    * `maxBasketSize` — one degenerate basket would otherwise emit
+    * |b|³/6 rows on one key, so the cap is the skew guard (mirrored in
+    * the oracle). Output is top-k by (support DESC, triple ASC) —
+    * plans as TakeOrderedAndProject, deterministic at any scale
+    * (supports tie at 1 on sparse corpora; the lexicographic key still
+    * pins the result).
+    *
+    * Scale shape: one distinct + one count shuffle for the prune, one
+    * basket group-by, the in-row expansion, one counting aggregate
+    * (map-side combined — triples from the same basket prefix combine
+    * before the shuffle), one top-k. Level-2 pruning (restrict to
+    * frequent PAIRS before expanding) is the next knob if a corpus's
+    * triple stream ever dominates; at cap=256 the per-basket bound is
+    * ~2.8M rows, and real baskets are far below the cap.
+    */
+  def frequentTriples(basketItems: DataFrame, basketCol: String,
+                      itemCol: String, minSupport: Long = 2L, k: Int = 100,
+                      maxBasketSize: Int = 256): DataFrame = {
+    require(minSupport >= 1 && k >= 1, "need support and k >= 1")
+    require(maxBasketSize >= 3, "triples need baskets of at least 3 items")
+    val items = basketItems.select(col(basketCol), col(itemCol)).distinct()
+    val itemCnt = items.groupBy(itemCol).agg(count(lit(1)).as("c_item"))
+    val frequent = items.join(
+      itemCnt.filter(col("c_item") >= minSupport).select(itemCol), itemCol)
+    val arrays = frequent.groupBy(basketCol)
+      .agg(array_sort(collect_set(col(itemCol))).as("items"))
+      .filter(size(col("items")).between(3, maxBasketSize))
+    arrays.select(explode(expr(
+      """flatten(transform(items, (x, i) ->
+        |  flatten(transform(slice(items, i + 2, size(items) - i - 1), (y, j) ->
+        |    transform(slice(items, i + j + 3, size(items) - i - j - 2),
+        |              z -> struct(x AS item_a, y AS item_b, z AS item_c))))))"""
+        .stripMargin)).as("t"))
+      .select(col("t.item_a"), col("t.item_b"), col("t.item_c"))
+      .groupBy("item_a", "item_b", "item_c")
+      .agg(count(lit(1)).as("support"))
+      .orderBy(desc("support"), asc("item_a"), asc("item_b"), asc("item_c"))
+      .limit(k)
+  }
+
+  /** DuckDB replay of [[frequentTriples]] on order baskets — the
+    * equi-keyed three-way self-join (every join edge carries the basket
+    * key; a chained inequality-only edge would explode the planner's
+    * join order) with the identical prune/cap/top-k.
+    */
+  def frequentTriplesOracleSql(minSupport: Long = 2L, k: Int = 100,
+                               maxBasketSize: Int = 256): String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |ic AS (SELECT l_partkey, COUNT(*) AS c_item FROM items GROUP BY 1),
+       |fi AS (
+       |  SELECT i.l_orderkey, i.l_partkey FROM items i
+       |  JOIN ic ON ic.l_partkey = i.l_partkey AND ic.c_item >= $minSupport),
+       |ok AS (SELECT l_orderkey FROM fi GROUP BY 1
+       |       HAVING COUNT(*) BETWEEN 3 AND $maxBasketSize),
+       |f AS (SELECT fi.* FROM fi JOIN ok USING (l_orderkey))
+       |SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+       |       c.l_partkey AS item_c, COUNT(*) AS support
+       |FROM f a
+       |JOIN f b ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+       |JOIN f c ON c.l_orderkey = b.l_orderkey AND c.l_partkey > b.l_partkey
+       |GROUP BY 1, 2, 3
+       |ORDER BY support DESC, item_a, item_b, item_c
+       |LIMIT $k""".stripMargin
 }
