@@ -215,6 +215,10 @@ object SparkEntry {
       graft.operators.LayoutPrune.layoutPruneStats(Tables.events(s, d))),
     // per-column data profile (nulls + exact distincts, one scan)
     "q_profile" -> ((s, d) => graft.etl.Profile.profile(Tables.orders(s, d))),
+    // --- single-LHS functional-dependency discovery over part attrs ---
+    "q_fd_discovery" -> ((s, d) => graft.etl.Dependencies.functionalDeps(
+      Tables.part(s, d),
+      Seq("p_name", "p_brand", "p_type", "p_size"))),
     // --- k-anonymity audit (Sweeney 2002): equivalence-class sizes over the
     // quasi-identifier tuple, classes below k=5 flagged re-identifiable —
     // the privacy gate a corpus runs before release. One shuffle on the
@@ -303,6 +307,9 @@ object SparkEntry {
     "text_tfidf"    -> ((s, d) => Breadth3.tfidf(Tables.documents(s, d))),
     "q_sliding_windows" -> ((s, d) => Breadth3.slidingEventCounts(Tables.events(s, d))),
     "q_transitions"  -> ((s, d) => Breadth3.eventTransitions(Tables.events(s, d))),
+    // --- stationary distribution of the event-type Markov chain ---
+    "q_markov_stationary" -> ((s, d) =>
+      graft.analytics.Markov.stationaryEventTypes(Tables.events(s, d))),
     // --- top whole-session navigation paths (prefix-capped) ---
     "q_top_paths" -> ((s, d) => Breadth3.topSessionPaths(Tables.events(s, d))),
     "q_revenue_share" -> ((s, d) => Breadth3.nationRevenueShare(
@@ -436,11 +443,16 @@ object SparkEntry {
     }),
     // BM25 lexical search top-k (micro-unit exact score sums)
     "text_bm25_topk" -> ((s, d) => graft.text.Bm25.topK(Tables.documents(s, d))),
+    // --- Rocchio/RM3 pseudo-relevance-feedback expanded retrieval ---
+    "text_prf_topk" -> ((s, d) => graft.text.Bm25.prfTopK(Tables.documents(s, d))),
     // --- hybrid retrieval: RRF fusion of BM25 + dense cosine ranks ---
     "q_hybrid_rrf" -> ((s, d) => graft.pipeline.Retrieval.hybridTopK(
       Tables.documents(s, d), Tables.embeddings(s, d))),
     // unigram LM quality scoring (CCNet-style perplexity filter)
     "text_lm_score" -> ((s, d) => graft.text.Bm25.unigramLogprob(Tables.documents(s, d))),
+    // --- multinomial Naive Bayes source classifier on the 20% holdout ---
+    "text_nb_classify" -> ((s, d) =>
+      graft.text.NaiveBayes.classifyBySource(Tables.documents(s, d))),
     // interpolated Kneser-Ney bigram LM (Chen & Goodman 1998)
     "text_kn_bigram" -> ((s, d) => graft.text.Bm25.knBigramLogprob(Tables.documents(s, d))),
     // --- similarity search over embeddings (north star) ---
@@ -716,6 +728,9 @@ object SparkEntry {
     // --- seasonal-naive forecast baseline with per-month APE ---
     "q_forecast_naive" -> ((s, d) =>
       graft.analytics.Drift.seasonalNaiveBacktest(Tables.orders(s, d))),
+    // --- Brown's double exponential smoothing: level/trend forecast ---
+    "q_forecast_brown" -> ((s, d) =>
+      graft.analytics.Drift.brownSmoothing(Tables.orders(s, d))),
     // --- Welch A/B t-test from exact power sums ---
     "q_ab_ttest" -> ((s, d) =>
       graft.analytics.Metrics.welchTTest(Tables.orders(s, d))),
@@ -979,6 +994,9 @@ object SparkEntry {
     // --- t-closeness: EMD of the class balance-decile CDF vs global ---
     "q_tcloseness" -> ((s, d) =>
       graft.analytics.Privacy.tCloseness(Tables.customer(s, d))),
+    // --- ε-DP histogram release: deterministic-draw Laplace mechanism ---
+    "q_dp_counts" -> ((s, d) =>
+      graft.analytics.Privacy.dpNoisyCounts(Tables.customer(s, d))),
     // --- winsorized robust summary: clip at exact p01/p99, cents-sum mean ---
     "q_winsorize" -> ((s, d) =>
       Breadth3.winsorizedStats(Tables.orders(s, d))),
@@ -1899,6 +1917,10 @@ object SparkEntry {
         |WHERE rank <= 5""".stripMargin,
     // identical lag window + left-associated dyadic weighted sum
     "q_ewma" -> graft.analytics.Drift.ewmaOracleSql(),
+    // six unrolled HUGEINT // power-iteration rounds over lead-window pairs
+    "q_markov_stationary" -> graft.analytics.Markov.stationaryOracleSql(),
+    // two identical lag-window chains; bit-equal doubles, no folds
+    "q_forecast_brown" -> graft.analytics.Drift.brownOracleSql(),
     // NTILE over identical total orders; exact cents and day arithmetic
     "q_rfm" -> Breadth3.rfmOracleSql(),
     "q_forecast_naive" -> graft.analytics.Drift.seasonalNaiveOracleSql(),
@@ -2925,6 +2947,8 @@ object SparkEntry {
     // BM25: identical literal constants and association order; scores are
     // exact micro-unit long sums, so partial-agg order can't move them
     "text_bm25_topk" -> bm25TopkOracle(),
+    // bm25 CTE chain + feedback/harvest/re-score rounds, exact long sums
+    "text_prf_topk" -> prfTopkOracle(),
     // RRF fusion of the same two replays at depth 20
     "q_hybrid_rrf" -> hybridRrfOracle,
     // one SELECT per profiled column, stacked
@@ -3267,6 +3291,13 @@ object SparkEntry {
         |FROM c""".stripMargin,
     // spine-filled class and global CDFs, HUGEINT EMD numerators
     "q_tcloseness" -> graft.analytics.Privacy.tClosenessOracleSql(),
+    // identical md5 lattice uniform + inverse-CDF Laplace, one fold point
+    "q_dp_counts" -> graft.analytics.Privacy.dpNoisyCountsOracleSql(),
+    // one UNION ALL branch per ordered column pair, same NULL sentinel
+    "q_fd_discovery" -> graft.etl.Dependencies.functionalDepsOracleSql(
+      "part", Seq("p_name", "p_brand", "p_type", "p_size")),
+    // same split, counts, ln() micro-quantization points and argmax tie-break
+    "text_nb_classify" -> graft.text.NaiveBayes.classifyOracleSql(),
     // quantile_cont == Spark percentile (linear interpolation); clipped
     // values fold to cents before the exact sum
     "q_winsorize" ->
@@ -3807,6 +3838,69 @@ object SparkEntry {
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       |        ORDER BY score_micro DESC, doc_id) AS rnk FROM scored) t
       |WHERE rnk <= $k""".stripMargin
+
+  /** RM3-style PRF replay: the bm25TopkOracle CTE chain extended with
+    * feedback-doc selection, NOT-EXISTS new-term harvest (exact long
+    * weights, token tie-break) and the expanded-term re-score.
+    */
+  private def prfTopkOracle(k: Int = 5, fbDocs: Int = 5, fbTerms: Int = 3): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, lower(t) AS token
+      |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+      |        FROM documents) u
+      |  WHERE t <> ''),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+      |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      |stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+      |                 (SELECT SUM(dl) FROM dl) AS total_len),
+      |posting AS (
+      |  SELECT tf.doc_id, tf.token,
+      |         CAST(floor(
+      |           ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+      |           * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+      |                / (CAST(s.total_len AS DOUBLE) / s.n_docs))))
+      |           * 1000000.0 + 0.5) AS BIGINT) AS s_micro
+      |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+      |          JOIN dfreq d ON tf.token = d.token
+      |          CROSS JOIN stats s),
+      |q AS (SELECT DISTINCT doc_id AS query_id, token FROM toks WHERE doc_id < 10),
+      |scored1 AS (
+      |  SELECT q.query_id, p.doc_id, CAST(SUM(p.s_micro) AS BIGINT) AS score_micro
+      |  FROM posting p JOIN q ON p.token = q.token
+      |  WHERE p.doc_id <> q.query_id
+      |  GROUP BY 1, 2),
+      |fb AS (
+      |  SELECT query_id, doc_id
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |          ORDER BY score_micro DESC, doc_id) AS rnk FROM scored1) t
+      |  WHERE rnk <= $fbDocs),
+      |cand AS (
+      |  SELECT f.query_id, p.token, CAST(SUM(p.s_micro) AS BIGINT) AS w_micro
+      |  FROM posting p JOIN fb f ON p.doc_id = f.doc_id
+      |  GROUP BY 1, 2),
+      |expn AS (
+      |  SELECT query_id, token
+      |  FROM (SELECT c.query_id, c.token, ROW_NUMBER() OVER (
+      |          PARTITION BY c.query_id ORDER BY c.w_micro DESC, c.token) AS rk
+      |        FROM cand c
+      |        WHERE NOT EXISTS (SELECT 1 FROM q
+      |                          WHERE q.query_id = c.query_id AND q.token = c.token)) t
+      |  WHERE rk <= $fbTerms),
+      |expanded AS (SELECT query_id, token FROM q
+      |             UNION ALL SELECT query_id, token FROM expn),
+      |nterms AS (SELECT query_id, COUNT(*) AS n_query_terms FROM expanded GROUP BY 1),
+      |scored2 AS (
+      |  SELECT e.query_id, p.doc_id, CAST(SUM(p.s_micro) AS BIGINT) AS score_micro
+      |  FROM posting p JOIN expanded e ON p.token = e.token
+      |  WHERE p.doc_id <> e.query_id
+      |  GROUP BY 1, 2)
+      |SELECT s.query_id, s.doc_id, s.score_micro,
+      |       CAST(s.rnk AS INTEGER) AS rank, n.n_query_terms
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY score_micro DESC, doc_id) AS rnk FROM scored2) s
+      |JOIN nterms n ON n.query_id = s.query_id
+      |WHERE s.rnk <= $k""".stripMargin
 
   /** RRF fusion (SIGIR'09) of the BM25 and brute-cosine replays at
     * depth 20: integer-division micro-contributions so the fused score

@@ -650,4 +650,104 @@ object Drift {
        |       ($num) / ($den) AS ewma
        |FROM lagged""".stripMargin
   }
+
+  /** Brown's double exponential smoothing (Brown & Meyer, Operations
+    * Research 9(5), 1961; the LES chapter of Hyndman & Athanasopoulos) —
+    * the trend-aware rung above [[ewmaMonthlyOrders]] on the forecasting
+    * ladder: smooth the series (S′), smooth the smoothed series (S″),
+    * then level = 2S′ − S″, trend = (α/(1−α))(S′ − S″) and the
+    * one-step-ahead forecast level + trend. At α = 1/2 the trend factor
+    * is exactly 1, so every coefficient stays binary-exact.
+    *
+    * Both smoothing passes reuse the ewma discipline: a FINITE lag
+    * window (truncated geometric weights, renormalized over the lags
+    * present) so each S is a closed-form expression, not a recurrence —
+    * the left-associated dyadic weighted sum both engines evaluate
+    * identically. S″ chains a second identical lag window over the S′
+    * column; every product/sum/division shape is mirrored in the oracle,
+    * so the doubles are bit-equal with no quantization needed.
+    *
+    * The windows order the GLOBAL monthly relation — a bounded domain
+    * (one row per month of corpus history), the sanctioned
+    * single-partition-window case, same as the decile relation.
+    *
+    * Output: (month_start, n_orders, s1, s2, level, trend, forecast) —
+    * `forecast` is the one-step-ahead prediction made AT month_start.
+    */
+  def brownSmoothing(orders: DataFrame, lags: Int = 6): DataFrame = {
+    require(lags >= 2 && lags <= 30, "lags must be in [2, 30]")
+    val monthly = orders
+      .groupBy(trunc(col("o_orderdate").cast("date"), "month").as("month_start"))
+      .agg(count(lit(1)).as("n_orders"))
+    val w = Window.orderBy("month_start")
+    val weights = (0 until lags).map(k => math.pow(0.5, k + 1))
+    def smooth(src: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+               pfx: String, df: DataFrame, valueCol: String): DataFrame = {
+      val withLags = (0 until lags).foldLeft(df) { (d, k) =>
+        d.withColumn(s"$pfx$k", lag(col(valueCol), k).over(w))
+      }
+      val num = (0 until lags).map(k =>
+        when(col(s"$pfx$k").isNotNull, src(col(s"$pfx$k")) * weights(k))
+          .otherwise(0.0): org.apache.spark.sql.Column).reduce(_ + _)
+      val den = (0 until lags).map(k =>
+        when(col(s"$pfx$k").isNotNull, lit(weights(k)))
+          .otherwise(0.0): org.apache.spark.sql.Column).reduce(_ + _)
+      withLags.withColumn(s"${pfx}s", num / den)
+        .drop((0 until lags).map(k => s"$pfx$k"): _*)
+    }
+    val d1 = smooth(_.cast("double"), "a", monthly, "n_orders")
+      .withColumnRenamed("as", "s1")
+    val d2 = smooth(identity, "b", d1, "s1").withColumnRenamed("bs", "s2")
+    d2.select(col("month_start"), col("n_orders"), col("s1"), col("s2"),
+        (lit(2.0) * col("s1") - col("s2")).as("level"),
+        (col("s1") - col("s2")).as("trend"))
+      .withColumn("forecast", col("level") + col("trend"))
+  }
+
+  /** DuckDB replay of [[brownSmoothing]]: the identical two lag-window
+    * chains and arithmetic shapes — bit-equal doubles, no folds.
+    */
+  def brownOracleSql(lags: Int = 6): String = {
+    val weights = (0 until lags).map(k =>
+      BigDecimal(math.pow(0.5, k + 1)).bigDecimal.toPlainString + "e0")
+    def chain(pfx: String, src: String, castDouble: Boolean): (String, String, String) = {
+      val lagDefs = (0 until lags).map(k =>
+        s"LAG($src, $k) OVER (ORDER BY month_start) AS $pfx$k")
+        .mkString(",\n         ")
+      val term = (k: Int) =>
+        if (castDouble) s"CAST($pfx$k AS DOUBLE)" else s"$pfx$k"
+      val num = (0 until lags).map(k =>
+        s"CASE WHEN $pfx$k IS NOT NULL THEN ${term(k)} * ${weights(k)} ELSE 0e0 END")
+        .mkString(" + ")
+      val den = (0 until lags).map(k =>
+        s"CASE WHEN $pfx$k IS NOT NULL THEN ${weights(k)} ELSE 0e0 END")
+        .mkString(" + ")
+      (lagDefs, num, den)
+    }
+    val (lag1, num1, den1) = chain("a", "n_orders", castDouble = true)
+    val (lag2, num2, den2) = chain("b", "s1", castDouble = false)
+    s"""WITH monthly AS (
+       |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       |         COUNT(*) AS n_orders
+       |  FROM orders GROUP BY 1),
+       |l1 AS (
+       |  SELECT month_start, n_orders,
+       |         $lag1
+       |  FROM monthly),
+       |d1 AS (
+       |  SELECT month_start, n_orders, ($num1) / ($den1) AS s1 FROM l1),
+       |l2 AS (
+       |  SELECT month_start, n_orders, s1,
+       |         $lag2
+       |  FROM d1),
+       |d2 AS (
+       |  SELECT month_start, n_orders, s1, ($num2) / ($den2) AS s2 FROM l2),
+       |lt AS (
+       |  SELECT month_start, n_orders, s1, s2,
+       |         2.0e0 * s1 - s2 AS level, s1 - s2 AS trend
+       |  FROM d2)
+       |SELECT month_start, n_orders, s1, s2, level, trend,
+       |       level + trend AS forecast
+       |FROM lt""".stripMargin
+  }
 }

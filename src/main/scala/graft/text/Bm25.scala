@@ -172,6 +172,18 @@ object Bm25 {
     * over the queries' distinct tokens. Self-matches excluded.
     */
   def topK(documents: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val (posting, toks) = postingAndTokens(documents)
+    val queryTerms = toks.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("token")).distinct()
+    rankedTopK(posting, queryTerms, k)
+      .select(col("query_id"), col("doc_id"), col("score_micro"),
+        (col("score_micro").cast("double") / 1.0e6).as("score"), col("rank"))
+  }
+
+  /** The shared BM25 machinery: the (doc, token, micro-score) posting
+    * relation plus the raw token explosion it came from.
+    */
+  private def postingAndTokens(documents: DataFrame): (DataFrame, DataFrame) = {
     val toks = documents
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("raw"))
       .filter(col("raw") =!= "")
@@ -200,8 +212,14 @@ object Bm25 {
       .join(dfreq, "token")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("token"), scoreMicro.as("s_micro"))
-    val queryTerms = toks.filter(col("doc_id") < nQueries)
-      .select(col("doc_id").as("query_id"), col("token")).distinct()
+    (posting, toks)
+  }
+
+  /** Score `queryTerms` against `posting`, excluding self-matches, and
+    * keep the per-query top `k` (ties on doc_id).
+    */
+  private def rankedTopK(posting: DataFrame, queryTerms: DataFrame,
+                         k: Int): DataFrame = {
     val scored = posting
       .join(broadcast(queryTerms), "token")
       .filter(col("doc_id") =!= col("query_id"))
@@ -211,7 +229,60 @@ object Bm25 {
       .orderBy(col("score_micro").desc, col("doc_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Pseudo-relevance-feedback query expansion (Rocchio 1971, in the
+    * RM3-flavored form modern IR stacks run it: Abdul-Jaleel et al.,
+    * TREC 2004): retrieve the top `fbDocs` documents for each query,
+    * harvest the `fbTerms` highest-weight NEW terms from them (term
+    * weight = the exact long sum of the term's BM25 micro-scores across
+    * the feedback set — the Rocchio centroid numerator on BM25 weights),
+    * append them to the query, and re-run retrieval. The recall lever
+    * every lexical pipeline pulls when queries are short.
+    *
+    * Determinism: posting scores are the micro-longs [[topK]] proved;
+    * both the expansion-term weights and the final scores are exact
+    * integer sums; both ranking windows tie-break on (token asc) /
+    * (doc_id asc). The oracle replays the full chain as CTEs.
+    *
+    * Scale shape: ONE posting build feeds first-pass scoring, term
+    * harvest and the re-score (hence the materialize); the feedback and
+    * expansion relations are benchmark-sized (nQueries × fbDocs /
+    * fbTerms rows) and broadcast. The re-score join is the same
+    * posting-list equi-join as the first pass with ≤ fbTerms extra
+    * terms per query.
+    *
+    * Output: (query_id, doc_id, score_micro, rank, n_query_terms) with
+    * `n_query_terms` the expanded term-set size, constant per query.
+    */
+  def prfTopK(documents: DataFrame, k: Int = 5, fbDocs: Int = 5,
+              fbTerms: Int = 3, nQueries: Int = 10): DataFrame = {
+    require(k >= 1 && fbDocs >= 1 && fbTerms >= 0, "need positive depths")
+    val (postingRaw, toks) = postingAndTokens(documents)
+    val posting = graft.Caching.materialize(postingRaw)
+    val queryTerms = toks.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("token")).distinct()
+    val fb = rankedTopK(posting, queryTerms, fbDocs)
+      .select(col("query_id"), col("doc_id"))
+    // candidate expansion terms: every (query, term) present in the
+    // query's feedback docs but not in the query itself, weighted by the
+    // exact sum of the term's feedback-doc micro-scores
+    val wExp = Window.partitionBy("query_id")
+      .orderBy(col("w_micro").desc, col("token").asc)
+    val expansion = posting
+      .join(broadcast(fb), "doc_id")
+      .groupBy(col("query_id"), col("token"))
+      .agg(sum(col("s_micro")).as("w_micro"))
+      .join(queryTerms, Seq("query_id", "token"), "left_anti")
+      .withColumn("rk", row_number().over(wExp))
+      .filter(col("rk") <= fbTerms)
+      .select(col("query_id"), col("token"))
+    val expanded = queryTerms.unionByName(expansion)
+    val nTerms = expanded.groupBy("query_id")
+      .agg(count(lit(1)).as("n_query_terms"))
+    rankedTopK(posting, expanded, k)
+      .join(broadcast(nTerms), "query_id")
       .select(col("query_id"), col("doc_id"), col("score_micro"),
-        (col("score_micro").cast("double") / 1.0e6).as("score"), col("rank"))
+        col("rank"), col("n_query_terms"))
   }
 }
