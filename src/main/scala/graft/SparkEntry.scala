@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, desc, element_at, floor, lit, lpad}
+import org.apache.spark.sql.functions.{col, concat, desc, element_at, floor, lit, lpad, substring, when}
 
 import graft.analytics.{Breadth, Breadth2, Breadth3, Breadth4, Breadth5, Queries}
 import graft.dedup.Dedup
@@ -219,6 +219,17 @@ object SparkEntry {
     "q_fd_discovery" -> ((s, d) => graft.etl.Dependencies.functionalDeps(
       Tables.part(s, d),
       Seq("p_name", "p_brand", "p_type", "p_size"))),
+    // --- majority-vote near-FD repair on a planted-corruption fixture:
+    // mfgr derived from the brand digit (the TPC-H brand→mfgr FD), then
+    // ~2.7% of rows corrupted deterministically; the repair recovers
+    // exactly the corrupted rows with the majority value ---
+    "q_fd_repair" -> ((s, d) => {
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"),
+        when(col("p_partkey") % 37 === 0, lit("Mfgr#X"))
+          .otherwise(concat(lit("Mfgr#"), substring(col("p_brand"), 7, 1)))
+          .as("mfgr"))
+      graft.etl.Dependencies.majorityRepair(p, "p_partkey", "p_brand", "mfgr")
+    }),
     // --- k-anonymity audit (Sweeney 2002): equivalence-class sizes over the
     // quasi-identifier tuple, classes below k=5 flagged re-identifiable —
     // the privacy gate a corpus runs before release. One shuffle on the
@@ -453,6 +464,12 @@ object SparkEntry {
     // --- multinomial Naive Bayes source classifier on the 20% holdout ---
     "text_nb_classify" -> ((s, d) =>
       graft.text.NaiveBayes.classifyBySource(Tables.documents(s, d))),
+    // --- per-class P/R/F1 margins of the NB classifier ---
+    "text_nb_eval" -> ((s, d) =>
+      graft.text.NaiveBayes.evaluateBySource(Tables.documents(s, d))),
+    // --- kNN majority-vote label classification of the embedding holdout ---
+    "embed_knn_classify" -> ((s, d) =>
+      graft.similarity.Ann.knnClassify(Tables.embeddings(s, d))),
     // interpolated Kneser-Ney bigram LM (Chen & Goodman 1998)
     "text_kn_bigram" -> ((s, d) => graft.text.Bm25.knBigramLogprob(Tables.documents(s, d))),
     // --- similarity search over embeddings (north star) ---
@@ -3298,6 +3315,63 @@ object SparkEntry {
       "part", Seq("p_name", "p_brand", "p_type", "p_size")),
     // same split, counts, ln() micro-quantization points and argmax tie-break
     "text_nb_classify" -> graft.text.NaiveBayes.classifyOracleSql(),
+    // classify chain + three margin aggregates, identical guarded folds
+    "text_nb_eval" -> graft.text.NaiveBayes.evaluateOracleSql(),
+    // identical derived-then-corrupted fixture, integer agreement gate
+    "q_fd_repair" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_brand,
+        |         CASE WHEN p_partkey % 37 = 0 THEN 'Mfgr#X'
+        |              ELSE 'Mfgr#' || substring(p_brand, 7, 1) END AS mfgr
+        |  FROM part),
+        |counts AS (
+        |  SELECT p_brand AS lhs_val, mfgr AS rhs_val, COUNT(*) AS n_rhs
+        |  FROM p GROUP BY 1, 2),
+        |g AS (
+        |  SELECT lhs_val, rhs_val, n_rhs,
+        |         ROW_NUMBER() OVER (PARTITION BY lhs_val
+        |           ORDER BY n_rhs DESC, rhs_val) AS rk,
+        |         SUM(n_rhs) OVER (PARTITION BY lhs_val) AS n_rows
+        |  FROM counts),
+        |maj AS (
+        |  SELECT lhs_val, rhs_val AS suggested_rhs,
+        |         CAST(n_rows AS BIGINT) AS n_rows,
+        |         CAST(n_rhs AS BIGINT) AS n_majority
+        |  FROM g
+        |  WHERE rk = 1 AND n_rows >= 4
+        |    AND n_rhs * 100 >= n_rows * 90 AND n_rhs < n_rows)
+        |SELECT p.p_partkey AS id, p.p_brand AS lhs_val, p.mfgr AS bad_rhs,
+        |       m.suggested_rhs, m.n_rows, m.n_majority
+        |FROM p JOIN maj m ON m.lhs_val = p.p_brand
+        |WHERE p.mfgr <> m.suggested_rhs""".stripMargin,
+    // brute cosine replay on the disjoint splits, plurality-vote argmax
+    "embed_knn_classify" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |t AS (SELECT vec_id AS query_id, label AS true_label, v AS qv
+        |      FROM e WHERE vec_id % 5 = 0),
+        |tr AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+        |scored AS (
+        |  SELECT query_id, true_label, vec_id, tr.label AS nb_label,
+        |         round(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i])) /
+        |               (sqrt(list_sum(list_transform(qv, x -> x*x))) *
+        |                sqrt(list_sum(list_transform(v, x -> x*x)))), 6) AS cosine
+        |  FROM t, tr),
+        |topk AS (
+        |  SELECT query_id, true_label, nb_label
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY cosine DESC, vec_id) AS rnk FROM scored) s
+        |  WHERE rnk <= 5),
+        |votes AS (
+        |  SELECT query_id, true_label, nb_label, COUNT(*) AS n_votes
+        |  FROM topk GROUP BY 1, 2, 3)
+        |SELECT query_id AS vec_id, true_label AS label, nb_label AS pred,
+        |       n_votes, nb_label = true_label AS correct
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY n_votes DESC, nb_label) AS rk FROM votes) v
+        |WHERE rk = 1""".stripMargin,
     // quantile_cont == Spark percentile (linear interpolation); clipped
     // values fold to cents before the exact sum
     "q_winsorize" ->

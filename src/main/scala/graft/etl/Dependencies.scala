@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Functional-dependency discovery over a fixed candidate column list —
@@ -52,6 +53,53 @@ object Dependencies {
         sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating"))
       .select(col("lhs"), col("rhs"), col("n_groups"), col("n_violating"),
         (col("n_violating") === 0L).as("holds"))
+  }
+
+  /** Majority-vote repair of a NEAR-functional dependency — the
+    * data-cleaning step FD discovery feeds (the core move of
+    * HoloClean/Bohannon-style constraint repair, stated minimally):
+    * when X→Y holds for ≥ `minAgreementPct`% of each X-group, rows
+    * carrying a minority Y value are flagged as suspected errors with
+    * the group majority as the suggested fix.
+    *
+    * Exactness: the agreement gate is the INTEGER comparison
+    * n_majority·100 ≥ n_rows·minAgreementPct — no doubles anywhere;
+    * majority ties break on RHS value ascending, so the suggestion is
+    * deterministic.
+    *
+    * Scale shape: one hash-agg to (lhs, rhs) counts, a per-lhs
+    * majority window over the distinct-RHS relation (group width = the
+    * RHS domain per key, not the row count), and one keyed join back
+    * to flag suspect rows. All shuffles keyed on lhs.
+    *
+    * Output: (id, lhs_val, bad_rhs, suggested_rhs, n_rows, n_majority)
+    * — one row per suspected-error source row.
+    */
+  def majorityRepair(df: DataFrame, idCol: String, lhsCol: String,
+                     rhsCol: String, minSupport: Int = 4,
+                     minAgreementPct: Int = 90): DataFrame = {
+    require(minSupport >= 2, "need at least two rows per group")
+    require(minAgreementPct > 50 && minAgreementPct <= 100,
+      "majority needs agreement in (50, 100]")
+    val counts = df.groupBy(col(lhsCol).as("lhs_val"), col(rhsCol).as("rhs_val"))
+      .agg(count(lit(1)).as("n_rhs"))
+    val wMaj = Window.partitionBy("lhs_val")
+      .orderBy(col("n_rhs").desc, col("rhs_val").asc)
+    val groups = counts
+      .withColumn("rk", row_number().over(wMaj))
+      .withColumn("n_rows", sum(col("n_rhs")).over(Window.partitionBy("lhs_val")))
+      .filter(col("rk") === 1)
+      .filter(col("n_rows") >= minSupport &&
+        col("n_rhs") * 100 >= col("n_rows") * minAgreementPct &&
+        col("n_rhs") < col("n_rows"))
+      .select(col("lhs_val"), col("rhs_val").as("suggested_rhs"),
+        col("n_rows"), col("n_rhs").as("n_majority"))
+    df.select(col(idCol).as("id"), col(lhsCol).as("lhs_val"),
+        col(rhsCol).as("bad_rhs"))
+      .join(groups, "lhs_val")
+      .filter(col("bad_rhs") =!= col("suggested_rhs"))
+      .select(col("id"), col("lhs_val"), col("bad_rhs"),
+        col("suggested_rhs"), col("n_rows"), col("n_majority"))
   }
 
   /** DuckDB replay of [[functionalDeps]]: one UNION ALL branch per

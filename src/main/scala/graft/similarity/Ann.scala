@@ -441,6 +441,51 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** k-nearest-neighbor majority-vote classification of the held-out
+    * 20% (vec_id % 5 = 0) against the labeled train split (Fix &
+    * Hodges 1951; Cover & Hart IT-13 1967) — the zero-training
+    * baseline every embedding-quality eval starts from: if cosine
+    * neighborhoods respect labels, the space is good.
+    *
+    * Votes are the top-`k` train neighbors by the rounded-1e-6 cosine
+    * ([[bruteForceTopK]]'s determinism convention, vec_id tie-break);
+    * the predicted label is the plurality vote with ties on label
+    * ascending. Output: (vec_id, label, pred, n_votes, correct).
+    *
+    * Scale shape: the holdout is the eval relation — benchmark-sized
+    * by design, the `dedup_contamination` argument — and broadcasts
+    * over the partitioned train corpus, which never shuffles; the
+    * per-query top-k is a ranked window. When the eval side outgrows
+    * a broadcast, generate candidates with the LSH/IVF searchers and
+    * run the identical vote on their output.
+    */
+  def knnClassify(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val e = embeddings.select(col("vec_id"), col("label"),
+      asDouble(col("embedding")).as("v"))
+    val test = e.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"),
+        col("v").as("qv"))
+    val train = e.filter(col("vec_id") % 5 =!= 0)
+    // splits are disjoint by construction, so no self-match predicate;
+    // the broadcast nested-loop shape is bruteForceTopK's
+    val scored = train.crossJoin(broadcast(test))
+      .select(col("query_id"), col("true_label"), col("vec_id"),
+        col("label").as("nb_label"), round(cosine(col("qv"), col("v")), 6).as("cosine"))
+    val wTop = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    val votes = scored.withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+      .groupBy("query_id", "true_label", "nb_label")
+      .agg(count(lit(1)).as("n_votes"))
+    val wVote = Window.partitionBy("query_id")
+      .orderBy(col("n_votes").desc, col("nb_label").asc)
+    votes.withColumn("rk", row_number().over(wVote))
+      .filter(col("rk") === 1)
+      .select(col("query_id").as("vec_id"), col("true_label").as("label"),
+        col("nb_label").as("pred"), col("n_votes"),
+        (col("nb_label") === col("true_label")).as("correct"))
+  }
+
   // --------------------------------------------------------------- MMR
 
   case class MmrCand(query_id: Long, vec_id: Long, cosine: Double,

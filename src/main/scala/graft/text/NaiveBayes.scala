@@ -107,6 +107,77 @@ object NaiveBayes {
         col("score_micro"))
   }
 
+  /** Per-class evaluation of [[classifyBySource]] — the confusion-matrix
+    * margins and P/R/F1 every classifier report leads with. F1 uses the
+    * identity F1 = 2·TP/(n_true + n_pred), the harmonic mean of the
+    * UNROUNDED precision and recall, so it needs no intermediate folds.
+    *
+    * Every ratio is one integer division folded once to 1e-6; classes
+    * with zero predictions (or zero truth) pin the undefined ratio to 0
+    * explicitly in both engines. The class domain is the union of true
+    * and predicted labels, so a class the model never emits still shows
+    * its recall failure.
+    *
+    * Scale: three hash-aggs on the (already holdout-sized) scored
+    * relation, full-outer-joined on the bounded class domain.
+    *
+    * Output: (cls, n_true, n_pred, n_correct, precision, recall, f1).
+    */
+  def evaluateBySource(documents: DataFrame): DataFrame = {
+    val scored = classifyBySource(documents)
+    val nTrue = scored.groupBy(col("source").as("cls"))
+      .agg(count(lit(1)).as("n_true"))
+    val nPred = scored.groupBy(col("pred").as("cls"))
+      .agg(count(lit(1)).as("n_pred"))
+    val nCorr = scored.filter(col("pred") === col("source"))
+      .groupBy(col("source").as("cls"))
+      .agg(count(lit(1)).as("n_correct"))
+    def fold(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den === 0L, lit(0.0)).otherwise(
+        floor(num.cast("double") / den.cast("double") * 1.0e6 + 0.5) / 1.0e6)
+    nTrue.join(nPred, Seq("cls"), "full_outer")
+      .join(nCorr, Seq("cls"), "full_outer")
+      .select(col("cls"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+      .select(col("cls"), col("n_true"), col("n_pred"), col("n_correct"),
+        fold(col("n_correct"), col("n_pred")).as("precision"),
+        fold(col("n_correct"), col("n_true")).as("recall"),
+        fold(col("n_correct") * 2, col("n_true") + col("n_pred")).as("f1"))
+  }
+
+  /** DuckDB replay of [[evaluateBySource]]: the classify CTE chain plus
+    * the three margin aggregates and identical guarded folds.
+    */
+  def evaluateOracleSql(): String = {
+    val classify = classifyOracleSql()
+    s"""WITH scored_out AS (SELECT * FROM ($classify) z),
+       |n_true AS (SELECT source AS cls, COUNT(*) AS n_true FROM scored_out GROUP BY 1),
+       |n_pred AS (SELECT pred AS cls, COUNT(*) AS n_pred FROM scored_out GROUP BY 1),
+       |n_corr AS (SELECT source AS cls, COUNT(*) AS n_correct
+       |           FROM scored_out WHERE pred = source GROUP BY 1),
+       |m AS (
+       |  SELECT COALESCE(t.cls, p.cls, c.cls) AS cls,
+       |         COALESCE(t.n_true, 0) AS n_true,
+       |         COALESCE(p.n_pred, 0) AS n_pred,
+       |         COALESCE(c.n_correct, 0) AS n_correct
+       |  FROM n_true t
+       |  FULL OUTER JOIN n_pred p ON p.cls = t.cls
+       |  FULL OUTER JOIN n_corr c ON c.cls = COALESCE(t.cls, p.cls))
+       |SELECT cls, n_true, n_pred, n_correct,
+       |       CASE WHEN n_pred = 0 THEN 0.0 ELSE
+       |         floor(CAST(n_correct AS DOUBLE) / CAST(n_pred AS DOUBLE) * 1e6 + 0.5) / 1e6
+       |       END AS precision,
+       |       CASE WHEN n_true = 0 THEN 0.0 ELSE
+       |         floor(CAST(n_correct AS DOUBLE) / CAST(n_true AS DOUBLE) * 1e6 + 0.5) / 1e6
+       |       END AS recall,
+       |       CASE WHEN n_true + n_pred = 0 THEN 0.0 ELSE
+       |         floor(CAST(n_correct * 2 AS DOUBLE) / CAST(n_true + n_pred AS DOUBLE) * 1e6 + 0.5) / 1e6
+       |       END AS f1
+       |FROM m""".stripMargin
+  }
+
   /** DuckDB replay of [[classifyBySource]]: identical token explosion,
     * counts, single-point micro-quantization of every ln(), exact BIGINT
     * sums, ROW_NUMBER argmax with the same tie-break.

@@ -40,6 +40,29 @@ class DependenciesSpec extends AnyFunSuite {
     assert(out(("b", "a"))._3 === 3L)
   }
 
+  test("majorityRepair flags exactly the planted minority, suggests the majority") {
+    // group "X": 9 of 10 rows say "a" -> the lone "b" row is flagged;
+    // group "Y": 50/50 split -> below agreement, nothing flagged;
+    // group "Z": unanimous -> no violation, nothing flagged
+    val rows = (1L to 9L).map(i => (i, "X", "a")) ++ Seq((10L, "X", "b")) ++
+      Seq((11L, "Y", "a"), (12L, "Y", "b"), (13L, "Y", "a"), (14L, "Y", "b")) ++
+      (15L to 20L).map(i => (i, "Z", "c"))
+    val d = rows.toDF("id", "grp", "v")
+    val out = Dependencies.majorityRepair(d, "id", "grp", "v")
+      .as[(Long, String, String, String, Long, Long)].collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r._1 === 10L && r._2 === "X" && r._3 === "b" && r._4 === "a")
+    assert(r._5 === 10L && r._6 === 9L)
+  }
+
+  test("majorityRepair: groups under minSupport are never flagged") {
+    val d = Seq((1L, "X", "a"), (2L, "X", "a"), (3L, "X", "b"))
+      .toDF("id", "grp", "v")
+    assert(Dependencies.majorityRepair(d, "id", "grp", "v", minSupport = 4)
+      .count() === 0L)
+  }
+
   test("determinism across partitionings") {
     val d = Seq(
       ("M1", "B11", 1), ("M1", "B12", 2), ("M2", "B21", 3)

@@ -47,6 +47,37 @@ class NaiveBayesSpec extends AnyFunSuite {
     assert(out.head._3 === "web")
   }
 
+  test("evaluate: perfect classifier gives unit margins; identities hold") {
+    val out = NaiveBayes.evaluateBySource(corpus())
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq("web", "wiki"))
+    out.foreach { case (_, nt, np, nc, p, r, f1) =>
+      assert(nt === 4L && np === 4L && nc === 4L)
+      assert(p === 1.0 && r === 1.0 && f1 === 1.0)
+    }
+  }
+
+  test("evaluate: a never-predicted class keeps zero precision, not NaN") {
+    // "rare" appears only in train (ids never % 5 == 0 for that class):
+    // class domain still shows it via n_true = 0 absence — instead plant
+    // a holdout doc whose vocabulary matches the OTHER class, so "rare"
+    // has truth but zero predictions
+    val d = (Seq(
+      (5L, "beta beta beta", "en", "rare", 14L), // holdout, misclassified
+      (1L, "alpha alpha", "en", "rare", 11L),
+      (2L, "beta beta", "en", "web", 9L),
+      (3L, "beta beta beta beta", "en", "web", 19L),
+      (10L, "beta beta", "en", "web", 9L)
+    )).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = NaiveBayes.evaluateBySource(d)
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("rare")._2 === 1L && out("rare")._3 === 0L)
+    assert(out("rare")._5 === 0.0 && out("rare")._6 === 0.0 && out("rare")._7 === 0.0)
+    assert(out("web")._3 === 2L)
+  }
+
   test("determinism across partitionings (argmax tie-break included)") {
     val d = corpus()
     val a = NaiveBayes.classifyBySource(d)
