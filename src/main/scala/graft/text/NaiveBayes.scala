@@ -51,7 +51,10 @@ object NaiveBayes {
         explode(split(trim(col("text")), "\\s+")).as("raw"))
       .filter(col("raw") =!= "")
       .select(col("doc_id"), col("source"), lower(col("raw")).as("token"))
-    val train = toks.filter(col("doc_id") % 5 =!= 0)
+    // the train explosion feeds FIVE independent model subtrees (class
+    // docs, class totals, token counts, vocab stats) — materialized so
+    // the tokenize pass runs once, not per consumer
+    val train = graft.Caching.materialize(toks.filter(col("doc_id") % 5 =!= 0))
     val test = toks.filter(col("doc_id") % 5 === 0)
 
     // model: per-class doc counts (priors), per-class token totals,
@@ -124,7 +127,9 @@ object NaiveBayes {
     * Output: (cls, n_true, n_pred, n_correct, precision, recall, f1).
     */
   def evaluateBySource(documents: DataFrame): DataFrame = {
-    val scored = classifyBySource(documents)
+    // the scored relation feeds three margin aggregates — materialized
+    // so the classify pipeline runs once
+    val scored = graft.Caching.materialize(classifyBySource(documents))
     val nTrue = scored.groupBy(col("source").as("cls"))
       .agg(count(lit(1)).as("n_true"))
     val nPred = scored.groupBy(col("pred").as("cls"))
