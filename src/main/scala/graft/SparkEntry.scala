@@ -1075,24 +1075,13 @@ object SparkEntry {
     // --- snapshot diff: recover the I/U/D change set between two table
     // versions (the q_merge_upsert result vs its base) ---
     "q_snapshot_diff" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{lit, not}
-      import org.apache.spark.sql.types.DecimalType
-      val ord = Tables.orders(s, d)
-      val priceBump = lit(new java.math.BigDecimal("1.1"))
-      val updates = ord.filter(col("o_orderkey") % 10 === 3)
-        .withColumn("o_orderstatus", lit("U"))
-        .withColumn("o_totalprice",
-          (col("o_totalprice").cast(DecimalType(18, 2)) * priceBump).cast("double"))
-        .withColumn("is_delete", lit(false))
-      val deletes = ord.filter(col("o_orderkey") % 10 === 7)
-        .withColumn("is_delete", lit(true))
-      val inserts = ord.filter(col("o_orderkey") % 10 === 5)
-        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
-        .withColumn("o_orderstatus", lit("I"))
-        .withColumn("is_delete", lit(false))
-      val nextSnap = graft.operators.Merge.scd1Merge(
-        ord, updates.unionByName(deletes).unionByName(inserts), "o_orderkey")
+      val (ord, nextSnap) = orderSnapshots(s, d)
       graft.operators.Merge.snapshotDiff(ord, nextSnap, "o_orderkey")
+    }),
+    // --- per-column profile drift between the same two snapshots ---
+    "q_profile_diff" -> ((s, d) => {
+      val (ord, nextSnap) = orderSnapshots(s, d)
+      graft.etl.Profile.profileDiff(ord, nextSnap, profileDiffCols)
     }),
     // --- filter-cascade attrition audit: per-rule enter/killed/fail/marginal ---
     "text_filter_funnel" -> ((s, d) => TextOps.filterFunnel(Tables.documents(s, d))),
@@ -1167,8 +1156,92 @@ object SparkEntry {
     // --- Apriori level-3: top-k frequent item triples in order baskets ---
     "q_basket_triples" -> ((s, d) =>
       graft.analytics.Baskets.frequentTriples(
-        Tables.lineitem(s, d), "l_orderkey", "l_partkey"))
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey")),
+    // --- Kendall τ-b rank correlation: monthly revenue vs order count ---
+    "q_kendall_tau" -> ((s, d) =>
+      graft.analytics.Breadth7.kendallTau(Tables.orders(s, d))),
+    // --- Cramér's V association: order priority × order status ---
+    "q_cramers_v" -> ((s, d) =>
+      graft.analytics.Breadth7.cramersV(Tables.orders(s, d))),
+    // --- XYZ demand-variability classes per part (CV² of monthly demand) ---
+    "q_xyz_class" -> ((s, d) =>
+      graft.analytics.Breadth7.xyzClass(Tables.lineitem(s, d))),
+    // --- Lorenz concentration curve deciles over customer revenue ---
+    "q_lorenz" -> ((s, d) =>
+      graft.analytics.Breadth7.lorenzCurve(Tables.orders(s, d))),
+    // --- 12-month rolling OLS slope/intercept per priority ---
+    "q_rolling_regression" -> ((s, d) =>
+      graft.analytics.Breadth7.rollingRegression(Tables.orders(s, d))),
+    // --- 1-bit sign quantization + Hamming top-k retrieval ---
+    "embed_binary_quant" -> ((s, d) =>
+      graft.similarity.BinaryQuant.hammingTopK(Tables.embeddings(s, d))),
+    // --- Fellegi–Sunter field match weights from the blocked seed pairs ---
+    "q_fs_weights" -> ((s, d) =>
+      graft.pipeline.EntityResolution.fsWeights(Tables.part(s, d))),
+    // --- perceptual-hash (aHash) image near-dup pairs over REAL PNG
+    // round-trips; oracle replays the generating pixel formula ---
+    "mm_image_ahash" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.nearDupImagePairs(
+        Multimodal.imageAHashes(
+          Multimodal.packSyntheticPngs(Tables.documents(s, d))).toDF())
+    })
   )
+
+  /** The shared base/next order-snapshot pair behind `q_snapshot_diff`
+    * and `q_profile_diff`: SCD1-merge of planted updates (keys ≡3 mod
+    * 10, status→U, price ×1.1), deletes (≡7) and inserts (≡5,
+    * key+10M, status→I) into the raw orders snapshot.
+    */
+  private def orderSnapshots(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.types.DecimalType
+    val ord = Tables.orders(s, d)
+    val priceBump = lit(new java.math.BigDecimal("1.1"))
+    val updates = ord.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice",
+        (col("o_totalprice").cast(DecimalType(18, 2)) * priceBump).cast("double"))
+      .withColumn("is_delete", lit(false))
+    val deletes = ord.filter(col("o_orderkey") % 10 === 7)
+      .withColumn("is_delete", lit(true))
+    val inserts = ord.filter(col("o_orderkey") % 10 === 5)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+      .withColumn("o_orderstatus", lit("I"))
+      .withColumn("is_delete", lit(false))
+    val nextSnap = graft.operators.Merge.scd1Merge(
+      ord, updates.unionByName(deletes).unionByName(inserts), "o_orderkey")
+    (ord, nextSnap)
+  }
+
+  /** Columns profiled by `q_profile_diff`. */
+  private val profileDiffCols =
+    Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+  /** The [[orderSnapshots]] construction as a DuckDB WITH clause —
+    * shared by the `q_snapshot_diff` and `q_profile_diff` oracles.
+    */
+  private val orderSnapshotCte: String =
+    """WITH changes AS (
+      |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1 AS DOUBLE) AS o_totalprice,
+      |         o_orderdate, o_orderpriority, FALSE AS is_delete
+      |  FROM orders WHERE o_orderkey % 10 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |         o_orderdate, o_orderpriority, TRUE
+      |  FROM orders WHERE o_orderkey % 10 = 7
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, 'I', o_totalprice,
+      |         o_orderdate, o_orderpriority, FALSE
+      |  FROM orders WHERE o_orderkey % 10 = 5),
+      |new_snap AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      |  FROM changes WHERE NOT is_delete)""".stripMargin
 
   /** Recursive-CTE oracle for duplicate clustering: the full minhash
     * pipeline (same md5-folded universal-hash family as the Spark side,
@@ -3603,25 +3676,7 @@ object SparkEntry {
     // survives only when it is new-only (I), old-only (D), or any payload
     // column IS DISTINCT (U). COALESCE prefers the new payload.
     "q_snapshot_diff" ->
-      """WITH changes AS (
-        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
-        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1 AS DOUBLE) AS o_totalprice,
-        |         o_orderdate, o_orderpriority, FALSE AS is_delete
-        |  FROM orders WHERE o_orderkey % 10 = 3
-        |  UNION ALL
-        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-        |         o_orderdate, o_orderpriority, TRUE
-        |  FROM orders WHERE o_orderkey % 10 = 7
-        |  UNION ALL
-        |  SELECT o_orderkey + 10000000, o_custkey, 'I', o_totalprice,
-        |         o_orderdate, o_orderpriority, FALSE
-        |  FROM orders WHERE o_orderkey % 10 = 5),
-        |new_snap AS (
-        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
-        |  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
-        |  UNION ALL
-        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
-        |  FROM changes WHERE NOT is_delete)
+      s"""$orderSnapshotCte
         |SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
         |       CASE WHEN o.o_orderkey IS NULL THEN 'I'
         |            WHEN n.o_orderkey IS NULL THEN 'D'
@@ -3732,7 +3787,20 @@ object SparkEntry {
     "embed_matryoshka" -> matryoshkaOracle(),
     "embed_centroid_drift" -> Ann.centroidDriftOracleSql(),
     "q_delete_propagation" -> graft.etl.Erasure.erasureAuditOracleSql(),
-    "q_basket_triples" -> graft.analytics.Baskets.frequentTriplesOracleSql()
+    "q_basket_triples" -> graft.analytics.Baskets.frequentTriplesOracleSql(),
+    "q_kendall_tau" -> graft.analytics.Breadth7.kendallTauOracleSql(),
+    "q_cramers_v" -> graft.analytics.Breadth7.cramersVOracleSql(),
+    "q_xyz_class" -> graft.analytics.Breadth7.xyzClassOracleSql(),
+    "q_lorenz" -> graft.analytics.Breadth7.lorenzCurveOracleSql(),
+    "q_rolling_regression" ->
+      graft.analytics.Breadth7.rollingRegressionOracleSql(),
+    "embed_binary_quant" ->
+      graft.similarity.BinaryQuant.hammingTopKOracleSql(),
+    "q_fs_weights" ->
+      graft.pipeline.EntityResolution.fsWeightsOracleSql(),
+    "q_profile_diff" -> graft.etl.Profile.profileDiffOracleSql(
+      orderSnapshotCte, "orders", "new_snap", profileDiffCols),
+    "mm_image_ahash" -> Multimodal.nearDupImagePairsOracleSql()
   )
 
   /** DuckDB replay of `Ann.matryoshkaRecall` — the bruteTopkOracle CTE

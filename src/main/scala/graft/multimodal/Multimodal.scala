@@ -395,4 +395,215 @@ object Multimodal {
         i -> substring(content, i, 1)), f -> length(f) > 0)""").as("sampled")
       ).withColumn("resized", expr("aggregate(sampled, cast('' as binary), (acc, x) -> acc || x)"))
       .drop("sampled")
+
+  // --------------------------------------- perceptual hash (aHash)
+
+  /** Average-hash near-duplicate image detection — the perceptual-hash
+    * rung of the multimodal curation pipeline (aHash, the
+    * block-mean-threshold scheme of Yang/Gavrielides et al.'s
+    * block-mean-value hash family): decode the image, average 2×2
+    * pixel blocks down to an 8×8 grid, threshold each block against
+    * the global mean, pack the 64 bits, and near-dups are pairs within
+    * a small Hamming radius — robust to the small re-encodes/noise
+    * that break exact byte dedup.
+    *
+    * The synthetic corpus packs REAL PNGs (lossless, `javax.imageio`)
+    * of a deterministic md5-derived pixel field ([[synthGrayImage]]):
+    * doc pairs (2k, 2k+1) share the field of base k, with the odd
+    * sibling perturbed at one pixel — the planted near-duplicates. The
+    * oracle computes the SAME hash straight from the generating
+    * formula, so the hash match proves the PNG encode→decode path is
+    * lossless, not a replay of itself ([[synthPcm]] contract).
+    *
+    * Exactness: block sums are exact ints, the threshold is the
+    * integer inequality `blockSum·64 > total` (no mean division), and
+    * Hamming = popcount(xor) over two 32-bit words ([[
+    * graft.similarity.BinaryQuant]] convention — DuckDB's checked `<<`
+    * refuses bit 63).
+    *
+    * Scale shape: decode+hash is one mapPartitions pass (per-partition
+    * codec init); candidate generation splits the 64-bit hash into
+    * FOUR 16-bit bands — by pigeonhole any pair within Hamming ≤ 3
+    * shares at least one band, so the band equi-join is COMPLETE for
+    * the radius, never all-pairs (the MinHash-LSH argument applied to
+    * Hamming space, Norouzi CVPR'12 multi-index hashing).
+    */
+  val SynthImageSize = 16
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  /** The md5-derived synthetic pixel field: pixel (x, y) of base b is
+    * the first 15 hex chars of md5("b:x:y") mod 256 — independent
+    * across bases (unlike a linear formula, which would alias every
+    * base congruent mod 256 into exact-dup cliques).
+    */
+  def synthPixel(base: Long, x: Int, y: Int): Int =
+    (java.lang.Long.parseLong(md5Hex(s"$base:$x:$y").substring(0, 15), 16)
+      % 256).toInt
+
+  /** 16×16 grayscale image for media `id`: the base-(id div 2) pixel
+    * field, with pixel (0,0) nudged +8 (mod 256) on odd ids — each
+    * even/odd sibling pair is a planted near-duplicate.
+    */
+  def synthGrayImage(id: Long): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      SynthImageSize, SynthImageSize,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    val base = id / 2
+    var y = 0
+    while (y < SynthImageSize) {
+      var x = 0
+      while (x < SynthImageSize) {
+        val v = synthPixel(base, x, y)
+        val vv = if (id % 2 == 1 && x == 0 && y == 0) (v + 8) % 256 else v
+        raster.setSample(x, y, 0, vv)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Lossless PNG encode — the encoder half of the [[imageAHashes]]
+    * round trip. */
+  def packPngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  case class ImageRecord(media_id: Long, content: Array[Byte])
+  case class ImageHash(media_id: Long, w0: Long, w1: Long)
+
+  /** Synthetic PNG corpus keyed on doc_id ([[packSyntheticGifs]] shape). */
+  def packSyntheticPngs(documents: DataFrame): Dataset[ImageRecord] = {
+    implicit val enc = Encoders.product[ImageRecord]
+    import org.apache.spark.sql.Encoders.scalaLong
+    documents.select(col("doc_id")).as[Long](scalaLong)
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map(id => ImageRecord(id, packPngBytes(synthGrayImage(id))))
+      }
+  }
+
+  /** Decode PNGs and compute the 64-bit aHash as two 32-bit words (bit
+    * b = by·8+bx set iff `blockSum·64 > total`; word 0 holds bits
+    * 0–31). Undecodable payloads are dropped (the quarantine path).
+    */
+  def imageAHashes(media: Dataset[ImageRecord]): Dataset[ImageHash] = {
+    implicit val enc = Encoders.product[ImageHash]
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+      it.flatMap { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.content))
+          if (img == null || img.getWidth < 16 || img.getHeight < 16) None
+          else {
+            val raster = img.getRaster
+            val bs = new Array[Long](64)
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 16) {
+                bs((y / 2) * 8 + x / 2) += raster.getSample(x, y, 0)
+                x += 1
+              }
+              y += 1
+            }
+            val total = bs.sum
+            var w0 = 0L; var w1 = 0L
+            var b = 0
+            while (b < 64) {
+              if (bs(b) * 64 > total) {
+                if (b < 32) w0 |= 1L << b else w1 |= 1L << (b - 32)
+              }
+              b += 1
+            }
+            Some(ImageHash(r.media_id, w0, w1))
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
+
+  /** Near-duplicate pairs within `maxHamming` of each other: 4×16-bit
+    * band equi-join candidates (complete for radius ≤ 3 by
+    * pigeonhole), exact popcount verify, distinct ordered pairs.
+    * Output: (id_a, id_b, hamming).
+    */
+  def nearDupImagePairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4 bands are only pigeonhole-complete for Hamming <= 3")
+    val banded = hashes.select(col("media_id"), col("w0"), col("w1"),
+      posexplode(array(
+        col("w0").bitwiseAND(lit(65535L)),
+        shiftright(col("w0"), 16).bitwiseAND(lit(65535L)),
+        col("w1").bitwiseAND(lit(65535L)),
+        shiftright(col("w1"), 16).bitwiseAND(lit(65535L))))
+        .as(Seq("band_idx", "bv")))
+    val a = banded.select(col("media_id").as("id_a"), col("w0").as("w0a"),
+      col("w1").as("w1a"), col("band_idx"), col("bv"))
+    val b = banded.select(col("media_id").as("id_b"), col("w0").as("w0b"),
+      col("w1").as("w1b"), col("band_idx"), col("bv"))
+    a.join(b, Seq("band_idx", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (expr("bit_count(w0a ^ w0b) + bit_count(w1a ^ w1b)"))
+          .cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** DuckDB replay of the full [[packSyntheticPngs]] →
+    * [[imageAHashes]] → [[nearDupImagePairs]] pipeline straight from
+    * the generating pixel formula (no codec in the oracle — equality
+    * proves the engine's PNG round trip is lossless).
+    */
+  def nearDupImagePairsOracleSql(maxHamming: Int = 3): String =
+    s"""WITH px AS (
+       |  SELECT doc_id AS media_id, x.i AS x, y.i AS y,
+       |         (('0x' || substring(md5((doc_id // 2)::VARCHAR || ':'
+       |              || x.i::VARCHAR || ':' || y.i::VARCHAR), 1, 15))::BIGINT
+       |           % 256
+       |          + CASE WHEN doc_id % 2 = 1 AND x.i = 0 AND y.i = 0
+       |                 THEN 8 ELSE 0 END) % 256 AS v
+       |  FROM documents CROSS JOIN range(0, 16) x(i) CROSS JOIN range(0, 16) y(i)),
+       |blocks AS (
+       |  SELECT media_id, (y // 2) * 8 + (x // 2) AS b, SUM(v) AS bs
+       |  FROM px GROUP BY 1, 2),
+       |tot AS (SELECT media_id, SUM(bs) AS total FROM blocks GROUP BY 1),
+       |words AS (
+       |  SELECT blocks.media_id,
+       |         CAST(SUM(CASE WHEN b < 32 AND bs * 64 > total
+       |                       THEN (1::BIGINT << CAST(b AS INT))
+       |                       ELSE 0 END) AS BIGINT) AS w0,
+       |         CAST(SUM(CASE WHEN b >= 32 AND bs * 64 > total
+       |                       THEN (1::BIGINT << CAST(b - 32 AS INT))
+       |                       ELSE 0 END) AS BIGINT) AS w1
+       |  FROM blocks JOIN tot USING (media_id) GROUP BY 1),
+       |bands AS (
+       |  SELECT media_id, w0, w1, r.i AS band_idx,
+       |         CASE r.i WHEN 0 THEN w0 & 65535
+       |                  WHEN 1 THEN (w0 >> 16) & 65535
+       |                  WHEN 2 THEN w1 & 65535
+       |                  ELSE (w1 >> 16) & 65535 END AS bv
+       |  FROM words CROSS JOIN range(0, 4) r(i)),
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+       |         a.w0 AS w0a, a.w1 AS w1a, b.w0 AS w0b, b.w1 AS w1b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.bv = b.bv
+       |   AND a.media_id < b.media_id)
+       |SELECT id_a, id_b,
+       |       CAST(bit_count(xor(w0a, w0b))
+       |            + bit_count(xor(w1a, w1b)) AS INT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(w0a, w0b)) + bit_count(xor(w1a, w1b))
+       |      <= $maxHamming""".stripMargin
 }
