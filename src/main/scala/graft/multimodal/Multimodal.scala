@@ -540,7 +540,11 @@ object Multimodal {
   def nearDupImagePairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4 bands are only pigeonhole-complete for Hamming <= 3")
-    val banded = hashes.select(col("media_id"), col("w0"), col("w1"),
+    // materialize: the band self-join consumes the hash relation TWICE —
+    // left lazy, the whole decode pipeline (one PNG decode per image)
+    // re-runs per join side
+    val cached = graft.Caching.materialize(hashes)
+    val banded = cached.select(col("media_id"), col("w0"), col("w1"),
       posexplode(array(
         col("w0").bitwiseAND(lit(65535L)),
         shiftright(col("w0"), 16).bitwiseAND(lit(65535L)),
