@@ -49,6 +49,12 @@ object Breadth7 {
     * priority for a decade — the [[Breadth6.theilSenSlope]] bounded-
     * domain argument), NOT on the raw corpus.
     *
+    * Degenerate series guard ([[rollingRegression]] discipline): a
+    * priority whose revenue (or count) is fully tied across all month
+    * pairs has (n₀−t_y)(n₀−t_c) = 0 — τ-b is undefined there, so both
+    * the Spark expression and the oracle emit NULL rather than a
+    * platform-dependent NaN/±Inf.
+    *
     * Output: one row per priority
     * (o_orderpriority, n_months, n_pairs, conc, disc, tau_b).
     */
@@ -77,9 +83,11 @@ object Breadth7 {
         .agg(count(lit(1)).as("n_months")), "o_orderpriority")
       .select(col("o_orderpriority"), col("n_months"), col("n_pairs"),
         col("conc"), col("disc"),
-        fold6((col("conc") - col("disc")).cast("double") /
-          sqrt(((col("n_pairs") - col("ty")) *
-            (col("n_pairs") - col("tc"))).cast("double"))).as("tau_b"))
+        when((col("n_pairs") - col("ty")) * (col("n_pairs") - col("tc")) === 0,
+          lit(null).cast("double"))
+          .otherwise(fold6((col("conc") - col("disc")).cast("double") /
+            sqrt(((col("n_pairs") - col("ty")) *
+              (col("n_pairs") - col("tc"))).cast("double")))).as("tau_b"))
   }
 
   /** DuckDB replay of [[kendallTau]] — identical sign classification
@@ -108,9 +116,10 @@ object Breadth7 {
       |SELECT agg.o_orderpriority, n_months,
       |       CAST(n_pairs AS BIGINT) AS n_pairs,
       |       CAST(conc AS BIGINT) AS conc, CAST(disc AS BIGINT) AS disc,
-      |       FLOOR(CAST(conc - disc AS DOUBLE)
-      |             / SQRT(CAST((n_pairs - ty) * (n_pairs - tc) AS DOUBLE))
-      |             * 1e6 + 0.5) / 1e6 AS tau_b
+      |       CASE WHEN (n_pairs - ty) * (n_pairs - tc) = 0 THEN NULL
+      |            ELSE FLOOR(CAST(conc - disc AS DOUBLE)
+      |                 / SQRT(CAST((n_pairs - ty) * (n_pairs - tc) AS DOUBLE))
+      |                 * 1e6 + 0.5) / 1e6 END AS tau_b
       |FROM agg JOIN nm USING (o_orderpriority)""".stripMargin
 
   // ----------------------------------------------------- Cramér's V
@@ -124,9 +133,16 @@ object Breadth7 {
     * the per-cell contribution in EXACT rational form
     * `(n·obs − r·c)² / (r·c·n)`, milli-quantized by one truncating
     * DECIMAL division per cell ([[Metrics.mutualInfo]] discipline), and
-    * summed as a long; V is the one final √. Headroom: (n·obs)² must
-    * fit DECIMAL(38,0) after the ×10³ quantizer — holds through
-    * n ≈ 3·10¹⁶ rows (5 000× a 100 TB order table).
+    * summed as a long; V is the one final √. Headroom: the per-cell
+    * numerator (n·nij − ra·cb)²·10³ must fit DECIMAL(38,0); a strongly
+    * associated 2×2 table drives |n·nij − ra·cb| toward n²/4, so the
+    * construction is exact through n ≈ 10⁹ rows — NOT unbounded. Past
+    * that, non-ANSI Spark would silently NULL the overflowed cell and
+    * `sum()` would skip it (a silently wrong χ²), so the operator
+    * measures the ACTUAL max |n·nij − ra·cb| over the bounded r×c grid
+    * (one cheap driver-side action) and fails loudly via `require`
+    * when the squared milli term would exceed 38 digits. A corpus that
+    * trips it should pre-aggregate (sample or stratify) before calling.
     *
     * Scale shape: ONE shuffle to the r×c contingency table; marginals
     * and the total come from the table itself (broadcast 1-row / r-row
@@ -135,11 +151,31 @@ object Breadth7 {
     *
     * Output: one row (n_rows_dim, n_cols_dim, n, chi2_milli, v).
     */
-  def cramersV(orders: DataFrame): DataFrame = {
-    val cells = orders.groupBy(col("o_orderpriority").as("a"),
+  def cramersV(orders: DataFrame): DataFrame =
+    cramersVFromCells(orders.groupBy(col("o_orderpriority").as("a"),
         col("o_orderstatus").as("b"))
-      .agg(count(lit(1)).as("nij"))
-    graft.Caching.materialize(cells) // feeds cells, both marginals, N
+      .agg(count(lit(1)).as("nij")))
+
+  /** Largest |n·nij − ra·cb| whose milli-quantized square still fits
+    * DECIMAL(38,0): ⌊√((10³⁸−1)/10³)⌋ ≈ 3.16·10¹⁷ (integer Newton
+    * sqrt, computed once). With |d| bounded by n²/4 on an associated
+    * 2×2 this is the n ≈ 10⁹ headroom documented on [[cramersV]].
+    */
+  private[graft] val MaxAbsChiDiff: BigInt = {
+    val target = (BigInt(10).pow(38) - 1) / 1000
+    var x = BigInt(1) << (target.bitLength / 2 + 1)
+    var y = (x + target / x) >> 1
+    while (y < x) { x = y; y = (x + target / x) >> 1 }
+    x
+  }
+
+  /** [[cramersV]] over a pre-aggregated contingency relation
+    * (a, b, nij) — split out so the DECIMAL headroom guard is directly
+    * testable with synthetic counts no fixture could reach.
+    */
+  private[graft] def cramersVFromCells(cells0: DataFrame): DataFrame = {
+    val cells =
+      graft.Caching.materialize(cells0) // feeds cells, both marginals, N
     val ra = cells.groupBy("a").agg(sum("nij").as("ra"))
     val cb = cells.groupBy("b").agg(sum("nij").as("cb"))
     val tot = cells.agg(sum("nij").as("n"),
@@ -148,10 +184,21 @@ object Breadth7 {
     // contribute (0 − exp)²/exp, so the grid is the marginal cross
     // product (r·c rows, a bounded domain) left-joined with the
     // observed cells
-    ra.crossJoin(cb)
+    val grid = graft.Caching.materialize(ra.crossJoin(cb)
       .join(cells, Seq("a", "b"), "left")
       .withColumn("nij", coalesce(col("nij"), lit(0L)))
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(tot)))
+    // loud DECIMAL(38,0) headroom guard: the grid is r×c rows, so the
+    // extra action is O(r·c); without it an overflowed cell would
+    // silently NULL out of the sum in non-ANSI mode
+    val dmax = grid.agg(max(abs(col("n").cast(Dec) * col("nij") -
+      col("ra").cast(Dec) * col("cb"))).as("dmax"))
+      .head.getDecimal(0)
+    require(dmax == null || BigInt(dmax.toBigInteger) <= MaxAbsChiDiff,
+      s"cramersV: max |n*nij - ra*cb| = $dmax exceeds the DECIMAL(38,0) " +
+        s"milli-chi2 headroom $MaxAbsChiDiff (~1e9 rows on an associated " +
+        "2x2) - pre-aggregate, sample, or stratify the corpus first")
+    grid
       .select(col("r"), col("c"), col("n"),
         // (n·obs − r·c)²·10³ div (r·c·n): exact DECIMAL core, one
         // truncating div per cell
@@ -223,6 +270,12 @@ object Breadth7 {
     * part-month; the DECIMAL(38,0) products are good past any real
     * corpus.
     *
+    * Zero-demand guard: a part whose monthly quantities all round to
+    * zero has S₁ = 0 — CV² is 0/0 there, and the raw integer
+    * inequality 0 ≤ 0 would file the part under X ("steadiest"), the
+    * opposite of its actual no-demand behavior. Both cv2 and the class
+    * emit NULL for S₁ = 0, mirrored in the oracle.
+    *
     * Output: one row per part
     * (part, n_active_months, s1, s2, cv2, xyz_class).
     */
@@ -242,11 +295,13 @@ object Breadth7 {
         sum(col("mq") * col("mq")).as("s2"))
       .crossJoin(broadcast(span))
       .select(col("part"), col("n_active_months"), col("s1"), col("s2"),
-        fold6((col("nm").cast(Dec) * col("s2") - col("s1").cast(Dec) * col("s1"))
-          .cast("double") /
-          (col("s1").cast(Dec) * col("s1")).cast("double")).as("cv2"),
-        when(col("nm").cast(Dec) * col("s2") * 4 - col("s1").cast(Dec) * col("s1") * 4
-          <= col("s1").cast(Dec) * col("s1"), "X")
+        when(col("s1") === 0, lit(null).cast("double"))
+          .otherwise(fold6((col("nm").cast(Dec) * col("s2") -
+            col("s1").cast(Dec) * col("s1")).cast("double") /
+            (col("s1").cast(Dec) * col("s1")).cast("double"))).as("cv2"),
+        when(col("s1") === 0, lit(null).cast("string"))
+          .when(col("nm").cast(Dec) * col("s2") * 4 - col("s1").cast(Dec) * col("s1") * 4
+            <= col("s1").cast(Dec) * col("s1"), "X")
           .when(col("nm").cast(Dec) * col("s2") - col("s1").cast(Dec) * col("s1")
             <= col("s1").cast(Dec) * col("s1"), "Y")
           .otherwise("Z").as("xyz_class"))
@@ -271,11 +326,13 @@ object Breadth7 {
       |  FROM per_month GROUP BY 1)
       |SELECT part, CAST(n_active_months AS BIGINT) AS n_active_months,
       |       CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
-      |       FLOOR(CAST(CAST(nm AS HUGEINT) * s2
-      |                  - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
-      |             / CAST(CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
-      |             * 1e6 + 0.5) / 1e6 AS cv2,
-      |       CASE WHEN CAST(nm AS HUGEINT) * s2 * 4
+      |       CASE WHEN s1 = 0 THEN NULL
+      |            ELSE FLOOR(CAST(CAST(nm AS HUGEINT) * s2
+      |                       - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+      |                  / CAST(CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+      |                  * 1e6 + 0.5) / 1e6 END AS cv2,
+      |       CASE WHEN s1 = 0 THEN NULL
+      |            WHEN CAST(nm AS HUGEINT) * s2 * 4
       |                 - CAST(s1 AS HUGEINT) * s1 * 4
       |                 <= CAST(s1 AS HUGEINT) * s1 THEN 'X'
       |            WHEN CAST(nm AS HUGEINT) * s2

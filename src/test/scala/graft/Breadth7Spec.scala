@@ -49,6 +49,32 @@ class Breadth7Spec extends AnyFunSuite {
     assert(out.head._6 === -1.0)
   }
 
+  test("kendall tau: a fully tied series emits NULL tau_b, not NaN") {
+    // identical count and revenue every month: every pair has sy = sc = 0,
+    // so (n_pairs - ty)(n_pairs - tc) = 0 and tau_b is undefined
+    val out = Breadth7.kendallTau(monthlyOrders(Seq(2, 2, 2)))
+      .select("o_orderpriority", "tau_b")
+      .as[(String, Option[Double])].collect()
+    assert(out.length === 1)
+    assert(out.head._2.isEmpty)
+  }
+
+  test("cramers v: DECIMAL headroom guard fails loudly on overflow-scale cells") {
+    // MaxAbsChiDiff is the exact integer sqrt of (10^38 - 1) / 10^3
+    val lim = (BigInt(10).pow(38) - 1) / 1000
+    val m = Breadth7.MaxAbsChiDiff
+    assert(m * m <= lim && (m + 1) * (m + 1) > lim)
+    // an associated 2x2 with 1e18-row cells drives |n*nij - ra*cb| to ~2e36:
+    // the squared milli term would overflow DECIMAL(38,0) and silently NULL
+    // out of the chi2 sum - the guard must throw instead
+    val huge = Seq(("A", "S1", 1000000000000000000L),
+      ("B", "S2", 1000000000000000000L)).toDF("a", "b", "nij")
+    val ex = intercept[IllegalArgumentException] {
+      Breadth7.cramersVFromCells(huge).collect()
+    }
+    assert(ex.getMessage.contains("headroom"))
+  }
+
   test("cramers v: perfect association on a 2x2 gives V = 1, zero cells counted") {
     // priority decides status completely: chi2 = n, V = 1
     val a = monthlyOrders(Seq(5), prio = "A", status = "S1")
@@ -103,6 +129,18 @@ class Breadth7Spec extends AnyFunSuite {
         (1L, "2024-02-10", 1.0))))
       .as[(Long, Long, Long, Long, Double, String)].collect()
     assert(out.head._5 === 0.25 && out.head._6 === "X")
+  }
+
+  test("xyz class: zero total demand emits NULL cv2 and NULL class, not X") {
+    // part 9's quantities all round to zero: s1 = 0, CV^2 is 0/0 - the raw
+    // 0 <= 0 inequality would misfile it under X (steadiest demand)
+    val out = Breadth7.xyzClass(li(Seq((9L, "2024-01-10", 0.0),
+        (9L, "2024-02-10", 0.2))))
+      .select("part", "s1", "cv2", "xyz_class")
+      .as[(Long, Long, Option[Double], Option[String])].collect()
+    assert(out.length === 1)
+    val (p, s1, cv2, cls) = out.head
+    assert(p === 9L && s1 === 0L && cv2.isEmpty && cls.isEmpty)
   }
 
   test("lorenz: 10 single-customer deciles accumulate exact revenue shares") {
