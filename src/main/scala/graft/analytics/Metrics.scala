@@ -117,11 +117,13 @@ object Metrics {
     val rev = orders.groupBy(col("o_custkey"))
       .agg(sum(cents(col("o_totalprice"))).as("v"))
     val byVal = rev.groupBy(col("v")).agg(count(lit(1)).as("c"))
-    // prefix over DISTINCT revenue values (bounded domain; GlobalRank
-    // argument) — range-partition the domain if it ever is data-sized
-    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    byVal
-      .withColumn("before", coalesce(sum("c").over(w), lit(0L)))
+    // prefix over DISTINCT revenue values via the two-pass distributed
+    // prefix sum (Packing.withRunningTotal): for per-customer revenue
+    // SUMS the distinct domain approaches |customers| — data-sized at
+    // catalog scale, so a Window.orderBy(v) here would be a
+    // one-partition sort in disguise. The oracle keeps the window
+    // formulation as the differential twin.
+    graft.operators.Packing.withRunningTotal(byVal, Seq("v"), "c", "before")
       .agg(
         sum(col("c")).as("n"),
         sum(col("v").cast(Dec) * col("c").cast(Dec)).as("s"),
@@ -169,11 +171,13 @@ object Metrics {
     val scored = orders.select(cents(col("o_totalprice")).as("v"),
       col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int").as("y"))
     val byVal = scored.groupBy("v").agg(
-      sum(col("y")).as("p"), sum(lit(1) - col("y")).as("q"))
-    // prefix of negatives over DISTINCT scores (bounded-domain window)
-    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    byVal
-      .withColumn("beforeNeg", coalesce(sum("q").over(w), lit(0L)))
+      sum(col("y")).cast("long").as("p"),
+      sum(lit(1) - col("y")).cast("long").as("q"))
+    // prefix of negatives over DISTINCT scores: price cents is a
+    // near-continuous score, so the distinct domain is data-sized —
+    // two-pass distributed prefix sum, not a Window.orderBy(v)
+    // one-partition sort (oracle keeps the window twin)
+    graft.operators.Packing.withRunningTotal(byVal, Seq("v"), "q", "beforeNeg")
       .agg(
         sum("p").as("n_pos"), sum("q").as("n_neg"),
         sum(col("p").cast(Dec) * col("beforeNeg").cast(Dec) * 2 +
