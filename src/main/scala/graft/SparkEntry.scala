@@ -1175,6 +1175,13 @@ object SparkEntry {
     // --- 1-bit sign quantization + Hamming top-k retrieval ---
     "embed_binary_quant" -> ((s, d) =>
       graft.similarity.BinaryQuant.hammingTopK(Tables.embeddings(s, d))),
+    // --- multi-index Hamming: banded radius-bounded retrieval with a
+    // data-sized probe side (every vector, one sign flipped) ---
+    "embed_binary_mih" -> ((s, d) =>
+      graft.similarity.BinaryQuant.mihTopK(Tables.embeddings(s, d))),
+    // --- MIH completeness gate vs brute-force popcount (recall = 1) ---
+    "embed_mih_recall" -> ((s, d) =>
+      graft.similarity.BinaryQuant.mihRecall(Tables.embeddings(s, d))),
     // --- Fellegi–Sunter field match weights from the blocked seed pairs ---
     "q_fs_weights" -> ((s, d) =>
       graft.pipeline.EntityResolution.fsWeights(Tables.part(s, d))),
@@ -3796,6 +3803,10 @@ object SparkEntry {
       graft.analytics.Breadth7.rollingRegressionOracleSql(),
     "embed_binary_quant" ->
       graft.similarity.BinaryQuant.hammingTopKOracleSql(),
+    "embed_binary_mih" ->
+      graft.similarity.BinaryQuant.mihTopKOracleSql(),
+    "embed_mih_recall" ->
+      graft.similarity.BinaryQuant.mihRecallOracleSql(),
     "q_fs_weights" ->
       graft.pipeline.EntityResolution.fsWeightsOracleSql(),
     "q_profile_diff" -> graft.etl.Profile.profileDiffOracleSql(

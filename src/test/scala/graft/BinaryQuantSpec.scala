@@ -42,6 +42,44 @@ class BinaryQuantSpec extends AnyFunSuite {
       (1L, 2L, 1L, 1), (1L, 3L, 2L, 2), (1L, 4L, 2L, 3)))
   }
 
+  test("mih: banded retrieval finds the planted flipped-sign source at distance <= 1") {
+    // every probe flips dimension (vec_id % 64); with all-nonzero dims the
+    // source vector sits at hamming exactly 1 and must rank first
+    val rnd = new scala.util.Random(11)
+    val data = (0L to 29L).map(i =>
+      i -> Seq.fill(64)(rnd.nextFloat() - 0.5f).map(x =>
+        if (x == 0f) 0.1f else x))
+    val out = BinaryQuant.mihTopK(emb(data: _*), dim = 64, radius = 3, k = 5)
+      .as[(Long, Long, Long, Int)].collect()
+    val top = out.filter(_._4 == 1).map(r => r._1 -> ((r._2, r._3))).toMap
+    (0L to 29L).foreach { q =>
+      assert(top.contains(q), s"probe $q found no neighbor")
+      assert(top(q) === ((q, 1L)), s"probe $q top hit was ${top(q)}")
+    }
+  }
+
+  test("mih: equals brute force within radius (pigeonhole completeness)") {
+    val rnd = new scala.util.Random(23)
+    val data = (0L to 39L).map(i =>
+      i -> Seq.fill(64)(rnd.nextFloat() - 0.5f))
+    val out = BinaryQuant.mihRecall(emb(data: _*), dim = 64, radius = 3,
+        nQueries = 40)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length === 40)
+    out.foreach { case (q, nBrute, nHit, recall) =>
+      assert(nBrute >= 1L, s"probe $q has no brute neighbor")
+      assert(nHit === nBrute && recall === 1000000L,
+        s"probe $q recall $recall ($nHit/$nBrute)")
+    }
+  }
+
+  test("mih: radius beyond the pigeonhole bound is refused") {
+    val ex = intercept[IllegalArgumentException] {
+      BinaryQuant.mihTopK(emb(1L -> Seq.fill(64)(1f)), dim = 64, radius = 4)
+    }
+    assert(ex.getMessage.contains("pigeonhole"))
+  }
+
   test("hamming top-k: determinism across partitionings") {
     val rnd = new scala.util.Random(7)
     val data = (1L to 40L).map(i =>
