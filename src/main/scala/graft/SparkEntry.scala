@@ -107,6 +107,17 @@ object SparkEntry {
   private def coBoughtEdges(s: SparkSession, d: String): DataFrame =
     coBoughtCounts(s, d).select(col("item_a"), col("item_b"))
 
+  /** Session-scoped memo of the trained unigram-LM model (piece, cnt,
+    * p_nano) — bounded driver state (≤ alphabet + 40 rows), shared by the
+    * encode and fertility queries so EM runs once per (session, dir),
+    * not once per query.
+    */
+  private val unigramMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(String, Long, Long)]]()
+  private def unigramProbs(s: SparkSession, d: String): Seq[(String, Long, Long)] =
+    unigramMemo.computeIfAbsent((s, d), _ =>
+      graft.text.Unigram.finalProbs(Tables.documents(s, d)))
+
   /** Item incidence counts + basket count shared by the market-basket /
     * item-CF pair (same memo contract).
     */
@@ -410,6 +421,17 @@ object SparkEntry {
     // --- tokenizer fertility (chars per BPE token) per source ---
     "text_fertility" -> ((s, d) =>
       graft.text.Bpe.fertilityBySource(Tables.documents(s, d), bpeMerges)),
+    // --- unigram-LM (SentencePiece) tokenizer: the OTHER family beside BPE.
+    // Train runs the distributed 2-round hard-EM; encode/fertility share ONE
+    // session-memoized trained model instead of re-running EM per query ---
+    "text_unigram_train" -> ((s, d) =>
+      graft.text.Unigram.trainVocab(Tables.documents(s, d))),
+    "text_unigram_encode" -> ((s, d) =>
+      graft.text.Unigram.encodeStatsWith(Tables.documents(s, d),
+        unigramProbs(s, d))),
+    "text_unigram_fertility" -> ((s, d) =>
+      graft.text.Unigram.fertilityBySourceWith(Tables.documents(s, d),
+        unigramProbs(s, d))),
     // --- Zipf power-law fit of the frequency distribution (corpus health) ---
     "text_zipf_slope"  -> ((s, d) => TextOps.zipfSlope(Tables.documents(s, d))),
     // --- deduplication (north star) ---
@@ -589,6 +611,12 @@ object SparkEntry {
     // --- multi-source BFS hop distance from the top-degree hubs ---
     "q_bfs_hops" -> ((s, d) =>
       graft.analytics.Bfs.hubDistances(
+        coBoughtEdges(s, d), "item_a", "item_b", canonical = true)),
+    // --- HyperANF neighbourhood function + 90% effective diameter:
+    // md5-register HLL counters MAXed along edges, register-exact
+    // DuckDB replay (Boldi/Rosa/Vigna WWW'11) ---
+    "q_hyperanf" -> ((s, d) =>
+      graft.analytics.HyperAnf.effectiveDiameter(
         coBoughtEdges(s, d), "item_a", "item_b", canonical = true)),
     // --- Newman modularity of the LPA partition (one exact expression) ---
     "q_modularity" -> ((s, d) =>
@@ -1192,7 +1220,14 @@ object SparkEntry {
       Multimodal.nearDupImagePairs(
         Multimodal.imageAHashes(
           Multimodal.packSyntheticPngs(Tables.documents(s, d))).toDF())
-    })
+    }),
+    // --- lossy-codec leg: aHash drift histogram under JPEG re-encode.
+    // No DuckDB oracle (the oracle can't run a JPEG DCT) → driver's
+    // rows-only check; the codec properties are pinned in JpegImageSpec
+    // (double-encode determinism, drift bound, pigeonhole completeness
+    // of the band join over JPEG hashes, planted-pair recall) ---
+    "mm_image_jpeg" -> ((s, d) =>
+      Multimodal.jpegDriftHistogram(Tables.documents(s, d)))
   )
 
   /** The shared base/next order-snapshot pair behind `q_snapshot_diff`
@@ -1865,6 +1900,7 @@ object SparkEntry {
     // frontier rounds unrolled as CTEs; BFS layers are set-valued so
     // there is no tie-break to diverge on
     "q_bfs_hops" -> graft.analytics.Bfs.hubDistancesOracleSql(),
+    "q_hyperanf" -> graft.analytics.HyperAnf.effectiveDiameterOracleSql(),
     // peel rounds unrolled as CTEs; peeling is set-valued, no tie-breaks
     "q_kcore" -> graft.analytics.GraphStats.kCoreOracleSql(),
     // exact HUGEINT power sums, one shared IEEE Pearson expression
@@ -2470,6 +2506,14 @@ object SparkEntry {
          |       CAST(SUM(length(s) - length(replace(s, '(', ''))) AS BIGINT) AS n_bpe_tokens
          |FROM enc
          |GROUP BY doc_id""".stripMargin,
+    // the unigram-LM family: DuckDB replays the WHOLE 2-round hard-EM
+    // training (seed counts, recursive-CTE Viterbi lattice, backtrack,
+    // M-step, prune) and then the final-model encode — generated beside
+    // the operator (graft.text.Unigram) so the two engines share one
+    // integer-exact recipe
+    "text_unigram_train" -> graft.text.Unigram.trainOracleSql,
+    "text_unigram_encode" -> graft.text.Unigram.encodeOracleSql,
+    "text_unigram_fertility" -> graft.text.Unigram.fertilityOracleSql,
     // same replace chain per word, per-source sums, one integer division
     "text_fertility" ->
       s"""WITH words AS (

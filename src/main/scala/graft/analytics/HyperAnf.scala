@@ -1,0 +1,216 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HyperANF (Boldi, Rosa & Vigna, WWW'11): the neighbourhood function
+  * N(t) = Σ_v |ball(v, t)| estimated by per-node HyperLogLog counters
+  * that are register-wise MAXed along edges each round, and from it the
+  * 90% effective diameter — the global-distance summary that
+  * complements the exact-but-landmark-bounded [[Betweenness]] /
+  * [[Harmonic]] views (reference scope: iistatiehh/FilmDataWareHouse
+  * has no graph surface; this extends the co-bought item graph family).
+  *
+  * Register discipline (the part that makes the DuckDB oracle
+  * register-EXACT rather than estimator-vs-own-exact like
+  * `q_hll_rollup`): node hashes are md5-derived 60-bit integers
+  * ([[graft.dedup.Dedup.md5Base60]] of "hanf:node"), bucket = low 4
+  * bits (m = 16 registers), and the geometric value is the TRAILING
+  * -zero count of the remaining 56 bits plus one —
+  * `bit_count((w & -w) - 1) + 1`, a pure integer-bit identity both
+  * engines evaluate identically (no float log2), capped at 56 so the
+  * w = 0 corner stays in range. The estimator is integer-exact too:
+  * Z4 = Σ_j 2^(56-M_j) ≤ 16·2^56 holds in BIGINT, the raw estimate is
+  * one DECIMAL(38,0) integral division
+  * (⌊α₁₆·m²·2^56·1000 / Z4⌋ micro-units), and the small-range linear
+  * -counting branch reads m·ln(m/V) from a 16-entry literal table
+  * computed ONCE in Scala and embedded in both engines' plans — so
+  * every register, estimate, and the d90 flag replay bit-for-bit.
+  *
+  * Scale shape: state is m rows per node (the sparse register
+  * relation); each round is one edges⋈registers hash join plus one
+  * (node, register) MAX aggregate — both key-partitioned shuffles
+  * sized |V|·m, never |V|². Rounds are lineage-truncated with the
+  * BFS/PageRank checkpoint discipline. Nodes whose registers stopped
+  * changing could be frontier-deltaed out (the paper's systolic
+  * optimization) — left on the table here because the round count is
+  * small and bounded.
+  */
+object HyperAnf {
+
+  /** Registers per counter (m = 2^4). */
+  val M = 16
+
+  /** round(10^6 · ln(M / V)) for V = 1..M — the linear-counting table,
+    * shared verbatim by the Spark plan and the DuckDB oracle.
+    */
+  val LcMicro: IndexedSeq[Long] =
+    (1 to M).map(v => Math.round(1e6 * Math.log(M.toDouble / v)))
+
+  /** ⌊α₁₆ · m² · 1000 · 2^56⌋ with α₁₆ = 0.673: the raw-estimate
+    * numerator in micro-units over the Z4 scale.
+    */
+  val RawNumer: BigInt = BigInt(673L * 256L * 1000L) * BigInt(2).pow(56)
+
+  private val TwoPow56 = 72057594037927936L
+
+  /** Initial sparse registers: each node contributes its own hash —
+    * (node, j, r) with j the low-4-bit bucket and r the trailing-zero
+    * geometric value of the high 56 bits. Absent (node, j) pairs are
+    * register value 0.
+    */
+  def registers0(nodes: DataFrame): DataFrame =
+    nodes
+      .withColumn("__h",
+        graft.dedup.Dedup.md5Base60(
+          concat(lit("hanf:"), col("node").cast("string"))))
+      .select(col("node"), pmod(col("__h"), lit(M.toLong)).as("j"),
+        expr("least(bit_count(((__h div 16) & -(__h div 16)) - 1) + 1, 56)")
+          .cast("long").as("r"))
+
+  /** One HyperANF round: registers flow along edges and MAX per
+    * (node, register) — B_{t+1}(v) = B_t(v) ∪ ⋃_{(v,w)∈E} B_t(w).
+    */
+  def step(regs: DataFrame, e: DataFrame): DataFrame = {
+    val fromNbrs = e.join(regs.withColumnRenamed("node", "dst"), "dst")
+      .select(col("src").as("node"), col("j"), col("r"))
+    regs.unionByName(fromNbrs)
+      .groupBy("node", "j").agg(max("r").as("r"))
+  }
+
+  /** N(t) in micro-units from a register relation: per node, the
+    * HLL estimate with the literal-table linear-counting branch; the
+    * sum is DECIMAL(38,0) (nf can exceed BIGINT at planet scale).
+    */
+  def nfEstimate(regs: DataFrame, t: Int): DataFrame = {
+    val lcArr = array(LcMicro.map(lit): _*)
+    regs.groupBy("node")
+      .agg(count(lit(1)).as("__np"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(56 - r AS INT))"))
+          .as("__zp"))
+      .select(col("__np"),
+        (col("__zp") + (lit(M.toLong) - col("__np")) * lit(TwoPow56))
+          .as("__z4"))
+      .withColumn("__raw",
+        expr(s"CAST('$RawNumer' AS DECIMAL(38,0)) div CAST(__z4 AS DECIMAL(38,0))"))
+      .withColumn("__est",
+        when(col("__np") < M && col("__raw") <= lit(2500000L * M),
+          lit(M.toLong) *
+            element_at(lcArr, greatest(lit(M) - col("__np").cast("int"), lit(1))))
+          .otherwise(col("__raw")))
+      .agg(sum(col("__est").cast("decimal(38,0)")).as("nf_micro"))
+      .select(lit(t).as("t"), col("nf_micro"))
+  }
+
+  /** The neighbourhood-function curve over `rounds` register-MAX
+    * rounds, with the 90%-effective-diameter flag: reached_90 is true
+    * from the first t where N(t) ≥ 0.9·N(rounds) — the smallest such t
+    * IS the estimated effective diameter.
+    *
+    * Output: (t, nf_micro, reached_90), t = 0..rounds.
+    */
+  def effectiveDiameter(edges: DataFrame, srcCol: String, dstCol: String,
+                        rounds: Int = 4,
+                        canonical: Boolean = false): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, "rounds must be in [1, 8]")
+    val spark = edges.sparkSession
+    val e = graft.Caching.materialize(
+      GraphEdges.symmetricDistinct(edges, srcCol, dstCol, canonical))
+    val nodes = e.select(col("src").as("node")).distinct()
+    // checkpoint each round BEFORE releasing the previous one: regs
+    // feeds TWO subtrees per round (neighbor join + union) — the
+    // BFS/PageRank lineage discipline. Each round's N(t) is ONE
+    // DECIMAL scalar, collected eagerly so only the CURRENT register
+    // relation stays resident (the paper's state discipline); the
+    // rounds+1-point curve is bounded driver model state (the k-means
+    // -centroid pattern), re-emitted as a literal relation.
+    def nfValue(regs: DataFrame, t: Int): java.math.BigDecimal =
+      nfEstimate(regs, t).collect()(0).getDecimal(1)
+    var regs = graft.Caching.checkpointed(registers0(nodes))
+    val curve = scala.collection.mutable.ArrayBuffer(nfValue(regs, 0))
+    for (t <- 1 to rounds) {
+      val next = graft.Caching.checkpointed(step(regs, e))
+      graft.Caching.releaseCheckpoint(regs)
+      regs = next
+      curve += nfValue(regs, t)
+    }
+    graft.Caching.releaseCheckpoint(regs)
+    e.unpersist()
+    // emit whole-unit BIGINT estimates (micro-exact values feed the d90
+    // comparison; a DECIMAL(38,0) output column would round-trip as
+    // float on the oracle side and break the strict compare)
+    val nfFinal = curve.last
+    val rows = curve.zipWithIndex.map { case (nf, t) =>
+      org.apache.spark.sql.Row(t,
+        nf.toBigInteger.divide(java.math.BigInteger.valueOf(1000000L))
+          .longValueExact(),
+        nf.multiply(java.math.BigDecimal.TEN)
+          .compareTo(nfFinal.multiply(java.math.BigDecimal.valueOf(9))) >= 0)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("t",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("nf_est",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("reached_90",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
+  /** DuckDB twin over the co-bought item graph: the same md5 registers,
+    * the same bit-identity rho, rounds unrolled as CTEs, the same
+    * literal LC table and DECIMAL integral division — register-exact
+    * replay end to end.
+    */
+  def effectiveDiameterOracleSql(rounds: Int = 4): String = {
+    val lcList = LcMicro.mkString("[", ", ", "]")
+    val roundsSql = (1 to rounds).map { k =>
+      s"""r$k AS (
+         |  SELECT node, j, MAX(r) AS r FROM (
+         |    SELECT * FROM r${k - 1}
+         |    UNION ALL
+         |    SELECT e.src AS node, x.j, x.r
+         |    FROM e JOIN r${k - 1} x ON x.node = e.dst)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val nfSql = (0 to rounds).map { k =>
+      s"""nf$k AS (
+         |  SELECT $k AS t, CAST(SUM(est) AS DECIMAL(38,0)) AS nf_micro FROM (
+         |    SELECT CASE WHEN np < $M AND raw <= ${2500000L * M}
+         |                THEN $M * ($lcList)[greatest($M - np, 1)]
+         |                ELSE raw END AS est
+         |    FROM (
+         |      SELECT np,
+         |             CAST('$RawNumer' AS HUGEINT)
+         |               // (zp + ($M - np) * $TwoPow56) AS raw
+         |      FROM (
+         |        SELECT node, COUNT(*) AS np,
+         |               SUM(1::BIGINT << CAST(56 - r AS INT)) AS zp
+         |        FROM r$k GROUP BY 1))))""".stripMargin
+    }.mkString(",\n")
+    val unionSql = (0 to rounds).map(k => s"SELECT * FROM nf$k")
+      .mkString(" UNION ALL ")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |eh AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |e AS (SELECT u AS src, v AS dst FROM eh UNION SELECT v, u FROM eh),
+       |h AS (
+       |  SELECT node,
+       |         ('0x' || substring(md5('hanf:' || node::VARCHAR), 1, 15))::BIGINT AS hv
+       |  FROM (SELECT DISTINCT src AS node FROM e)),
+       |r0 AS (
+       |  SELECT node, hv % $M AS j,
+       |         least(bit_count(((hv // 16) & -(hv // 16)) - 1) + 1, 56) AS r
+       |  FROM h),
+       |$roundsSql,
+       |$nfSql,
+       |curve AS ($unionSql)
+       |SELECT c.t, CAST(CAST(c.nf_micro AS HUGEINT) // 1000000 AS BIGINT) AS nf_est,
+       |       CAST(c.nf_micro AS HUGEINT) * 10
+       |         >= CAST(f.nf_micro AS HUGEINT) * 9 AS reached_90
+       |FROM curve c CROSS JOIN (SELECT nf_micro FROM curve WHERE t = $rounds) f""".stripMargin
+  }
+}

@@ -477,8 +477,36 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Lossy JPEG encode at an explicit quality — the compressed-codec
+    * leg of the image pipeline (the format a real image corpus arrives
+    * in). ImageIO ships a pure-JVM JPEG codec; TYPE_BYTE_GRAY writes as
+    * single-channel JFIF. Deterministic for a given JVM (spec-pinned by
+    * double-encode byte equality) but NOT formula-replayable: JPEG is
+    * lossy, so this leg's oracle convention shifts from the PNG
+    * hash-equality proof to the production property — aHash stability
+    * under re-encode — pinned in JpegImageSpec and audited by
+    * [[jpegDriftHistogram]].
+    */
+  def packJpegBytes(img: java.awt.image.BufferedImage,
+                    quality: Float = 0.9f): Array[Byte] = {
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    try {
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(quality)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      ios.close()
+      bos.toByteArray
+    } finally writer.dispose()
+  }
+
   case class ImageRecord(media_id: Long, content: Array[Byte])
   case class ImageHash(media_id: Long, w0: Long, w1: Long)
+  case class ImageDrift(media_id: Long, drift: Int)
 
   /** Synthetic PNG corpus keyed on doc_id ([[packSyntheticGifs]] shape). */
   def packSyntheticPngs(documents: DataFrame): Dataset[ImageRecord] = {
@@ -491,44 +519,93 @@ object Multimodal {
       }
   }
 
-  /** Decode PNGs and compute the 64-bit aHash as two 32-bit words (bit
-    * b = by·8+bx set iff `blockSum·64 > total`; word 0 holds bits
-    * 0–31). Undecodable payloads are dropped (the quarantine path).
+  /** Synthetic JPEG corpus — the same pixel field through the lossy
+    * codec. */
+  def packSyntheticJpegs(documents: DataFrame,
+                         quality: Float = 0.9f): Dataset[ImageRecord] = {
+    implicit val enc = Encoders.product[ImageRecord]
+    import org.apache.spark.sql.Encoders.scalaLong
+    documents.select(col("doc_id")).as[Long](scalaLong)
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map(id => ImageRecord(id, packJpegBytes(synthGrayImage(id), quality)))
+      }
+  }
+
+  /** aHash drift under lossy JPEG re-encode, per image: hamming(
+    * aHash(decode(png(img))), aHash(decode(jpeg(img)))) — the number a
+    * production near-dup pipeline actually cares about (how many hash
+    * bits does recompression move, i.e. how much Hamming budget must
+    * the band join leave for codec noise). ONE map-only pass per image
+    * computes both codec round trips (no join, no second decode scan);
+    * the histogram is a 65-bucket-bounded group-by.
+    *
+    * Output: (drift, n_images).
     */
+  def jpegDriftHistogram(documents: DataFrame,
+                         quality: Float = 0.9f): DataFrame = {
+    implicit val enc = Encoders.product[ImageDrift]
+    import org.apache.spark.sql.Encoders.scalaLong
+    documents.select(col("doc_id")).as[Long](scalaLong)
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { id =>
+          val img = synthGrayImage(id)
+          for {
+            (p0, p1) <- aHashOf(packPngBytes(img))
+            (j0, j1) <- aHashOf(packJpegBytes(img, quality))
+          } yield ImageDrift(id,
+            java.lang.Long.bitCount(p0 ^ j0) + java.lang.Long.bitCount(p1 ^ j1))
+        }
+      }
+      .groupBy(col("drift"))
+      .agg(count(lit(1)).as("n_images"))
+  }
+
+  /** Decode one image payload (any ImageIO codec — PNG, JPEG, GIF) and
+    * compute the 64-bit aHash as two 32-bit words (bit b = by·8+bx set
+    * iff `blockSum·64 > total`; word 0 holds bits 0–31). Undecodable
+    * payloads → None (the quarantine path). Codec-agnostic: the hash
+    * reads the decoded raster, so the same kernel serves the lossless
+    * PNG leg and the lossy JPEG leg.
+    */
+  def aHashOf(content: Array[Byte]): Option[(Long, Long)] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      if (img == null || img.getWidth < 16 || img.getHeight < 16) None
+      else {
+        val raster = img.getRaster
+        val bs = new Array[Long](64)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            bs((y / 2) * 8 + x / 2) += raster.getSample(x, y, 0)
+            x += 1
+          }
+          y += 1
+        }
+        val total = bs.sum
+        var w0 = 0L; var w1 = 0L
+        var b = 0
+        while (b < 64) {
+          if (bs(b) * 64 > total) {
+            if (b < 32) w0 |= 1L << b else w1 |= 1L << (b - 32)
+          }
+          b += 1
+        }
+        Some((w0, w1))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decode an image corpus and compute per-image aHashes. */
   def imageAHashes(media: Dataset[ImageRecord]): Dataset[ImageHash] = {
     implicit val enc = Encoders.product[ImageHash]
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
-      it.flatMap { r =>
-        try {
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.content))
-          if (img == null || img.getWidth < 16 || img.getHeight < 16) None
-          else {
-            val raster = img.getRaster
-            val bs = new Array[Long](64)
-            var y = 0
-            while (y < 16) {
-              var x = 0
-              while (x < 16) {
-                bs((y / 2) * 8 + x / 2) += raster.getSample(x, y, 0)
-                x += 1
-              }
-              y += 1
-            }
-            val total = bs.sum
-            var w0 = 0L; var w1 = 0L
-            var b = 0
-            while (b < 64) {
-              if (bs(b) * 64 > total) {
-                if (b < 32) w0 |= 1L << b else w1 |= 1L << (b - 32)
-              }
-              b += 1
-            }
-            Some(ImageHash(r.media_id, w0, w1))
-          }
-        } catch { case scala.util.control.NonFatal(_) => None }
-      }
+      it.flatMap(r => aHashOf(r.content).map { case (w0, w1) =>
+        ImageHash(r.media_id, w0, w1) })
     }
   }
 

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.HyperAnf
+
+/** HyperANF: register-exact agreement with a single-node reference
+  * (same md5 hashes, same trailing-zero rho, same register-MAX
+  * rounds), estimator accuracy against the exact neighbourhood
+  * function, and effective-diameter shape on a known graph.
+  */
+class HyperAnfSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** Barbell: two 5-cliques joined by a 3-edge path — diameter 5,
+    * reach saturates by round 5.
+    */
+  private val barbell: Seq[(Long, Long)] = {
+    val c1 = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val c2 = for (a <- 10L to 14L; b <- (a + 1) to 14L) yield (a, b)
+    (c1 ++ c2 ++ Seq((4L, 7L), (7L, 8L), (8L, 10L))).toSeq
+  }
+
+  private def md5Base60Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+  }
+
+  /** Pure-Scala register reference: same hash, bucket, rho, and MAX
+    * flow as the distributed operator.
+    */
+  private def localRegisters(edges: Seq[(Long, Long)],
+                             rounds: Int): Map[Long, Map[Long, Long]] = {
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (a, b) => a != b }.distinct
+    val nodes = sym.map(_._1).distinct
+    def rho(w: Long): Long =
+      if (w == 0L) 56L
+      else math.min(java.lang.Long.numberOfTrailingZeros(w) + 1L, 56L)
+    var regs: Map[Long, Map[Long, Long]] = nodes.map { n =>
+      val h = md5Base60Local(s"hanf:$n")
+      n -> Map((h % 16) -> rho(h / 16))
+    }.toMap
+    for (_ <- 1 to rounds) {
+      val nbrs = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      regs = nodes.map { n =>
+        val merged = (nbrs(n).map(regs) :+ regs(n))
+          .flatten.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+        n -> merged
+      }.toMap
+    }
+    regs
+  }
+
+  test("distributed registers equal the single-node reference per round") {
+    val edges = barbell.toDF("item_a", "item_b")
+    val e = graft.analytics.GraphEdges
+      .symmetricDistinct(edges, "item_a", "item_b")
+    for (rounds <- Seq(1, 3)) {
+      var regs = HyperAnf.registers0(
+        e.select($"src".as("node")).distinct())
+      for (_ <- 1 to rounds) regs = HyperAnf.step(regs, e)
+      val got = regs.collect()
+        .groupBy(_.getLong(0))
+        .map { case (n, rs) =>
+          n -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+      assert(got === localRegisters(barbell, rounds), s"rounds=$rounds")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("nf curve tracks the exact neighbourhood function") {
+    val edges = barbell.toDF("item_a", "item_b")
+    val out = HyperAnf.effectiveDiameter(edges, "item_a", "item_b",
+        rounds = 6)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    // exact N(t) by BFS over the 13-node barbell
+    val sym = barbell.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = sym.keySet
+    def ball(v: Long, t: Int): Set[Long] =
+      (0 until t).foldLeft(Set(v))((s, _) => s ++ s.flatMap(sym))
+    val exact = (0 to 6).map(t => nodes.toSeq.map(v => ball(v, t).size).sum)
+    out.foreach { case (t, nf, _) =>
+      val ex = exact(t)
+      // m=16 registers: generous ±50% envelope; LC keeps small balls tight
+      assert(nf >= ex / 2 && nf <= ex * 2, s"t=$t nf=$nf exact=$ex")
+    }
+    // monotone saturation: the final two rounds agree (diameter 5 < 6)
+    assert(out(5)._2 === out(6)._2)
+    // reached_90 is monotone in t and true at the final round
+    assert(out.last._3)
+    val flags = out.map(_._3)
+    assert(flags.zip(flags.tail).forall { case (a, b) => !a || b })
+    spark.catalog.clearCache()
+  }
+
+  test("estimated effective diameter lands near the exact d90") {
+    val edges = barbell.toDF("item_a", "item_b")
+    val out = HyperAnf.effectiveDiameter(edges, "item_a", "item_b",
+        rounds = 6)
+      .collect().map(r => (r.getInt(0), r.getBoolean(2))).sortBy(_._1)
+    val estD90 = out.find(_._2).get._1
+    // exact d90 of the barbell (N(t)/N(6) ≥ 0.9 first at t = 4)
+    assert(estD90 >= 3 && estD90 <= 5, s"estD90=$estD90")
+    spark.catalog.clearCache()
+  }
+}

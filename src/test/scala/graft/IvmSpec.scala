@@ -362,4 +362,101 @@ class IvmSpec extends AnyFunSuite {
     assert(Ivm.distinctCounts(sup2, Seq("g"), "v").as[(String, Long)]
       .collect().toSeq === Seq(("a", 1L)))
   }
+
+  test("streaming distinct + median support folds equal the final recompute") {
+    // the streaming twin of applyDeltaDistinct: foreachBatch maintains the
+    // versioned (g, v, cnt) SUPPORT relation; BOTH derived views —
+    // count-distinct and exact median — read the same maintained support,
+    // and two CDC batches (draining a value's last occurrence, thinning a
+    // duplicated value without dropping it, an update pair, and a NULL
+    // value insert) land on the recompute of the final snapshot
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivm_sup").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_ivm_sup_chk").toString
+    val base = Seq(("a", Option(10L)), ("a", Option(10L)), ("a", Option(30L)),
+      ("b", Option(5L))).toDF("g", "v")
+    base.groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$dir/sup_v0")
+    val stream = MemoryStream[(String, Option[Long], Boolean)]
+    val q = stream.toDF().toDF("g", "v", "is_delete")
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val cur = batch.sparkSession.read.parquet(s"$dir/sup_v$id")
+        Ivm.applyDeltaDistinct(cur, batch, Seq("g"), "v")
+          .write.mode("overwrite").parquet(s"$dir/sup_v${id + 1}")
+      }.start()
+    try {
+      // thin one of a's duplicated 10s (distinct unchanged), update b 5→7
+      stream.addData(("a", Option(10L), true), ("b", Option(5L), true),
+        ("b", Option(7L), false))
+      q.processAllAvailable()
+      // drain a's LAST 10 (distinct drops), insert c/9 and a NULL value
+      stream.addData(("a", Option(10L), true), ("c", Option(9L), false),
+        ("c", Option.empty[Long], false))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sup = spark.read.parquet(s"$dir/sup_v2")
+    val finalRows = Seq(("a", Option(30L)), ("b", Option(7L)),
+      ("c", Option(9L)), ("c", Option.empty[Long])).toDF("g", "v")
+    val wantDistinct = finalRows.groupBy("g")
+      .agg(countDistinct($"v").as("n_distinct"))
+    val gotDistinct = Ivm.distinctCounts(sup, Seq("g"), "v")
+    assert(gotDistinct.exceptAll(wantDistinct).isEmpty &&
+      wantDistinct.exceptAll(gotDistinct).isEmpty)
+    val wantMedian = finalRows.filter($"v".isNotNull).groupBy("g")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").as("median"))
+    val gotMedian = Ivm.medianView(sup, Seq("g"), "v")
+    assert(gotMedian.exceptAll(wantMedian).isEmpty &&
+      wantMedian.exceptAll(gotMedian).isEmpty,
+      s"got:\n${gotMedian.collect().mkString("\n")}")
+    spark.catalog.clearCache()
+  }
+
+  test("streaming top-k re-ranks per micro-batch equal the final recompute") {
+    // the streaming twin of topKView: foreachBatch folds applyDelta into
+    // the versioned (g, cnt, total) aggregate AND emits the re-ranked
+    // top-k per batch; a delete retracts the reigning top group out of
+    // the top set (the no-repair-needed property), and the final emitted
+    // view equals the recompute
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivm_topk").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_ivm_topk_chk").toString
+    val base = Seq(("a", 50.0), ("b", 30.0), ("c", 20.0), ("d", 10.0))
+      .toDF("g", "v")
+    agg(base).write.mode("overwrite").parquet(s"$dir/agg_v0")
+    val stream = MemoryStream[(String, Double, Boolean)]
+    val q = stream.toDF().toDF("g", "v", "is_delete")
+      .withColumn("v", $"v".cast("decimal(18,2)"))
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val ss = batch.sparkSession
+        val cur = ss.read.parquet(s"$dir/agg_v$id")
+        // ONE fold serves both artifacts: the next version and its top-k
+        Ivm.applyDelta(cur, batch, Seq("g"), "v")
+          .write.mode("overwrite").parquet(s"$dir/agg_v${id + 1}")
+        ss.read.parquet(s"$dir/agg_v${id + 1}")
+          .orderBy($"total".desc, $"g".asc).limit(2)
+          .write.mode("overwrite").parquet(s"$dir/topk_v${id + 1}")
+      }.start()
+    try {
+      // batch 0: c surges into the top 2
+      stream.addData(("c", 25.0, false))
+      q.processAllAvailable()
+      // batch 1: retract the reigning top group a entirely
+      stream.addData(("a", 50.0, true), ("d", 2.0, false))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$dir/topk_v2")
+    val finalRows = Seq(("b", 30.0), ("c", 20.0), ("c", 25.0), ("d", 10.0),
+      ("d", 2.0)).toDF("g", "v")
+    val want = agg(finalRows).orderBy($"total".desc, $"g".asc).limit(2)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"got:\n${got.collect().mkString("\n")}")
+    // a must be gone from the emitted view (retracted, not repaired)
+    assert(got.filter($"g" === "a").isEmpty)
+    spark.catalog.clearCache()
+  }
 }
