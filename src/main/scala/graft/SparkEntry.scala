@@ -118,6 +118,18 @@ object SparkEntry {
     unigramMemo.computeIfAbsent((s, d), _ =>
       graft.text.Unigram.finalProbs(Tables.documents(s, d)))
 
+  /** Session-scoped memo of the HyperANF N(t) curve — rounds+1 DECIMAL
+    * scalars (bounded model state), shared by the effective-diameter
+    * and spid queries so the register iteration runs once per
+    * (session, dir).
+    */
+  private val hanfMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[java.math.BigDecimal]]()
+  private def hanfCurve(s: SparkSession, d: String): Seq[java.math.BigDecimal] =
+    hanfMemo.computeIfAbsent((s, d), _ =>
+      graft.analytics.HyperAnf.nfCurve(
+        coBoughtEdges(s, d), "item_a", "item_b", rounds = 4, canonical = true))
+
   /** Item incidence counts + basket count shared by the market-basket /
     * item-CF pair (same memo contract).
     */
@@ -434,6 +446,8 @@ object SparkEntry {
         unigramProbs(s, d))),
     // --- Zipf power-law fit of the frequency distribution (corpus health) ---
     "text_zipf_slope"  -> ((s, d) => TextOps.zipfSlope(Tables.documents(s, d))),
+    // --- Heaps'-law vocabulary-growth exponent (zipf's companion) ---
+    "text_heaps_law"   -> ((s, d) => TextOps.heapsLaw(Tables.documents(s, d))),
     // --- deduplication (north star) ---
     "dedup_exact"         -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "dedup_minhash"       -> ((s, d) => Dedup.minhashDedup(Tables.documents(s, d))),
@@ -616,8 +630,11 @@ object SparkEntry {
     // md5-register HLL counters MAXed along edges, register-exact
     // DuckDB replay (Boldi/Rosa/Vigna WWW'11) ---
     "q_hyperanf" -> ((s, d) =>
-      graft.analytics.HyperAnf.effectiveDiameter(
-        coBoughtEdges(s, d), "item_a", "item_b", canonical = true)),
+      graft.analytics.HyperAnf.effectiveDiameterFromCurve(s, hanfCurve(s, d))),
+    // --- spid (variance/mean of the distance distribution) from the
+    // same register-exact HyperANF curve ---
+    "q_graph_spid" -> ((s, d) =>
+      graft.analytics.HyperAnf.distanceStatsFromCurve(s, hanfCurve(s, d))),
     // --- Newman modularity of the LPA partition (one exact expression) ---
     "q_modularity" -> ((s, d) =>
       graft.analytics.LabelProp.modularity(
@@ -1901,6 +1918,7 @@ object SparkEntry {
     // there is no tie-break to diverge on
     "q_bfs_hops" -> graft.analytics.Bfs.hubDistancesOracleSql(),
     "q_hyperanf" -> graft.analytics.HyperAnf.effectiveDiameterOracleSql(),
+    "q_graph_spid" -> graft.analytics.HyperAnf.distanceStatsOracleSql(),
     // peel rounds unrolled as CTEs; peeling is set-valued, no tie-breaks
     "q_kcore" -> graft.analytics.GraphStats.kCoreOracleSql(),
     // exact HUGEINT power sums, one shared IEEE Pearson expression
@@ -2409,6 +2427,7 @@ object SparkEntry {
         |CROSS JOIN ntok CROSS JOIN nbg""".stripMargin,
     // the same OLS-over-milli-logs: ranks by (count desc, token), each ln
     // rounded once to 1e-3, exact integer moments, one division
+    "text_heaps_law" -> TextOps.heapsLawOracleSql(),
     "text_zipf_slope" ->
       """WITH toks AS (
         |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token

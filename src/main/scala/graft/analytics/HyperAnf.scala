@@ -109,21 +109,21 @@ object HyperAnf {
     *
     * Output: (t, nf_micro, reached_90), t = 0..rounds.
     */
-  def effectiveDiameter(edges: DataFrame, srcCol: String, dstCol: String,
-                        rounds: Int = 4,
-                        canonical: Boolean = false): DataFrame = {
+  /** The N(t) curve, t = 0..rounds, in micro-units. Checkpoint each
+    * round BEFORE releasing the previous one: regs feeds TWO subtrees
+    * per round (neighbor join + union) — the BFS/PageRank lineage
+    * discipline. Each round's N(t) is ONE DECIMAL scalar, collected
+    * eagerly so only the CURRENT register relation stays resident (the
+    * paper's state discipline); the rounds+1-point curve is bounded
+    * driver model state (the k-means-centroid pattern).
+    */
+  def nfCurve(edges: DataFrame, srcCol: String, dstCol: String,
+              rounds: Int = 4,
+              canonical: Boolean = false): Seq[java.math.BigDecimal] = {
     require(rounds >= 1 && rounds <= 8, "rounds must be in [1, 8]")
-    val spark = edges.sparkSession
     val e = graft.Caching.materialize(
       GraphEdges.symmetricDistinct(edges, srcCol, dstCol, canonical))
     val nodes = e.select(col("src").as("node")).distinct()
-    // checkpoint each round BEFORE releasing the previous one: regs
-    // feeds TWO subtrees per round (neighbor join + union) — the
-    // BFS/PageRank lineage discipline. Each round's N(t) is ONE
-    // DECIMAL scalar, collected eagerly so only the CURRENT register
-    // relation stays resident (the paper's state discipline); the
-    // rounds+1-point curve is bounded driver model state (the k-means
-    // -centroid pattern), re-emitted as a literal relation.
     def nfValue(regs: DataFrame, t: Int): java.math.BigDecimal =
       nfEstimate(regs, t).collect()(0).getDecimal(1)
     var regs = graft.Caching.checkpointed(registers0(nodes))
@@ -136,6 +136,21 @@ object HyperAnf {
     }
     graft.Caching.releaseCheckpoint(regs)
     e.unpersist()
+    curve.toSeq
+  }
+
+  def effectiveDiameter(edges: DataFrame, srcCol: String, dstCol: String,
+                        rounds: Int = 4,
+                        canonical: Boolean = false): DataFrame =
+    effectiveDiameterFromCurve(edges.sparkSession,
+      nfCurve(edges, srcCol, dstCol, rounds, canonical))
+
+  /** Build the d90 view from an already-computed curve — the session
+    * shares ONE register iteration between this and [[distanceStats]]
+    * (the trained-model memo pattern).
+    */
+  def effectiveDiameterFromCurve(spark: org.apache.spark.sql.SparkSession,
+                                 curve: Seq[java.math.BigDecimal]): DataFrame = {
     // emit whole-unit BIGINT estimates (micro-exact values feed the d90
     // comparison; a DECIMAL(38,0) output column would round-trip as
     // float on the oracle side and break the strict compare)
@@ -158,15 +173,91 @@ object HyperAnf {
       spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
 
+  /** Distance-distribution summary from the SAME curve (Boldi, Rosa &
+    * Vigna's "spid", the shortest-paths index of dispersion): the mass
+    * at distance t is m_t = N(t) − N(t−1), and the output is the mean
+    * distance, its variance, and spid = variance/mean — spid < 1
+    * sub-Poisson ("proper social network"), > 1 web-like. All three are
+    * milli-quantized exact integer ratios of the micro-exact masses
+    * (mean = 10³·S1 div M, var = 10³·(M·S2 − S1²) div M², spid =
+    * 10³·(M·S2 − S1²) div (M·S1) with M = Σm_t, S1 = Σt·m_t,
+    * S2 = Σt²·m_t), computed in arbitrary-precision driver arithmetic
+    * on the Spark side; the DuckDB replay squares HUGEINTs, which
+    * bounds the ORACLE (not the operator) to ~10¹⁷ reachable pairs.
+    * Self-pairs (t = 0) are excluded, the usual convention.
+    *
+    * Output: one row (mean_dist_milli, var_dist_milli, spid_milli) —
+    * NULL when the graph has no positive-distance mass (M = 0) or a
+    * degenerate S1 = 0.
+    */
+  def distanceStats(edges: DataFrame, srcCol: String, dstCol: String,
+                    rounds: Int = 4,
+                    canonical: Boolean = false): DataFrame =
+    distanceStatsFromCurve(edges.sparkSession,
+      nfCurve(edges, srcCol, dstCol, rounds, canonical))
+
+  /** spid from an already-computed curve — see
+    * [[effectiveDiameterFromCurve]]. */
+  def distanceStatsFromCurve(spark: org.apache.spark.sql.SparkSession,
+                             rawCurve: Seq[java.math.BigDecimal]): DataFrame = {
+    val rounds = rawCurve.size - 1
+    val curve = rawCurve.map(d => BigInt(d.toBigInteger))
+    val masses = (1 to rounds).map(t => t -> (curve(t) - curve(t - 1)))
+    val m = masses.map(_._2).sum
+    val s1 = masses.map { case (t, mt) => BigInt(t) * mt }.sum
+    val s2 = masses.map { case (t, mt) => BigInt(t) * BigInt(t) * mt }.sum
+    def out(num: BigInt, den: BigInt): Any =
+      if (den == 0) null
+      else (BigInt(1000) * num / den).bigInteger.longValueExact()
+    val row = org.apache.spark.sql.Row(
+      out(s1, m), out(m * s2 - s1 * s1, m * m),
+      if (m == 0) null else out(m * s2 - s1 * s1, m * s1))
+    val lt = org.apache.spark.sql.types.LongType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("mean_dist_milli", lt),
+      org.apache.spark.sql.types.StructField("var_dist_milli", lt),
+      org.apache.spark.sql.types.StructField("spid_milli", lt)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1), schema)
+  }
+
   /** DuckDB twin over the co-bought item graph: the same md5 registers,
     * the same bit-identity rho, rounds unrolled as CTEs, the same
     * literal LC table and DECIMAL integral division — register-exact
     * replay end to end.
     */
-  def effectiveDiameterOracleSql(rounds: Int = 4): String = {
+  def effectiveDiameterOracleSql(rounds: Int = 4): String =
+    s"""WITH ${curveChainSql(rounds)}
+       |SELECT c.t, CAST(CAST(c.nf_micro AS HUGEINT) // 1000000 AS BIGINT) AS nf_est,
+       |       CAST(c.nf_micro AS HUGEINT) * 10
+       |         >= CAST(f.nf_micro AS HUGEINT) * 9 AS reached_90
+       |FROM curve c CROSS JOIN (SELECT nf_micro FROM curve WHERE t = $rounds) f""".stripMargin
+
+  /** DuckDB twin of [[distanceStats]] — the same chain, then the
+    * integer spid arithmetic in HUGEINT.
+    */
+  def distanceStatsOracleSql(rounds: Int = 4): String =
+    s"""WITH ${curveChainSql(rounds)},
+       |m AS (
+       |  SELECT c.t,
+       |         CAST(c.nf_micro AS HUGEINT) - CAST(p.nf_micro AS HUGEINT) AS mt
+       |  FROM curve c JOIN curve p ON p.t = c.t - 1 WHERE c.t >= 1),
+       |s AS (SELECT SUM(mt) AS mm, SUM(t * mt) AS s1, SUM(t * t * mt) AS s2 FROM m)
+       |SELECT CASE WHEN mm = 0 THEN NULL
+       |            ELSE CAST(1000 * s1 // mm AS BIGINT) END AS mean_dist_milli,
+       |       CASE WHEN mm = 0 THEN NULL
+       |            ELSE CAST(1000 * (mm * s2 - s1 * s1) // (mm * mm) AS BIGINT)
+       |       END AS var_dist_milli,
+       |       CASE WHEN mm = 0 OR s1 = 0 THEN NULL
+       |            ELSE CAST(1000 * (mm * s2 - s1 * s1) // (mm * s1) AS BIGINT)
+       |       END AS spid_milli
+       |FROM s""".stripMargin
+
+  /** The shared register/round/curve CTE chain (body of the WITH). */
+  private def curveChainSql(rounds: Int): String = {
     val lcList = LcMicro.mkString("[", ", ", "]")
     val roundsSql = (1 to rounds).map { k =>
-      s"""r$k AS (
+      s"""r$k AS MATERIALIZED (
          |  SELECT node, j, MAX(r) AS r FROM (
          |    SELECT * FROM r${k - 1}
          |    UNION ALL
@@ -175,7 +266,7 @@ object HyperAnf {
          |  GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
     val nfSql = (0 to rounds).map { k =>
-      s"""nf$k AS (
+      s"""nf$k AS MATERIALIZED (
          |  SELECT $k AS t, CAST(SUM(est) AS DECIMAL(38,0)) AS nf_micro FROM (
          |    SELECT CASE WHEN np < $M AND raw <= ${2500000L * M}
          |                THEN $M * ($lcList)[greatest($M - np, 1)]
@@ -191,26 +282,22 @@ object HyperAnf {
     }.mkString(",\n")
     val unionSql = (0 to rounds).map(k => s"SELECT * FROM nf$k")
       .mkString(" UNION ALL ")
-    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       |eh AS (
+    s"""items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |eh AS MATERIALIZED (
        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
        |  FROM items a JOIN items b
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-       |e AS (SELECT u AS src, v AS dst FROM eh UNION SELECT v, u FROM eh),
-       |h AS (
+       |e AS MATERIALIZED (SELECT u AS src, v AS dst FROM eh UNION SELECT v, u FROM eh),
+       |h AS MATERIALIZED (
        |  SELECT node,
        |         ('0x' || substring(md5('hanf:' || node::VARCHAR), 1, 15))::BIGINT AS hv
        |  FROM (SELECT DISTINCT src AS node FROM e)),
-       |r0 AS (
+       |r0 AS MATERIALIZED (
        |  SELECT node, hv % $M AS j,
        |         least(bit_count(((hv // 16) & -(hv // 16)) - 1) + 1, 56) AS r
        |  FROM h),
        |$roundsSql,
        |$nfSql,
-       |curve AS ($unionSql)
-       |SELECT c.t, CAST(CAST(c.nf_micro AS HUGEINT) // 1000000 AS BIGINT) AS nf_est,
-       |       CAST(c.nf_micro AS HUGEINT) * 10
-       |         >= CAST(f.nf_micro AS HUGEINT) * 9 AS reached_90
-       |FROM curve c CROSS JOIN (SELECT nf_micro FROM curve WHERE t = $rounds) f""".stripMargin
+       |curve AS MATERIALIZED ($unionSql)""".stripMargin
   }
 }

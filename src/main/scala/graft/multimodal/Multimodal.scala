@@ -532,13 +532,44 @@ object Multimodal {
       }
   }
 
+  /** aHash of a raster directly — the lossless-leg baseline without a
+    * codec round trip (the PNG encode→decode identity is separately
+    * PROVEN by the `mm_image_ahash` oracle, so hashing the source
+    * raster equals hashing the decoded PNG).
+    */
+  private def aHashOfImage(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val raster = img.getRaster
+    val bs = new Array[Long](64)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        bs((y / 2) * 8 + x / 2) += raster.getSample(x, y, 0)
+        x += 1
+      }
+      y += 1
+    }
+    val total = bs.sum
+    var w0 = 0L; var w1 = 0L
+    var b = 0
+    while (b < 64) {
+      if (bs(b) * 64 > total) {
+        if (b < 32) w0 |= 1L << b else w1 |= 1L << (b - 32)
+      }
+      b += 1
+    }
+    (w0, w1)
+  }
+
   /** aHash drift under lossy JPEG re-encode, per image: hamming(
-    * aHash(decode(png(img))), aHash(decode(jpeg(img)))) — the number a
+    * aHash(source raster), aHash(decode(jpeg(img)))) — the number a
     * production near-dup pipeline actually cares about (how many hash
     * bits does recompression move, i.e. how much Hamming budget must
-    * the band join leave for codec noise). ONE map-only pass per image
-    * computes both codec round trips (no join, no second decode scan);
-    * the histogram is a 65-bucket-bounded group-by.
+    * the band join leave for codec noise). The clean-side hash reads
+    * the raster directly (PNG losslessness is the `mm_image_ahash`
+    * oracle's theorem — no need to pay its codec round trip here), so
+    * the pass costs ONE JPEG encode+decode per image, map-only, no
+    * join; the histogram is a 65-bucket-bounded group-by.
     *
     * Output: (drift, n_images).
     */
@@ -551,11 +582,11 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         it.flatMap { id =>
           val img = synthGrayImage(id)
-          for {
-            (p0, p1) <- aHashOf(packPngBytes(img))
-            (j0, j1) <- aHashOf(packJpegBytes(img, quality))
-          } yield ImageDrift(id,
-            java.lang.Long.bitCount(p0 ^ j0) + java.lang.Long.bitCount(p1 ^ j1))
+          val (p0, p1) = aHashOfImage(img)
+          aHashOf(packJpegBytes(img, quality)).map { case (j0, j1) =>
+            ImageDrift(id,
+              java.lang.Long.bitCount(p0 ^ j0) + java.lang.Long.bitCount(p1 ^ j1))
+          }
         }
       }
       .groupBy(col("drift"))
@@ -574,29 +605,7 @@ object Multimodal {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(content))
       if (img == null || img.getWidth < 16 || img.getHeight < 16) None
-      else {
-        val raster = img.getRaster
-        val bs = new Array[Long](64)
-        var y = 0
-        while (y < 16) {
-          var x = 0
-          while (x < 16) {
-            bs((y / 2) * 8 + x / 2) += raster.getSample(x, y, 0)
-            x += 1
-          }
-          y += 1
-        }
-        val total = bs.sum
-        var w0 = 0L; var w1 = 0L
-        var b = 0
-        while (b < 64) {
-          if (bs(b) * 64 > total) {
-            if (b < 32) w0 |= 1L << b else w1 |= 1L << (b - 32)
-          }
-          b += 1
-        }
-        Some((w0, w1))
-      }
+      else Some(aHashOfImage(img))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Decode an image corpus and compute per-image aHashes. */

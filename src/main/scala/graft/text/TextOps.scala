@@ -306,6 +306,99 @@ object TextOps {
           .as("zipf_slope"))
   }
 
+  /** Heaps'-law fit of vocabulary growth — V(n) ≈ K·n^β, the companion
+    * diagnostic to [[zipfSlope]] (the two exponents are theoretically
+    * linked; β ≈ 0.4–0.6 for natural language, and a corpus whose β
+    * drifts toward 0 is saturating / toward 1 is ID-like noise). One
+    * fit point per document prefix in doc_id order: x = ln(cumulative
+    * tokens), y = ln(cumulative distinct types), both milli-quantized
+    * (the zipfSlope float discipline — ONE log per point, quantized
+    * before any arithmetic, so both engines sum identical integers),
+    * then the OLS slope/intercept from exact integer sums.
+    *
+    * Scale shape: types-introduced-at-doc-d is `min(doc_id) per token`
+    * (one shuffle on token), and BOTH cumulative series are the
+    * two-pass range-partitioned prefix sum
+    * ([[graft.operators.Packing.withRunningTotal]]) — no data-sized
+    * unpartitioned window anywhere.
+    *
+    * Output: one row (n_points, heaps_beta, heaps_logk).
+    */
+  def heapsLaw(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val newTypes = toks.groupBy("token").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_new"))
+    val joined = perDoc.join(newTypes, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val c1 = graft.operators.Packing
+      .withRunningTotal(joined, Seq("doc_id"), "n_tok", "__ct0")
+    val c2 = graft.operators.Packing
+      .withRunningTotal(c1, Seq("doc_id"), "n_new", "__cv0")
+    val pts = c2
+      .select((col("__ct0") + col("n_tok")).as("ct"),
+        (col("__cv0") + col("n_new")).as("cv"))
+      .filter(col("ct") > 0 && col("cv") > 0)
+      .select(
+        floor(log(col("ct").cast("double")) * 1e3 + 0.5).cast("long").as("x"),
+        floor(log(col("cv").cast("double")) * 1e3 + 0.5).cast("long").as("y"))
+    val den = col("n_points") * col("sxx") - col("sx") * col("sx")
+    val beta = (col("n_points") * col("sxy") - col("sx") * col("sy"))
+      .cast("double") / den.cast("double")
+    pts
+      .agg(count(lit(1)).as("n_points"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_points"),
+        when(den === 0, lit(null).cast("double")).otherwise(beta)
+          .as("heaps_beta"),
+        when(den === 0, lit(null).cast("double"))
+          .otherwise((col("sy").cast("double") - beta * col("sx").cast("double"))
+            / col("n_points").cast("double") / lit(1000.0))
+          .as("heaps_logk"))
+  }
+
+  /** DuckDB twin of [[heapsLaw]]: plain cumulative windows stand in for
+    * the two-pass prefix sums (oracle-side scale is sf-bounded), the
+    * identical milli-quantized logs and integer sums, the identical
+    * float expression shapes for slope and intercept.
+    */
+  def heapsLawOracleSql(): String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks GROUP BY 1),
+      |newtypes AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_new FROM (
+      |    SELECT token, MIN(doc_id) AS doc_id FROM toks GROUP BY 1)
+      |  GROUP BY 1),
+      |cum AS (
+      |  SELECT SUM(d.n_tok) OVER w AS ct,
+      |         SUM(coalesce(nt.n_new, 0)) OVER w AS cv
+      |  FROM perdoc d LEFT JOIN newtypes nt USING (doc_id)
+      |  WINDOW w AS (ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING)),
+      |pts AS (
+      |  SELECT CAST(FLOOR(ln(CAST(ct AS DOUBLE)) * 1e3 + 0.5) AS BIGINT) AS x,
+      |         CAST(FLOOR(ln(CAST(cv AS DOUBLE)) * 1e3 + 0.5) AS BIGINT) AS y
+      |  FROM cum WHERE ct > 0 AND cv > 0),
+      |s AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+      |         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |         CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM pts)
+      |SELECT n AS n_points,
+      |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+      |            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+      |                 / CAST(n * sxx - sx * sx AS DOUBLE) END AS heaps_beta,
+      |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+      |            ELSE (CAST(sy AS DOUBLE)
+      |                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+      |                     / CAST(n * sxx - sx * sx AS DOUBLE))
+      |                    * CAST(sx AS DOUBLE))
+      |                 / CAST(n AS DOUBLE) / 1000.0 END AS heaps_logk
+      |FROM s""".stripMargin
+
   /** Encode each document as its vocabulary token-id sequence — the
     * corpus → ids step before packing/training. Out-of-vocabulary tokens
     * map to id 0 and are counted in `n_oov`.

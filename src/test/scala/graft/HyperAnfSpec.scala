@@ -99,6 +99,31 @@ class HyperAnfSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("spid: a clique's distance distribution is exactly degenerate") {
+    // K5: every distance is 1, so ALL mass sits at t = 1 regardless of
+    // estimator noise (registers are stable from round 1 on) — mean is
+    // exactly 1000 milli, variance and spid exactly 0
+    val k5 = (for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b))
+      .toSeq.toDF("item_a", "item_b")
+    val r = graft.analytics.HyperAnf.distanceStats(k5, "item_a", "item_b",
+      rounds = 3).collect()(0)
+    assert(r.getLong(0) === 1000L)
+    assert(r.getLong(1) === 0L)
+    assert(r.getLong(2) === 0L)
+    spark.catalog.clearCache()
+  }
+
+  test("spid: barbell mean distance and dispersion are plausible") {
+    val edges = barbell.toDF("item_a", "item_b")
+    val r = graft.analytics.HyperAnf.distanceStats(edges, "item_a", "item_b",
+      rounds = 6).collect()(0)
+    // exact mean distance of the barbell is ~2.36; ±50% estimator envelope
+    assert(r.getLong(0) >= 1200 && r.getLong(0) <= 3600, s"mean=${r.getLong(0)}")
+    assert(r.getLong(1) >= 0, "variance is non-negative")
+    assert(r.getLong(2) >= 0, "spid is non-negative")
+    spark.catalog.clearCache()
+  }
+
   test("estimated effective diameter lands near the exact d90") {
     val edges = barbell.toDF("item_a", "item_b")
     val out = HyperAnf.effectiveDiameter(edges, "item_a", "item_b",
