@@ -635,6 +635,11 @@ object SparkEntry {
     // same register-exact HyperANF curve ---
     "q_graph_spid" -> ((s, d) =>
       graft.analytics.HyperAnf.distanceStatsFromCurve(s, hanfCurve(s, d))),
+    // --- HyperBall approximate closeness (Lin's index) for ALL nodes,
+    // top-20 — the sketch-scale rung beside landmark-exact harmonic ---
+    "q_hyperball_closeness" -> ((s, d) =>
+      graft.analytics.HyperAnf.closenessTopK(
+        coBoughtEdges(s, d), "item_a", "item_b", canonical = true)),
     // --- Newman modularity of the LPA partition (one exact expression) ---
     "q_modularity" -> ((s, d) =>
       graft.analytics.LabelProp.modularity(
@@ -1919,6 +1924,8 @@ object SparkEntry {
     "q_bfs_hops" -> graft.analytics.Bfs.hubDistancesOracleSql(),
     "q_hyperanf" -> graft.analytics.HyperAnf.effectiveDiameterOracleSql(),
     "q_graph_spid" -> graft.analytics.HyperAnf.distanceStatsOracleSql(),
+    "q_hyperball_closeness" ->
+      graft.analytics.HyperAnf.closenessTopKOracleSql(),
     // peel rounds unrolled as CTEs; peeling is set-valued, no tie-breaks
     "q_kcore" -> graft.analytics.GraphStats.kCoreOracleSql(),
     // exact HUGEINT power sums, one shared IEEE Pearson expression

@@ -78,29 +78,35 @@ object HyperAnf {
       .groupBy("node", "j").agg(max("r").as("r"))
   }
 
-  /** N(t) in micro-units from a register relation: per node, the
-    * HLL estimate with the literal-table linear-counting branch; the
-    * sum is DECIMAL(38,0) (nf can exceed BIGINT at planet scale).
+  /** Per-node ball-size estimates in micro-units: the HLL estimate
+    * with the literal-table linear-counting branch. (node, est).
     */
-  def nfEstimate(regs: DataFrame, t: Int): DataFrame = {
+  def perNodeEstimates(regs: DataFrame): DataFrame = {
     val lcArr = array(LcMicro.map(lit): _*)
     regs.groupBy("node")
       .agg(count(lit(1)).as("__np"),
         sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(56 - r AS INT))"))
           .as("__zp"))
-      .select(col("__np"),
+      .select(col("node"), col("__np"),
         (col("__zp") + (lit(M.toLong) - col("__np")) * lit(TwoPow56))
           .as("__z4"))
       .withColumn("__raw",
         expr(s"CAST('$RawNumer' AS DECIMAL(38,0)) div CAST(__z4 AS DECIMAL(38,0))"))
-      .withColumn("__est",
+      .select(col("node"),
         when(col("__np") < M && col("__raw") <= lit(2500000L * M),
           lit(M.toLong) *
             element_at(lcArr, greatest(lit(M) - col("__np").cast("int"), lit(1))))
-          .otherwise(col("__raw")))
-      .agg(sum(col("__est").cast("decimal(38,0)")).as("nf_micro"))
-      .select(lit(t).as("t"), col("nf_micro"))
+          .otherwise(col("__raw")).as("est"))
   }
+
+  /** N(t) in micro-units from a register relation: the per-node
+    * estimates summed in DECIMAL(38,0) (nf can exceed BIGINT at planet
+    * scale).
+    */
+  def nfEstimate(regs: DataFrame, t: Int): DataFrame =
+    perNodeEstimates(regs)
+      .agg(sum(col("est").cast("decimal(38,0)")).as("nf_micro"))
+      .select(lit(t).as("t"), col("nf_micro"))
 
   /** The neighbourhood-function curve over `rounds` register-MAX
     * rounds, with the 90%-effective-diameter flag: reached_90 is true
@@ -221,6 +227,87 @@ object HyperAnf {
       spark.sparkContext.parallelize(Seq(row), 1), schema)
   }
 
+  /** HyperBall closeness (Boldi & Vigna, the production use of these
+    * counters): per-node approximate total distance
+    * S_v = Σ_t t·(b_v(t) − b_v(t−1)) folded INCREMENTALLY — the state
+    * carried between rounds is ONE |V|-row (node, prev, smass)
+    * relation, never the per-round history — and the ranking is Lin's
+    * index, lin = reach² / S (the closeness variant that is
+    * monotone-sane on disconnected graphs: a node reaching more mass
+    * at the same mean distance ranks higher, instead of an isolated
+    * dyad beating the giant component's center). All arithmetic is the
+    * same micro-exact integer discipline: lin_milli =
+    * ⌊(reach−10⁶)²·1000 / (S·10⁶)⌋ in DECIMAL(38,0) (HUGEINT in the
+    * oracle). Unreached self-only nodes (S = 0) are excluded.
+    *
+    * This is the ALL-nodes scale rung beside the exact-but-landmark-
+    * bounded [[Harmonic]]/[[Betweenness]]: k·|V| exact BFS state vs
+    * m·|V| sketch state for every node at once.
+    *
+    * Output: top-`k` rows (node, reach_est, lin_milli), ranked
+    * (lin_milli desc, node asc) — plans as TakeOrderedAndProject.
+    */
+  def closenessTopK(edges: DataFrame, srcCol: String, dstCol: String,
+                    rounds: Int = 4, k: Int = 20,
+                    canonical: Boolean = false): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, "rounds must be in [1, 8]")
+    require(k >= 1, "k must be positive")
+    val e = graft.Caching.materialize(
+      GraphEdges.symmetricDistinct(edges, srcCol, dstCol, canonical))
+    val nodes = e.select(col("src").as("node")).distinct()
+    var regs = graft.Caching.checkpointed(registers0(nodes))
+    var acc = graft.Caching.checkpointed(perNodeEstimates(regs)
+      .select(col("node"), col("est").as("prev"), lit(0L).as("smass")))
+    for (t <- 1 to rounds) {
+      val nextRegs = graft.Caching.checkpointed(step(regs, e))
+      graft.Caching.releaseCheckpoint(regs)
+      regs = nextRegs
+      val nextAcc = graft.Caching.checkpointed(
+        acc.join(perNodeEstimates(regs), "node")
+          .select(col("node"), col("est").as("prev"),
+            (col("smass") + lit(t.toLong) * (col("est") - col("prev")))
+              .as("smass")))
+      graft.Caching.releaseCheckpoint(acc)
+      acc = nextAcc
+    }
+    e.unpersist()
+    val out = acc.filter(col("smass") > 0)
+      .select(col("node"),
+        expr("CAST(prev div 1000000 AS BIGINT)").as("reach_est"),
+        expr("""CAST(CAST(prev - 1000000 AS DECIMAL(38,0))
+               |     * CAST(prev - 1000000 AS DECIMAL(38,0)) * 1000
+               |  div (CAST(smass AS DECIMAL(38,0)) * 1000000) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("lin_milli"))
+      .orderBy(col("lin_milli").desc, col("node").asc)
+      .limit(k)
+    out
+  }
+
+  /** DuckDB twin of [[closenessTopK]]: per-round per-node estimate
+    * CTEs, delta masses, HUGEINT Lin arithmetic, deterministic top-k.
+    */
+  def closenessTopKOracleSql(rounds: Int = 4, k: Int = 20): String = {
+    val deltas = (1 to rounds).map { t =>
+      s"""SELECT a.node, $t AS t, a.est - b.est AS d
+         |FROM pe$t a JOIN pe${t - 1} b USING (node)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${curveChainSql(rounds)},
+       |deltas AS MATERIALIZED (
+       |$deltas),
+       |sm AS MATERIALIZED (
+       |  SELECT node, SUM(t * d) AS smass FROM deltas GROUP BY 1)
+       |SELECT s.node,
+       |       CAST(p.est // 1000000 AS BIGINT) AS reach_est,
+       |       CAST(CAST(p.est - 1000000 AS HUGEINT)
+       |              * CAST(p.est - 1000000 AS HUGEINT) * 1000
+       |            // (CAST(s.smass AS HUGEINT) * 1000000) AS BIGINT)
+       |         AS lin_milli
+       |FROM sm s JOIN pe$rounds p USING (node)
+       |WHERE s.smass > 0
+       |ORDER BY lin_milli DESC, s.node ASC
+       |LIMIT $k""".stripMargin
+  }
+
   /** DuckDB twin over the co-bought item graph: the same md5 registers,
     * the same bit-identity rho, rounds unrolled as CTEs, the same
     * literal LC table and DECIMAL integral division — register-exact
@@ -266,19 +353,21 @@ object HyperAnf {
          |  GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
     val nfSql = (0 to rounds).map { k =>
-      s"""nf$k AS MATERIALIZED (
-         |  SELECT $k AS t, CAST(SUM(est) AS DECIMAL(38,0)) AS nf_micro FROM (
-         |    SELECT CASE WHEN np < $M AND raw <= ${2500000L * M}
-         |                THEN $M * ($lcList)[greatest($M - np, 1)]
-         |                ELSE raw END AS est
+      s"""pe$k AS MATERIALIZED (
+         |  SELECT node, CASE WHEN np < $M AND raw <= ${2500000L * M}
+         |              THEN $M * ($lcList)[greatest($M - np, 1)]
+         |              ELSE raw END AS est
+         |  FROM (
+         |    SELECT node, np,
+         |           CAST('$RawNumer' AS HUGEINT)
+         |             // (zp + ($M - np) * $TwoPow56) AS raw
          |    FROM (
-         |      SELECT np,
-         |             CAST('$RawNumer' AS HUGEINT)
-         |               // (zp + ($M - np) * $TwoPow56) AS raw
-         |      FROM (
-         |        SELECT node, COUNT(*) AS np,
-         |               SUM(1::BIGINT << CAST(56 - r AS INT)) AS zp
-         |        FROM r$k GROUP BY 1))))""".stripMargin
+         |      SELECT node, COUNT(*) AS np,
+         |             SUM(1::BIGINT << CAST(56 - r AS INT)) AS zp
+         |      FROM r$k GROUP BY 1))),
+         |nf$k AS MATERIALIZED (
+         |  SELECT $k AS t, CAST(SUM(est) AS DECIMAL(38,0)) AS nf_micro
+         |  FROM pe$k)""".stripMargin
     }.mkString(",\n")
     val unionSql = (0 to rounds).map(k => s"SELECT * FROM nf$k")
       .mkString(" UNION ALL ")

@@ -124,6 +124,44 @@ class HyperAnfSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("HyperBall closeness ranks the star hub first") {
+    // star K1,8: the hub reaches everything at distance 1; leaves pay
+    // distance 2 to each other — Lin's index must put the hub on top
+    val star = (1L to 8L).map(l => (0L, l)).toDF("item_a", "item_b")
+    val rows = graft.analytics.HyperAnf.closenessTopK(
+        star, "item_a", "item_b", rounds = 3, k = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.head._1 === 0L,
+      s"top=${rows.take(3).mkString(",")}")
+    // every surviving node reaches the whole 9-node star (±estimator
+    // envelope); per-leaf values DIFFER (an estimate depends on which
+    // node hashes fall in the ball), and a leaf whose zero-register
+    // count never moves has smass = 0 and is rightly excluded
+    rows.foreach { case (_, reach, lin) =>
+      assert(reach >= 4 && reach <= 18, s"reach=$reach")
+      assert(lin > 0)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("HyperBall closeness on the barbell prefers the bridge side") {
+    val edges = barbell.toDF("item_a", "item_b")
+    val rows = graft.analytics.HyperAnf.closenessTopK(
+        edges, "item_a", "item_b", rounds = 6, k = 13)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // nodes whose LC zero-register count never moves fold to smass = 0
+    // and drop; most of the 13 must survive
+    assert(rows.size >= 9 && rows.size <= 13, s"n=${rows.size}")
+    // the path nodes (7, 8) sit between the cliques: exact closeness
+    // puts them and the clique bridgeheads (4, 10) ahead of the deep
+    // clique nodes; with estimator noise, at least assert the top-4
+    // contains no non-bridgehead clique node's WORST competitor — i.e.
+    // the global top node is one of the four central vertices
+    assert(Set(4L, 7L, 8L, 10L).contains(rows.head._1),
+      s"top=${rows.take(4).mkString(",")}")
+    spark.catalog.clearCache()
+  }
+
   test("estimated effective diameter lands near the exact d90") {
     val edges = barbell.toDF("item_a", "item_b")
     val out = HyperAnf.effectiveDiameter(edges, "item_a", "item_b",
