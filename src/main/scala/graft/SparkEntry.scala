@@ -444,6 +444,14 @@ object SparkEntry {
     "text_unigram_fertility" -> ((s, d) =>
       graft.text.Unigram.fertilityBySourceWith(Tables.documents(s, d),
         unigramProbs(s, d))),
+    // --- greedy MaxMatch (WordPiece-style) encode over the SAME trained
+    // vocabulary, plus the three-way segmentation comparison ---
+    "text_maxmatch_encode" -> ((s, d) =>
+      graft.text.Unigram.maxMatchStats(Tables.documents(s, d),
+        unigramProbs(s, d))),
+    "text_tokenizer_compare" -> ((s, d) =>
+      graft.text.Unigram.tokenizerCompare(Tables.documents(s, d),
+        unigramProbs(s, d))),
     // --- Zipf power-law fit of the frequency distribution (corpus health) ---
     "text_zipf_slope"  -> ((s, d) => TextOps.zipfSlope(Tables.documents(s, d))),
     // --- Heaps'-law vocabulary-growth exponent (zipf's companion) ---
@@ -2540,6 +2548,8 @@ object SparkEntry {
     "text_unigram_train" -> graft.text.Unigram.trainOracleSql,
     "text_unigram_encode" -> graft.text.Unigram.encodeOracleSql,
     "text_unigram_fertility" -> graft.text.Unigram.fertilityOracleSql,
+    "text_maxmatch_encode" -> graft.text.Unigram.maxMatchOracleSql,
+    "text_tokenizer_compare" -> graft.text.Unigram.tokenizerCompareOracleSql,
     // same replace chain per word, per-source sums, one integer division
     "text_fertility" ->
       s"""WITH words AS (

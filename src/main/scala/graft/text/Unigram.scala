@@ -367,6 +367,84 @@ object Unigram {
     vocab.toSeq.sortBy(_._1).map { case (p, c) => (p, c, c * Nano / n) }
   }
 
+  // ------------------------------------------- greedy MaxMatch encode
+
+  /** Greedy longest-match (MaxMatch / WordPiece-style) segmentation
+    * count over the SAME trained vocabulary — the third tokenizer
+    * family's encode rule beside BPE's merge replay and the unigram
+    * Viterbi. Running both encoders over one vocabulary isolates the
+    * segmentation ALGORITHM: MaxMatch commits to the longest prefix at
+    * each boundary; Viterbi optimizes the whole word, so
+    * `n_pieces(viterbi)` can beat greedy where a long first piece
+    * forces single-char fallout later.
+    *
+    * The whole scan is ONE packed-BIGINT fold (acc = next_boundary·16
+    * + count; positions before the boundary pass through), map-only
+    * like the Viterbi encode. Characters absent from the vocabulary
+    * fall back to single-char pieces.
+    *
+    * Output: per document (doc_id, n_words, n_pieces).
+    */
+  def maxMatchStats(documents: DataFrame,
+                    probs: Seq[(String, Long, Long)]): DataFrame = {
+    val staged = documents
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$") &&
+        length(col("word")) <= MaxWordLen)
+      .withColumn("pmap", pmapCol(probs))
+    staged
+      .selectExpr("doc_id", s"($maxMatchSql) % 16 AS n_sym")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym")).cast("long").as("n_pieces"))
+  }
+
+  /** The greedy fold: at an unconsumed position i (0-based), take the
+    * longest vocabulary piece starting there (1 if none), advance the
+    * boundary, bump the count.
+    */
+  private def maxMatchSql: String = {
+    val pick = (MaxPieceLen to 2 by -1).map { l =>
+      s"""WHEN i + $l <= length(word) AND
+         |  element_at(pmap, substring(word, i + 1, $l)) IS NOT NULL
+         |  THEN $l""".stripMargin.replace("\n", " ")
+    }.mkString(" ")
+    s"""aggregate(sequence(0, length(word) - 1), CAST(0 AS BIGINT),
+       |  (acc, i) -> CASE WHEN i < acc div 16 THEN acc
+       |    ELSE (i + CASE $pick ELSE 1 END) * 16 + (acc % 16) + 1 END)"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  /** Three-way tokenizer comparison per source: characters per piece
+    * under BPE (caller-supplied merge chain counts), unigram Viterbi,
+    * and greedy MaxMatch over the unigram vocabulary — the
+    * one-relation answer to "which tokenizer family fits this
+    * corpus". Output: (source, n_words, n_word_chars, n_unigram_pieces,
+    * n_maxmatch_pieces, fert_unigram_micro, fert_maxmatch_micro).
+    */
+  def tokenizerCompare(documents: DataFrame,
+                       probs: Seq[(String, Long, Long)]): DataFrame = {
+    val staged = documents
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$") &&
+        length(col("word")) <= MaxWordLen)
+      .withColumn("pmap", pmapCol(probs))
+    withDp(staged)
+      .selectExpr("source", "length(word) AS n_chars",
+        s"($kFinalExpr) AS n_uni", s"($maxMatchSql) % 16 AS n_mm")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_chars")).cast("long").as("n_word_chars"),
+        sum(col("n_uni")).cast("long").as("n_unigram_pieces"),
+        sum(col("n_mm")).cast("long").as("n_maxmatch_pieces"))
+      .select(col("source"), col("n_words"), col("n_word_chars"),
+        col("n_unigram_pieces"), col("n_maxmatch_pieces"),
+        expr("(1000000 * n_word_chars) div n_unigram_pieces")
+          .as("fert_unigram_micro"),
+        expr("(1000000 * n_word_chars) div n_maxmatch_pieces")
+          .as("fert_maxmatch_micro"))
+  }
+
   // ------------------------------------------------ DuckDB oracle twins
 
   /** The oracle replays the ENTIRE training pipeline — word types, seed
@@ -527,6 +605,56 @@ object Unigram {
        |SELECT source, n_words, n_word_chars, n_pieces,
        |       CAST((1000000 * CAST(n_word_chars AS HUGEINT)) // n_pieces AS BIGINT) AS fertility_micro,
        |       FLOOR(CAST(n_word_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE) * 1e6 + 0.5) / 1e6 AS fertility
+       |FROM agg""".stripMargin
+
+  /** The greedy MaxMatch recursion per word TYPE against the final
+    * vocabulary `p3`: (word, pos, cnt) advances by the longest matching
+    * piece (1 on miss) until pos reaches the word length. The same
+    * LEFT-JOIN-lookup discipline as [[vitCteSql]].
+    */
+  private def mmChainSql: String = {
+    val joins = (MaxPieceLen to 2 by -1).map { l =>
+      s"LEFT JOIN p3 q$l ON q$l.piece = " +
+        s"CASE WHEN m.pos + $l <= length(m.word) " +
+        s"THEN substring(m.word, CAST(m.pos + 1 AS INT), $l) END"
+    }.mkString("\n  ")
+    val pick = (MaxPieceLen to 2 by -1)
+      .map(l => s"WHEN q$l.piece IS NOT NULL THEN $l").mkString(" ")
+    s"""mm AS (
+       |  SELECT word, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS cnt FROM wt
+       |  UNION ALL
+       |  SELECT m.word, m.pos + CASE $pick ELSE 1 END, m.cnt + 1
+       |  FROM mm m
+       |  $joins
+       |  WHERE m.pos < length(m.word)),
+       |mmfin AS $Mz(
+       |  SELECT word, cnt AS n_mm FROM mm WHERE pos = length(word))""".stripMargin
+  }
+
+  /** DuckDB twin of [[maxMatchStats]] (defaults). */
+  def maxMatchOracleSql: String =
+    s"""WITH RECURSIVE $encodeChainSql,
+       |$mmChainSql
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(f.n_mm) AS BIGINT) AS n_pieces
+       |FROM cw JOIN mmfin f USING (word) GROUP BY doc_id""".stripMargin
+
+  /** DuckDB twin of [[tokenizerCompare]] (defaults). */
+  def tokenizerCompareOracleSql: String =
+    s"""WITH RECURSIVE $encodeChainSql,
+       |$mmChainSql,
+       |agg AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |         CAST(SUM(length(word)) AS BIGINT) AS n_word_chars,
+       |         CAST(SUM(k.n_sym) AS BIGINT) AS n_unigram_pieces,
+       |         CAST(SUM(f.n_mm) AS BIGINT) AS n_maxmatch_pieces
+       |  FROM cw JOIN kfin k USING (word) JOIN mmfin f USING (word)
+       |  GROUP BY source)
+       |SELECT source, n_words, n_word_chars, n_unigram_pieces, n_maxmatch_pieces,
+       |       CAST((1000000 * CAST(n_word_chars AS HUGEINT))
+       |            // n_unigram_pieces AS BIGINT) AS fert_unigram_micro,
+       |       CAST((1000000 * CAST(n_word_chars AS HUGEINT))
+       |            // n_maxmatch_pieces AS BIGINT) AS fert_maxmatch_micro
        |FROM agg""".stripMargin
 
   /** Pure-Scala Viterbi over one word — the same packed-cell ordering

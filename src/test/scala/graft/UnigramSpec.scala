@@ -116,6 +116,49 @@ class UnigramSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("MaxMatch encode equals a single-node greedy reference") {
+    val probs = Unigram.finalProbs(docsDf)
+    val vocab = probs.map(_._1).toSet
+    def greedy(word: String): Int = {
+      var pos = 0; var cnt = 0
+      while (pos < word.length) {
+        val l = (math.min(Unigram.MaxPieceLen, word.length - pos) to 2 by -1)
+          .find(l => vocab.contains(word.substring(pos, pos + l)))
+          .getOrElse(1)
+        pos += l; cnt += 1
+      }
+      cnt
+    }
+    val got = Unigram.maxMatchStats(docsDf, probs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+      .sortBy(_._1)
+    val want = corpus.zipWithIndex.map { case (t, i) =>
+      val ws = t.split("\\s+").toSeq
+        .filter(w => w.matches("^[a-z]+$") && w.length <= Unigram.MaxWordLen)
+      (i.toLong, ws.size.toLong, ws.map(w => greedy(w).toLong).sum)
+    }
+    assert(got === want)
+    spark.catalog.clearCache()
+  }
+
+  test("tokenizerCompare: unigram Viterbi never loses to greedy by much") {
+    // same vocabulary, two segmenters: the comparison relation carries
+    // both counts, and fertility = chars/pieces is internally exact
+    val probs = Unigram.finalProbs(docsDf)
+    val rows = Unigram.tokenizerCompare(docsDf, probs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (chars, nu, nm) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(r.getLong(5) === 1000000L * chars / nu)
+      assert(r.getLong(6) === 1000000L * chars / nm)
+      // both segmenters stay within the word-length bounds
+      assert(nu >= r.getLong(1) && nm >= r.getLong(1),
+        "at least one piece per word")
+      assert(nu <= chars && nm <= chars, "at most one piece per char")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("empty-vocabulary corpora trip the guard loudly") {
     val noWords = Seq((1L, "12345 67890 ...", "s")).toDF("doc_id", "text", "source")
     val e = intercept[IllegalArgumentException] {
