@@ -411,6 +411,10 @@ object SparkEntry {
       graft.similarity.Pca.invariants(Tables.embeddings(s, d), k = 4)),
     "embed_centroids" -> ((s, d) => Ann.labelCentroids(Tables.embeddings(s, d))),
     "embed_normalize" -> ((s, d) => Ann.l2Normalize(Tables.embeddings(s, d))),
+    // --- linear-time MMD two-sample drift over embeddings, with the
+    // built-in null-split calibration row ---
+    "embed_mmd_drift" -> ((s, d) =>
+      graft.similarity.Mmd.mmdLinearChecked(Tables.embeddings(s, d))),
     // --- signed random projection (JL): derived ±1 matrix, no data ---
     "embed_rp" -> ((s, d) => Ann.randomProjection(Tables.embeddings(s, d))),
     // --- text analysis (north star: training-data pipeline ops) ---
@@ -2344,6 +2348,7 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT vec_id, out_dim, CAST(s9 AS DOUBLE) / 1e9 AS comp
         |FROM proj""".stripMargin,
+    "embed_mmd_drift" -> graft.similarity.Mmd.mmdLinearOracleSql(),
     "embed_normalize" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
