@@ -1255,6 +1255,15 @@ object SparkEntry {
         Multimodal.imageAHashes(
           Multimodal.packSyntheticPngs(Tables.documents(s, d))).toDF())
     }),
+    // --- perceptual audio near-dup pairs over REAL WAV round trips:
+    // 32-window energy + zero-crossing fingerprint through the SAME
+    // pigeonhole-complete banded Hamming join as images ---
+    "mm_audio_neardup" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.nearDupImagePairs(
+        Multimodal.audioFingerprints(
+          Multimodal.packSyntheticNearDupWavs(Tables.documents(s, d))).toDF())
+    }),
     // --- lossy-codec leg: aHash drift histogram under JPEG re-encode.
     // No DuckDB oracle (the oracle can't run a JPEG DCT) → driver's
     // rows-only check; the codec properties are pinned in JpegImageSpec
@@ -3896,7 +3905,8 @@ object SparkEntry {
       graft.pipeline.EntityResolution.fsWeightsOracleSql(),
     "q_profile_diff" -> graft.etl.Profile.profileDiffOracleSql(
       orderSnapshotCte, "orders", "new_snap", profileDiffCols),
-    "mm_image_ahash" -> Multimodal.nearDupImagePairsOracleSql()
+    "mm_image_ahash" -> Multimodal.nearDupImagePairsOracleSql(),
+    "mm_audio_neardup" -> Multimodal.nearDupAudioPairsOracleSql()
   )
 
   /** DuckDB replay of `Ann.matryoshkaRecall` — the bruteTopkOracle CTE

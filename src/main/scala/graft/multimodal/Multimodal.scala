@@ -155,33 +155,47 @@ object Multimodal {
     * quarantine path (same contract as [[decodeImage]]).
     */
   def decodeWav(r: AudioRecord): Option[AudioFeatures] =
+    wavSamplesWithRate(r.content).map { case (samples, rate) =>
+      val n = samples.length
+      var zc = 0L
+      var energy = 0L
+      var prevNeg = false
+      var i = 0
+      while (i < n) {
+        val s = samples(i)
+        val neg = s < 0
+        if (i > 0 && neg != prevNeg) zc += 1
+        prevNeg = neg
+        energy += s.toLong * s
+        i += 1
+      }
+      AudioFeatures(r.media_id, n, rate, zc, energy)
+    }
+
+  /** The shared decode core: 16-bit signed PCM mono WAV → signed
+    * samples + rate; anything else is quarantined rather than
+    * mis-decoded (the fixture/feature contract).
+    */
+  private def wavSamplesWithRate(content: Array[Byte]): Option[(Array[Int], Int)] =
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(r.content))
+        new java.io.ByteArrayInputStream(content))
       val fmt = ais.getFormat
-      // 16-bit signed PCM mono is the fixture/feature contract; anything
-      // else is quarantined rather than mis-decoded
       if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
           fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
       else {
         val bytes = ais.readAllBytes()
         val n = bytes.length / 2
-        var zc = 0L
-        var energy = 0L
-        var prevNeg = false
+        val out = new Array[Int](n)
         var i = 0
         while (i < n) {
           val lo = bytes(2 * i) & 0xff
           val hi = bytes(2 * i + 1).toInt
-          val s = if (fmt.isBigEndian) (lo << 8) | (hi & 0xff) // (never for WAV)
-                  else (hi << 8) | lo
-          val neg = s < 0
-          if (i > 0 && neg != prevNeg) zc += 1
-          prevNeg = neg
-          energy += s.toLong * s
+          out(i) = if (fmt.isBigEndian) (lo << 8) | (hi & 0xff) // (never for WAV)
+                   else (hi << 8) | lo
           i += 1
         }
-        Some(AudioFeatures(r.media_id, n, fmt.getSampleRate.toInt, zc, energy))
+        Some((out, fmt.getSampleRate.toInt))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -238,6 +252,132 @@ object Multimodal {
     documents.select(col("doc_id")).as[Long](scalaLong)
       .mapPartitions(_.map(id => AudioRecord(id, packWavBytes(synthPcm(id)))))
   }
+
+  // ------------------------------------------- audio near-dup fingerprints
+
+  /** Deterministic near-dup sibling signal: even/odd ids share the
+    * base-(id div 2) PCM field (length fixed by the BASE so siblings
+    * align), with the odd sibling's first four samples bumped — the
+    * audio twin of [[synthGrayImage]]'s planted pairs.
+    */
+  def synthPcmPair(id: Long): Array[Short] = {
+    val base = id / 2
+    Array.tabulate((256 + (base % 256)).toInt) { i =>
+      val bump = if (id % 2 == 1 && i < 4) 8192L else 0L
+      (((base * 31 + i.toLong * 7919 + bump) % 65536) - 32768).toShort
+    }
+  }
+
+  /** Synthetic near-dup WAV corpus keyed on doc_id. */
+  def packSyntheticNearDupWavs(documents: DataFrame): Dataset[AudioRecord] = {
+    implicit val enc = Encoders.product[AudioRecord]
+    import org.apache.spark.sql.Encoders.scalaLong
+    documents.select(col("doc_id")).as[Long](scalaLong)
+      .mapPartitions(_.map(id => AudioRecord(id, packWavBytes(synthPcmPair(id)))))
+  }
+
+  case class AudioFp(media_id: Long, w0: Long, w1: Long)
+
+  /** 64-bit perceptual audio fingerprint from a REAL WAV decode: the
+    * signal splits into 32 windows (sample i → window ⌊i·32/n⌋), w0
+    * bit w set iff the window's energy Σs² exceeds its 1/32 share of
+    * the total (the aHash thresholding idea on the energy envelope),
+    * w1 bit w the same test on per-window zero-crossing counts (the
+    * spectral-coarseness axis). All integer arithmetic — the SQL
+    * oracle recomputes both words from the generating formula, so a
+    * fingerprint match proves the codec round trip again. Payloads
+    * shorter than 32 samples (or unparseable) are quarantined.
+    *
+    * The (media_id, w0, w1) shape is [[ImageHash]]'s, so the
+    * pigeonhole-complete banded Hamming join ([[nearDupImagePairs]])
+    * serves audio unchanged.
+    */
+  def audioFingerprints(media: Dataset[AudioRecord]): Dataset[AudioFp] = {
+    implicit val enc = Encoders.product[AudioFp]
+    media.mapPartitions(_.flatMap { r =>
+      wavSamplesWithRate(r.content).collect {
+        case (samples, _) if samples.length >= 32 =>
+          val n = samples.length
+          val e = new Array[Long](32)
+          val z = new Array[Long](32)
+          var i = 0
+          while (i < n) {
+            val w = (i * 32) / n
+            val s = samples(i)
+            e(w) += s.toLong * s
+            if (i > 0 && (s < 0) != (samples(i - 1) < 0)) z(w) += 1
+            i += 1
+          }
+          val te = e.sum; val tz = z.sum
+          var w0 = 0L; var w1 = 0L
+          var w = 0
+          while (w < 32) {
+            if (e(w) * 32 > te) w0 |= 1L << w
+            if (z(w) * 32 > tz) w1 |= 1L << w
+            w += 1
+          }
+          AudioFp(r.media_id, w0, w1)
+      }
+    })
+  }
+
+  /** DuckDB replay of the full [[packSyntheticNearDupWavs]] →
+    * [[audioFingerprints]] → [[nearDupImagePairs]] pipeline straight
+    * from the generating PCM formula (no codec in the oracle —
+    * equality proves the WAV round trip lossless at fingerprint
+    * grain).
+    */
+  def nearDupAudioPairsOracleSql(maxHamming: Int = 3): String =
+    s"""WITH ids AS MATERIALIZED (
+       |  SELECT doc_id AS media_id, doc_id // 2 AS base,
+       |         256 + (doc_id // 2) % 256 AS n
+       |  FROM documents),
+       |sig AS MATERIALIZED (
+       |  SELECT media_id, n, i.i AS i,
+       |         ((base * 31 + i.i * 7919 +
+       |           CASE WHEN media_id % 2 = 1 AND i.i < 4 THEN 8192 ELSE 0 END)
+       |          % 65536) - 32768 AS s,
+       |         CASE WHEN i.i > 0 THEN
+       |           ((base * 31 + (i.i - 1) * 7919 +
+       |             CASE WHEN media_id % 2 = 1 AND i.i - 1 < 4 THEN 8192 ELSE 0 END)
+       |            % 65536) - 32768 END AS sp
+       |  FROM ids CROSS JOIN range(0, 512) i(i) WHERE i.i < n),
+       |agg AS MATERIALIZED (
+       |  SELECT media_id, (i * 32) // n AS w,
+       |         SUM(CAST(s AS BIGINT) * s) AS e,
+       |         SUM(CASE WHEN i > 0 AND ((s < 0) != (sp < 0))
+       |                  THEN 1 ELSE 0 END) AS z
+       |  FROM sig GROUP BY 1, 2),
+       |tot AS MATERIALIZED (
+       |  SELECT media_id, SUM(e) AS te, SUM(z) AS tz FROM agg GROUP BY 1),
+       |words AS MATERIALIZED (
+       |  SELECT agg.media_id,
+       |         CAST(SUM(CASE WHEN e * 32 > te
+       |                       THEN (1::BIGINT << CAST(w AS INT)) ELSE 0 END)
+       |              AS BIGINT) AS w0,
+       |         CAST(SUM(CASE WHEN z * 32 > tz
+       |                       THEN (1::BIGINT << CAST(w AS INT)) ELSE 0 END)
+       |              AS BIGINT) AS w1
+       |  FROM agg JOIN tot USING (media_id) GROUP BY 1),
+       |bands AS MATERIALIZED (
+       |  SELECT media_id, w0, w1, r.i AS band_idx,
+       |         CASE r.i WHEN 0 THEN w0 & 65535
+       |                  WHEN 1 THEN (w0 >> 16) & 65535
+       |                  WHEN 2 THEN w1 & 65535
+       |                  ELSE (w1 >> 16) & 65535 END AS bv
+       |  FROM words CROSS JOIN range(0, 4) r(i)),
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+       |         a.w0 AS w0a, a.w1 AS w1a, b.w0 AS w0b, b.w1 AS w1b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.bv = b.bv
+       |   AND a.media_id < b.media_id)
+       |SELECT id_a, id_b,
+       |       CAST(bit_count(xor(w0a, w0b))
+       |            + bit_count(xor(w1a, w1b)) AS INT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(w0a, w0b)) + bit_count(xor(w1a, w1b))
+       |      <= $maxHamming""".stripMargin
 
   // ------------------------------------------------------------- video
 
