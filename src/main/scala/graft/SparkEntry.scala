@@ -1264,6 +1264,14 @@ object SparkEntry {
         Multimodal.audioFingerprints(
           Multimodal.packSyntheticNearDupWavs(Tables.documents(s, d))).toDF())
     }),
+    // --- perceptual video near-dup pairs over REAL GIF demux round
+    // trips: per-frame 4x4 block fingerprint, same banded join ---
+    "mm_video_neardup" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.nearDupImagePairs(
+        Multimodal.videoFingerprints(
+          Multimodal.packSyntheticNearDupGifs(Tables.documents(s, d))).toDF())
+    }),
     // --- lossy-codec leg: aHash drift histogram under JPEG re-encode.
     // No DuckDB oracle (the oracle can't run a JPEG DCT) → driver's
     // rows-only check; the codec properties are pinned in JpegImageSpec
@@ -3906,7 +3914,8 @@ object SparkEntry {
     "q_profile_diff" -> graft.etl.Profile.profileDiffOracleSql(
       orderSnapshotCte, "orders", "new_snap", profileDiffCols),
     "mm_image_ahash" -> Multimodal.nearDupImagePairsOracleSql(),
-    "mm_audio_neardup" -> Multimodal.nearDupAudioPairsOracleSql()
+    "mm_audio_neardup" -> Multimodal.nearDupAudioPairsOracleSql(),
+    "mm_video_neardup" -> Multimodal.nearDupVideoPairsOracleSql()
   )
 
   /** DuckDB replay of `Ann.matryoshkaRecall` — the bruteTopkOracle CTE

@@ -476,6 +476,165 @@ object Multimodal {
       img
     }
 
+  /** Near-dup sibling frames: even/odd ids share the base-(id div 2)
+    * pixel field AND frame count (so sibling fingerprints align), with
+    * the odd sibling's frame-0 corner pixel nudged — the video member
+    * of the planted-pair family ([[synthGrayImage]], [[synthPcmPair]]).
+    * Rows carry an md5-derived phase (one hash per (base, frame, row))
+    * so fingerprints are decorrelated ACROSS bases — a plain gradient
+    * field made every video's block pattern near-identical and the
+    * radius-3 join collided on 2.5% of ALL pairs at sf0.1.
+    */
+  def synthFramesPair(id: Long): Array[java.awt.image.BufferedImage] = {
+    val base = id / 2
+    Array.tabulate((2 + (base % 4)).toInt) { f =>
+      val img = new java.awt.image.BufferedImage(
+        SynthVideoW, SynthVideoH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < SynthVideoH) {
+        val phase = java.lang.Long.parseLong(
+          md5Hex(s"vfp:$base:$f:$y").substring(0, 15), 16) % 256
+        var x = 0
+        while (x < SynthVideoW) {
+          val v = (phase + x * 7) % 256
+          val vv = if (id % 2 == 1 && f == 0 && x == 0 && y == 0)
+            (v + 8) % 256 else v
+          raster.setSample(x, y, 0, vv.toInt)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+  }
+
+  /** Synthetic near-dup GIF corpus keyed on doc_id. */
+  def packSyntheticNearDupGifs(documents: DataFrame): Dataset[VideoRecord] = {
+    implicit val enc = Encoders.product[VideoRecord]
+    import org.apache.spark.sql.Encoders.scalaLong
+    documents.select(col("doc_id")).as[Long](scalaLong)
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map(id => VideoRecord(id, packGifBytes(synthFramesPair(id))))
+      }
+  }
+
+  case class VideoFp(media_id: Long, w0: Long, w1: Long)
+
+  /** 64-bit perceptual video fingerprint from a REAL GIF demux+decode:
+    * the first (up to) four frames each contribute 16 bits — a 4×4
+    * spatial block grid, bit set iff the block's intensity sum exceeds
+    * its 1/16 share of the frame total (the aHash thresholding per
+    * frame). Bit f·16+b lands in w0 for frames 0–1 and w1 for frames
+    * 2–3; shorter videos leave the high bits 0 (siblings share frame
+    * count by construction, so alignment holds). Undecodable payloads
+    * quarantine. The (media_id, w0, w1) shape reuses the
+    * pigeonhole-complete banded Hamming join unchanged.
+    */
+  def videoFingerprints(media: Dataset[VideoRecord]): Dataset[VideoFp] = {
+    implicit val enc = Encoders.product[VideoFp]
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.content))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val reader = readers.next()
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            var w0 = 0L; var w1 = 0L
+            var f = 0
+            while (f < math.min(n, 4)) {
+              val img = reader.read(f)
+              val w = img.getWidth; val h = img.getHeight
+              val bs = new Array[Long](16)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  bs(((y * 4) / h) * 4 + (x * 4) / w) += img.getRGB(x, y) & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val total = bs.sum
+              var b = 0
+              while (b < 16) {
+                if (bs(b) * 16 > total) {
+                  val bit = f * 16 + b
+                  if (bit < 32) w0 |= 1L << bit else w1 |= 1L << (bit - 32)
+                }
+                b += 1
+              }
+              f += 1
+            }
+            if (n == 0) None else Some(VideoFp(r.media_id, w0, w1))
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
+
+  /** DuckDB replay of [[packSyntheticNearDupGifs]] →
+    * [[videoFingerprints]] → [[nearDupImagePairs]] straight from the
+    * generating pixel formula — the GIF demux round trip proven
+    * lossless at fingerprint grain.
+    */
+  def nearDupVideoPairsOracleSql(maxHamming: Int = 3): String =
+    s"""WITH ids AS MATERIALIZED (
+       |  SELECT doc_id AS media_id, doc_id // 2 AS base,
+       |         2 + (doc_id // 2) % 4 AS nf
+       |  FROM documents),
+       |px AS MATERIALIZED (
+       |  SELECT media_id,
+       |         f.i AS f, ((y.i * 4) // $SynthVideoH) * 4 + (x.i * 4) // $SynthVideoW AS b,
+       |         ((('0x' || substring(md5('vfp:' || base::VARCHAR || ':'
+       |              || f.i::VARCHAR || ':' || y.i::VARCHAR), 1, 15))::BIGINT
+       |            % 256 + x.i * 7) % 256
+       |          + CASE WHEN media_id % 2 = 1 AND f.i = 0 AND x.i = 0 AND y.i = 0
+       |                 THEN 8 ELSE 0 END) % 256 AS v
+       |  FROM ids
+       |  CROSS JOIN range(0, 4) f(i)
+       |  CROSS JOIN range(0, $SynthVideoW) x(i)
+       |  CROSS JOIN range(0, $SynthVideoH) y(i)
+       |  WHERE f.i < nf),
+       |blocks AS MATERIALIZED (
+       |  SELECT media_id, f, b, SUM(v) AS bs FROM px GROUP BY 1, 2, 3),
+       |ftot AS MATERIALIZED (
+       |  SELECT media_id, f, SUM(bs) AS ft FROM blocks GROUP BY 1, 2),
+       |words AS MATERIALIZED (
+       |  SELECT blocks.media_id,
+       |         CAST(SUM(CASE WHEN bs * 16 > ft AND f * 16 + b < 32
+       |                       THEN (1::BIGINT << CAST(f * 16 + b AS INT))
+       |                       ELSE 0 END) AS BIGINT) AS w0,
+       |         CAST(SUM(CASE WHEN bs * 16 > ft AND f * 16 + b >= 32
+       |                       THEN (1::BIGINT << CAST(f * 16 + b - 32 AS INT))
+       |                       ELSE 0 END) AS BIGINT) AS w1
+       |  FROM blocks JOIN ftot USING (media_id, f) GROUP BY 1),
+       |bands AS MATERIALIZED (
+       |  SELECT media_id, w0, w1, r.i AS band_idx,
+       |         CASE r.i WHEN 0 THEN w0 & 65535
+       |                  WHEN 1 THEN (w0 >> 16) & 65535
+       |                  WHEN 2 THEN w1 & 65535
+       |                  ELSE (w1 >> 16) & 65535 END AS bv
+       |  FROM words CROSS JOIN range(0, 4) r(i)),
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+       |         a.w0 AS w0a, a.w1 AS w1a, b.w0 AS w0b, b.w1 AS w1b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.bv = b.bv
+       |   AND a.media_id < b.media_id)
+       |SELECT id_a, id_b,
+       |       CAST(bit_count(xor(w0a, w0b))
+       |            + bit_count(xor(w1a, w1b)) AS INT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(w0a, w0b)) + bit_count(xor(w1a, w1b))
+       |      <= $maxHamming""".stripMargin
+
   /** Encode frames as one multi-frame GIF via `javax.imageio`'s
     * sequence-writing API — the encoder half of the
     * [[decodeGifFrames]] round trip. Default per-frame metadata is
