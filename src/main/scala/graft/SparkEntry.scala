@@ -338,6 +338,9 @@ object SparkEntry {
       graft.pipeline.EntityResolution.resolveParts(Tables.part(s, d))),
     "q_salted_join" -> ((s, d) =>
       Breadth3.saltedRevenue(Tables.lineitem(s, d), Tables.orders(s, d))),
+    // --- skew diagnostic: top join keys with skew factor + salt advice ---
+    "q_skew_report" -> ((s, d) =>
+      graft.operators.SkewJoin.skewReport(Tables.lineitem(s, d), "l_suppkey")),
     "text_tfidf"    -> ((s, d) => Breadth3.tfidf(Tables.documents(s, d))),
     "q_sliding_windows" -> ((s, d) => Breadth3.slidingEventCounts(Tables.events(s, d))),
     "q_transitions"  -> ((s, d) => Breadth3.eventTransitions(Tables.events(s, d))),
@@ -2243,6 +2246,8 @@ object SparkEntry {
         |FROM members GROUP BY 1""".stripMargin,
     // oracle runs the PLAIN join — hash equality proves the salted join
     // preserves the row multiset
+    "q_skew_report" ->
+      graft.operators.SkewJoin.skewReportOracleSql("lineitem", "l_suppkey"),
     "q_salted_join" ->
       """SELECT o_orderpriority,
         |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))

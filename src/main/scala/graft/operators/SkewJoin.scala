@@ -84,4 +84,51 @@ object SkewJoin {
       .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"))
       .groupBy(col(key))
       .agg(sum("__n").as("n_rows"), sum("__s").as(s"sum_$valueCol"))
+
+  /** Skew DIAGNOSTIC for a join/aggregation key — the report a
+    * warehouse engineer reads BEFORE choosing between broadcast, AQE
+    * splitting, and [[saltedJoin]]: the top keys by row count with
+    * their corpus share, their skew factor versus the mean key (the
+    * number AQE's split threshold reasons about), and the salt count
+    * that would spread each hot key back to mean-sized tasks
+    * (`ceil(cnt / mean)` — the nSalts to hand [[saltedJoin]]).
+    *
+    * All integer arithmetic: share_ppm = ⌊10⁶·cnt/total⌋,
+    * skew_x_milli = ⌊10³·cnt·n_keys/total⌋, salts =
+    * ⌈cnt·n_keys/total⌉. One hash agg sized by the key domain, a
+    * 1-row totals broadcast, and a TakeOrderedAndProject top-k —
+    * nothing data-sized leaves the executors.
+    *
+    * Output: top-`k` rows (key-named column, cnt, share_ppm,
+    * skew_x_milli, salts), ranked (cnt desc, key asc).
+    */
+  def skewReport(df: DataFrame, key: String, k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("__total"),
+      count(lit(1)).as("__nk"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(key), col("cnt"),
+        expr("CAST(1000000 * cnt div __total AS BIGINT)").as("share_ppm"),
+        expr("CAST(1000 * cnt * __nk div __total AS BIGINT)")
+          .as("skew_x_milli"),
+        expr("CAST((cnt * __nk + __total - 1) div __total AS BIGINT)")
+          .as("salts"))
+      .orderBy(col("cnt").desc, col(key).asc)
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[skewReport]] over `table`.`key`. */
+  def skewReportOracleSql(table: String, key: String, k: Int = 10): String =
+    s"""WITH c AS (SELECT $key, CAST(COUNT(*) AS BIGINT) AS cnt
+       |           FROM $table GROUP BY 1),
+       |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+       |             CAST(COUNT(*) AS BIGINT) AS nk FROM c)
+       |SELECT $key, cnt,
+       |       CAST(1000000 * cnt // total AS BIGINT) AS share_ppm,
+       |       CAST(1000 * cnt * nk // total AS BIGINT) AS skew_x_milli,
+       |       CAST((cnt * nk + total - 1) // total AS BIGINT) AS salts
+       |FROM c CROSS JOIN t
+       |ORDER BY cnt DESC, $key ASC
+       |LIMIT $k""".stripMargin
 }

@@ -124,4 +124,21 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
     }
   }
+
+  test("skewReport: planted hot key tops the report with the right salt advice") {
+    import spark.implicits._
+    // 1 hot key with 60 rows + 30 cold keys with 2 rows each: mean = 120/31,
+    // hot skew = 60*31/120 = 15.5x -> salts = ceil(15.5) = 16
+    val rows = (1 to 60).map(_ => 999L) ++ (1L to 30L).flatMap(k => Seq(k, k))
+    val df = rows.toDF("k")
+    val top = graft.operators.SkewJoin.skewReport(df, "k", k = 3).collect()
+    assert(top.head.getLong(0) === 999L)
+    assert(top.head.getLong(1) === 60L)
+    assert(top.head.getLong(2) === 500000L)      // 60/120 in ppm
+    assert(top.head.getLong(3) === 15500L)       // 15.5x in milli
+    assert(top.head.getLong(4) === 16L)
+    // cold keys: skew 2*31/120 = 0.516x, salts = ceil = 1
+    assert(top(1).getLong(3) === 516L && top(1).getLong(4) === 1L)
+    spark.catalog.clearCache()
+  }
 }
