@@ -187,7 +187,9 @@ object HyperAnf {
     * milli-quantized exact integer ratios of the micro-exact masses
     * (mean = 10³·S1 div M, var = 10³·(M·S2 − S1²) div M², spid =
     * 10³·(M·S2 − S1²) div (M·S1) with M = Σm_t, S1 = Σt·m_t,
-    * S2 = Σt²·m_t), computed in arbitrary-precision driver arithmetic
+    * S2 = Σt²·m_t, all divisions FLOORED — masses can dip negative at
+    * the LC→raw branch flip, and DuckDB `//` floors where BigInt `/`
+    * truncates), computed in arbitrary-precision driver arithmetic
     * on the Spark side; the DuckDB replay squares HUGEINTs, which
     * bounds the ORACLE (not the operator) to ~10¹⁷ reachable pairs.
     * Self-pairs (t = 0) are excluded, the usual convention.
@@ -212,9 +214,20 @@ object HyperAnf {
     val m = masses.map(_._2).sum
     val s1 = masses.map { case (t, mt) => BigInt(t) * mt }.sum
     val s2 = masses.map { case (t, mt) => BigInt(t) * BigInt(t) * mt }.sum
+    // FLOOR division, matching the oracle's DuckDB `//` exactly: BigInt
+    // `/` truncates toward zero, and the numerators CAN go negative —
+    // a mass m_t = N(t)−N(t−1) dips below zero when a node's estimate
+    // crosses the LC→raw branch flip between rounds (LC at V=1 is
+    // ~44.4e6 micro, above the 40e6 raw threshold), so trunc-vs-floor
+    // would diverge by one milli and break the bit-exact replay.
     def out(num: BigInt, den: BigInt): Any =
       if (den == 0) null
-      else (BigInt(1000) * num / den).bigInteger.longValueExact()
+      else {
+        val p = BigInt(1000) * num
+        val q = p / den
+        val f = if (p % den != 0 && (p < 0) != (den < 0)) q - 1 else q
+        f.bigInteger.longValueExact()
+      }
     val row = org.apache.spark.sql.Row(
       out(s1, m), out(m * s2 - s1 * s1, m * m),
       if (m == 0) null else out(m * s2 - s1 * s1, m * s1))

@@ -302,7 +302,10 @@ object Multimodal {
           val z = new Array[Long](32)
           var i = 0
           while (i < n) {
-            val w = (i * 32) / n
+            // Long arithmetic: i*32 overflows Int past ~67M samples
+            // (~25 min at 44.1 kHz), which would index negative and
+            // crash the task instead of fingerprinting it
+            val w = (i.toLong * 32 / n).toInt
             val s = samples(i)
             e(w) += s.toLong * s
             if (i > 0 && (s < 0) != (samples(i - 1) < 0)) z(w) += 1
@@ -404,39 +407,48 @@ object Multimodal {
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(r.content))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) Seq.empty
-      else {
-        val reader = readers.next()
-        reader.setInput(iis)
-        val n = reader.getNumImages(true)
-        var prev: Array[Int] = null
-        (0 until n).map { f =>
-          val img = reader.read(f)
-          val w = img.getWidth
-          val h = img.getHeight
-          val cur = new Array[Int](w * h)
-          var sum = 0L
-          var bright = 0L
-          var motion = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val v = img.getRGB(x, y) & 0xff // grayscale: B == G == R
-              cur(y * w + x) = v
-              sum += v
-              if (v > 127) bright += 1
-              if (prev != null) motion += math.abs(v - prev(y * w + x))
-              x += 1
-            }
-            y += 1
-          }
-          prev = cur
-          VideoFrameFeatures(r.media_id, f, n, w, h, sum, bright, motion)
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Seq.empty
+        else {
+          val reader = readers.next()
+          try decodeFramesWith(reader, iis, r)
+          finally reader.dispose() // per record: readers pin decode buffers
         }
-      }
+      } finally if (iis != null) iis.close()
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  private def decodeFramesWith(reader: javax.imageio.ImageReader,
+                               iis: javax.imageio.stream.ImageInputStream,
+                               r: VideoRecord): Seq[VideoFrameFeatures] = {
+    reader.setInput(iis)
+    val n = reader.getNumImages(true)
+    var prev: Array[Int] = null
+    (0 until n).map { f =>
+      val img = reader.read(f)
+      val w = img.getWidth
+      val h = img.getHeight
+      val cur = new Array[Int](w * h)
+      var sum = 0L
+      var bright = 0L
+      var motion = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = img.getRGB(x, y) & 0xff // grayscale: B == G == R
+          cur(y * w + x) = v
+          sum += v
+          if (v > 127) bright += 1
+          if (prev != null) motion += math.abs(v - prev(y * w + x))
+          x += 1
+        }
+        y += 1
+      }
+      prev = cur
+      VideoFrameFeatures(r.media_id, f, n, w, h, sum, bright, motion)
+    }
+  }
 
   /** Distributed per-frame video features: mapPartitions keeps the
     * one-init-per-partition decoder shape; undecodable payloads yield no
@@ -540,40 +552,47 @@ object Multimodal {
         try {
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(r.content))
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) None
-          else {
-            val reader = readers.next()
-            reader.setInput(iis)
-            val n = reader.getNumImages(true)
-            var w0 = 0L; var w1 = 0L
-            var f = 0
-            while (f < math.min(n, 4)) {
-              val img = reader.read(f)
-              val w = img.getWidth; val h = img.getHeight
-              val bs = new Array[Long](16)
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  bs(((y * 4) / h) * 4 + (x * 4) / w) += img.getRGB(x, y) & 0xff
-                  x += 1
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) None
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                val n = reader.getNumImages(true)
+                var w0 = 0L; var w1 = 0L
+                var f = 0
+                while (f < math.min(n, 4)) {
+                  val img = reader.read(f)
+                  val w = img.getWidth; val h = img.getHeight
+                  val bs = new Array[Long](16)
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      bs(((y * 4) / h) * 4 + (x * 4) / w) += img.getRGB(x, y) & 0xff
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val total = bs.sum
+                  var b = 0
+                  while (b < 16) {
+                    if (bs(b) * 16 > total) {
+                      val bit = f * 16 + b
+                      if (bit < 32) w0 |= 1L << bit else w1 |= 1L << (bit - 32)
+                    }
+                    b += 1
+                  }
+                  f += 1
                 }
-                y += 1
-              }
-              val total = bs.sum
-              var b = 0
-              while (b < 16) {
-                if (bs(b) * 16 > total) {
-                  val bit = f * 16 + b
-                  if (bit < 32) w0 |= 1L << bit else w1 |= 1L << (bit - 32)
-                }
-                b += 1
-              }
-              f += 1
+                if (n == 0) None else Some(VideoFp(r.media_id, w0, w1))
+              // dispose/close per record, not per partition: readers
+              // pin native decode buffers, and a corpus partition holds
+              // thousands of records — leaking one pair per record OOMs
+              } finally reader.dispose()
             }
-            if (n == 0) None else Some(VideoFp(r.media_id, w0, w1))
-          }
+          } finally if (iis != null) iis.close()
         } catch { case scala.util.control.NonFatal(_) => None }
       }
     }

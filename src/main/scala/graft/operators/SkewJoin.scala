@@ -107,12 +107,17 @@ object SkewJoin {
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
     val totals = counts.agg(sum(col("cnt")).as("__total"),
       count(lit(1)).as("__nk"))
+    // products in DECIMAL(38,0) (HUGEINT in the oracle): cnt·n_keys in
+    // BIGINT wraps/NULLs silently past 9.2e18 under non-ANSI Spark while
+    // DuckDB errors — a silently wrong diagnostic on the engine that
+    // matters. 38 digits holds any real corpus (10¹⁸ rows × 10¹⁸ keys).
     counts.crossJoin(broadcast(totals))
       .select(col(key), col("cnt"),
-        expr("CAST(1000000 * cnt div __total AS BIGINT)").as("share_ppm"),
-        expr("CAST(1000 * cnt * __nk div __total AS BIGINT)")
+        expr("CAST(1000000 * CAST(cnt AS DECIMAL(38,0)) div __total AS BIGINT)")
+          .as("share_ppm"),
+        expr("CAST(1000 * CAST(cnt AS DECIMAL(38,0)) * __nk div __total AS BIGINT)")
           .as("skew_x_milli"),
-        expr("CAST((cnt * __nk + __total - 1) div __total AS BIGINT)")
+        expr("CAST((CAST(cnt AS DECIMAL(38,0)) * __nk + __total - 1) div __total AS BIGINT)")
           .as("salts"))
       .orderBy(col("cnt").desc, col(key).asc)
       .limit(k)
@@ -125,9 +130,9 @@ object SkewJoin {
        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
        |             CAST(COUNT(*) AS BIGINT) AS nk FROM c)
        |SELECT $key, cnt,
-       |       CAST(1000000 * cnt // total AS BIGINT) AS share_ppm,
-       |       CAST(1000 * cnt * nk // total AS BIGINT) AS skew_x_milli,
-       |       CAST((cnt * nk + total - 1) // total AS BIGINT) AS salts
+       |       CAST(1000000 * CAST(cnt AS HUGEINT) // total AS BIGINT) AS share_ppm,
+       |       CAST(1000 * CAST(cnt AS HUGEINT) * nk // total AS BIGINT) AS skew_x_milli,
+       |       CAST((CAST(cnt AS HUGEINT) * nk + total - 1) // total AS BIGINT) AS salts
        |FROM c CROSS JOIN t
        |ORDER BY cnt DESC, $key ASC
        |LIMIT $k""".stripMargin

@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Unigram-LM subword tokenizer (Kudo, ACL 2018 — the SentencePiece
@@ -88,12 +87,15 @@ object Unigram {
     */
   def pruneVocab(counts: DataFrame, maxMultis: Int): DataFrame = {
     val singles = counts.filter(length(col("piece")) === 1)
-    val w = Window.orderBy(col("cnt").desc, col("piece").asc)
-    // the rank window runs over the bounded candidate-piece relation
-    // (≤ MaxPieceLen·Σ|type| rows, vocabulary-sized — never corpus-sized)
+    // top-maxMultis by (cnt desc, piece asc): orderBy+limit plans as
+    // TakeOrderedAndProject — per-partition heaps of maxMultis rows, no
+    // global sort. The candidate relation is MaxPieceLen·Σ|word-type|
+    // rows (word-TYPE-count scaled: 10⁷-10⁸ at 100 TB by the corpus's
+    // own Heaps'-law curve), so the row_number() window this replaces
+    // was a one-partition sort over tens of millions of rows.
     val multis = counts.filter(length(col("piece")) > 1)
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= maxMultis).drop("__r")
+      .orderBy(col("cnt").desc, col("piece").asc)
+      .limit(maxMultis)
     singles.unionByName(multis)
   }
 
