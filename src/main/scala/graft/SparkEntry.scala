@@ -341,6 +341,29 @@ object SparkEntry {
     // --- skew diagnostic: top join keys with skew factor + salt advice ---
     "q_skew_report" -> ((s, d) =>
       graft.operators.SkewJoin.skewReport(Tables.lineitem(s, d), "l_suppkey")),
+    // --- the diagnostic WIRED to the remedy: runtime-guarded auto-salting.
+    // Collapsing l_linenumber>=4 onto supplier 1 plants the classic
+    // "anonymous default key" hot spot (~57% of rows on one key); the
+    // guard reads the skewReport advice and takes the salted branch.
+    // The oracle runs the PLAIN join — hash equality proves the guard
+    // plus salting preserve the row multiset (the q_salted_join pattern).
+    "q_salted_auto" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{count, expr, sum}
+      import org.apache.spark.sql.types.DecimalType
+      val li = Tables.lineitem(s, d).select(
+        expr("CASE WHEN l_linenumber >= 4 THEN CAST(1 AS BIGINT) ELSE l_suppkey END")
+          .as("supp"),
+        col("l_extendedprice"), col("l_discount"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("supp"), col("s_nationkey"))
+      graft.operators.SkewJoin.autoSaltedJoin(li, sup, "supp")
+        .groupBy("s_nationkey")
+        .agg(
+          sum((col("l_extendedprice").cast(DecimalType(18, 2))
+              * (lit(1) - col("l_discount").cast(DecimalType(18, 2))))
+            .cast(DecimalType(18, 4))).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
     "text_tfidf"    -> ((s, d) => Breadth3.tfidf(Tables.documents(s, d))),
     "q_sliding_windows" -> ((s, d) => Breadth3.slidingEventCounts(Tables.events(s, d))),
     "q_transitions"  -> ((s, d) => Breadth3.eventTransitions(Tables.events(s, d))),
@@ -2248,6 +2271,20 @@ object SparkEntry {
     // preserves the row multiset
     "q_skew_report" ->
       graft.operators.SkewJoin.skewReportOracleSql("lineitem", "l_suppkey"),
+    // plain-join oracle again: the auto-guard + salting must be invisible
+    // in the row multiset
+    "q_salted_auto" ->
+      """WITH li AS (
+        |  SELECT CASE WHEN l_linenumber >= 4 THEN 1 ELSE l_suppkey END AS supp,
+        |         l_extendedprice, l_discount
+        |  FROM lineitem)
+        |SELECT s_nationkey,
+        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                     * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)))
+        |            AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM li JOIN supplier ON supp = s_suppkey
+        |GROUP BY 1""".stripMargin,
     "q_salted_join" ->
       """SELECT o_orderpriority,
         |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))

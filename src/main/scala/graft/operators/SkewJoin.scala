@@ -85,6 +85,41 @@ object SkewJoin {
       .groupBy(col(key))
       .agg(sum("__n").as("n_rows"), sum("__s").as(s"sum_$valueCol"))
 
+  /** Runtime-guarded auto-salting inner equi-join: the [[skewReport]]
+    * diagnostic WIRED to the remedy. One bounded pre-job reads the top
+    * key's skew factor and salt advice (a hash agg sized by the key
+    * domain plus a 1-row top-k — the same eager tiny-diagnostic pattern
+    * as the link-pred hub guard), then dispatches:
+    *
+    *  - `skew_x_milli ≥ skewThresholdMilli` (default 4× the mean key,
+    *    safely above AQE's 5×-median split default so the two remedies
+    *    don't fight over mild skew) → [[saltedJoin]] with the advised
+    *    salt count `⌈cnt·n_keys/total⌉`, capped at `maxSalts` (the
+    *    right-side replication cost bound);
+    *  - below threshold → the plain shuffle join AQE already handles.
+    *
+    * Both branches emit the SAME columns in the same order (left
+    * columns then right columns minus the join key) and the identical
+    * row multiset (the saltedJoin contract), so the guard is plan-only
+    * — callers never see which branch ran.
+    */
+  def autoSaltedJoin(left: DataFrame, right: DataFrame, key: String,
+                     skewThresholdMilli: Long = 4000L,
+                     maxSalts: Int = 64): DataFrame = {
+    require(skewThresholdMilli >= 1000L,
+      "a skew threshold below 1000 milli (the uniform mean) would salt everything")
+    require(maxSalts >= 1, "maxSalts must be positive")
+    val top = skewReport(left, key, k = 1)
+      .select("skew_x_milli", "salts").collect()
+    val salty = top.headOption.exists(r =>
+      r.getLong(0) >= skewThresholdMilli && r.getLong(1) > 1L)
+    if (salty)
+      saltedJoin(left, right, key,
+        math.min(top(0).getLong(1), maxSalts.toLong).toInt)
+    else
+      left.join(right, left(key) === right(key)).drop(right(key))
+  }
+
   /** Skew DIAGNOSTIC for a join/aggregation key — the report a
     * warehouse engineer reads BEFORE choosing between broadcast, AQE
     * splitting, and [[saltedJoin]]: the top keys by row count with

@@ -141,4 +141,31 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(top(1).getLong(3) === 516L && top(1).getLong(4) === 1L)
     spark.catalog.clearCache()
   }
+
+  test("autoSaltedJoin: salted branch on the hot key, plain below threshold, rows identical") {
+    import spark.implicits._
+    // left: 1 hot key (60 rows) + 30 cold keys (2 rows each) — skew 15.5x
+    val hot = ((1 to 60).map(_ => 999L) ++ (1L to 30L).flatMap(k => Seq(k, k)))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "payload")
+    val right = (1L to 30L).map(k => (k, s"dim$k")).toDF("k", "name")
+      .union(Seq((999L, "dimHot")).toDF("k", "name"))
+    val plain = hot.join(right, "k")
+    // hot input → the guard takes the salted branch: the plan replicates
+    // the right side (explode over the salt sequence)
+    val auto = SkewJoin.autoSaltedJoin(hot, right, "k", maxSalts = 8)
+    assert(auto.queryExecution.optimizedPlan.toString.contains("explode"),
+      "skewed input must dispatch the salted branch")
+    val autoSel = auto.select(plain.columns.map(col): _*)
+    assert(autoSel.exceptAll(plain).isEmpty && plain.exceptAll(autoSel).isEmpty)
+    // uniform input → the plain branch: no salt explode anywhere
+    val flat = (1L to 31L).flatMap(k => Seq(k, k)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "payload")
+    val auto2 = SkewJoin.autoSaltedJoin(flat, right, "k")
+    assert(!auto2.queryExecution.optimizedPlan.toString.contains("explode"),
+      "uniform input must dispatch the plain join")
+    val plain2 = flat.join(right, "k")
+    val auto2Sel = auto2.select(plain2.columns.map(col): _*)
+    assert(auto2Sel.exceptAll(plain2).isEmpty && plain2.exceptAll(auto2Sel).isEmpty)
+    spark.catalog.clearCache()
+  }
 }
