@@ -28,13 +28,13 @@ import org.apache.spark.sql.functions._
   * every register, estimate, and the d90 flag replay bit-for-bit.
   *
   * Scale shape: state is m rows per node (the sparse register
-  * relation); each round is one edges⋈registers hash join plus one
-  * (node, register) MAX aggregate — both key-partitioned shuffles
-  * sized |V|·m, never |V|². Rounds are lineage-truncated with the
-  * BFS/PageRank checkpoint discipline. Nodes whose registers stopped
-  * changing could be frontier-deltaed out (the paper's systolic
-  * optimization) — left on the table here because the round count is
-  * small and bounded.
+  * relation); rounds run the SYSTOLIC delta ([[stepDelta]]) — only
+  * registers that changed last round flow along edges, so the
+  * dominant |E|-side join shrinks with the frontier instead of
+  * carrying all |V|·m rows every round (at 100× graph scale the late
+  * rounds touch a tiny fraction of registers). All shuffles are
+  * key-partitioned, sized ≤ |V|·m, never |V|². Rounds are
+  * lineage-truncated with the BFS/PageRank checkpoint discipline.
   */
 object HyperAnf {
 
@@ -70,12 +70,48 @@ object HyperAnf {
 
   /** One HyperANF round: registers flow along edges and MAX per
     * (node, register) — B_{t+1}(v) = B_t(v) ∪ ⋃_{(v,w)∈E} B_t(w).
+    * The full-propagation reference; the round loops run the systolic
+    * [[stepDelta]], differentially pinned against this in HyperAnfSpec.
     */
   def step(regs: DataFrame, e: DataFrame): DataFrame = {
     val fromNbrs = e.join(regs.withColumnRenamed("node", "dst"), "dst")
       .select(col("src").as("node"), col("j"), col("r"))
     regs.unionByName(fromNbrs)
       .groupBy("node", "j").agg(max("r").as("r"))
+  }
+
+  /** One SYSTOLIC round (Boldi, Rosa & Vigna §4.1): only registers that
+    * CHANGED last round flow along edges — the BFS frontier discipline
+    * applied to register propagation. A register (w, j) that kept its
+    * round-(t−1) value already delivered that value to every neighbour
+    * at round t−1 (each neighbour's register is ≥ it), so re-sending it
+    * cannot raise anything: propagating the delta alone reproduces the
+    * full [[step]] fixpoint sequence EXACTLY, round by round.
+    *
+    * Returns (nextRegs, nextDelta). Scale shape per round:
+    *  - edges⋈delta — the dominant |E|-side join now carries only the
+    *    frontier (late rounds touch a tiny fraction of registers; the
+    *    full step shipped all |V|·m rows through it every round);
+    *  - one hash agg over the incoming frontier (pre-combining incoming
+    *    maxima BEFORE touching the state relation);
+    *  - a left-anti + union state update on (node, j) — both sides are
+    *    already hash-partitioned on (node, j) from their producing
+    *    aggregates, so the exchanges are reusable and the update never
+    *    re-shuffles the full register relation.
+    */
+  def stepDelta(regs: DataFrame, delta: DataFrame,
+                e: DataFrame): (DataFrame, DataFrame) = {
+    val incoming = e.join(delta.withColumnRenamed("node", "dst"), "dst")
+      .select(col("src").as("node"), col("j"), col("r"))
+      .groupBy("node", "j").agg(max("r").as("__rin"))
+    val nextDelta = incoming
+      .join(regs.withColumnRenamed("r", "__rold"), Seq("node", "j"), "left_outer")
+      .filter(col("__rold").isNull || col("__rin") > col("__rold"))
+      .select(col("node"), col("j"), col("__rin").as("r"))
+    val nextRegs = regs
+      .join(nextDelta.select("node", "j"), Seq("node", "j"), "left_anti")
+      .unionByName(nextDelta)
+    (nextRegs, nextDelta)
   }
 
   /** Per-node ball-size estimates in micro-units: the HLL estimate
@@ -133,13 +169,20 @@ object HyperAnf {
     def nfValue(regs: DataFrame, t: Int): java.math.BigDecimal =
       nfEstimate(regs, t).collect()(0).getDecimal(1)
     var regs = graft.Caching.checkpointed(registers0(nodes))
+    // round 1's frontier is every initial register (all of them are new)
+    var delta = regs
     val curve = scala.collection.mutable.ArrayBuffer(nfValue(regs, 0))
     for (t <- 1 to rounds) {
-      val next = graft.Caching.checkpointed(step(regs, e))
+      val (nr, nd) = stepDelta(regs, delta, e)
+      val nextRegs = graft.Caching.checkpointed(nr)
+      val nextDelta = graft.Caching.checkpointed(nd)
+      if (!(delta eq regs)) graft.Caching.releaseCheckpoint(delta)
       graft.Caching.releaseCheckpoint(regs)
-      regs = next
+      regs = nextRegs
+      delta = nextDelta
       curve += nfValue(regs, t)
     }
+    if (!(delta eq regs)) graft.Caching.releaseCheckpoint(delta)
     graft.Caching.releaseCheckpoint(regs)
     e.unpersist()
     curve.toSeq
@@ -269,12 +312,17 @@ object HyperAnf {
       GraphEdges.symmetricDistinct(edges, srcCol, dstCol, canonical))
     val nodes = e.select(col("src").as("node")).distinct()
     var regs = graft.Caching.checkpointed(registers0(nodes))
+    var delta = regs // round 1: every initial register is new
     var acc = graft.Caching.checkpointed(perNodeEstimates(regs)
       .select(col("node"), col("est").as("prev"), lit(0L).as("smass")))
     for (t <- 1 to rounds) {
-      val nextRegs = graft.Caching.checkpointed(step(regs, e))
+      val (nr, nd) = stepDelta(regs, delta, e)
+      val nextRegs = graft.Caching.checkpointed(nr)
+      val nextDelta = graft.Caching.checkpointed(nd)
+      if (!(delta eq regs)) graft.Caching.releaseCheckpoint(delta)
       graft.Caching.releaseCheckpoint(regs)
       regs = nextRegs
+      delta = nextDelta
       val nextAcc = graft.Caching.checkpointed(
         acc.join(perNodeEstimates(regs), "node")
           .select(col("node"), col("est").as("prev"),
@@ -283,6 +331,9 @@ object HyperAnf {
       graft.Caching.releaseCheckpoint(acc)
       acc = nextAcc
     }
+    // acc is materialized — the register state is no longer needed
+    if (!(delta eq regs)) graft.Caching.releaseCheckpoint(delta)
+    graft.Caching.releaseCheckpoint(regs)
     e.unpersist()
     val out = acc.filter(col("smass") > 0)
       .select(col("node"),

@@ -28,6 +28,26 @@ object ExplainHanfStep {
     graft.analytics.HyperAnf.step(regs, e).explain("formatted")
     println("========== hyperanf nf estimate ==========")
     graft.analytics.HyperAnf.nfEstimate(regs, 0).explain("formatted")
+    println("========== systolic stepDelta (round-1 plan) ==========")
+    val (r1, d1) = graft.analytics.HyperAnf.stepDelta(regs, regs, e)
+    r1.explain("formatted")
+    println("========== systolic frontier shrinkage per round ==========")
+    val eM = graft.Caching.materialize(e)
+    val total = regs.count()
+    var cur = regs
+    var delta = regs
+    println(s"round 0: state=$total frontier=$total (edge-join input rows)")
+    for (t <- 1 to 6) {
+      val (nr, nd) = graft.analytics.HyperAnf.stepDelta(cur, delta, eM)
+      val nextR = graft.Caching.checkpointed(nr)
+      val nextD = graft.Caching.checkpointed(nd)
+      if (!(delta eq cur)) graft.Caching.releaseCheckpoint(delta)
+      if (!(cur eq regs)) graft.Caching.releaseCheckpoint(cur)
+      cur = nextR; delta = nextD
+      val st = cur.count(); val fr = delta.count()
+      println(s"round $t: state=$st frontier=$fr " +
+        s"(${"%.1f".format(100.0 * fr / st)}% of registers still flowing)")
+    }
     spark.stop()
   }
 }

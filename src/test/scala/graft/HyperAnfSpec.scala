@@ -72,6 +72,33 @@ class HyperAnfSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("systolic delta rounds equal the full-propagation step, every round") {
+    val edges = barbell.toDF("item_a", "item_b")
+    val e = graft.analytics.GraphEdges
+      .symmetricDistinct(edges, "item_a", "item_b")
+    val r0 = graft.Caching.checkpointed(
+      HyperAnf.registers0(e.select($"src".as("node")).distinct()))
+    var full = r0
+    var regs = r0
+    var delta = r0
+    // barbell diameter is 5: rounds past it have EMPTY deltas — the
+    // regime the systolic step exists for — and must still agree.
+    // Checkpoint each round exactly like the production loops: regs_t
+    // references the delta_t subtree twice (anti-join + union), so an
+    // uncheckpointed chain re-expands combinatorially.
+    for (t <- 1 to 6) {
+      full = graft.Caching.checkpointed(HyperAnf.step(full, e))
+      val (nr, nd) = HyperAnf.stepDelta(regs, delta, e)
+      regs = graft.Caching.checkpointed(nr)
+      delta = graft.Caching.checkpointed(nd)
+      val a = full.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val b = regs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(a === b, s"round $t: systolic != full")
+    }
+    assert(delta.isEmpty, "past the diameter the frontier must be empty")
+    spark.catalog.clearCache()
+  }
+
   test("nf curve tracks the exact neighbourhood function") {
     val edges = barbell.toDF("item_a", "item_b")
     val out = HyperAnf.effectiveDiameter(edges, "item_a", "item_b",
