@@ -634,6 +634,11 @@ object SparkEntry {
     // --- end-to-end curation composite (quality → dedup → near-dup → sample) ---
     "pipeline_curate" -> ((s, d) =>
       graft.pipeline.Curation.curate(Tables.documents(s, d))),
+    // --- cross-modal curation manifest: text MinHash losers + the
+    // image/audio/video perceptual near-dup losers pivoted into one
+    // keep/drop flag row per document (round-7 verdict #6) ---
+    "pipeline_mm_curate" -> ((s, d) =>
+      graft.pipeline.Curation.curateMultimodal(Tables.documents(s, d))),
     // --- training-sequence packing (distributed prefix sum, no 1-partition window) ---
     "pack_assign" -> ((s, d) =>
       graft.operators.Packing.packSequences(Tables.documents(s, d))),
@@ -1298,13 +1303,14 @@ object SparkEntry {
         Multimodal.videoFingerprints(
           Multimodal.packSyntheticNearDupGifs(Tables.documents(s, d))).toDF())
     }),
-    // --- lossy-codec leg: aHash drift histogram under JPEG re-encode.
-    // No DuckDB oracle (the oracle can't run a JPEG DCT) → driver's
-    // rows-only check; the codec properties are pinned in JpegImageSpec
-    // (double-encode determinism, drift bound, pigeonhole completeness
-    // of the band join over JPEG hashes, planted-pair recall) ---
+    // --- lossy-codec leg, verdict-gated (round-7 verdict #7): the
+    // oracle can't run a JPEG DCT, so the query output is the
+    // deterministic verdict relation — image count (data-derived),
+    // encoder determinism, bounded aHash drift, and the independent
+    // JpegBaseline-vs-ImageIO differential (per-sample + aHash bounds).
+    // The drift histogram itself stays spec-pinned in JpegImageSpec. ---
     "mm_image_jpeg" -> ((s, d) =>
-      Multimodal.jpegDriftHistogram(Tables.documents(s, d)))
+      Multimodal.jpegVerdicts(Tables.documents(s, d)))
   )
 
   /** The shared base/next order-snapshot pair behind `q_snapshot_diff`
@@ -1455,6 +1461,73 @@ object SparkEntry {
         |SELECT ex.doc_id, ex.text, ex.source, ex.n_chars, ex.quality_score
         |FROM ex LEFT JOIN losers l ON ex.doc_id = l.doc_id
         |WHERE l.doc_id IS NULL""".stripMargin
+
+  /** DuckDB replay of [[graft.dedup.Dedup.minhashDedup]] at the default
+    * configuration (3-shingles, 32 md5-derived hashes, 8 bands,
+    * threshold 0.5) — shared by `dedup_minhash` and the
+    * `pipeline_mm_curate` text leg.
+    */
+  private lazy val minhashPairsOracle: String = {
+    val perms = Dedup.seedTriples(32)
+      .map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |    ELSE list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+      |  FROM toks),
+      |bases AS (
+      |  SELECT doc_id, ('0x' || substring(md5(gram), 1, 15))::BIGINT % 2147483647 AS h
+      |  FROM (SELECT doc_id, unnest(g) AS gram FROM grams)),
+      |perms(perm, a, b) AS (VALUES $perms),
+      |sig AS (
+      |  SELECT doc_id, perm, MIN((a * h + b) % 2147483647) AS s
+      |  FROM bases CROSS JOIN perms GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT doc_id, perm // 4 AS band,
+      |         string_agg(CAST(s AS VARCHAR), ',' ORDER BY perm) AS bh
+      |  FROM sig GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, est_jaccard FROM (
+      |  SELECT doc_a, doc_b,
+      |         SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 32.0 AS est_jaccard
+      |  FROM cand JOIN sig sa ON sa.doc_id = doc_a
+      |            JOIN sig sb ON sb.doc_id = doc_b AND sa.perm = sb.perm
+      |  GROUP BY 1, 2) t
+      |WHERE est_jaccard >= 0.5""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.pipeline.Curation.curateMultimodal]]: the
+    * four modality pair oracles (each the already-proven replay of its
+    * full codec/signature pipeline) nested as scoped subqueries, losers
+    * distinct-projected, flags pivoted per document. Built by plain
+    * concatenation — the nested oracles contain lines beginning with the
+    * `||` concat operator, which an outer stripMargin would corrupt.
+    */
+  private lazy val mmCurateOracle: String =
+    "WITH txt AS (SELECT DISTINCT doc_b AS doc_id FROM (\n" +
+      minhashPairsOracle + "\n) mt),\n" +
+    "img AS (SELECT DISTINCT id_b AS doc_id FROM (\n" +
+      Multimodal.nearDupImagePairsOracleSql() + "\n) mi),\n" +
+    "aud AS (SELECT DISTINCT id_b AS doc_id FROM (\n" +
+      Multimodal.nearDupAudioPairsOracleSql() + "\n) ma),\n" +
+    "vid AS (SELECT DISTINCT id_b AS doc_id FROM (\n" +
+      Multimodal.nearDupVideoPairsOracleSql() + "\n) mv)\n" +
+    """SELECT d.doc_id,
+      |       CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END AS dup_text,
+      |       CASE WHEN i.doc_id IS NULL THEN 0 ELSE 1 END AS dup_image,
+      |       CASE WHEN a.doc_id IS NULL THEN 0 ELSE 1 END AS dup_audio,
+      |       CASE WHEN v.doc_id IS NULL THEN 0 ELSE 1 END AS dup_video,
+      |       CASE WHEN t.doc_id IS NULL AND i.doc_id IS NULL
+      |             AND a.doc_id IS NULL AND v.doc_id IS NULL
+      |            THEN 1 ELSE 0 END AS keep
+      |FROM documents d
+      |LEFT JOIN txt t ON d.doc_id = t.doc_id
+      |LEFT JOIN img i ON d.doc_id = i.doc_id
+      |LEFT JOIN aud a ON d.doc_id = a.doc_id
+      |LEFT JOIN vid v ON d.doc_id = v.doc_id""".stripMargin
 
   /** DuckDB twins of each query, same column names (driver compares by
     * sorted column name + value hash).
@@ -2873,37 +2946,7 @@ object SparkEntry {
         |       list_aggregate(gh, 'max') AS fp_max,
         |       CAST(len(gh) AS INTEGER) AS n_grams
         |FROM g""".stripMargin,
-    "dedup_minhash" -> {
-      val perms = Dedup.seedTriples(32)
-        .map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
-      s"""WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
-        |grams AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-        |    ELSE list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
-        |  FROM toks),
-        |bases AS (
-        |  SELECT doc_id, ('0x' || substring(md5(gram), 1, 15))::BIGINT % 2147483647 AS h
-        |  FROM (SELECT doc_id, unnest(g) AS gram FROM grams)),
-        |perms(perm, a, b) AS (VALUES $perms),
-        |sig AS (
-        |  SELECT doc_id, perm, MIN((a * h + b) % 2147483647) AS s
-        |  FROM bases CROSS JOIN perms GROUP BY 1, 2),
-        |bands AS (
-        |  SELECT doc_id, perm // 4 AS band,
-        |         string_agg(CAST(s AS VARCHAR), ',' ORDER BY perm) AS bh
-        |  FROM sig GROUP BY 1, 2),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, est_jaccard FROM (
-        |  SELECT doc_a, doc_b,
-        |         SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 32.0 AS est_jaccard
-        |  FROM cand JOIN sig sa ON sa.doc_id = doc_a
-        |            JOIN sig sb ON sb.doc_id = doc_b AND sa.perm = sb.perm
-        |  GROUP BY 1, 2) t
-        |WHERE est_jaccard >= 0.5""".stripMargin
-    },
+    "dedup_minhash" -> minhashPairsOracle,
     // incremental replay: same signature/band pipeline, but candidates
     // come from batch-bands probing corpus-bands — never corpus × corpus
     "dedup_incremental" -> {
@@ -3051,6 +3094,7 @@ object SparkEntry {
         |WHERE cosine >= 0.35""".stripMargin
     },
     "pipeline_curate" -> curateOracle,
+    "pipeline_mm_curate" -> mmCurateOracle,
     // curate → vocab → encode → pack, one differential check end to end
     // (outer CTEs p-prefixed so they can't shadow names inside curateOracle)
     "pipeline_corpus_prep" ->
@@ -3957,7 +4001,17 @@ object SparkEntry {
       orderSnapshotCte, "orders", "new_snap", profileDiffCols),
     "mm_image_ahash" -> Multimodal.nearDupImagePairsOracleSql(),
     "mm_audio_neardup" -> Multimodal.nearDupAudioPairsOracleSql(),
-    "mm_video_neardup" -> Multimodal.nearDupVideoPairsOracleSql()
+    "mm_video_neardup" -> Multimodal.nearDupVideoPairsOracleSql(),
+    // verdict gate: n_images is recomputed from the table (quarantine
+    // losses fail the hash); the bound rows are pinned TRUE — if the
+    // codec or either decoder drifts past a bound, Spark emits 0 and
+    // the hash mismatches (the q_approx_distinct verdict convention)
+    "mm_image_jpeg" ->
+      """SELECT 'n_images' AS check, COUNT(*)::BIGINT AS value FROM documents
+        |UNION ALL SELECT 'double_encode_deterministic', 1::BIGINT
+        |UNION ALL SELECT 'drift_max_le_8', 1::BIGINT
+        |UNION ALL SELECT 'alt_decoder_max_sample_diff_le_1', 1::BIGINT
+        |UNION ALL SELECT 'alt_decoder_ahash_hamming_le_2', 1::BIGINT""".stripMargin
   )
 
   /** DuckDB replay of `Ann.matryoshkaRecall` — the bruteTopkOracle CTE

@@ -83,6 +83,65 @@ object Curation {
       .select("doc_id", "text", "source", "n_chars", "quality_score")
   }
 
+  /** Cross-modal curation survivor manifest: the near-dup triad
+    * (image aHash / audio fingerprint / video fingerprint — each a REAL
+    * codec round trip through the SAME pigeonhole-complete banded
+    * Hamming join) composed with the text MinHash-LSH pairs into ONE
+    * keep/drop decision per document. A multimodal training corpus
+    * dedups per modality but curates per RECORD: a sample whose image is
+    * a near-dup of a kept sample's image is dropped even if its caption
+    * is novel — otherwise the vision tower still trains on the
+    * duplicate.
+    *
+    * Loser convention matches [[curate]] step 3: within each modality's
+    * pair relation (a < b), the higher id loses. Output per document:
+    * (doc_id, dup_text, dup_image, dup_audio, dup_video, keep).
+    *
+    * Scale shape: the four pair relations are banded bucket joins (never
+    * all-pairs); their loser sets union into ONE (doc_id, modality)
+    * relation that a single hash aggregation pivots to flags — one
+    * shuffle for the flags plus one keyed left join against the
+    * manifest, regardless of how many modalities participate.
+    */
+  def curateMultimodal(documents: DataFrame,
+                       textThreshold: Double = 0.5,
+                       maxHamming: Int = 3): DataFrame = {
+    import graft.multimodal.Multimodal
+    val text = Dedup.minhashDedup(documents, threshold = textThreshold)
+      .select(col("doc_b").as("doc_id"), lit("text").as("modality"))
+    val image = Multimodal.nearDupImagePairs(
+        Multimodal.imageAHashes(
+          Multimodal.packSyntheticPngs(documents)).toDF(), maxHamming)
+      .select(col("id_b").as("doc_id"), lit("image").as("modality"))
+    val audio = Multimodal.nearDupImagePairs(
+        Multimodal.audioFingerprints(
+          Multimodal.packSyntheticNearDupWavs(documents)).toDF(), maxHamming)
+      .select(col("id_b").as("doc_id"), lit("audio").as("modality"))
+    val video = Multimodal.nearDupImagePairs(
+        Multimodal.videoFingerprints(
+          Multimodal.packSyntheticNearDupGifs(documents)).toDF(), maxHamming)
+      .select(col("id_b").as("doc_id"), lit("video").as("modality"))
+
+    val flags = text.unionByName(image).unionByName(audio).unionByName(video)
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("modality") === "text", 1).otherwise(0)).as("dup_text"),
+        max(when(col("modality") === "image", 1).otherwise(0)).as("dup_image"),
+        max(when(col("modality") === "audio", 1).otherwise(0)).as("dup_audio"),
+        max(when(col("modality") === "video", 1).otherwise(0)).as("dup_video"))
+
+    documents.select(col("doc_id"))
+      .join(flags, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_text"), lit(0)).as("dup_text"),
+        coalesce(col("dup_image"), lit(0)).as("dup_image"),
+        coalesce(col("dup_audio"), lit(0)).as("dup_audio"),
+        coalesce(col("dup_video"), lit(0)).as("dup_video"))
+      .withColumn("keep",
+        lit(1) - greatest(col("dup_text"), col("dup_image"),
+          col("dup_audio"), col("dup_video")))
+  }
+
   /** Corpus → training sequences, end to end: [[curate]], then build the
     * frequency vocabulary OVER THE CURATED CORPUS (vocab built pre-dedup
     * would be skewed by the duplicates curation removes), encode every

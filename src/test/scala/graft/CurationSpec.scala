@@ -27,6 +27,35 @@ class CurationSpec extends AnyFunSuite {
     assert(got === Set(1L, 5L))
   }
 
+  test("curateMultimodal: one manifest row per doc, flags match the modality loser sets") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val manifest = Curation.curateMultimodal(docs).cache()
+    assert(manifest.columns.toSeq ===
+      Seq("doc_id", "dup_text", "dup_image", "dup_audio", "dup_video", "keep"))
+    assert(manifest.count() === docs.count(), "one row per document")
+    // keep is exactly the negation of any-dup
+    assert(manifest.filter(
+      col("keep") =!= (org.apache.spark.sql.functions.lit(1) -
+        org.apache.spark.sql.functions.greatest(col("dup_text"),
+          col("dup_image"), col("dup_audio"), col("dup_video")))).isEmpty)
+    // the image flag set IS the image-leg loser set (differential vs the
+    // standalone operator — same convention for the other modalities)
+    import graft.multimodal.Multimodal
+    val expectedImg = Multimodal.nearDupImagePairs(
+        Multimodal.imageAHashes(Multimodal.packSyntheticPngs(docs)).toDF())
+      .select(col("id_b")).as[Long].collect().toSet
+    val gotImg = manifest.filter(col("dup_image") === 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotImg === expectedImg)
+    // the planted odd-sibling media structure must surface SOME losers,
+    // and at least one clean doc must survive
+    assert(gotImg.nonEmpty, "planted image near-dups found")
+    assert(manifest.filter(col("keep") === 1).count() > 0)
+    manifest.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("curate on the fixture corpus: deterministic, monotone shrinking") {
     val docs = Tables.documents(spark, sfDir)
     val out1 = Curation.curate(docs).cache()

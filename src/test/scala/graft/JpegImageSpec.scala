@@ -35,6 +35,50 @@ class JpegImageSpec extends AnyFunSuite {
     assert(img.getHeight === Multimodal.SynthImageSize)
   }
 
+  test("independent baseline decoder agrees with ImageIO within ±1 per sample") {
+    import graft.multimodal.JpegBaseline
+    var maxDiff = 0
+    (0L until N).foreach { id =>
+      val bytes = Multimodal.packJpegBytes(Multimodal.synthGrayImage(id))
+      val ii = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val alt = JpegBaseline.decodeGray(bytes)
+      assert(alt.isDefined, s"baseline decode failed for id=$id")
+      val g = alt.get
+      assert(g.width === ii.getWidth && g.height === ii.getHeight)
+      val r = ii.getRaster
+      for (y <- 0 until g.height; x <- 0 until g.width)
+        maxDiff = math.max(maxDiff,
+          math.abs(r.getSample(x, y, 0) - g.samples(y * g.width + x)))
+    }
+    // T.81 mandates IDCT accuracy bounds, not bit-exactness: the two
+    // implementations share no code, so ±1 agreement on every sample of
+    // every image is the differential pin (measured max is exactly 1)
+    assert(maxDiff <= 1, s"max per-sample decoder disagreement $maxDiff")
+  }
+
+  test("baseline decoder rejects out-of-scope and malformed streams") {
+    import graft.multimodal.JpegBaseline
+    val png = Multimodal.packPngBytes(Multimodal.synthGrayImage(1L))
+    assert(JpegBaseline.decodeGray(png).isEmpty, "PNG payload")
+    val jpeg = Multimodal.packJpegBytes(Multimodal.synthGrayImage(1L))
+    assert(JpegBaseline.decodeGray(jpeg.take(jpeg.length / 2)).isEmpty
+      || JpegBaseline.decodeGray(jpeg.take(jpeg.length / 2)).isDefined,
+      "truncated stream never throws") // quarantine contract: no throw
+    assert(JpegBaseline.decodeGray(Array[Byte](1, 2, 3)).isEmpty, "garbage")
+    assert(JpegBaseline.decodeGray(Array.empty[Byte]).isEmpty, "empty")
+  }
+
+  test("jpegVerdicts emits all-green gate rows (the mm_image_jpeg oracle shape)") {
+    val rows = Multimodal.jpegVerdicts(docsDf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("n_images") === N.toLong)
+    assert(rows("double_encode_deterministic") === 1L)
+    assert(rows("drift_max_le_8") === 1L)
+    assert(rows("alt_decoder_max_sample_diff_le_1") === 1L)
+    assert(rows("alt_decoder_ahash_hamming_le_2") === 1L)
+  }
+
   test("aHash drift under q=0.9 re-encode is small and bounded") {
     val hist = Multimodal.jpegDriftHistogram(docsDf)
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
