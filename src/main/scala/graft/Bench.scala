@@ -24,6 +24,60 @@ import org.apache.spark.sql.SparkSession
   * capture can truncate a 111-query line; the file is always whole.
   */
 object Bench {
+
+  /** Re-measure `names` in a FRESH child JVM (same classpath and
+    * module flags as this one, 2 interleaved runs, child's own warmup
+    * query first) and return each query's best isolated time. The child
+    * is this same main with explicit query args + SPARK_GRAFT_ISOLATED=1,
+    * so it can never recurse; its stdout/stderr go to a log file (the
+    * driver parses THIS process's single stdout JSON line). A child
+    * failure degrades to an empty map — the suite numbers still publish.
+    */
+  private def runIsolatedChild(names: Seq[String], sfDir: String): Map[String, Double] =
+    try {
+      val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar"
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val xmx = s"-Xmx${Runtime.getRuntime.maxMemory() >> 20}m"
+      val out = "bench_isolated.json"
+      val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+        xmx, "-XX:ReservedCodeCacheSize=1g",
+        "-cp", System.getProperty("java.class.path"), "graft.Bench") ++ names)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_ISOLATED", "1")
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_BENCH_RUNS", "2")
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out)
+      val logf = new java.io.File("bench_isolated.log")
+      pb.redirectOutput(logf); pb.redirectErrorStream(true)
+      System.err.println(s"[bench] isolated child: ${names.mkString(", ")}")
+      val p = pb.start()
+      if (!p.waitFor(45, java.util.concurrent.TimeUnit.MINUTES)) {
+        p.destroyForcibly(); System.err.println("[bench] isolated child timed out")
+        Map.empty
+      } else if (p.exitValue() != 0) {
+        System.err.println(s"[bench] isolated child rc=${p.exitValue()}")
+        Map.empty
+      } else {
+        val first = scala.io.Source.fromFile(out, "UTF-8").getLines().next()
+        val qobj = first.indexOf("\"queries\":{")
+        val body = first.substring(qobj + "\"queries\":{".length,
+          first.indexOf("}", qobj))
+        "\"([A-Za-z0-9_]+)\":(-?[0-9.eE+-]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] isolated child failed: ${e.getMessage}")
+      Map.empty
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -108,6 +162,46 @@ object Bench {
     val raw = samples.map { case (k, xs) =>
       "\"" + k + "\":[" + xs.mkString(",") + "]"
     }.mkString("{", ",", "}")
+
+    // --- mechanized suite-vs-isolated adjudication (round-7 verdict #3).
+    // JVM health degrades over a 270-query pass (codegen/class
+    // accumulation); a query whose SUITE sample regresses may be
+    // unchanged — round 7 proved it by hand-running q_link_pred in a
+    // fresh JVM (29-32 s suite vs 20.5 s isolated, identical plan). That
+    // adjudication is now automatic: after the suite, the top-N heaviest
+    // queries re-run in a FRESH child JVM (same classpath/flags, 2
+    // interleaved runs, min taken), and bench_results.json publishes the
+    // isolated column plus the suite-median / isolated aging ratio.
+    // Regressions should be judged on the ISOLATED column; an aging
+    // ratio > ~1.3 marks the suite number as JVM aging, not a plan
+    // change. Guarded so the child (invoked with explicit query args +
+    // SPARK_GRAFT_ISOLATED=1) never recurses.
+    val isolatedN = sys.env.getOrElse("SPARK_GRAFT_ISOLATED_N", "6").toInt
+    def medianOf(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0
+      else if (ok.size % 2 == 1) ok(ok.size / 2)
+      else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+    }
+    val suiteMedians = samples.map { case (n, xs) => n -> medianOf(xs) }.toMap
+    val isolated: Map[String, Double] =
+      if (only.nonEmpty || sys.env.contains("SPARK_GRAFT_ISOLATED") ||
+          isolatedN <= 0) Map.empty
+      else {
+        val top = results.filter(_._2 >= 0).sortBy(-_._2).take(isolatedN).map(_._1)
+        // the parent session must release local[32] before the child
+        // claims it — two 32-thread Spark JVMs would contend and the
+        // isolated numbers would measure the contention
+        spark.stop()
+        runIsolatedChild(top, sfDir)
+      }
+    val agingJson = isolated.toSeq.sorted.map { case (k, iso) =>
+      val ratio = if (iso > 0) suiteMedians.getOrElse(k, -1.0) / iso else -1.0
+      "\"" + k + "\":" + f"$ratio%.3f"
+    }.mkString("{", ",", "}")
+    val isolatedJson = isolated.toSeq.sorted.map { case (k, v) =>
+      "\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
     // per-query spread summary (min / median / max over the N interleaved
     // samples): regressions under ~10% are unreadable from a single point
     // estimate on this VM — the spread line makes round-over-round deltas
@@ -123,9 +217,12 @@ object Bench {
       val (mn, mx) = if (ok.isEmpty) (-1.0, -1.0) else (ok.min, ok.max)
       "\"" + k + s"""\":{"min":$mn,"median":${median(xs)},"max":$mx}"""
     }.mkString("{", ",", "}")
+    val isolatedLine =
+      if (isolated.isEmpty) ""
+      else s"""{"metric":"isolated","queries":$isolatedJson,"aging_ratio":$agingJson,"runs":2}""" + "\n"
     Files.write(Paths.get(outPath),
       (line + "\n" + s"""{"metric":"samples","queries":$raw}""" + "\n" +
-        s"""{"metric":"spread","queries":$spread}""" + "\n")
+        s"""{"metric":"spread","queries":$spread}""" + "\n" + isolatedLine)
         .getBytes(StandardCharsets.UTF_8))
     System.err.println(s"[bench] wrote $outPath")
     // The driver captures only the LAST ~2000 chars of merged output (then
@@ -141,7 +238,12 @@ object Bench {
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val bySlowest = results.sortBy { case (k, v) => (-v, k) }
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"sf":"$sfDir","n_queries":${results.size},"full":"$outPath","queries":{"""
+    val isoField =
+      if (isolated.isEmpty) ""
+      else isolated.toSeq.sorted
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString(""""isolated":{""", ",", s"""},"aging_ratio":$agingJson,""")
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"sf":"$sfDir","n_queries":${results.size},$isoField"full":"$outPath","queries":{"""
     val entries = bySlowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
     val keptBuf = scala.collection.mutable.ListBuffer.empty[String]
     // reserve room for the closing brace + worst-case omission suffix
