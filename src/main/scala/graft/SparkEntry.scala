@@ -657,6 +657,12 @@ object SparkEntry {
     "q_triangles" -> ((s, d) =>
       graft.analytics.Triangles.triangleCount(
         coBoughtEdges(s, d), "item_a", "item_b", canonical = true)),
+    // --- bounded k-truss peel: edges embedded in >= k-2 triangles,
+    // degree-oriented enumeration per round (vs the oracle's id-ordered
+    // triple join - a real differential) ---
+    "q_ktruss" -> ((s, d) =>
+      graft.analytics.Triangles.kTruss(
+        coBoughtEdges(s, d), "item_a", "item_b", canonical = true)),
     // --- per-part local clustering coefficient over the co-bought graph ---
     "q_clustering_coef" -> ((s, d) =>
       graft.analytics.Triangles.clusteringCoefficient(
@@ -1073,6 +1079,17 @@ object SparkEntry {
           (abs(col("approx_customers") - col("exact_customers")) <=
             col("exact_customers") * 0.05).as("rollup_ok"))
     }),
+    // --- KMV/theta sketch: distinct + union + INTERSECTION estimates,
+    // md5-exact replay (the sketch family HLL can't intersect) — same
+    // before/after-1995 customer split as q_hll_intersect for contrast ---
+    "q_kmv_sketch" -> ((s, d) =>
+      graft.analytics.Kmv.kmvCompare(
+        Tables.orders(s, d).select(
+          when(col("o_orderdate").cast("date") <
+            lit("1998-07-01").cast("date"), "early").otherwise("late")
+            .as("grp"),
+          col("o_custkey").as("id")),
+        "early", "late")),
     // --- HLL inclusion-exclusion intersection vs exact, verdict row ---
     "q_hll_intersect" -> ((s, d) => {
       import org.apache.spark.sql.functions.{abs, count_distinct,
@@ -2280,6 +2297,9 @@ object SparkEntry {
         |FROM e e1
         |JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
         |JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin,
+    // unrolled peel rounds, id-ordered triple joins per round vs the
+    // engine's degree-oriented iterator — differential per round
+    "q_ktruss" -> graft.analytics.Triangles.kTrussOracleSql(),
     // ten HUGEINT power sums -> one shared Cramer/IEEE expression tree
     "q_ols" -> graft.analytics.Ols.priceModelOracleSql,
     "q_trend_slope" ->
@@ -3560,6 +3580,13 @@ object SparkEntry {
         |      FROM customer JOIN nation ON c_nationkey = n_nationkey
         |                    JOIN region ON n_regionkey = r_regionkey
         |      GROUP BY 1) t""".stripMargin,
+    // full md5-exact sketch replay: hashes, k-min ranking, HUGEINT //
+    // estimator arithmetic all identical — estimates are hash-compared
+    "q_kmv_sketch" -> graft.analytics.Kmv.kmvCompareOracleSql(
+      """SELECT CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-07-01'
+        |            THEN 'early' ELSE 'late' END AS grp,
+        |       o_custkey AS id
+        |FROM orders""".stripMargin, "early", "late"),
     // exact counts; the estimator verdict is TRUE by the 3-sigma bound
     // argument (the estimate itself never leaves the Spark side)
     "q_hll_intersect" ->

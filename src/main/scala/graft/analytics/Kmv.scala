@@ -1,0 +1,172 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** KMV (k-minimum-values) distinct sketch with theta-sketch set
+  * operations (Bar-Yossef et al. RANDOM'02; Dasgupta et al., "Theta
+  * sketch framework", 2016) — the second sketch family beside HLL
+  * (`q_approx_distinct`/`q_hll_intersect`/`q_hyperanf`): HLL unions
+  * cheaply but cannot intersect without inclusion–exclusion blowup;
+  * KMV's sample-based sketch supports union AND intersection with
+  * relative error O(1/√k), which is what audience-overlap questions
+  * (users who did X and Y) actually need.
+  *
+  * Everything is md5-derived and integer-exact, so unlike the HLL
+  * verdict queries the ESTIMATES themselves replay bit-identically in
+  * the DuckDB oracle (the md5-HLL `q_hyperanf` convention): hashes are
+  * `md5Base60` longs uniform on [0, 2⁶⁰); the estimator
+  * (k−1)·2⁶⁰ ⁄ h₍ₖ₎ and the theta-intersection count ⁄ θ are computed
+  * as DECIMAL(38,0) integral `div` (HUGEINT `//` in the oracle) in
+  * micro units.
+  *
+  * Scale shape: one distinct-shuffle of (group, hash); per-group
+  * k-smallest is a ranked-window filter Spark executes with
+  * WindowGroupLimit (per-map-partition top-k BEFORE the exchange, so
+  * the shuffle carries ≤ k rows per upstream partition, not the
+  * distinct set); the union sketch is a TakeOrderedAndProject over 2k
+  * rows; membership tests are broadcast semi-joins of a ≤ k-row
+  * relation. Nothing driver-side, nothing all-pairs, no data-sized
+  * window.
+  */
+object Kmv {
+
+  /** 2⁶⁰ — the exclusive upper bound of the md5Base60 hash space. */
+  val HashSpace: String = "1152921504606846976"
+
+  /** Compare two keyed populations with one KMV sketch per side: the
+    * input is a (grp, id) relation holding both sides tagged by group
+    * name; exact counts (for the oracle's benefit and the caller's
+    * calibration) sit beside the replayable sketch estimates.
+    *
+    * Output (one row): k, n_a, n_b, n_union, n_inter,
+    * est_a_micro, est_b_micro, est_union_micro, est_inter_micro,
+    * jaccard_est_micro — estimates in micro units (10⁶ = one user).
+    * Sets smaller than k are represented exactly by their sketch
+    * (θ = full space), per the standard KMV estimator.
+    */
+  def kmvCompare(items: DataFrame, typeA: String, typeB: String,
+                 k: Int = 64): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val two = items.filter(col("grp").isin(typeA, typeB))
+      .select(col("grp"), col("id"))
+    // one distinct shuffle feeds the sketches, the exact counts, and the
+    // membership joins
+    val hashed = graft.Caching.materialize(
+      two.distinct().select(col("grp"),
+        Dedup.md5Base60(col("id").cast("string")).as("h")))
+
+    // per-group k smallest distinct hashes (md5 collisions between
+    // distinct users collapse in BOTH engines identically)
+    val w = Window.partitionBy("grp").orderBy(asc("h"))
+    val sk = graft.Caching.materialize(
+      hashed.distinct()
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= k))
+
+    // union sketch: k smallest distinct hashes of the combined sketches
+    // (≤ 2k input rows → TakeOrderedAndProject)
+    val skU = graft.Caching.materialize(
+      sk.select("h").distinct().orderBy(asc("h")).limit(k))
+
+    def grpStats(grp: String, cnt: String, theta: String): DataFrame =
+      sk.filter(col("grp") === grp)
+        .agg(count(lit(1)).as(cnt), max(col("h")).as(theta))
+    val aRow = grpStats(typeA, "cnt_a", "th_a")
+    val bRow = grpStats(typeB, "cnt_b", "th_b")
+    val uRow = skU.agg(count(lit(1)).as("cnt_u"), max(col("h")).as("th_u"))
+
+    // theta-intersection count: union-sketch hashes present in BOTH
+    // sides' distinct-hash sets (any union hash ≤ θ that belongs to a
+    // side is necessarily ≤ that side's h₍ₖ₎, so the full distinct
+    // relation and the sketch agree below θ)
+    val inA = skU.join(hashed.filter(col("grp") === typeA).select("h"), Seq("h"), "left_semi")
+    val interSk = inA.join(hashed.filter(col("grp") === typeB).select("h"), Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("cnt_i"))
+
+    val exact = two.agg(
+      count_distinct(when(col("grp") === typeA, col("id"))).as("n_a"),
+      count_distinct(when(col("grp") === typeB, col("id"))).as("n_b"),
+      count_distinct(col("id")).as("n_union"))
+    val exactInter = two.select("grp", "id").distinct()
+      .groupBy("id").agg(count(lit(1)).as("ng"))
+      .filter(col("ng") === 2).agg(count(lit(1)).as("n_inter"))
+
+    // estimator: (k−1)·2⁶⁰·10⁶ div h₍ₖ₎; exact-by-construction below k
+    exact.crossJoin(exactInter).crossJoin(aRow).crossJoin(bRow)
+      .crossJoin(uRow).crossJoin(interSk)
+      .withColumn("est_a_micro",
+        when(col("cnt_a") < k, col("cnt_a") * lit(1000000L))
+          .otherwise(expr(
+            s"CAST(CAST(${k - 1} AS DECIMAL(38,0)) * $HashSpace * 1000000 div th_a AS BIGINT)")))
+      .withColumn("est_b_micro",
+        when(col("cnt_b") < k, col("cnt_b") * lit(1000000L))
+          .otherwise(expr(
+            s"CAST(CAST(${k - 1} AS DECIMAL(38,0)) * $HashSpace * 1000000 div th_b AS BIGINT)")))
+      .withColumn("est_union_micro",
+        when(col("cnt_u") < k, col("cnt_u") * lit(1000000L))
+          .otherwise(expr(
+            s"CAST(CAST(${k - 1} AS DECIMAL(38,0)) * $HashSpace * 1000000 div th_u AS BIGINT)")))
+      // intersection: cnt_i ⁄ θ_u of the hash space; exact when the
+      // union sketch holds everything
+      .withColumn("est_inter_micro",
+        when(col("cnt_u") < k, col("cnt_i") * lit(1000000L))
+          .otherwise(expr(
+            s"CAST(CAST(cnt_i AS DECIMAL(38,0)) * $HashSpace * 1000000 div th_u AS BIGINT)")))
+      .withColumn("jaccard_est_micro",
+        expr("CAST(CAST(cnt_i AS DECIMAL(38,0)) * 1000000 div cnt_u AS BIGINT)"))
+      .select(lit(k).as("k"), col("n_a"), col("n_b"), col("n_union"),
+        col("n_inter"), col("est_a_micro"), col("est_b_micro"),
+        col("est_union_micro"), col("est_inter_micro"),
+        col("jaccard_est_micro"))
+  }
+
+  /** DuckDB replay of [[kmvCompare]] — identical md5 hashing, ordering,
+    * and HUGEINT `//` arithmetic.
+    */
+  def kmvCompareOracleSql(twoSql: String, typeA: String, typeB: String,
+                          k: Int = 64): String =
+    s"""WITH two AS (SELECT DISTINCT grp, id FROM ($twoSql) t),
+       |hashed AS (
+       |  SELECT DISTINCT grp,
+       |         ('0x' || substring(md5(id::VARCHAR), 1, 15))::BIGINT AS h
+       |  FROM two),
+       |sk AS (
+       |  SELECT grp, h FROM (
+       |    SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+       |    FROM hashed) t WHERE rn <= $k),
+       |sku AS (SELECT DISTINCT h FROM sk ORDER BY h LIMIT $k),
+       |arow AS (SELECT COUNT(*) AS cnt_a, MAX(h) AS th_a FROM sk WHERE grp = '$typeA'),
+       |brow AS (SELECT COUNT(*) AS cnt_b, MAX(h) AS th_b FROM sk WHERE grp = '$typeB'),
+       |urow AS (SELECT COUNT(*) AS cnt_u, MAX(h) AS th_u FROM sku),
+       |irow AS (
+       |  SELECT COUNT(*) AS cnt_i FROM sku
+       |  WHERE h IN (SELECT h FROM hashed WHERE grp = '$typeA')
+       |    AND h IN (SELECT h FROM hashed WHERE grp = '$typeB')),
+       |ex AS (
+       |  SELECT COUNT(DISTINCT CASE WHEN grp = '$typeA' THEN id END) AS n_a,
+       |         COUNT(DISTINCT CASE WHEN grp = '$typeB' THEN id END) AS n_b,
+       |         COUNT(DISTINCT id) AS n_union
+       |  FROM two),
+       |exi AS (
+       |  SELECT COUNT(*) AS n_inter FROM (
+       |    SELECT id FROM two GROUP BY 1 HAVING COUNT(*) = 2) t)
+       |SELECT $k AS k, n_a, n_b, n_union, n_inter,
+       |  CASE WHEN cnt_a < $k THEN cnt_a * 1000000
+       |       ELSE CAST(${k - 1}::HUGEINT * $HashSpace * 1000000 // th_a AS BIGINT)
+       |  END AS est_a_micro,
+       |  CASE WHEN cnt_b < $k THEN cnt_b * 1000000
+       |       ELSE CAST(${k - 1}::HUGEINT * $HashSpace * 1000000 // th_b AS BIGINT)
+       |  END AS est_b_micro,
+       |  CASE WHEN cnt_u < $k THEN cnt_u * 1000000
+       |       ELSE CAST(${k - 1}::HUGEINT * $HashSpace * 1000000 // th_u AS BIGINT)
+       |  END AS est_union_micro,
+       |  CASE WHEN cnt_u < $k THEN cnt_i * 1000000
+       |       ELSE CAST(cnt_i::HUGEINT * $HashSpace * 1000000 // th_u AS BIGINT)
+       |  END AS est_inter_micro,
+       |  CAST(cnt_i::HUGEINT * 1000000 // cnt_u AS BIGINT) AS jaccard_est_micro
+       |FROM ex CROSS JOIN exi CROSS JOIN arow CROSS JOIN brow
+       |        CROSS JOIN urow CROSS JOIN irow""".stripMargin
+}

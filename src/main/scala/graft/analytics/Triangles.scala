@@ -93,6 +93,93 @@ object Triangles {
     (deg, closers)
   }
 
+  /** Bounded k-truss peeling (Cohen, "Trusses: cohesive subgraphs for
+    * social network analysis", 2008): each round enumerates triangles
+    * with the SAME degree-oriented edge iterator as [[triangleCount]]
+    * (O(√m)-bounded adjacency arrays — no wedge shuffle), credits each
+    * triangle to its three canonical edges, and drops edges supporting
+    * fewer than k−2 triangles; `rounds` bounds the peel exactly like
+    * [[GraphStats.kCore]] bounds core peeling. Output: the surviving
+    * canonical edges with their support within the FINAL surviving
+    * subgraph — (src, dst, support).
+    *
+    * Truss > core as a cohesion signal: a k-core only needs degree, a
+    * k-truss needs every edge embedded in triangles, which is what
+    * community-backbone extraction actually wants. Scale shape per
+    * round: one oriented enumeration (arboricity-bounded), one hash agg
+    * on canonical edge, one keyed join to restrict — all keyed, nothing
+    * all-pairs; the round output is checkpointed so lineage stays O(1)
+    * across rounds.
+    */
+  def kTruss(edges: DataFrame, uCol: String, vCol: String, k: Int = 4,
+             rounds: Int = 2, canonical: Boolean = false): DataFrame = {
+    require(k >= 3 && rounds >= 1, "k-truss needs k >= 3 and rounds >= 1")
+
+    /** Per-canonical-edge triangle support of a canonical edge set. */
+    def support(e: DataFrame): DataFrame = {
+      val (_, closers) = edgeIterator(e, "u", "v", canonical = true)
+      val tri = closers
+        .select(col("src"), col("dst"), explode(col("closing")).as("x"))
+      tri.select(explode(array(
+          struct(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v")),
+          struct(least(col("src"), col("x")).as("u"),
+            greatest(col("src"), col("x")).as("v")),
+          struct(least(col("dst"), col("x")).as("u"),
+            greatest(col("dst"), col("x")).as("v")))).as("ed"))
+        .select(col("ed.u").as("u"), col("ed.v").as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+    }
+
+    var e = graft.Caching.checkpointed(
+      canonicalEdges(edges, uCol, vCol, canonical))
+    for (_ <- 1 to rounds) {
+      // inner join: zero-support edges are absent from the support
+      // relation and correctly dropped (k ≥ 3 ⇒ threshold ≥ 1)
+      val next = graft.Caching.checkpointed(
+        e.join(support(e).filter(col("sup") >= k - 2), Seq("u", "v"))
+          .select("u", "v"))
+      e.unpersist()
+      e = next
+    }
+    e.join(support(e), Seq("u", "v"), "left")
+      .select(col("u").as("src"), col("v").as("dst"),
+        coalesce(col("sup"), lit(0L)).as("support"))
+  }
+
+  /** DuckDB replay of [[kTruss]] over the co-bought-parts graph: plain
+    * id-ordered triple-join triangle enumeration per unrolled round — a
+    * different orientation and join shape than the engine's
+    * degree-oriented iterator, so the match is a differential proof.
+    */
+  def kTrussOracleSql(k: Int = 4, rounds: Int = 2): String = {
+    def supCte(r: Int, src: String): String =
+      s"""t$r AS (
+         |  SELECT x.u AS a, x.v AS b, y.v AS c
+         |  FROM $src x JOIN $src y ON y.u = x.u AND y.v > x.v
+         |  JOIN $src z ON z.u = x.v AND z.v = y.v),
+         |s$r AS (
+         |  SELECT u, v, COUNT(*) AS sup FROM (
+         |    SELECT a AS u, b AS v FROM t$r
+         |    UNION ALL SELECT a, c FROM t$r
+         |    UNION ALL SELECT b, c FROM t$r) q
+         |  GROUP BY 1, 2)""".stripMargin
+    val roundsSql = (1 to rounds).map { r =>
+      s"""${supCte(r, s"e${r - 1}")},
+         |e$r AS (SELECT u, v FROM s$r WHERE sup >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    val fin = rounds + 1
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |$roundsSql,
+       |${supCte(fin, s"e$rounds")}
+       |SELECT e.u AS src, e.v AS dst, COALESCE(s.sup, 0) AS support
+       |FROM e$rounds e LEFT JOIN s$fin s ON s.u = e.u AND s.v = e.v""".stripMargin
+  }
+
   /** Global triangle count over an undirected edge relation given as
     * (u, v) pairs with u ≠ v, each undirected edge present once (either
     * direction). Output: one row (n_triangles). `canonical = true`

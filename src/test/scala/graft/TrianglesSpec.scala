@@ -83,4 +83,34 @@ class TrianglesSpec extends AnyFunSuite {
     val withRim = star :+ ((5L, 6L))
     assert(Triangles.triangleCount(withRim.toDF("u", "v"), "u", "v").as[Long].head() === 1L)
   }
+
+  test("kTruss: planted cliques — K5 and K4 survive k=4, only K5 survives k=5") {
+    val k5 = for { i <- 1L to 5L; j <- (i + 1) to 5L } yield (i, j)
+    val k4 = for { i <- 11L to 14L; j <- (i + 1) to 14L } yield (i, j)
+    val noise = Seq((5L, 11L), (14L, 20L)) // bridge + pendant: support 0
+    val edges = (k5 ++ k4 ++ noise).toDF("u", "v")
+
+    val t4 = Triangles.kTruss(edges, "u", "v", k = 4, rounds = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(t4.keySet === (k5 ++ k4).toSet, "4-truss keeps both cliques, drops noise")
+    k5.foreach(e => assert(t4(e) === 3L, s"K5 edge $e support"))
+    k4.foreach(e => assert(t4(e) === 2L, s"K4 edge $e support"))
+
+    val t5 = Triangles.kTruss(edges, "u", "v", k = 5, rounds = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(t5.keySet === k5.toSet, "5-truss keeps only K5")
+    k5.foreach(e => assert(t5(e) === 3L))
+    spark.catalog.clearCache()
+  }
+
+  test("kTruss peeling cascades: removing weak edges can strip later rounds") {
+    // triangle chain: {1,2,3} and {2,3,4} share edge (2,3); edge (3,4) and
+    // (2,4) support 1, (2,3) support 2. k=4 (threshold 2): round 1 drops
+    // all support-1 edges, leaving (2,3) with no triangles; round 2 drops
+    // everything (an edge needs sup >= 2 but has 0 after the cascade).
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
+    val out = Triangles.kTruss(edges, "u", "v", k = 4, rounds = 2).collect()
+    assert(out.isEmpty, s"cascade should empty the graph, got ${out.mkString(",")}")
+    spark.catalog.clearCache()
+  }
 }
