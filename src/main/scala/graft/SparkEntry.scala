@@ -448,6 +448,9 @@ object SparkEntry {
     "text_quality"     -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
     "text_langid"      -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
+    // winnowing (SIGMOD'03): window-min fingerprint SELECTION with the
+    // w+k-1 match guarantee — row-local transform + explode, scan cost
+    "text_winnow" -> ((s, d) => TextOps.winnow(Tables.documents(s, d))),
     "text_repetition"  -> ((s, d) => TextOps.repetition(Tables.documents(s, d))),
     "text_vocab"       -> ((s, d) => TextOps.vocab(Tables.documents(s, d))),
     "text_c4_filter"   -> ((s, d) => TextOps.c4LineFilter(Tables.documents(s, d))),
@@ -558,6 +561,14 @@ object SparkEntry {
     // --- index-quality gate: recall@5 of LSH and IVF vs exact brute top-5 ---
     "ann_recall"     -> ((s, d) => Ann.recallEval(Tables.embeddings(s, d))),
     "ann_topk_ivf"   -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),
+    // IVF-PQ composite (FAISS IVFADC): coarse posting-list probe + PQ
+    // residual ADC; deterministic end-to-end, quality verdicts pinned,
+    // candidate cardinality cross-checked by the oracle's coarse replay
+    "ann_topk_ivfpq" -> ((s, d) => graft.similarity.Pq.ivfPqChecked(Tables.embeddings(s, d))),
+    // Gonzalez greedy k-center (farthest-point coreset): k scan-cost
+    // rounds, selected set is driver model state, full trajectory
+    // replayed by the oracle's unrolled CTE rounds
+    "embed_kcenter" -> ((s, d) => graft.similarity.Kcenter.kcenterSelect(Tables.embeddings(s, d))),
     // trained-centroid path: 2 Lloyd iterations, fully oracle-replayed
     "ann_kmeans" -> ((s, d) => Ann.kmeansAssign(Tables.embeddings(s, d))),
     // --- simplified silhouette: the internal quality number that picks k ---
@@ -2966,6 +2977,9 @@ object SparkEntry {
         |       list_aggregate(gh, 'max') AS fp_max,
         |       CAST(len(gh) AS INTEGER) AS n_grams
         |FROM g""".stripMargin,
+    // winnowing selection replayed positionally: rightmost window min =
+    // list_max over positions attaining list_min of the window slice
+    "text_winnow" -> TextOps.winnowOracleSql(),
     "dedup_minhash" -> minhashPairsOracle,
     // incremental replay: same signature/band pipeline, but candidates
     // come from batch-bands probing corpus-bands — never corpus × corpus
@@ -3025,6 +3039,10 @@ object SparkEntry {
         |FROM pairs WHERE bit_count(xor(sha, shb)) <= 3""".stripMargin
     },
     "ann_topk_ivf" -> ivfTopkOracle,
+    "ann_topk_ivfpq" -> ivfPqOracle,
+    // greedy farthest-point trajectory replayed round by round (rounded
+    // exact-fold distances, vec_id tie-breaks — the kmeans/MMR pattern)
+    "embed_kcenter" -> graft.similarity.Kcenter.kcenterOracleSql(),
     "mm_features" ->
       """WITH media AS (
         |  SELECT doc_id AS media_id,
@@ -4325,8 +4343,10 @@ object SparkEntry {
       |  FROM scored) t
       |WHERE rank <= $k""".stripMargin
 
-  private def ivfTopkOracle: String =
-    """WITH e AS (
+  /** Shared coarse-IVF replay: the rounded-cosine centroid assignment and
+    * query probes both `ann_topk_ivf` and `ann_topk_ivfpq` are built on. */
+  private def ivfCoarsePrefix: String =
+    """e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
       |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 29 = 0),
@@ -4350,7 +4370,10 @@ object SparkEntry {
       |cand AS (
       |  SELECT DISTINCT p.query_id, a.vec_id
       |  FROM probes p JOIN assign a USING (cent_id)
-      |  WHERE a.vec_id <> p.query_id),
+      |  WHERE a.vec_id <> p.query_id)""".stripMargin
+
+  private def ivfTopkOracle: String =
+    s"""WITH $ivfCoarsePrefix,
       |scored AS (
       |  SELECT cd.query_id, cd.vec_id,
       |         round(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i])) /
@@ -4363,6 +4386,16 @@ object SparkEntry {
       |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
       |  FROM scored) t
       |WHERE rank <= 5""".stripMargin
+
+  /** `ann_topk_ivfpq`: the coarse stage (assignment, probes, candidate
+    * lists) is replayed bit-exactly by [[ivfCoarsePrefix]], pinning the
+    * data-derived candidate cardinality; the PQ-residual verdicts are
+    * deterministic booleans pinned TRUE (the `ann_topk_pq` contract). */
+  private def ivfPqOracle: String =
+    s"""WITH $ivfCoarsePrefix
+      |SELECT query_id, LEAST(10, COUNT(*)) AS n_candidates,
+      |       TRUE AS pq_ratio_ok, TRUE AS ivf_ratio_ok, TRUE AS codes_in_range
+      |FROM cand GROUP BY query_id""".stripMargin
 
   private def lshTopkOracle: String =
     s"""WITH e AS (

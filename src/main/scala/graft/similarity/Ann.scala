@@ -714,12 +714,12 @@ object Ann {
   /** Centroid relation for the IVF index: a deterministic corpus sample
     * (vec_id ≡ 0 mod `centroidStep`).
     */
-  private def ivfCentroids(e: DataFrame, centroidStep: Int): DataFrame =
+  private[similarity] def ivfCentroids(e: DataFrame, centroidStep: Int): DataFrame =
     e.filter(pmod(col("vec_id"), lit(centroidStep)) === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
 
-  private def nearestCentroids(cents: DataFrame, points: DataFrame,
-                               idCol: String, vCol: String, n: Int): DataFrame = {
+  private[similarity] def nearestCentroids(cents: DataFrame, points: DataFrame,
+                                           idCol: String, vCol: String, n: Int): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy(desc("csim"), asc("cent_id"))
     // ranking on the 1e-6-rounded cosine (not the raw fold) keeps centroid
     // assignment deterministic across engines — the DuckDB oracle replays it

@@ -112,9 +112,15 @@ object Pq {
     * whole model is a deterministic function of the corpus.
     */
   def fit(embeddings: DataFrame, m: Int = 8, kCodes: Int = 16,
-          iters: Int = 2): Model = {
+          iters: Int = 2): Model =
+    fitVectors(corpus(embeddings), m, kCodes, iters)
+
+  /** [[fit]] on an already-prepared (vec_id, v) relation — the entry the
+    * IVF-PQ composite uses to train codebooks on coarse RESIDUALS. */
+  private[similarity] def fitVectors(e0: DataFrame, m: Int, kCodes: Int,
+                                     iters: Int): Model = {
     require(m > 0 && kCodes > 0 && iters >= 0)
-    val e = corpus(embeddings)
+    val e = e0.select(col("vec_id"), col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dim = e.select(size(col("v"))).head().getInt(0)
@@ -255,6 +261,129 @@ object Pq {
     exactAvg.join(pqAvg, "query_id")
       .select(col("query_id"), col("n_candidates"),
         (col("avg_pq") <= col("avg_exact") * maxDistRatio).as("dist_ratio_ok"),
+        lit(rangeOk).as("codes_in_range"))
+  }
+
+  /** IVF-PQ composite (the FAISS "IVFADC" construction, Jégou et al.
+    * 2011 §IV): a coarse inverted-file quantizer prunes the corpus to
+    * `nprobe` posting lists per query, and product-quantized RESIDUALS
+    * (vector − assigned centroid) supply the in-list distances — the
+    * production ANN layout at 100 TB, where neither an exhaustive ADC
+    * scan ([[searchTopK]]) nor uncompressed postings ([[Ann.ivfTopK]])
+    * fit the latency/memory budget on their own.
+    *
+    * Composition of two already-proven deterministic stages:
+    *  - Coarse stage: [[Ann.ivfCentroids]]/[[Ann.nearestCentroids]] —
+    *    the 1e-6-rounded-cosine assignment the `ann_topk_ivf` oracle
+    *    replays bit-exactly in DuckDB.
+    *  - Fine stage: [[fitVectors]] on the residual relation (md5 seeds,
+    *    fixed-point Lloyd means) + the [[PqEncode]] codegen expression.
+    *  - Search: one LUT row per (query, probed centroid) — exact
+    *    residual-query→codeword distances, nQueries × nprobe rows of
+    *    driver-side MODEL state — broadcast-joined onto the encoded
+    *    postings on `cent_id`, which reproduces exactly the probed
+    *    candidate pairs; ADC sum, windowed top-k under the group limit.
+    *
+    * Scale shape: the corpus is touched by (a) one coarse assignment
+    * (broadcast centroids, per-row window over nlist candidate rows),
+    * (b) one residual+encode projection, (c) one broadcast LUT join
+    * whose output is only the probed lists. No corpus self-join, no
+    * all-pairs anything; candidate volume is nprobe/nlist of the data.
+    *
+    * Verdict output (the estimator-contract oracle pattern): per query,
+    *  - `n_candidates` — data-derived LEAST(topK, |probed lists \ self|),
+    *    cross-checked by the oracle's own coarse replay;
+    *  - `pq_ratio_ok` — mean true L2² of the ADC top-k ≤ `maxPqRatio` ×
+    *    mean true L2² of the exact top-k WITHIN the probed candidates
+    *    (isolates quantization distortion from probing loss);
+    *  - `ivf_ratio_ok` — probed exact top-k mean ≤ `maxIvfRatio` × the
+    *    global exact top-k mean (isolates probing loss);
+    *  - `codes_in_range` — every emitted code in [0, kCodes).
+    */
+  def ivfPqChecked(embeddings: DataFrame, centroidStep: Int = 29,
+                   nprobe: Int = 3, m: Int = 16, kCodes: Int = 16,
+                   topK: Int = 10, nQueries: Int = 10,
+                   maxPqRatio: Double = 1.5, maxIvfRatio: Double = 2.0): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = graft.Caching.materialize(corpus(embeddings))
+    val cents = Ann.ivfCentroids(e, centroidStep)
+    // (vec_id, v, cent_id): every corpus vector in exactly one posting list
+    val assigned = Ann.nearestCentroids(cents, e, "vec_id", "v", 1)
+    // residual postings, materialized ONCE: codebook training (iters
+    // aggregation passes) and the encode projection both read it
+    val resid = graft.Caching.materialize(
+      assigned.join(broadcast(cents), "cent_id")
+        .select(col("vec_id"), col("cent_id"),
+          zip_with(col("v"), col("cv"), (x, y) => x - y).as("v")))
+    val model = fitVectors(resid.select("vec_id", "v"), m, kCodes, iters = 2)
+    val kC = model.kCodes
+    val enc = resid.select(col("vec_id"), col("cent_id"),
+      encodeCol(col("v"), model.codebooks).as("codes"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probes = Ann.nearestCentroids(cents, q, "query_id", "qv", nprobe)
+    // Driver-side LUTs — one per (query, probed centroid): residual-query
+    // → codeword exact L2², nQueries·nprobe rows of bounded model state
+    // (the searchTopK broadcast-LUT discipline, keyed by cent_id too).
+    val probeRows = probes.join(broadcast(cents), "cent_id")
+      .select(col("query_id"), col("cent_id"), col("qv"), col("cv"))
+      .collect()
+    val luts = probeRows.toSeq.map { r =>
+      val qv = r.getSeq[Double](2).toArray
+      val cv = r.getSeq[Double](3).toArray
+      val rq = Array.tabulate(qv.length)(i => qv(i) - cv(i))
+      val lut = new Array[Double](model.m * kC)
+      for (j <- 0 until model.m; c <- 0 until kC) {
+        val cent = model.codebooks(j)(c)
+        var s = 0.0
+        var i = 0
+        while (i < model.subDim) {
+          val d = rq(j * model.subDim + i) - cent(i); s += d * d; i += 1
+        }
+        lut(j * kC + c) = s
+      }
+      (r.getLong(0), r.getLong(1), lut.toSeq)
+    }.toDF("query_id", "cent_id", "lut")
+    val dist = (0 until model.m).map { j =>
+      element_at(col("lut"), lit(j * kC) + element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val wAdc = Window.partitionBy("query_id").orderBy(asc("approx_l2sq"), asc("vec_id"))
+    // the cent_id equi-join IS the posting-list probe: candidates =
+    // vectors whose one assigned list is among the query's nprobe lists
+    val adcTop = enc.join(broadcast(luts), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), round(dist, 6).as("approx_l2sq"))
+      .withColumn("__rk", row_number().over(wAdc)).filter(col("__rk") <= topK)
+      .drop("__rk")
+    // true distances (all query→corpus pairs; broadcast of nQueries rows)
+    val truth = graft.Caching.materialize(
+      e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(aggregate(zip_with(col("qv"), col("v"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, d) => acc + d), 6).as("l2sq")))
+    val wTr = Window.partitionBy("query_id").orderBy(asc("l2sq"), asc("vec_id"))
+    val globalAvg = truth.withColumn("rank", row_number().over(wTr))
+      .filter(col("rank") <= topK)
+      .groupBy("query_id").agg(avg("l2sq").as("avg_global"))
+    val probePairs = probes.select("query_id", "cent_id")
+      .join(assigned.select("vec_id", "cent_id"), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    val probedAvg = truth.join(probePairs, Seq("query_id", "vec_id"))
+      .withColumn("rank", row_number().over(wTr)).filter(col("rank") <= topK)
+      .groupBy("query_id").agg(avg("l2sq").as("avg_probed"))
+    val adcAvg = adcTop.join(truth, Seq("query_id", "vec_id"))
+      .groupBy("query_id")
+      .agg(avg("l2sq").as("avg_adc"), count(lit(1)).as("n_candidates"))
+    val rangeRow = enc
+      .agg(min(array_min(col("codes"))).as("mn"),
+        max(array_max(col("codes"))).as("mx")).head()
+    val rangeOk = rangeRow.getInt(0) >= 0 && rangeRow.getInt(1) < kC
+    globalAvg.join(probedAvg, "query_id").join(adcAvg, "query_id")
+      .select(col("query_id"), col("n_candidates"),
+        (col("avg_adc") <= col("avg_probed") * maxPqRatio).as("pq_ratio_ok"),
+        (col("avg_probed") <= col("avg_global") * maxIvfRatio).as("ivf_ratio_ok"),
         lit(rangeOk).as("codes_in_range"))
   }
 }

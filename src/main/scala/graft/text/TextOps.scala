@@ -180,6 +180,70 @@ object TextOps {
       size(col("gh")).as("n_grams"))
   }
 
+  /** Winnowing fingerprint SELECTION (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: local algorithms for document fingerprinting",
+    * SIGMOD'03) — the guaranteed-density upgrade of [[fingerprint]]:
+    * instead of keeping only the global min/max gram digest, slide a
+    * window of `w` consecutive k-gram hashes over the document and keep
+    * the MINIMUM hash of every window (rightmost position on ties, the
+    * paper's rule). The selected set has expected density 2/(w+1) and
+    * the paper's guarantee: any substring match of length ≥ w+k−1
+    * between two documents shares at least one selected fingerprint —
+    * the property that makes it THE candidate generator for code/text
+    * reuse detection at corpus scale (MOSS).
+    *
+    * Scale shape: entirely row-local — one staged k-gram digest array
+    * per document (bound attribute, computed once), one O(G·w)
+    * window-min transform, one explode + per-doc distinct. Scan cost at
+    * any corpus size; the (fp → docs) inverted join downstream is the
+    * standard banded-bucket equi-join. Positions are 1-based gram
+    * starts. md5 digests compare lexicographically and identically in
+    * every engine, so the oracle replays the selection exactly.
+    */
+  def winnow(documents: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "gram size and window must be positive")
+    val staged = documents.select(col("doc_id"), expr(
+      s"transform(sequence(1, greatest(length(text) - ${k - 1}, 1)), " +
+      s"i -> md5(substring(text, i, $k)))").as("gh"))
+    // per window j: fold positions left→right, keeping the latest
+    // position whose hash is ≤ the incumbent's — ends at the RIGHTMOST
+    // position attaining the window minimum (acc=0 is the empty state)
+    val sel = staged.select(col("doc_id"), col("gh"), expr(
+      s"""transform(sequence(1, greatest(size(gh) - ${w - 1}, 1)), j ->
+         |  aggregate(sequence(j, least(j + ${w - 1}, size(gh))), 0,
+         |    (acc, p) -> IF(acc = 0 OR element_at(gh, p) <= element_at(gh, acc),
+         |                   p, acc)))""".stripMargin).as("ps"))
+    // explode_OUTER on purpose: ps is never empty (the sequence lower
+    // bound is pinned at 1), and the non-outer Generate would trigger
+    // InferFiltersFromGenerate — a `size(ps) > 0` filter pushed to the
+    // scan with gh's alias SUBSTITUTED into every element_at, turning
+    // the O(G·w) fold into an O(G²·w) md5 recompute per row (measured
+    // 580 s vs 2 s on the sf0.01 fixture). The outer generator is
+    // exempt from that rule and row-for-row identical here.
+    sel.select(col("doc_id"), col("gh"), explode_outer(col("ps")).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        element_at(col("gh"), col("pos")).as("fp"))
+      .dropDuplicates("doc_id", "pos")
+  }
+
+  /** DuckDB twin of [[winnow]]: identical staged gram digests; the
+    * rightmost-window-min is `list_max(list_filter(positions, hash =
+    * window min))` — positionally identical to the Spark fold. */
+  def winnowOracleSql(k: Int = 8, w: Int = 4): String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |         list_transform(range(1, greatest(length(text) - ${k - 1}, 1) + 1),
+       |                        i -> md5(substring(text, CAST(i AS INTEGER), $k))) AS gh
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, gh,
+       |         list_transform(range(1, greatest(len(gh) - ${w - 1}, 1) + 1), j ->
+       |           list_max(list_filter(range(j, least(j + ${w - 1}, len(gh)) + 1),
+       |             p -> gh[p] = list_min(gh[j:least(j + ${w - 1}, len(gh))])))) AS ps
+       |  FROM g)
+       |SELECT DISTINCT doc_id, CAST(u.pos AS INTEGER) AS pos, gh[u.pos] AS fp
+       |FROM s, UNNEST(s.ps) AS u(pos)""".stripMargin
+
   /** Email pattern shared by redaction and its oracle — plain character
     * classes only, so Java regex and RE2 agree byte-for-byte (no
     * lookaround, no \b, no \p classes).

@@ -60,6 +60,58 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqChecked: verdicts true, candidates bounded, deterministic") {
+    val rows = Pq.ivfPqChecked(emb).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1L && r.getLong(1) <= 10L,
+        s"candidate cardinality for query ${r.getLong(0)}")
+      assert(r.getBoolean(2), s"PQ distance ratio above bound for query ${r.getLong(0)}")
+      assert(r.getBoolean(3), s"IVF probing ratio above bound for query ${r.getLong(0)}")
+      assert(r.getBoolean(4), "codes out of range")
+    }
+    val again = Pq.ivfPqChecked(emb).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq,
+      "composite must be a deterministic function of the corpus")
+  }
+
+  test("ivfPqChecked candidates never exceed the probed posting mass") {
+    // structural IVF property: a query sees ONLY vectors whose single
+    // coarse assignment is among its probed lists — n_candidates is
+    // capped by topK and by the probed-list population minus self.
+    import org.apache.spark.sql.expressions.Window
+    def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, d) => s + d)
+      def nrm(v: org.apache.spark.sql.Column) =
+        sqrt(aggregate(zip_with(v, v, (x, y) => x * y), lit(0.0), (s, d) => s + d))
+      round(dot / (nrm(a) * nrm(b)), 6)
+    }
+    val e = emb.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cents = e.filter(pmod($"vec_id", lit(29)) === 0)
+      .select($"vec_id".as("cent_id"), $"v".as("cv"))
+    def nearest(points: org.apache.spark.sql.DataFrame, idCol: String,
+                vCol: String, n: Int) = {
+      val w = Window.partitionBy(idCol).orderBy(desc("csim"), asc("cent_id"))
+      points.join(broadcast(cents))
+        .select(col(idCol), col("cent_id"), cos(col(vCol), $"cv").as("csim"))
+        .withColumn("crank", row_number().over(w)).filter($"crank" <= n)
+        .select(idCol, "cent_id")
+    }
+    val assigned = nearest(e, "vec_id", "v", 1)
+    val q = e.filter($"vec_id" < 10).select($"vec_id".as("query_id"), $"v".as("qv"))
+    val probes = nearest(q, "query_id", "qv", 3)
+    val probedMass = probes
+      .join(assigned, Seq("cent_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .groupBy("query_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Pq.ivfPqChecked(emb).collect().foreach { r =>
+      val qid = r.getLong(0)
+      assert(r.getLong(1) === math.min(10L, probedMass(qid)),
+        s"query $qid candidate count must equal min(topK, probed mass)")
+    }
+  }
+
   test("searchTopK at nQueries=100 matches a driver-side ADC reference") {
     // the broadcast-LUT join must scale nQueries as DATA, not plan size —
     // this is the scale path the per-query literal-LUT branches could not

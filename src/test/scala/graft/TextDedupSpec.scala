@@ -253,4 +253,63 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(("A", "B")) === ((2L, 2L, 1L, 1.0 / 3.0)))
     spark.catalog.clearCache()
   }
+
+  test("winnow: SIGMOD'03 guarantee — shared run >= w+k-1 shares a fingerprint") {
+    // k=8, w=4: any common substring of length >= 11 must yield at least
+    // one selected fingerprint VALUE common to both documents
+    val shared = "zqxwvutsrqponml" // 15 chars, well over w+k-1 = 11
+    val fixture = docs(
+      1L -> s"aaaa bbbb cccc $shared dddd eeee",
+      2L -> s"ffff gggg $shared hhhh iiii jjjj kkkk",
+      3L -> "totally unrelated content with no overlap at all here")
+    val fp = TextOps.winnow(fixture)
+    val byDoc = fp.collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getString(2)).toSet }
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "planted 15-char shared run must share a selected fingerprint")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty &&
+      (byDoc(2L) intersect byDoc(3L)).isEmpty,
+      "no 8-gram is shared with the unrelated document")
+  }
+
+  test("winnow: positions valid, per-window coverage, deterministic") {
+    val fixture = docs(
+      1L -> ("the quick brown fox jumps over the lazy dog " * 4),
+      2L -> "short")
+    val rows = TextOps.winnow(fixture).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val g1 = fixture.filter($"doc_id" === 1L).select(
+      org.apache.spark.sql.functions.length($"text")).head().getInt(0) - 7
+    val pos1 = rows.filter(_._1 == 1L).map(_._2).sorted
+    assert(pos1.forall(p => p >= 1 && p <= g1), "positions are 1-based gram starts")
+    // every window [j, j+3] contains a selected position (coverage = the
+    // winnowing selection invariant), so gaps between selections < w
+    val gaps = (1 +: pos1.toVector).zip(pos1.toVector :+ g1).map { case (a, b) => b - a }
+    assert(gaps.forall(_ < 4 + 4), s"selection density must be window-bounded: $gaps")
+    // doc shorter than k chars: single gram, single fingerprint at pos 1
+    assert(rows.filter(_._1 == 2L).toSeq.map(t => (t._2)) === Seq(1))
+    val again = TextOps.winnow(fixture).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(rows.sortBy(t => (t._1, t._2)).toSeq === again.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
+  test("winnow: rightmost tie-break — repeated grams pick the later position") {
+    // a fully periodic string makes every window's grams identical, so
+    // the rightmost-min rule must select the LAST position of each window
+    val fixture = docs(1L -> ("ab" * 20)) // every 8-gram at odd pos equals "abababab"
+    val rows = TextOps.winnow(fixture).collect()
+      .map(r => (r.getInt(1), r.getString(2))).sortBy(_._1)
+    val g = 40 - 7
+    // window j covers [j, j+3]; with all-equal hashes per parity class the
+    // fold still lands on a deterministic position; re-derive it exactly
+    val grams = (1 to g).map(i => ("ab" * 20).substring(i - 1, math.min(i + 7, 40)))
+    val digests = grams.map(s => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    val expect = (1 to math.max(g - 3, 1)).map { j =>
+      val win = (j to math.min(j + 3, g))
+      win.foldLeft(0) { (acc, p) =>
+        if (acc == 0 || digests(p - 1) <= digests(acc - 1)) p else acc }
+    }.distinct.sorted.map(p => (p, digests(p - 1)))
+    assert(rows.toSeq === expect)
+  }
 }
