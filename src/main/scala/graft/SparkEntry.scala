@@ -451,6 +451,9 @@ object SparkEntry {
     // winnowing (SIGMOD'03): window-min fingerprint SELECTION with the
     // w+k-1 match guarantee — row-local transform + explode, scan cost
     "text_winnow" -> ((s, d) => TextOps.winnow(Tables.documents(s, d))),
+    // MOSS-style reuse pairs over the selected fingerprints: df-capped
+    // inverted-index equi-join, >= 3 shared rare fingerprints
+    "dedup_winnow" -> ((s, d) => Dedup.winnowPairs(Tables.documents(s, d))),
     "text_repetition"  -> ((s, d) => TextOps.repetition(Tables.documents(s, d))),
     "text_vocab"       -> ((s, d) => TextOps.vocab(Tables.documents(s, d))),
     "text_c4_filter"   -> ((s, d) => TextOps.c4LineFilter(Tables.documents(s, d))),
@@ -858,6 +861,10 @@ object SparkEntry {
     // --- Brown's double exponential smoothing: level/trend forecast ---
     "q_forecast_brown" -> ((s, d) =>
       graft.analytics.Drift.brownSmoothing(Tables.orders(s, d))),
+    // --- Holt-Winters additive seasonal (truncated-window form):
+    // level + trend + same-calendar-month residual component ---
+    "q_forecast_hw" -> ((s, d) =>
+      graft.analytics.Drift.holtWinters(Tables.orders(s, d))),
     // --- Welch A/B t-test from exact power sums ---
     "q_ab_ttest" -> ((s, d) =>
       graft.analytics.Metrics.welchTTest(Tables.orders(s, d))),
@@ -2235,6 +2242,7 @@ object SparkEntry {
     "q_markov_stationary" -> graft.analytics.Markov.stationaryOracleSql(),
     // two identical lag-window chains; bit-equal doubles, no folds
     "q_forecast_brown" -> graft.analytics.Drift.brownOracleSql(),
+    "q_forecast_hw" -> graft.analytics.Drift.holtWintersOracleSql(),
     // NTILE over identical total orders; exact cents and day arithmetic
     "q_rfm" -> Breadth3.rfmOracleSql(),
     "q_forecast_naive" -> graft.analytics.Drift.seasonalNaiveOracleSql(),
@@ -2980,6 +2988,7 @@ object SparkEntry {
     // winnowing selection replayed positionally: rightmost window min =
     // list_max over positions attaining list_min of the window slice
     "text_winnow" -> TextOps.winnowOracleSql(),
+    "dedup_winnow" -> graft.dedup.Dedup.winnowPairsOracleSql(),
     "dedup_minhash" -> minhashPairsOracle,
     // incremental replay: same signature/band pipeline, but candidates
     // come from batch-bands probing corpus-bands — never corpus × corpus

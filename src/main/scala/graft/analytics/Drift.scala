@@ -704,6 +704,85 @@ object Drift {
       .withColumn("forecast", col("level") + col("trend"))
   }
 
+  /** Holt–Winters ADDITIVE-SEASONAL forecast (Winters, Management
+    * Science 6(3), 1960), truncated-window form — the seasonal rung
+    * above [[brownSmoothing]] that closes the forecasting ladder
+    * (naive → EWMA → Brown → HW): level and trend come from the same
+    * two dyadic-weight lag chains as Brown, and the seasonal component
+    * is a dyadic-weighted average of the SAME-CALENDAR-MONTH level
+    * residuals (y − S′ at lags `period`, 2·period, …) — additive
+    * seasonality estimated exactly the way the classical recurrence's
+    * fixpoint does, but as a closed-form window so both engines
+    * evaluate the identical left-associated double arithmetic
+    * (bit-equal, no quantization, the brown/ewma discipline).
+    *
+    * Windows order the GLOBAL monthly relation — bounded domain (one
+    * row per corpus month), the sanctioned single-partition-window
+    * case. Seasonal weights renormalize over the seasonal lags PRESENT;
+    * with none (the first `period` months) the component is exactly 0
+    * and the forecast degrades to Brown's level + trend.
+    *
+    * Output: (month_start, n_orders, level, trend, seasonal, forecast),
+    * `forecast` = level + trend + seasonal made AT month_start.
+    */
+  def holtWinters(orders: DataFrame, lags: Int = 6, period: Int = 12,
+                  seasonLags: Int = 2): DataFrame = {
+    require(lags >= 2 && lags <= 30, "lags must be in [2, 30]")
+    require(period >= 2 && seasonLags >= 1, "need a season and >= 1 seasonal lag")
+    val base = brownSmoothing(orders, lags)
+      .withColumn("resid", col("n_orders").cast("double") - col("s1"))
+    val w = Window.orderBy("month_start")
+    val sWeights = (0 until seasonLags).map(k => math.pow(0.5, k + 1))
+    val withLags = (0 until seasonLags).foldLeft(base) { (d, k) =>
+      d.withColumn(s"r$k", lag(col("resid"), period * (k + 1)).over(w))
+    }
+    val num = (0 until seasonLags).map(k =>
+      when(col(s"r$k").isNotNull, col(s"r$k") * sWeights(k))
+        .otherwise(0.0): org.apache.spark.sql.Column).reduce(_ + _)
+    val den = (0 until seasonLags).map(k =>
+      when(col(s"r$k").isNotNull, lit(sWeights(k)))
+        .otherwise(0.0): org.apache.spark.sql.Column).reduce(_ + _)
+    withLags
+      .withColumn("seasonal", when(den === 0.0, 0.0).otherwise(num / den))
+      .select(col("month_start"), col("n_orders"), col("level"), col("trend"),
+        col("seasonal"),
+        (col("level") + col("trend") + col("seasonal")).as("forecast"))
+  }
+
+  /** DuckDB replay of [[holtWinters]]: [[brownOracleSql]]'s chains plus
+    * the mirrored same-month residual window — bit-equal doubles. */
+  def holtWintersOracleSql(lags: Int = 6, period: Int = 12,
+                           seasonLags: Int = 2): String = {
+    val sWeights = (0 until seasonLags).map(k =>
+      BigDecimal(math.pow(0.5, k + 1)).bigDecimal.toPlainString + "e0")
+    val lagDefs = (0 until seasonLags).map(k =>
+      s"LAG(resid, ${period * (k + 1)}) OVER (ORDER BY month_start) AS r$k")
+      .mkString(",\n         ")
+    val num = (0 until seasonLags).map(k =>
+      s"CASE WHEN r$k IS NOT NULL THEN r$k * ${sWeights(k)} ELSE 0e0 END")
+      .mkString(" + ")
+    val den = (0 until seasonLags).map(k =>
+      s"CASE WHEN r$k IS NOT NULL THEN ${sWeights(k)} ELSE 0e0 END")
+      .mkString(" + ")
+    s"""WITH brown AS (${brownOracleSql(lags)}),
+       |res AS (
+       |  SELECT month_start, n_orders, level, trend,
+       |         CAST(n_orders AS DOUBLE) - s1 AS resid
+       |  FROM brown),
+       |sl AS (
+       |  SELECT month_start, n_orders, level, trend,
+       |         $lagDefs
+       |  FROM res),
+       |sc AS (
+       |  SELECT month_start, n_orders, level, trend,
+       |         CASE WHEN ($den) = 0e0 THEN 0e0
+       |              ELSE ($num) / ($den) END AS seasonal
+       |  FROM sl)
+       |SELECT month_start, n_orders, level, trend, seasonal,
+       |       level + trend + seasonal AS forecast
+       |FROM sc""".stripMargin
+  }
+
   /** DuckDB replay of [[brownSmoothing]]: the identical two lag-window
     * chains and arithmetic shapes — bit-equal doubles, no folds.
     */

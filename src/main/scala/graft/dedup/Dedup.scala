@@ -349,6 +349,59 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Winnowing-fingerprint candidate pairs: documents sharing at least
+    * `minShared` SELECTED fingerprints (see [[graft.text.TextOps.winnow]]
+    * — window-min selection with the SIGMOD'03 guarantee that any common
+    * run ≥ w+k−1 chars contributes a shared fingerprint). This is the
+    * MOSS-style reuse detector: position-free, guaranteed-coverage, and
+    * the index is already 2/(w+1)-thinned by the selection itself.
+    *
+    * `maxDocsPerFp` caps fingerprint document frequency BEFORE pairing —
+    * a fingerprint present in many documents is boilerplate, not reuse
+    * (the IDF cut every published winnowing deployment applies); the
+    * default 5 is tuned to the heavily-templated synthetic corpus where
+    * common template grams otherwise connect everything (the
+    * embed_neardup threshold convention). The pair relation is the
+    * standard inverted-index equi-join on fp, so candidate volume is
+    * Σ_fp df² over CAPPED dfs — bounded by maxDocsPerFp · |index|.
+    */
+  def winnowPairs(documents: DataFrame, k: Int = 8, w: Int = 4,
+                  minShared: Int = 3, maxDocsPerFp: Int = 5): DataFrame = {
+    require(minShared >= 1 && maxDocsPerFp >= 2,
+      "need minShared >= 1 and a pairable df cap >= 2")
+    // distinct (doc, fp) — the same fingerprint selected at two positions
+    // counts once; materialized: the df aggregation and both self-join
+    // sides read it
+    val fps = graft.Caching.materialize(
+      graft.text.TextOps.winnow(documents, k, w)
+        .select(col("doc_id"), col("fp")).distinct())
+    val kept = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDocsPerFp), "fp")
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
+  /** DuckDB twin of [[winnowPairs]]: the winnow replay as a scoped
+    * subquery, then the identical df-cap + self-join + HAVING. */
+  def winnowPairsOracleSql(k: Int = 8, w: Int = 4, minShared: Int = 3,
+                           maxDocsPerFp: Int = 5): String =
+    s"""WITH wfp AS (
+       |  SELECT DISTINCT doc_id, fp
+       |  FROM (${graft.text.TextOps.winnowOracleSql(k, w)}) win),
+       |dfs AS (SELECT fp, COUNT(*) AS df FROM wfp GROUP BY fp),
+       |kept AS (
+       |  SELECT w.doc_id, w.fp FROM wfp w JOIN dfs USING (fp)
+       |  WHERE df <= $maxDocsPerFp)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+       |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING COUNT(*) >= $minShared""".stripMargin
+
   /** Asymmetric n-gram CONTAINMENT join: pairs (a, b) with
     * |grams(a) ∩ grams(b)| / |grams(a)| ≥ threshold — the "is this doc
     * mostly a sub-document of that one" relation Jaccard misses when

@@ -52,6 +52,37 @@ class BrownDpSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("holt-winters: first period is Brown (seasonal 0), then recovers a planted season") {
+    // 36 months: linear base 100 + 2m plus a +40 every-December spike
+    val series = (0 until 36).map(m => 100 + 2 * m + (if (m % 12 == 11) 40 else 0))
+    val out = Drift.holtWinters(monthlyOrders(series))
+      .as[(java.sql.Date, Long, Double, Double, Double, Double)]
+      .collect().sortBy(_._1.getTime)
+    assert(out.length === 36)
+    // months 0..11 have no seasonal lag: component exactly 0, forecast = level+trend
+    out.take(12).foreach { case (_, _, level, trend, seasonal, forecast) =>
+      assert(seasonal === 0.0)
+      assert(forecast === level + trend)
+    }
+    // the third December sees both seasonal lags: its component must be
+    // strongly positive (the planted +40 spike), adjacent months near 0
+    val dec3 = out(35)._5
+    val nov3 = out(34)._5
+    assert(dec3 > 20.0, s"December seasonal component must capture the spike: $dec3")
+    assert(math.abs(nov3) < dec3 / 2, s"November must not inherit the spike: $nov3")
+    out.foreach { case (_, _, level, trend, seasonal, forecast) =>
+      assert(forecast === level + trend + seasonal)
+    }
+  }
+
+  test("holt-winters: determinism across partitionings") {
+    val d = monthlyOrders((0 until 30).map(m => 50 + (m * 7) % 13))
+    val a = Drift.holtWinters(d).collect().map(_.toString).sorted.toSeq
+    val b = Drift.holtWinters(d.repartition(5)).collect()
+      .map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+
   private def customers(n: Int) =
     (1 to n).map(i => (i.toLong, i % 5, s"SEG${i % 3}"))
       .toDF("c_custkey", "c_nationkey", "c_mktsegment")

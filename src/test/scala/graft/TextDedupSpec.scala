@@ -293,6 +293,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(rows.sortBy(t => (t._1, t._2)).toSeq === again.sortBy(t => (t._1, t._2)).toSeq)
   }
 
+  test("winnowPairs: planted reuse pairs up, boilerplate is df-capped out") {
+    // docs 1/2 share a long unique run (true reuse); the trailing slogan
+    // appears in EVERY doc (boilerplate) and must not create pairs once
+    // its fingerprints exceed the df cap
+    val slogan = "all rights reserved worldwide forever"
+    val reuse = "the quick zebra vaulted over seventeen lazy crocodiles yesterday"
+    val fixture = docs(
+      1L -> s"intro alpha $reuse outro $slogan",
+      2L -> s"prelude beta $reuse coda $slogan",
+      3L -> s"unrelated gamma content one $slogan",
+      4L -> s"unrelated delta content two $slogan",
+      5L -> s"unrelated epsilon content three $slogan",
+      6L -> s"unrelated zeta content four $slogan")
+    val pairs = Dedup.winnowPairs(fixture, minShared = 3, maxDocsPerFp = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)),
+      s"only the true-reuse pair survives the df cap, got $pairs")
+  }
+
   test("winnow: rightmost tie-break — repeated grams pick the later position") {
     // a fully periodic string makes every window's grams identical, so
     // the rightmost-min rule must select the LAST position of each window
