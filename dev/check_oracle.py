@@ -14,13 +14,56 @@ Mirrors the driver's observed comparison path (round-1 forensics):
     10016.2 is a FAIL here exactly like it is at the driver.
 
 Also keeps the stricter DuckDB DESCRIBE dtype cross-check from round 1.
+
+Round-9 hardening (the q_ktruss lesson — an oracle that needed ~70 GB and
+~6 min at sf0.01 passed this check on a 128 GiB box, then OOM-killed the
+driver's gate and zeroed CORRECTNESS_r08.json for all 281 queries):
+  * DuckDB runs under a DRIVER-REALISTIC envelope: memory_limit='24GB'
+    (override: ORACLE_MEMORY_LIMIT) — a resource-bomb oracle now fails
+    HERE, loudly, before it ships;
+  * every oracle query gets a wall-clock budget (default 120 s, override:
+    ORACLE_TIMEOUT_SEC) enforced via duckdb's interrupt() from a watchdog
+    thread — a FAIL, not a hang;
+  * per-query oracle runtimes are persisted to <outDir>/oracle_timings.json
+    so creeping oracle cost is visible in review instead of discovered at
+    the gate.
 Dev-only tooling — NOT part of the shipped library.
 """
 import json
+import os
 import sys
+import threading
+import time
 
 import duckdb
 import pandas as pd
+
+MEM_LIMIT = os.environ.get("ORACLE_MEMORY_LIMIT", "24GB")
+TIMEOUT_SEC = float(os.environ.get("ORACLE_TIMEOUT_SEC", "120"))
+
+
+def run_with_budget(con, sql: str):
+    """Run `sql` under the per-query wall budget; raises on timeout/OOM."""
+    done = threading.Event()
+    timed_out = []
+
+    def watchdog():
+        if not done.wait(TIMEOUT_SEC):
+            timed_out.append(True)
+            con.interrupt()
+
+    w = threading.Thread(target=watchdog, daemon=True)
+    w.start()
+    try:
+        df = con.execute(sql).df()
+    except Exception as e:  # noqa: BLE001 - re-raise with budget context
+        if timed_out:
+            raise RuntimeError(
+                f"oracle exceeded {TIMEOUT_SEC:.0f}s budget (interrupted)") from e
+        raise
+    finally:
+        done.set()
+    return df
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -36,17 +79,23 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir: str, out_dir: str) -> None:
     con = duckdb.connect()
+    con.execute(f"SET memory_limit='{MEM_LIMIT}'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    timings = {}
     for name, sql in sorted(oracle.items()):
+        t0 = time.monotonic()
         try:
             spark = pd.read_parquet(f"{out_dir}/{name}")
-            duck = con.execute(sql).df()
+            t0 = time.monotonic()
+            duck = run_with_budget(con, sql)
+            timings[name] = round(time.monotonic() - t0, 3)
         except Exception as e:  # noqa: BLE001 - report and continue
+            timings[name] = round(time.monotonic() - t0, 3)
             print(f"FAIL {name}: {e}")
             n_bad += 1
             continue
@@ -70,7 +119,7 @@ def main(sf_dir: str, out_dir: str) -> None:
             continue
         a, b = canon(spark), canon(duck)
         if a.equals(b):
-            print(f"ok   {name} ({len(a)} rows)")
+            print(f"ok   {name} ({len(a)} rows, oracle {timings[name]:.2f}s)")
             n_ok += 1
         else:
             neq = (a != b)
@@ -79,7 +128,16 @@ def main(sf_dir: str, out_dir: str) -> None:
             print(f"FAIL {name}: cols {bad_cols}; first bad row {i}: "
                   f"spark={a.iloc[i].to_dict()} oracle={b.iloc[i].to_dict()}")
             n_bad += 1
-    print(f"\n{n_ok} ok, {n_bad} failed")
+    with open(f"{out_dir}/oracle_timings.json", "w") as f:
+        json.dump({"memory_limit": MEM_LIMIT, "timeout_sec": TIMEOUT_SEC,
+                   "timings_sec": dict(sorted(
+                       timings.items(), key=lambda kv: -kv[1]))}, f, indent=1)
+    slow = {k: v for k, v in timings.items() if v > TIMEOUT_SEC / 4}
+    if slow:
+        print(f"SLOW oracles (>{TIMEOUT_SEC / 4:.0f}s of {TIMEOUT_SEC:.0f}s "
+              f"budget): {slow}")
+    print(f"\n{n_ok} ok, {n_bad} failed "
+          f"(memory_limit={MEM_LIMIT}, timeout={TIMEOUT_SEC:.0f}s/query)")
     sys.exit(1 if n_bad else 0)
 
 

@@ -25,58 +25,84 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Re-measure `names` in a FRESH child JVM (same classpath and
-    * module flags as this one, 2 interleaved runs, child's own warmup
-    * query first) and return each query's best isolated time. The child
-    * is this same main with explicit query args + SPARK_GRAFT_ISOLATED=1,
-    * so it can never recurse; its stdout/stderr go to a log file (the
-    * driver parses THIS process's single stdout JSON line). A child
-    * failure degrades to an empty map — the suite numbers still publish.
+  /** Re-measure each of `names` in its OWN fresh child JVM — one query
+    * per process, 3 runs each, the child's own warmup query first — and
+    * return per-query (cold, warm): cold = the query's FIRST run in the
+    * fresh JVM (it pays any session-memo builds — co-bought edges, hanf
+    * curve — plus that query's codegen), warm = min of the later runs
+    * (memos + codegen resident; the apples-to-apples number against the
+    * suite, whose memos were built by earlier queries).
+    *
+    * One-query-per-process is the round-7 hand protocol mechanized: the
+    * round-8 child ran the 6 heaviest queries INTERLEAVED in one JVM,
+    * which is just a small suite (co-tenant heap/codegen pressure —
+    * q_link_pred read 51 s there vs 20.5 s by hand in a true solo JVM), so
+    * its numbers could not adjudicate cold-cache vs real regression.
+    *
+    * The child is this same main with one explicit query arg +
+    * SPARK_GRAFT_ISOLATED=1, so it can never recurse; stdout/stderr
+    * append to bench_isolated.log. A child failure degrades to that
+    * query being absent — the suite numbers still publish.
     */
-  private def runIsolatedChild(names: Seq[String], sfDir: String): Map[String, Double] =
-    try {
-      val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
-      val addOpens = Seq(
-        "java.base/java.lang", "java.base/java.lang.invoke",
-        "java.base/java.lang.reflect", "java.base/java.io",
-        "java.base/java.net", "java.base/java.nio",
-        "java.base/java.util", "java.base/java.util.concurrent",
-        "java.base/java.util.concurrent.atomic",
-        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-        "java.base/sun.security.action", "java.base/sun.util.calendar"
-      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-      val xmx = s"-Xmx${Runtime.getRuntime.maxMemory() >> 20}m"
-      val out = "bench_isolated.json"
-      val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
-        xmx, "-XX:ReservedCodeCacheSize=1g",
-        "-cp", System.getProperty("java.class.path"), "graft.Bench") ++ names)
-      val pb = new ProcessBuilder(cmd: _*)
-      pb.environment().put("SPARK_GRAFT_ISOLATED", "1")
-      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
-      pb.environment().put("SPARK_GRAFT_BENCH_RUNS", "2")
-      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out)
-      val logf = new java.io.File("bench_isolated.log")
-      pb.redirectOutput(logf); pb.redirectErrorStream(true)
-      System.err.println(s"[bench] isolated child: ${names.mkString(", ")}")
-      val p = pb.start()
-      if (!p.waitFor(45, java.util.concurrent.TimeUnit.MINUTES)) {
-        p.destroyForcibly(); System.err.println("[bench] isolated child timed out")
-        Map.empty
-      } else if (p.exitValue() != 0) {
-        System.err.println(s"[bench] isolated child rc=${p.exitValue()}")
-        Map.empty
-      } else {
-        val first = scala.io.Source.fromFile(out, "UTF-8").getLines().next()
-        val qobj = first.indexOf("\"queries\":{")
-        val body = first.substring(qobj + "\"queries\":{".length,
-          first.indexOf("}", qobj))
-        "\"([A-Za-z0-9_]+)\":(-?[0-9.eE+-]+)".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  private def runIsolatedChild(names: Seq[String], sfDir: String)
+      : Map[String, (Double, Double)] = {
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val xmx = s"-Xmx${Runtime.getRuntime.maxMemory() >> 20}m"
+    names.flatMap { name =>
+      try {
+        val out = "bench_isolated_child.json"
+        val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+          xmx, "-XX:ReservedCodeCacheSize=1g",
+          "-cp", System.getProperty("java.class.path"), "graft.Bench", name))
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.environment().put("SPARK_GRAFT_ISOLATED", "1")
+        pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+        pb.environment().put("SPARK_GRAFT_BENCH_RUNS", "3")
+        pb.environment().put("SPARK_GRAFT_BENCH_OUT", out)
+        val logf = new java.io.File("bench_isolated.log")
+        pb.redirectOutput(java.lang.ProcessBuilder.Redirect.appendTo(logf))
+        pb.redirectErrorStream(true)
+        System.err.println(s"[bench] isolated child: $name")
+        val p = pb.start()
+        if (!p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) {
+          p.destroyForcibly()
+          System.err.println(s"[bench] isolated child $name timed out"); None
+        } else if (p.exitValue() != 0) {
+          System.err.println(s"[bench] isolated child $name rc=${p.exitValue()}"); None
+        } else {
+          // parse the child's raw samples line: cold = first run, warm =
+          // min of the rest (anchored to THIS query's array; the samples
+          // object is flat name:[..] pairs by construction)
+          val lines = scala.io.Source.fromFile(out, "UTF-8").getLines().toList
+          val samplesLine = lines.find(_.startsWith("""{"metric":"samples""""))
+          samplesLine.flatMap { l =>
+            (("\"" + java.util.regex.Pattern.quote(name) + "\":\\[([0-9.,eE+-]+)\\]").r
+              .findFirstMatchIn(l))
+              .map(_.group(1).split(',').toSeq.map(_.toDouble))
+          } match {
+            case Some(xs) if xs.nonEmpty && xs.head >= 0 =>
+              val warmRuns = xs.tail.filter(_ >= 0)
+              val warm = if (warmRuns.isEmpty) xs.head else warmRuns.min
+              Some(name -> (xs.head, warm))
+            case _ =>
+              System.err.println(s"[bench] isolated child $name: no samples"); None
+          }
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] isolated child $name failed: ${e.getMessage}")
+        None
       }
-    } catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] isolated child failed: ${e.getMessage}")
-      Map.empty
-    }
+    }.toMap
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -184,23 +210,33 @@ object Bench {
       else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
     }
     val suiteMedians = samples.map { case (n, xs) => n -> medianOf(xs) }.toMap
-    val isolated: Map[String, Double] =
+    val isolatedBoth: Map[String, (Double, Double)] =
       if (only.nonEmpty || sys.env.contains("SPARK_GRAFT_ISOLATED") ||
           isolatedN <= 0) Map.empty
       else {
         val top = results.filter(_._2 >= 0).sortBy(-_._2).take(isolatedN).map(_._1)
-        // the parent session must release local[32] before the child
-        // claims it — two 32-thread Spark JVMs would contend and the
+        // the parent session must release local[32] before the children
+        // claim it — two 32-thread Spark JVMs would contend and the
         // isolated numbers would measure the contention
         spark.stop()
         runIsolatedChild(top, sfDir)
       }
+    // warm = the plan's solo cost with session memos + codegen resident
+    // (the apples-to-apples column vs the suite); cold = the first run
+    // in the fresh JVM (warm + memo builds + that query's codegen). A
+    // suite regression with flat warm and big cold−warm is cache
+    // economics, not a plan change — the artifact now answers that
+    // without a human re-deriving it.
+    val isolated: Map[String, Double] = isolatedBoth.map { case (k, cw) => k -> cw._2 }
     val agingJson = isolated.toSeq.sorted.map { case (k, iso) =>
       val ratio = if (iso > 0) suiteMedians.getOrElse(k, -1.0) / iso else -1.0
       "\"" + k + "\":" + f"$ratio%.3f"
     }.mkString("{", ",", "}")
     val isolatedJson = isolated.toSeq.sorted.map { case (k, v) =>
       "\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
+    val isolatedColdJson = isolatedBoth.toSeq.sortBy(_._1).map { case (k, cw) =>
+      "\"" + k + "\":" + cw._1
     }.mkString("{", ",", "}")
     // per-query spread summary (min / median / max over the N interleaved
     // samples): regressions under ~10% are unreadable from a single point
@@ -219,7 +255,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val isolatedLine =
       if (isolated.isEmpty) ""
-      else s"""{"metric":"isolated","queries":$isolatedJson,"aging_ratio":$agingJson,"runs":2}""" + "\n"
+      else s"""{"metric":"isolated","queries":$isolatedJson,"cold":$isolatedColdJson,"aging_ratio":$agingJson,"protocol":"one fresh JVM per query; warm=min of runs 2-3, cold=run 1 (pays memo builds)","runs":3}""" + "\n"
     Files.write(Paths.get(outPath),
       (line + "\n" + s"""{"metric":"samples","queries":$raw}""" + "\n" +
         s"""{"metric":"spread","queries":$spread}""" + "\n" + isolatedLine)

@@ -564,6 +564,10 @@ object SparkEntry {
     // --- index-quality gate: recall@5 of LSH and IVF vs exact brute top-5 ---
     "ann_recall"     -> ((s, d) => Ann.recallEval(Tables.embeddings(s, d))),
     "ann_topk_ivf"   -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),
+    // --- CDC-maintained IVF: posting lists updated incrementally under
+    // frozen centroids (delete anti-join + insert-only assignment, work
+    // ∝ delta), searched like the static index ---
+    "q_ivm_ann"      -> ((s, d) => Ann.ivfMaintainedTopK(Tables.embeddings(s, d))),
     // IVF-PQ composite (FAISS IVFADC): coarse posting-list probe + PQ
     // residual ADC; deterministic end-to-end, quality verdicts pinned,
     // candidate cardinality cross-checked by the oracle's coarse replay
@@ -676,6 +680,11 @@ object SparkEntry {
     // triple join - a real differential) ---
     "q_ktruss" -> ((s, d) =>
       graft.analytics.Triangles.kTruss(
+        coBoughtEdges(s, d), "item_a", "item_b", canonical = true)),
+    // --- k-truss peeled to FIXPOINT (unchanged-count early exit): the
+    // TRUE maximal 4-truss, not a bounded demonstration ---
+    "q_ktruss_converged" -> ((s, d) =>
+      graft.analytics.Triangles.kTrussConverged(
         coBoughtEdges(s, d), "item_a", "item_b", canonical = true)),
     // --- per-part local clustering coefficient over the co-bought graph ---
     "q_clustering_coef" -> ((s, d) =>
@@ -1098,8 +1107,10 @@ object SparkEntry {
             col("exact_customers") * 0.05).as("rollup_ok"))
     }),
     // --- KMV/theta sketch: distinct + union + INTERSECTION estimates,
-    // md5-exact replay (the sketch family HLL can't intersect) — same
-    // before/after-1995 customer split as q_hll_intersect for contrast ---
+    // md5-exact replay (the sketch family HLL can't intersect) — customers
+    // split before/after 1998-07-01 (NOT q_hll_intersect's 1995 split:
+    // the late slice is deliberately small so the intersection estimator
+    // exercises the sub-k exact branch) ---
     "q_kmv_sketch" -> ((s, d) =>
       graft.analytics.Kmv.kmvCompare(
         Tables.orders(s, d).select(
@@ -2319,6 +2330,11 @@ object SparkEntry {
     // unrolled peel rounds, id-ordered triple joins per round vs the
     // engine's degree-oriented iterator — differential per round
     "q_ktruss" -> graft.analytics.Triangles.kTrussOracleSql(),
+    // converged peel: the engine iterates to fixpoint; the oracle stays
+    // a BOUNDED unrolled replay because peeling is idempotent past the
+    // fixpoint (sf0.01 co-bought graph converges at round 2; 6 rounds
+    // is a 3x margin, ~0.6 s/round under the materialized CTEs)
+    "q_ktruss_converged" -> graft.analytics.Triangles.kTrussOracleSql(rounds = 6),
     // ten HUGEINT power sums -> one shared Cramer/IEEE expression tree
     "q_ols" -> graft.analytics.Ols.priceModelOracleSql,
     "q_trend_slope" ->
@@ -3048,6 +3064,7 @@ object SparkEntry {
         |FROM pairs WHERE bit_count(xor(sha, shb)) <= 3""".stripMargin
     },
     "ann_topk_ivf" -> ivfTopkOracle,
+    "q_ivm_ann" -> ivmAnnOracle,
     "ann_topk_ivfpq" -> ivfPqOracle,
     // greedy farthest-point trajectory replayed round by round (rounded
     // exact-fold distances, vec_id tie-breaks — the kmeans/MMR pattern)
@@ -4380,6 +4397,66 @@ object SparkEntry {
       |  SELECT DISTINCT p.query_id, a.vec_id
       |  FROM probes p JOIN assign a USING (cent_id)
       |  WHERE a.vec_id <> p.query_id)""".stripMargin
+
+  /** `q_ivm_ann`: full replay of the CDC-maintained IVF — frozen
+    * centroids from the BASE corpus (vec_id ≢ 0 mod 13, ≡ 0 mod 29),
+    * base assignment, the delete (base ∧ vec_id ≡ 3 mod 17) anti-set and
+    * insert (≡ 0 mod 13) assignment, then probes + re-rank against the
+    * MAINTAINED posting lists. Cross joins + row_number here vs the
+    * engine's broadcast joins + ranked windows — a real differential.
+    * Chained relation CTEs are MATERIALIZED (the q_ktruss lesson).
+    */
+  private def ivmAnnOracle: String = {
+    val l2cos = (a: String, b: String) =>
+      s"""round(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])) /
+         |             (sqrt(list_sum(list_transform($a, x -> x*x))) *
+         |              sqrt(list_sum(list_transform($b, x -> x*x)))), 6)""".stripMargin
+    s"""WITH e AS MATERIALIZED (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |old AS MATERIALIZED (SELECT * FROM e WHERE vec_id % 13 <> 0),
+      |cents AS MATERIALIZED (
+      |  SELECT vec_id AS cent_id, v AS cv FROM old WHERE vec_id % 29 = 0),
+      |base AS MATERIALIZED (
+      |  SELECT vec_id, v, cent_id FROM (
+      |    SELECT o.vec_id, o.v, c.cent_id,
+      |           ROW_NUMBER() OVER (PARTITION BY o.vec_id ORDER BY
+      |             ${l2cos("o.v", "cv")} DESC, c.cent_id) AS rn
+      |    FROM old o CROSS JOIN cents c) t WHERE rn = 1),
+      |ins AS MATERIALIZED (
+      |  SELECT vec_id, v, cent_id FROM (
+      |    SELECT i.vec_id, i.v, c.cent_id,
+      |           ROW_NUMBER() OVER (PARTITION BY i.vec_id ORDER BY
+      |             ${l2cos("i.v", "cv")} DESC, c.cent_id) AS rn
+      |    FROM (SELECT * FROM e WHERE vec_id % 13 = 0) i
+      |    CROSS JOIN cents c) t WHERE rn = 1),
+      |maintained AS MATERIALIZED (
+      |  SELECT * FROM base
+      |  WHERE vec_id NOT IN (SELECT vec_id FROM old WHERE vec_id % 17 = 3)
+      |  UNION ALL
+      |  SELECT * FROM ins),
+      |q AS MATERIALIZED (
+      |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |probes AS MATERIALIZED (
+      |  SELECT query_id, cent_id FROM (
+      |    SELECT q.query_id, c.cent_id,
+      |           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+      |             ${l2cos("qv", "cv")} DESC, c.cent_id) AS rn
+      |    FROM q CROSS JOIN cents c) t WHERE rn <= 3),
+      |cand AS MATERIALIZED (
+      |  SELECT DISTINCT p.query_id, m.vec_id
+      |  FROM probes p JOIN maintained m USING (cent_id)
+      |  WHERE m.vec_id <> p.query_id),
+      |scored AS (
+      |  SELECT cd.query_id, cd.vec_id, ${l2cos("qv", "m.v")} AS cosine
+      |  FROM cand cd JOIN q ON q.query_id = cd.query_id
+      |               JOIN maintained m ON m.vec_id = cd.vec_id)
+      |SELECT query_id, vec_id, cosine, rank FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 5""".stripMargin
+  }
 
   private def ivfTopkOracle: String =
     s"""WITH $ivfCoarsePrefix,

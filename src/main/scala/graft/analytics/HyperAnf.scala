@@ -28,13 +28,16 @@ import org.apache.spark.sql.functions._
   * every register, estimate, and the d90 flag replay bit-for-bit.
   *
   * Scale shape: state is m rows per node (the sparse register
-  * relation); rounds run the SYSTOLIC delta ([[stepDelta]]) — only
-  * registers that changed last round flow along edges, so the
-  * dominant |E|-side join shrinks with the frontier instead of
-  * carrying all |V|·m rows every round (at 100× graph scale the late
-  * rounds touch a tiny fraction of registers). All shuffles are
-  * key-partitioned, sized ≤ |V|·m, never |V|². Rounds are
-  * lineage-truncated with the BFS/PageRank checkpoint discipline.
+  * relation); rounds dispatch on the MEASURED frontier fraction
+  * ([[runRounds]]): the cheap full union-agg ([[stepCombined]], which
+  * yields the round's delta for free) while most registers are still
+  * flowing, the SYSTOLIC delta ([[stepDelta]]) once the frontier drops
+  * below [[SystolicSwitchFrac]] — so the dominant |E|-side join shrinks
+  * with the frontier in exactly the rounds where that pays, and an
+  * empty frontier short-circuits the remaining rounds outright (the
+  * fixpoint is exact). All shuffles are key-partitioned, sized
+  * ≤ |V|·m, never |V|². Rounds are lineage-truncated with the
+  * BFS/PageRank checkpoint discipline.
   */
 object HyperAnf {
 
@@ -88,6 +91,17 @@ object HyperAnf {
     * cannot raise anything: propagating the delta alone reproduces the
     * full [[step]] fixpoint sequence EXACTLY, round by round.
     *
+    * WHEN to use it: only once the frontier is SMALL. Round-8 isolated
+    * bench proved the delta round is a net LOSS while most registers
+    * are still flowing (q_hyperball_closeness 8.2 s → 14.9 s): the
+    * left_outer + left_anti state maintenance against the full |V|·m
+    * relation costs more than the single union-agg of the full step,
+    * and the measured frontier on the co-bought graph is ≥91% for
+    * rounds 1–2 then 0.2%→0 after (`PLANS.md` round-8 note). The round
+    * loops therefore dispatch on the MEASURED frontier fraction
+    * ([[runRounds]]): full [[stepCombined]] while frontier/state >
+    * `switchFrac`, systolic below, exact short-circuit at zero.
+    *
     * Returns (nextRegs, nextDelta). Scale shape per round:
     *  - edges⋈delta — the dominant |E|-side join now carries only the
     *    frontier (late rounds touch a tiny fraction of registers; the
@@ -112,6 +126,115 @@ object HyperAnf {
       .join(nextDelta.select("node", "j"), Seq("node", "j"), "left_anti")
       .unionByName(nextDelta)
     (nextRegs, nextDelta)
+  }
+
+  /** Frontier fraction below which the round loops switch from the full
+    * [[stepCombined]] to the systolic [[stepDelta]] — the round-8
+    * regression fix: the delta machinery only pays once few registers
+    * are still flowing (measured crossover is far above this; 5% is
+    * conservative in the cheap direction since a 5%-frontier full step
+    * costs about one |V|·m union-agg, not a blowup).
+    */
+  val SystolicSwitchFrac = 0.05
+
+  /** One FULL round that also yields the round's delta for free: the
+    * union is tagged with its origin (own state vs neighbour inflow)
+    * and ONE hash agg computes both the new register value max(r) and
+    * the node's own previous value max(r | own) — so the changed set
+    * falls out as a row-local filter (`__rold` NULL = a register the
+    * node never had; r > __rold = raised) with NO extra join. Output
+    * columns (node, j, r, __rold); [[combinedRegs]]/[[combinedDelta]]
+    * derive the two relations from the ONE checkpointed result.
+    * Register semantics are EXACTLY [[step]]'s (same union, same max);
+    * the delta definition is EXACTLY [[stepDelta]]'s nextDelta —
+    * pinned per round in HyperAnfSpec.
+    */
+  private[graft] def stepCombined(regs: DataFrame, e: DataFrame): DataFrame = {
+    val own = regs.select(col("node"), col("j"), col("r"),
+      lit(true).as("__own"))
+    val fromNbrs = e.join(regs.withColumnRenamed("node", "dst"), "dst")
+      .select(col("src").as("node"), col("j"), col("r"),
+        lit(false).as("__own"))
+    own.unionByName(fromNbrs)
+      .groupBy("node", "j")
+      .agg(max("r").as("r"),
+        max(when(col("__own"), col("r"))).as("__rold"))
+  }
+
+  private[graft] def combinedRegs(c: DataFrame): DataFrame =
+    c.select("node", "j", "r")
+
+  private[graft] def combinedDelta(c: DataFrame): DataFrame =
+    c.filter(col("__rold").isNull || col("r") > col("__rold"))
+      .select("node", "j", "r")
+
+  /** The guarded round driver shared by [[nfCurve]] and
+    * [[closenessTopK]]: runs `rounds` register rounds over the
+    * symmetric edge relation `e`, dispatching each round on the
+    * MEASURED frontier fraction (both counts are O(1) scans of the
+    * checkpointed round state):
+    *
+    *  - frontier = 0 → exact fixpoint: no register changed, so no
+    *    future round can change any (max-propagation is monotone and
+    *    a kept value was already delivered to every neighbour) — the
+    *    remaining rounds emit the SAME state without touching edges;
+    *  - frontier/state > `switchFrac` → full [[stepCombined]] (one
+    *    union-agg; delta falls out free);
+    *  - otherwise → systolic [[stepDelta]] (edge join carries only the
+    *    frontier).
+    *
+    * `onRound(regs, t, changed)` fires for t = 0..rounds with
+    * `changed` = false exactly when regs is identical to round t−1's
+    * (callers skip their per-round fold — the skip is exact, not an
+    * approximation). `switchFrac` = 0.0 forces the full branch every
+    * round, 1.0 forces the systolic branch (frontier ≤ state always)
+    * — the spec drives both.
+    */
+  private[graft] def runRounds(e: DataFrame, rounds: Int,
+                               switchFrac: Double)
+                              (onRound: (DataFrame, Int, Boolean) => Unit)
+      : Unit = {
+    val nodes = e.select(col("src").as("node")).distinct()
+    // `owned` = the checkpointed relations backing regs/delta this
+    // round; replaced (and the predecessors released) only AFTER the
+    // successors are eagerly materialized
+    var owned: Seq[DataFrame] = Nil
+    def own(dfs: DataFrame*): Unit = {
+      val prev = owned
+      owned = dfs.toList
+      prev.foreach(graft.Caching.releaseCheckpoint)
+    }
+    val r0 = graft.Caching.checkpointed(registers0(nodes))
+    own(r0)
+    var regs = r0
+    var delta = r0 // round 1's frontier is every initial register
+    var stateRows = regs.count()
+    var frontierRows = stateRows
+    onRound(regs, 0, true)
+    for (t <- 1 to rounds) {
+      if (frontierRows == 0L) {
+        onRound(regs, t, false)
+      } else if (frontierRows.toDouble > switchFrac * stateRows) {
+        val combined = graft.Caching.checkpointed(stepCombined(regs, e))
+        regs = combinedRegs(combined)
+        delta = combinedDelta(combined)
+        own(combined)
+        stateRows = combined.count()
+        frontierRows = delta.count()
+        onRound(regs, t, frontierRows > 0)
+      } else {
+        val (nr, nd) = stepDelta(regs, delta, e)
+        val nextR = graft.Caching.checkpointed(nr)
+        val nextD = graft.Caching.checkpointed(nd)
+        regs = nextR
+        delta = nextD
+        own(nextR, nextD)
+        stateRows = regs.count()
+        frontierRows = delta.count()
+        onRound(regs, t, frontierRows > 0)
+      }
+    }
+    own() // release the final round's state
   }
 
   /** Per-node ball-size estimates in micro-units: the HLL estimate
@@ -160,30 +283,19 @@ object HyperAnf {
     * driver model state (the k-means-centroid pattern).
     */
   def nfCurve(edges: DataFrame, srcCol: String, dstCol: String,
-              rounds: Int = 4,
-              canonical: Boolean = false): Seq[java.math.BigDecimal] = {
+              rounds: Int = 4, canonical: Boolean = false,
+              switchFrac: Double = SystolicSwitchFrac)
+      : Seq[java.math.BigDecimal] = {
     require(rounds >= 1 && rounds <= 8, "rounds must be in [1, 8]")
     val e = graft.Caching.materialize(
       GraphEdges.symmetricDistinct(edges, srcCol, dstCol, canonical))
-    val nodes = e.select(col("src").as("node")).distinct()
     def nfValue(regs: DataFrame, t: Int): java.math.BigDecimal =
       nfEstimate(regs, t).collect()(0).getDecimal(1)
-    var regs = graft.Caching.checkpointed(registers0(nodes))
-    // round 1's frontier is every initial register (all of them are new)
-    var delta = regs
-    val curve = scala.collection.mutable.ArrayBuffer(nfValue(regs, 0))
-    for (t <- 1 to rounds) {
-      val (nr, nd) = stepDelta(regs, delta, e)
-      val nextRegs = graft.Caching.checkpointed(nr)
-      val nextDelta = graft.Caching.checkpointed(nd)
-      if (!(delta eq regs)) graft.Caching.releaseCheckpoint(delta)
-      graft.Caching.releaseCheckpoint(regs)
-      regs = nextRegs
-      delta = nextDelta
-      curve += nfValue(regs, t)
+    val curve = scala.collection.mutable.ArrayBuffer.empty[java.math.BigDecimal]
+    runRounds(e, rounds, switchFrac) { (regs, t, changed) =>
+      // unchanged state ⇒ N(t) = N(t−1) exactly — skip the agg scan
+      curve += (if (changed) nfValue(regs, t) else curve.last)
     }
-    if (!(delta eq regs)) graft.Caching.releaseCheckpoint(delta)
-    graft.Caching.releaseCheckpoint(regs)
     e.unpersist()
     curve.toSeq
   }
@@ -305,35 +417,29 @@ object HyperAnf {
     */
   def closenessTopK(edges: DataFrame, srcCol: String, dstCol: String,
                     rounds: Int = 4, k: Int = 20,
-                    canonical: Boolean = false): DataFrame = {
+                    canonical: Boolean = false,
+                    switchFrac: Double = SystolicSwitchFrac): DataFrame = {
     require(rounds >= 1 && rounds <= 8, "rounds must be in [1, 8]")
     require(k >= 1, "k must be positive")
     val e = graft.Caching.materialize(
       GraphEdges.symmetricDistinct(edges, srcCol, dstCol, canonical))
-    val nodes = e.select(col("src").as("node")).distinct()
-    var regs = graft.Caching.checkpointed(registers0(nodes))
-    var delta = regs // round 1: every initial register is new
-    var acc = graft.Caching.checkpointed(perNodeEstimates(regs)
-      .select(col("node"), col("est").as("prev"), lit(0L).as("smass")))
-    for (t <- 1 to rounds) {
-      val (nr, nd) = stepDelta(regs, delta, e)
-      val nextRegs = graft.Caching.checkpointed(nr)
-      val nextDelta = graft.Caching.checkpointed(nd)
-      if (!(delta eq regs)) graft.Caching.releaseCheckpoint(delta)
-      graft.Caching.releaseCheckpoint(regs)
-      regs = nextRegs
-      delta = nextDelta
-      val nextAcc = graft.Caching.checkpointed(
-        acc.join(perNodeEstimates(regs), "node")
-          .select(col("node"), col("est").as("prev"),
-            (col("smass") + lit(t.toLong) * (col("est") - col("prev")))
-              .as("smass")))
-      graft.Caching.releaseCheckpoint(acc)
-      acc = nextAcc
+    var acc: DataFrame = null
+    runRounds(e, rounds, switchFrac) { (regs, t, changed) =>
+      if (t == 0) {
+        acc = graft.Caching.checkpointed(perNodeEstimates(regs)
+          .select(col("node"), col("est").as("prev"), lit(0L).as("smass")))
+      } else if (changed) {
+        val nextAcc = graft.Caching.checkpointed(
+          acc.join(perNodeEstimates(regs), "node")
+            .select(col("node"), col("est").as("prev"),
+              (col("smass") + lit(t.toLong) * (col("est") - col("prev")))
+                .as("smass")))
+        graft.Caching.releaseCheckpoint(acc)
+        acc = nextAcc
+      }
+      // unchanged state ⇒ est = prev for every node ⇒ the smass
+      // increment is exactly 0 — the fold skip is exact
     }
-    // acc is materialized — the register state is no longer needed
-    if (!(delta eq regs)) graft.Caching.releaseCheckpoint(delta)
-    graft.Caching.releaseCheckpoint(regs)
     e.unpersist()
     val out = acc.filter(col("smass") > 0)
       .select(col("node"),

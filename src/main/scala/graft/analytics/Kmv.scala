@@ -115,8 +115,12 @@ object Kmv {
         when(col("cnt_u") < k, col("cnt_i") * lit(1000000L))
           .otherwise(expr(
             s"CAST(CAST(cnt_i AS DECIMAL(38,0)) * $HashSpace * 1000000 div th_u AS BIGINT)")))
+      // cnt_u = 0 (both groups empty): Jaccard of two empty sets is 0
+      // by convention — guarded like every other estimator column (the
+      // DuckDB oracle's HUGEINT // 0 would ERROR where Spark yields NULL)
       .withColumn("jaccard_est_micro",
-        expr("CAST(CAST(cnt_i AS DECIMAL(38,0)) * 1000000 div cnt_u AS BIGINT)"))
+        when(col("cnt_u") === 0, lit(0L)).otherwise(
+          expr("CAST(CAST(cnt_i AS DECIMAL(38,0)) * 1000000 div cnt_u AS BIGINT)")))
       .select(lit(k).as("k"), col("n_a"), col("n_b"), col("n_union"),
         col("n_inter"), col("est_a_micro"), col("est_b_micro"),
         col("est_union_micro"), col("est_inter_micro"),
@@ -166,7 +170,9 @@ object Kmv {
        |  CASE WHEN cnt_u < $k THEN cnt_i * 1000000
        |       ELSE CAST(cnt_i::HUGEINT * $HashSpace * 1000000 // th_u AS BIGINT)
        |  END AS est_inter_micro,
-       |  CAST(cnt_i::HUGEINT * 1000000 // cnt_u AS BIGINT) AS jaccard_est_micro
+       |  CASE WHEN cnt_u = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(cnt_i::HUGEINT * 1000000 // cnt_u AS BIGINT)
+       |  END AS jaccard_est_micro
        |FROM ex CROSS JOIN exi CROSS JOIN arow CROSS JOIN brow
        |        CROSS JOIN urow CROSS JOIN irow""".stripMargin
 }

@@ -114,33 +114,71 @@ object Triangles {
   def kTruss(edges: DataFrame, uCol: String, vCol: String, k: Int = 4,
              rounds: Int = 2, canonical: Boolean = false): DataFrame = {
     require(k >= 3 && rounds >= 1, "k-truss needs k >= 3 and rounds >= 1")
+    peelRounds(canonicalEdges(edges, uCol, vCol, canonical), k, rounds,
+      converge = false)
+  }
 
-    /** Per-canonical-edge triangle support of a canonical edge set. */
-    def support(e: DataFrame): DataFrame = {
-      val (_, closers) = edgeIterator(e, "u", "v", canonical = true)
-      val tri = closers
-        .select(col("src"), col("dst"), explode(col("closing")).as("x"))
-      tri.select(explode(array(
-          struct(least(col("src"), col("dst")).as("u"),
-            greatest(col("src"), col("dst")).as("v")),
-          struct(least(col("src"), col("x")).as("u"),
-            greatest(col("src"), col("x")).as("v")),
-          struct(least(col("dst"), col("x")).as("u"),
-            greatest(col("dst"), col("x")).as("v")))).as("ed"))
-        .select(col("ed.u").as("u"), col("ed.v").as("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("sup"))
-    }
+  /** k-truss peeled to FIXPOINT: rounds iterate until the surviving
+    * edge COUNT is unchanged — peeling is monotone decreasing, so an
+    * unchanged count means an unchanged SET, hence unchanged supports,
+    * hence every later round is a no-op (the same exact early-exit
+    * discipline as [[PageRank]]'s integer L1-delta at 0 — the scalar
+    * per round is one count of a checkpointed relation). `maxRounds`
+    * bounds the peel as a safety valve; the output is then the TRUE
+    * maximal k-truss whenever the fixpoint is reached within it.
+    * Idempotence past the fixpoint is what lets the DuckDB oracle stay
+    * a BOUNDED unrolled-CTE replay: any unrolled round count ≥ the
+    * actual convergence round yields the identical edge set.
+    */
+  def kTrussConverged(edges: DataFrame, uCol: String, vCol: String,
+                      k: Int = 4, maxRounds: Int = 30,
+                      canonical: Boolean = false): DataFrame = {
+    require(k >= 3 && maxRounds >= 1, "k-truss needs k >= 3 and maxRounds >= 1")
+    peelRounds(canonicalEdges(edges, uCol, vCol, canonical), k, maxRounds,
+      converge = true)
+  }
 
-    var e = graft.Caching.checkpointed(
-      canonicalEdges(edges, uCol, vCol, canonical))
-    for (_ <- 1 to rounds) {
+  /** Per-canonical-edge triangle support of a canonical edge set. */
+  private def support(e: DataFrame): DataFrame = {
+    val (_, closers) = edgeIterator(e, "u", "v", canonical = true)
+    val tri = closers
+      .select(col("src"), col("dst"), explode(col("closing")).as("x"))
+    tri.select(explode(array(
+        struct(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v")),
+        struct(least(col("src"), col("x")).as("u"),
+          greatest(col("src"), col("x")).as("v")),
+        struct(least(col("dst"), col("x")).as("u"),
+          greatest(col("dst"), col("x")).as("v")))).as("ed"))
+      .select(col("ed.u").as("u"), col("ed.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+  }
+
+  /** The shared peel loop: `rounds` support-threshold rounds (bounded
+    * mode) or up-to-`rounds` with the unchanged-count early exit
+    * (`converge`); final support recomputed within the surviving
+    * subgraph either way.
+    */
+  private def peelRounds(e0: DataFrame, k: Int, rounds: Int,
+                         converge: Boolean): DataFrame = {
+    var e = graft.Caching.checkpointed(e0)
+    var n = if (converge) e.count() else -1L
+    var done = false
+    var r = 0
+    while (r < rounds && !done) {
       // inner join: zero-support edges are absent from the support
       // relation and correctly dropped (k ≥ 3 ⇒ threshold ≥ 1)
       val next = graft.Caching.checkpointed(
         e.join(support(e).filter(col("sup") >= k - 2), Seq("u", "v"))
           .select("u", "v"))
-      e.unpersist()
+      graft.Caching.releaseCheckpoint(e)
       e = next
+      r += 1
+      if (converge) {
+        val m = e.count()
+        if (m == n) done = true
+        n = m
+      }
     }
     e.join(support(e), Seq("u", "v"), "left")
       .select(col("u").as("src"), col("v").as("dst"),
@@ -151,14 +189,24 @@ object Triangles {
     * id-ordered triple-join triangle enumeration per unrolled round — a
     * different orientation and join shape than the engine's
     * degree-oriented iterator, so the match is a differential proof.
+    *
+    * Every round CTE is `AS MATERIALIZED`: each t$r is referenced 3× by
+    * its s$r (the UNION ALL of the triangle's three edges), each e$r is
+    * referenced 3× by the next round's triple join, and DuckDB INLINES
+    * (re-evaluates) non-materialized multiply-referenced CTEs — so
+    * without the keyword the ~9.3M-row wedge join re-expands ~3^depth
+    * times (measured at sf0.01: ~6 min / 70 GB RSS; OOM after 568 s
+    * under memory_limit='24GB'). With MATERIALIZED: 2.6 s, identical
+    * result. This single query's runaway oracle zeroed the round-8
+    * driver gate (`CORRECTNESS_r08.json` = {}).
     */
   def kTrussOracleSql(k: Int = 4, rounds: Int = 2): String = {
     def supCte(r: Int, src: String): String =
-      s"""t$r AS (
+      s"""t$r AS MATERIALIZED (
          |  SELECT x.u AS a, x.v AS b, y.v AS c
          |  FROM $src x JOIN $src y ON y.u = x.u AND y.v > x.v
          |  JOIN $src z ON z.u = x.v AND z.v = y.v),
-         |s$r AS (
+         |s$r AS MATERIALIZED (
          |  SELECT u, v, COUNT(*) AS sup FROM (
          |    SELECT a AS u, b AS v FROM t$r
          |    UNION ALL SELECT a, c FROM t$r
@@ -166,11 +214,11 @@ object Triangles {
          |  GROUP BY 1, 2)""".stripMargin
     val roundsSql = (1 to rounds).map { r =>
       s"""${supCte(r, s"e${r - 1}")},
-         |e$r AS (SELECT u, v FROM s$r WHERE sup >= ${k - 2})""".stripMargin
+         |e$r AS MATERIALIZED (SELECT u, v FROM s$r WHERE sup >= ${k - 2})""".stripMargin
     }.mkString(",\n")
     val fin = rounds + 1
-    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       |e0 AS (
+    s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS MATERIALIZED (
        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
        |  FROM items a JOIN items b
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),

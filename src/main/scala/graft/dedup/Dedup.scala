@@ -390,11 +390,11 @@ object Dedup {
     * subquery, then the identical df-cap + self-join + HAVING. */
   def winnowPairsOracleSql(k: Int = 8, w: Int = 4, minShared: Int = 3,
                            maxDocsPerFp: Int = 5): String =
-    s"""WITH wfp AS (
+    s"""WITH wfp AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, fp
        |  FROM (${graft.text.TextOps.winnowOracleSql(k, w)}) win),
        |dfs AS (SELECT fp, COUNT(*) AS df FROM wfp GROUP BY fp),
-       |kept AS (
+       |kept AS MATERIALIZED (
        |  SELECT w.doc_id, w.fp FROM wfp w JOIN dfs USING (fp)
        |  WHERE df <= $maxDocsPerFp)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps

@@ -740,20 +740,15 @@ object Ann {
     nearestCentroids(ivfCentroids(e, centroidStep), e, "vec_id", "v", 1)
   }
 
-  /** IVF search: queries probe the `nprobe` nearest centroids' posting
-    * lists. Returns the same (query_id, vec_id, cosine, rank) shape.
+  /** IVF probe + re-rank over an EXPLICIT posting relation (vec_id, v,
+    * cent_id) — the search half both the static [[ivfTopK]] build and
+    * the CDC-[[ivfMaintainedTopK]] index share: queries probe the
+    * `nprobe` nearest centroids (broadcast), only those posting lists
+    * are scored, per-query top-k via ranked windows.
     */
-  def ivfTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
-              centroidStep: Int = 29, nprobe: Int = 3): DataFrame = {
-    val e = corpus(embeddings)
-    val cents = ivfCentroids(e, centroidStep)
-    def nearest(points: DataFrame, idCol: String, vCol: String, n: Int): DataFrame =
-      nearestCentroids(cents, points, idCol, vCol, n)
-
-    val assigned = nearest(e, "vec_id", "v", 1) // posting lists
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val probes = nearest(q, "query_id", "qv", nprobe)
+  private def searchPostings(assigned: DataFrame, cents: DataFrame,
+                             q: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val probes = nearestCentroids(cents, q, "query_id", "qv", nprobe)
     val cand = assigned.join(broadcast(probes), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .dropDuplicates("query_id", "vec_id")
@@ -761,6 +756,67 @@ object Ann {
     cand.select(col("query_id"), col("vec_id"),
         round(cosine(col("qv"), col("v")), 6).as("cosine"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF search: queries probe the `nprobe` nearest centroids' posting
+    * lists. Returns the same (query_id, vec_id, cosine, rank) shape.
+    */
+  def ivfTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
+              centroidStep: Int = 29, nprobe: Int = 3): DataFrame = {
+    val e = corpus(embeddings)
+    val cents = ivfCentroids(e, centroidStep)
+    val assigned = nearestCentroids(cents, e, "vec_id", "v", 1) // posting lists
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    searchPostings(assigned, cents, q, k, nprobe)
+  }
+
+  /** CDC maintenance of an IVF posting relation under FROZEN centroids
+    * (the FAISS production protocol: incremental ingest never moves the
+    * coarse quantizer; re-training is a scheduled rebuild). `changes` is
+    * a (vec_id, v, is_delete) batch; per-delta work is ∝ |batch|: the
+    * delete leg is one broadcast anti-join of the delta's ids against
+    * the postings, the insert leg assigns ONLY the new vectors against
+    * the broadcast centroid set — the corpus-sized posting relation is
+    * never rescanned or reshuffled. Because assignment under frozen
+    * centroids is pointwise deterministic, the maintained relation
+    * EQUALS a fresh assignment of the merged corpus (spec-pinned in
+    * AnnSpec; the same support-relation discipline as
+    * [[graft.operators.Ivm]]).
+    */
+  def ivfMaintainPostings(postings: DataFrame, changes: DataFrame,
+                          cents: DataFrame): DataFrame = {
+    val dels = changes.filter(col("is_delete")).select("vec_id")
+    val ins = changes.filter(!col("is_delete")).select("vec_id", "v")
+    postings.join(dels, Seq("vec_id"), "left_anti")
+      .unionByName(nearestCentroids(cents, ins, "vec_id", "v", 1)
+        .select("vec_id", "v", "cent_id"))
+  }
+
+  /** CDC-maintained IVF index end to end (`q_ivm_ann`): the base corpus
+    * (vec_id ≢ 0 mod 13) is indexed under its own frozen centroids, a
+    * CDC batch then arrives — the 13-stripe inserts, the 17-stripe of
+    * base rows (vec_id ≡ 3 mod 17) retracts — and queries run against
+    * the MAINTAINED posting lists. The DuckDB oracle replays the whole
+    * maintenance + search path (cross-join + row_number vs the engine's
+    * broadcast joins + ranked windows — a real differential); the
+    * maintained-equals-rebuild gate is spec-pinned.
+    */
+  def ivfMaintainedTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
+                        centroidStep: Int = 29, nprobe: Int = 3): DataFrame = {
+    val e = corpus(embeddings)
+    val old = e.filter(pmod(col("vec_id"), lit(13)) =!= 0)
+    val cents = ivfCentroids(old, centroidStep)
+    val base = nearestCentroids(cents, old, "vec_id", "v", 1)
+      .select("vec_id", "v", "cent_id")
+    val changes = e.filter(pmod(col("vec_id"), lit(13)) === 0)
+        .select(col("vec_id"), col("v"), lit(false).as("is_delete"))
+      .unionByName(old.filter(pmod(col("vec_id"), lit(17)) === 3)
+        .select(col("vec_id"), col("v"), lit(true).as("is_delete")))
+    val maintained = ivfMaintainPostings(base, changes, cents)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    searchPostings(maintained, cents, q, k, nprobe)
   }
 
   /** Embedding-cosine near-duplicate pairs: LSH blocking (all `tables`

@@ -73,30 +73,36 @@ object Kcenter {
     * and picks ROW_NUMBER()=1 by (md DESC, vec_id).
     */
   def kcenterOracleSql(k: Int = 8, dim: Int = 64): String = {
+    // Every chained CTE is MATERIALIZED: sel$r is referenced 3× per
+    // round (NOT IN + distance join + union) and DuckDB inlines
+    // non-materialized CTEs, so the un-marked chain re-evaluated the
+    // embeddings projection ~65× (measured 83 s at sf0.01 under the
+    // 24 GB envelope — the q_ktruss-bomb shape, caught by the capped
+    // dev/check_oracle.py sweep before it could hit the driver gate).
     val l2 = s"round(list_sum(list_transform(range(1, ${dim + 1}), " +
       "i -> (e.v[i]-s.v[i])*(e.v[i]-s.v[i]))), 6)"
     val rounds = (2 to k).map { r =>
-      s"""d$r AS (
+      s"""d$r AS MATERIALIZED (
          |  SELECT e.vec_id, MIN($l2) AS md
          |  FROM e JOIN sel${r - 1} s ON TRUE
          |  WHERE e.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
          |  GROUP BY e.vec_id),
-         |p$r AS (
+         |p$r AS MATERIALIZED (
          |  SELECT vec_id, md FROM (
          |    SELECT vec_id, md,
          |           ROW_NUMBER() OVER (ORDER BY md DESC, vec_id) AS rn
          |    FROM d$r) t WHERE rn = 1),
-         |sel$r AS (
+         |sel$r AS MATERIALIZED (
          |  SELECT * FROM sel${r - 1}
          |  UNION ALL
          |  SELECT e.vec_id, e.v FROM e JOIN p$r USING (vec_id))""".stripMargin
     }.mkString(",\n")
     val pickRows = (2 to k).map(r =>
       s"SELECT $r AS round, vec_id, md AS dist_l2sq FROM p$r").mkString("\nUNION ALL\n")
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
-       |sel1 AS (
+       |sel1 AS MATERIALIZED (
        |  SELECT vec_id, v FROM e
        |  WHERE vec_id = (SELECT MIN(vec_id) FROM e)),
        |$rounds

@@ -230,12 +230,12 @@ object TextOps {
     * rightmost-window-min is `list_max(list_filter(positions, hash =
     * window min))` — positionally identical to the Spark fold. */
   def winnowOracleSql(k: Int = 8, w: Int = 4): String =
-    s"""WITH g AS (
+    s"""WITH g AS MATERIALIZED (
        |  SELECT doc_id,
        |         list_transform(range(1, greatest(length(text) - ${k - 1}, 1) + 1),
        |                        i -> md5(substring(text, CAST(i AS INTEGER), $k))) AS gh
        |  FROM documents),
-       |s AS (
+       |s AS MATERIALIZED (
        |  SELECT doc_id, gh,
        |         list_transform(range(1, greatest(len(gh) - ${w - 1}, 1) + 1), j ->
        |           list_max(list_filter(range(j, least(j + ${w - 1}, len(gh)) + 1),

@@ -51,6 +51,78 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("ivm ivf: maintained postings equal a fresh rebuild on the merged corpus") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // the q_ivm_ann protocol on the planted fixture, but with the
+    // maintained-equals-rebuild THEOREM checked explicitly: frozen
+    // centroids make assignment pointwise deterministic, so base minus
+    // deletes plus assigned inserts must equal assigning the merged
+    // corpus from scratch — set equality including cent_id
+    val e = planted.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val old = e.filter(pmod(col("vec_id"), lit(13)) =!= 0)
+    val cents = old.filter(pmod(col("vec_id"), lit(29)) === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val ins = e.filter(pmod(col("vec_id"), lit(13)) === 0)
+    val delIds = old.filter(pmod(col("vec_id"), lit(17)) === 3)
+    def assign(points: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cent_id"))
+      points.join(broadcast(cents))
+        .select(col("vec_id"), col("cent_id"),
+          round(Ann.cosine(col("v"), col("cv")), 6).as("csim"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("vec_id", "cent_id")
+    }
+    val base = assign(old)
+    val changes = ins.select(col("vec_id"), col("v"),
+        lit(false).as("is_delete"))
+      .unionByName(delIds.select(col("vec_id"), col("v"),
+        lit(true).as("is_delete")))
+    val maintained = Ann.ivfMaintainPostings(
+        old.join(base, "vec_id").select("vec_id", "v", "cent_id"),
+        changes, cents)
+      .select("vec_id", "cent_id").as[(Long, Long)].collect().toSet
+    val merged = old.join(delIds.select("vec_id"), Seq("vec_id"), "left_anti")
+      .unionByName(ins)
+    val fresh = assign(merged).as[(Long, Long)].collect().toSet
+    assert(maintained === fresh, "CDC-maintained postings != fresh rebuild")
+    assert(maintained.nonEmpty)
+    // deleted ids are gone; inserted ids are present
+    val delSet = delIds.select("vec_id").as[Long].collect().toSet
+    val insSet = ins.select("vec_id").as[Long].collect().toSet
+    assert(maintained.map(_._1).intersect(delSet).isEmpty)
+    assert(insSet.subsetOf(maintained.map(_._1)))
+    spark.catalog.clearCache()
+  }
+
+  test("ivm ivf: per-delta work — the posting relation is never rescanned") {
+    // plan shape: the maintained relation's delete leg must be a
+    // broadcast anti-join (delta ids broadcast, postings streamed once)
+    // and the insert leg must assign ONLY the delta (no second corpus
+    // assignment subtree). Assert no SortMergeJoin over the postings
+    // and exactly one Window (the insert assignment's rank) in the
+    // maintenance plan.
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val e = planted.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val old = e.filter(pmod(col("vec_id"), lit(13)) =!= 0)
+    val cents = old.filter(pmod(col("vec_id"), lit(29)) === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val postings = old.withColumn("cent_id", lit(0L))
+      .select("vec_id", "v", "cent_id")
+    val changes = e.filter(pmod(col("vec_id"), lit(13)) === 0)
+      .select(col("vec_id"), col("v"), lit(false).as("is_delete"))
+    val plan = Ann.ivfMaintainPostings(postings, changes, cents)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"delete/assign legs should broadcast the delta side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"postings must not be re-shuffled for a delta batch:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("near-dup pairs: planted near-identical vectors found, noise absent") {
     val got = Ann.nearDupPairs(planted, threshold = 0.95)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet

@@ -99,6 +99,62 @@ class HyperAnfSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("stepCombined regs equal step and its free delta equals stepDelta's") {
+    val edges = barbell.toDF("item_a", "item_b")
+    val e = graft.analytics.GraphEdges
+      .symmetricDistinct(edges, "item_a", "item_b")
+    val r0 = graft.Caching.checkpointed(
+      HyperAnf.registers0(e.select($"src".as("node")).distinct()))
+    var full = r0
+    var regs = r0
+    var delta = r0
+    // rounds past the diameter (5) exercise the empty-delta regime too
+    for (t <- 1 to 6) {
+      val combined = graft.Caching.checkpointed(
+        HyperAnf.stepCombined(full, e))
+      val (_, nd) = HyperAnf.stepDelta(regs, delta, e)
+      regs = graft.Caching.checkpointed(HyperAnf.combinedRegs(combined))
+      delta = graft.Caching.checkpointed(nd)
+      full = regs
+      val gotRegs = regs.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val gotDelta = HyperAnf.combinedDelta(combined).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val sysDelta = delta.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(gotDelta === sysDelta, s"round $t: combined delta != systolic delta")
+      // registers: combined must equal the single-node reference rounds
+      val refSet = localRegisters(barbell, t).flatMap { case (n, m) =>
+        m.map { case (j, r) => (n, j, r) } }.toSet
+      assert(gotRegs === refSet, s"round $t: combined regs != reference")
+    }
+    assert(delta.isEmpty, "past the diameter the frontier must be empty")
+    spark.catalog.clearCache()
+  }
+
+  test("frontier guard: both dispatch branches yield the identical curve") {
+    val edges = barbell.toDF("item_a", "item_b")
+    // switchFrac = 0.0 forces the FULL branch every round; 1.0 forces
+    // the SYSTOLIC branch (frontier <= state always); the default mixes.
+    val full = HyperAnf.nfCurve(edges, "item_a", "item_b", rounds = 6,
+      switchFrac = 0.0)
+    val sys = HyperAnf.nfCurve(edges, "item_a", "item_b", rounds = 6,
+      switchFrac = 1.0)
+    val auto = HyperAnf.nfCurve(edges, "item_a", "item_b", rounds = 6)
+    assert(full === sys, "full-branch curve != systolic-branch curve")
+    assert(full === auto, "guarded curve != forced curves")
+    spark.catalog.clearCache()
+  }
+
+  test("frontier guard: closeness identical under both forced branches") {
+    val edges = barbell.toDF("item_a", "item_b")
+    def rows(sf: Double) = graft.analytics.HyperAnf.closenessTopK(
+        edges, "item_a", "item_b", rounds = 6, k = 13, switchFrac = sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows(0.0) === rows(1.0))
+    spark.catalog.clearCache()
+  }
+
   test("nf curve tracks the exact neighbourhood function") {
     val edges = barbell.toDF("item_a", "item_b")
     val out = HyperAnf.effectiveDiameter(edges, "item_a", "item_b",

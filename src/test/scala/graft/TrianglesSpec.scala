@@ -103,6 +103,72 @@ class TrianglesSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  /** Local reference truss peel: iterate support-threshold removal to
+    * fixpoint, returning (fixpoint edge set, per-edge support within the
+    * final subgraph, rounds until the set stops changing).
+    */
+  private def localTruss(edges: Set[(Long, Long)], k: Int)
+      : (Set[(Long, Long)], Map[(Long, Long), Long], Int) = {
+    def sup(es: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val adj = es.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      es.map { case (u, v) => (u, v) -> (adj(u) & adj(v)).size.toLong }.toMap
+    }
+    var cur = edges
+    var rounds = 0
+    var done = false
+    while (!done) {
+      // NOTE: not `.collect { case (e, s) => e }` — a Map's collect
+      // rebuilds a Map when the result is a pair, silently collapsing
+      // the (u, v) edge tuples by u
+      val next: Set[(Long, Long)] = sup(cur).filter(_._2 >= k - 2).keySet
+      if (next == cur) done = true
+      else { cur = next; rounds += 1 }
+    }
+    (cur, sup(cur), rounds)
+  }
+
+  test("kTrussConverged peels a 4-round cascade to the TRUE maximal 4-truss") {
+    // 13-node graph found by search: k=4 peeling takes FOUR rounds to
+    // reach its (nonempty, 21-edge) fixpoint — 35 → 27 → 24 → 22 → 21 —
+    // so the bounded default (rounds = 2) is provably NOT converged here
+    // and the early-exit loop has real work beyond it.
+    val raw: Seq[(Long, Long)] = Seq(
+      (0, 1), (0, 2), (0, 3), (0, 4), (0, 7), (0, 10), (1, 2), (1, 3),
+      (1, 4), (1, 9), (1, 10), (1, 11), (2, 3), (2, 4), (2, 8), (2, 12),
+      (3, 4), (3, 6), (3, 8), (3, 11), (3, 12), (4, 12), (5, 7), (5, 9),
+      (6, 7), (6, 11), (6, 12), (7, 9), (8, 9), (8, 12), (9, 10), (9, 11),
+      (9, 12), (10, 12), (11, 12)).map { case (a, b) => (a.toLong, b.toLong) }
+    val (fix, fixSup, roundsNeeded) = localTruss(raw.toSet, k = 4)
+    assert(roundsNeeded >= 3, s"gadget must need > bounded rounds, got $roundsNeeded")
+    assert(fix.nonEmpty)
+
+    val edges = raw.toDF("u", "v")
+    val bounded = Triangles.kTruss(edges, "u", "v", k = 4, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bounded !== fix, "bounded rounds=2 must NOT already be converged here")
+
+    val conv = Triangles.kTrussConverged(edges, "u", "v", k = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(conv.keySet === fix, "converged edge set = local fixpoint")
+    fix.foreach(e => assert(conv(e) === fixSup(e), s"support of $e"))
+    spark.catalog.clearCache()
+  }
+
+  test("kTrussConverged equals bounded kTruss on an already-stable graph") {
+    // planted K5 + K4 stabilize in one round; fixpoint mode must agree
+    // with the bounded peel exactly (set AND supports)
+    val k5 = for { i <- 1L to 5L; j <- (i + 1) to 5L } yield (i, j)
+    val k4 = for { i <- 11L to 14L; j <- (i + 1) to 14L } yield (i, j)
+    val edges = (k5 ++ k4 ++ Seq((5L, 11L), (14L, 20L))).toDF("u", "v")
+    val a = Triangles.kTruss(edges, "u", "v", k = 4, rounds = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val b = Triangles.kTrussConverged(edges, "u", "v", k = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(a === b)
+    spark.catalog.clearCache()
+  }
+
   test("kTruss peeling cascades: removing weak edges can strip later rounds") {
     // triangle chain: {1,2,3} and {2,3,4} share edge (2,3); edge (3,4) and
     // (2,4) support 1, (2,3) support 2. k=4 (threshold 2): round 1 drops
