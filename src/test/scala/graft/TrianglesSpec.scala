@@ -169,6 +169,41 @@ class TrianglesSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("incremental peel equals the full-recompute reference and the local model") {
+    // seeded random graphs — the incremental decrement identity
+    // S_{G∖D}(e) = S_G(e) − lost-triangles(e) must reproduce the
+    // full-per-round recompute EXACTLY (set and supports), across
+    // multi-round cascades that the generator produces organically;
+    // also drive the large-delta fallback branch (maxDeltaBroadcast=0:
+    // EVERY round recomputes) and the mixed regime (=2)
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      val n = 18
+      val raw = (for {
+        u <- 0L until n; v <- (u + 1) until n
+        if rnd.nextDouble() < 0.33
+      } yield (u, v)).toSeq
+      val edges = raw.toDF("u", "v")
+      val (fix, fixSup, _) = localTruss(raw.toSet, k = 4)
+      val inc = Triangles.kTrussConverged(edges, "u", "v", k = 4)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      val ref = Triangles.kTrussConvergedReference(edges, "u", "v", k = 4)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(inc === ref, s"trial $trial: incremental != full-recompute reference")
+      assert(inc.keySet === fix, s"trial $trial: edge set != local model")
+      fix.foreach(e => assert(inc(e) === fixSup(e), s"trial $trial support of $e"))
+      val forcedFull = Triangles.kTrussConverged(edges, "u", "v", k = 4,
+          maxDeltaBroadcast = 0L)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(forcedFull === inc, s"trial $trial: fallback branch diverges")
+      val mixed = Triangles.kTrussConverged(edges, "u", "v", k = 4,
+          maxDeltaBroadcast = 2L)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(mixed === inc, s"trial $trial: mixed-dispatch run diverges")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("kTruss peeling cascades: removing weak edges can strip later rounds") {
     // triangle chain: {1,2,3} and {2,3,4} share edge (2,3); edge (3,4) and
     // (2,4) support 1, (2,3) support 2. k=4 (threshold 2): round 1 drops
