@@ -200,6 +200,13 @@ class TrianglesSpec extends AnyFunSuite {
           maxDeltaBroadcast = 2L)
         .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
       assert(mixed === inc, s"trial $trial: mixed-dispatch run diverges")
+      // the BOUNDED peel runs on the same incremental loop: pin it
+      // against the full-recompute bounded reference at rounds = 2
+      val bInc = Triangles.kTruss(edges, "u", "v", k = 4, rounds = 2)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      val bRef = Triangles.kTrussReference(edges, "u", "v", k = 4, rounds = 2)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(bInc === bRef, s"trial $trial: bounded incremental != reference")
     }
     spark.catalog.clearCache()
   }
