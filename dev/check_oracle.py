@@ -87,7 +87,17 @@ def main(sf_dir: str, out_dir: str) -> None:
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     timings = {}
+    skipped = []
     for name, sql in sorted(oracle.items()):
+        # a FILTERED Verify dump (graft.Verify <sf> <out> q1,q2) only
+        # writes the requested queries; skip the rest instead of
+        # reporting missing-file FAIL noise (full dumps are unaffected:
+        # a query that SHOULD have been dumped but errored leaves a
+        # _missing_ dir only if Verify itself failed, which Verify
+        # reports on its own exit code)
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            skipped.append(name)
+            continue
         t0 = time.monotonic()
         try:
             spark = pd.read_parquet(f"{out_dir}/{name}")
@@ -136,6 +146,12 @@ def main(sf_dir: str, out_dir: str) -> None:
     if slow:
         print(f"SLOW oracles (>{TIMEOUT_SEC / 4:.0f}s of {TIMEOUT_SEC:.0f}s "
               f"budget): {slow}")
+    if skipped:
+        # visible so a FULL run with a silently-undumped query can't
+        # masquerade as a clean sweep — compare "N ok" to the expected
+        # query count, or pass the same filter to Verify and here
+        print(f"SKIPPED {len(skipped)} (no dump in {out_dir}): "
+              f"{skipped[:8]}{'...' if len(skipped) > 8 else ''}")
     print(f"\n{n_ok} ok, {n_bad} failed "
           f"(memory_limit={MEM_LIMIT}, timeout={TIMEOUT_SEC:.0f}s/query)")
     sys.exit(1 if n_bad else 0)
