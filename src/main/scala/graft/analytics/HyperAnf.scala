@@ -237,6 +237,160 @@ object HyperAnf {
     own() // release the final round's state
   }
 
+  // ------------------------------------------------------------------
+  // WIDE register layout — the production round loop.
+  //
+  // The sparse row layout above ((node, j, r), absent = 0) is the
+  // readable REFERENCE the specs and the DuckDB oracle replay are
+  // written against, but it pays per-ROW overhead m times per node:
+  // the dominant edges⋈registers join carries |E|·(registers/node)
+  // rows and the round aggregate hashes |V|·m keys. The wide layout
+  // stores all m = 16 registers as COLUMNS (r0..r15, 0 = absent), so
+  //  - the edge join carries exactly |E| rows (16× fewer at saturation),
+  //  - the round aggregate hashes |V| keys with 16 codegen'd max()s,
+  //  - the per-node HLL estimate needs NO groupBy at all — it becomes a
+  //    row-local projection (np/z4/raw/LC-branch all in one codegen
+  //    stage) — and the per-round N(t) is one sum over |V| rows.
+  // Register VALUES are identical to the row layout round by round
+  // (same md5 init, same max-propagation semantics) — spec-pinned by
+  // exploding wide state against the row-layout sequence, and the
+  // nfCurve/closeness end outputs are pinned against the single-node
+  // reference model and the register-exact DuckDB replay unchanged.
+  // ------------------------------------------------------------------
+
+  private val RegCols: IndexedSeq[String] = (0 until M).map(i => s"r$i")
+
+  /** [[registers0]] in wide layout: one row per node, register j from
+    * the node's md5 bucket, every other register 0.
+    */
+  private[graft] def registers0Wide(nodes: DataFrame): DataFrame = {
+    val aggs = RegCols.zipWithIndex.map { case (c, i) =>
+      max(when(col("j") === i, col("r")).otherwise(lit(0L))).as(c)
+    }
+    registers0(nodes).groupBy("node").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** One full wide round that also yields the delta for free — the
+    * [[stepCombined]] construction on columns: own state and neighbour
+    * inflow union (|V| + |E| rows), ONE hash agg computes both the new
+    * register max `r$i` and the node's own previous value `o$i`, and
+    * `__changed` falls out row-locally (own rows cover every node, so
+    * `o$i` is never NULL). Output: (node, r0.., o0.., __changed).
+    */
+  private[graft] def stepCombinedWide(regs: DataFrame, e: DataFrame): DataFrame = {
+    val own = regs.withColumn("__own", lit(true))
+    val fromNbrs = e.join(regs.withColumnRenamed("node", "dst"), "dst")
+      .select((col("src").as("node") +: RegCols.map(col)) :+
+        lit(false).as("__own"): _*)
+    val aggs = RegCols.map(c => max(col(c)).as(c)) ++
+      RegCols.map(c => max(when(col("__own"), col(c))).as(s"o$c"))
+    own.unionByName(fromNbrs)
+      .groupBy("node").agg(aggs.head, aggs.tail: _*)
+      .withColumn("__changed",
+        RegCols.map(c => col(c) > col(s"o$c")).reduce(_ || _))
+  }
+
+  /** One systolic wide round: ONLY last round's changed nodes flow
+    * along edges (the inflow join carries edges touching the frontier,
+    * not |E|), the pre-aggregated inflow maxes LEFT-join back onto the
+    * full state, and greatest(own, inflow) is row-local. Correctness is
+    * the same systolic argument as [[stepDelta]]: an unchanged node's
+    * registers were already delivered to every neighbour. Output shape
+    * matches [[stepCombinedWide]] (r$i = next value, __changed).
+    */
+  private[graft] def stepDeltaWide(regs: DataFrame, delta: DataFrame,
+                                   e: DataFrame): DataFrame = {
+    val inflow = e.join(delta.withColumnRenamed("node", "dst"), "dst")
+      .select(col("src").as("node") +: RegCols.map(col): _*)
+    val inAgg = inflow.groupBy("node")
+      .agg(RegCols.map(c => max(col(c)).as(s"i$c")).head,
+        RegCols.map(c => max(col(c)).as(s"i$c")).tail: _*)
+    regs.join(inAgg, Seq("node"), "left_outer")
+      .withColumn("__changed",
+        RegCols.map(c => coalesce(col(s"i$c"), lit(0L)) > col(c)).reduce(_ || _))
+      .select((col("node") +: RegCols.map(c =>
+        greatest(col(c), coalesce(col(s"i$c"), lit(0L))).as(c))) :+
+        col("__changed"): _*)
+  }
+
+  private[graft] def wideRegs(c: DataFrame): DataFrame =
+    c.select(col("node") +: RegCols.map(col): _*)
+
+  private[graft] def wideDelta(c: DataFrame): DataFrame =
+    c.filter(col("__changed")).select(col("node") +: RegCols.map(col): _*)
+
+  /** Explode wide state back to the sparse row layout ((node, j, r),
+    * zero registers omitted) — the differential bridge the spec uses to
+    * pin wide rounds against the row-layout reference sequence.
+    */
+  private[graft] def wideToRows(regs: DataFrame): DataFrame =
+    regs.select(col("node"), posexplode(array(RegCols.map(col): _*)))
+      .filter(col("col") > 0)
+      .select(col("node"), col("pos").cast("long").as("j"), col("col").as("r"))
+
+  /** [[runRounds]] on the wide layout — same frontier-fraction dispatch
+    * (state is |V| rows, frontier is changed NODES), same exact
+    * short-circuit at an empty frontier, same checkpoint ownership.
+    */
+  private[graft] def runRoundsWide(e: DataFrame, rounds: Int,
+                                   switchFrac: Double)
+                                  (onRound: (DataFrame, Int, Boolean) => Unit)
+      : Unit = {
+    val nodes = e.select(col("src").as("node")).distinct()
+    var owned: Seq[DataFrame] = Nil
+    def own(dfs: DataFrame*): Unit = {
+      val prev = owned
+      owned = dfs.toList
+      prev.foreach(graft.Caching.releaseCheckpoint)
+    }
+    val r0 = graft.Caching.checkpointed(registers0Wide(nodes))
+    own(r0)
+    var regs = r0
+    var delta = r0 // round 1's frontier is every node
+    var stateRows = regs.count()
+    var frontierRows = stateRows
+    onRound(regs, 0, true)
+    for (t <- 1 to rounds) {
+      if (frontierRows == 0L) {
+        onRound(regs, t, false)
+      } else {
+        val combined = graft.Caching.checkpointed(
+          if (frontierRows.toDouble > switchFrac * stateRows)
+            stepCombinedWide(regs, e)
+          else stepDeltaWide(regs, delta, e))
+        regs = wideRegs(combined)
+        delta = wideDelta(combined)
+        own(combined)
+        frontierRows = delta.count()
+        onRound(regs, t, frontierRows > 0)
+      }
+    }
+    own() // release the final round's state
+  }
+
+  /** [[perNodeEstimates]] on wide registers: a PROJECTION — np, the Z4
+    * mass, the raw estimate and the linear-counting branch are all
+    * row-local over the 16 register columns; no shuffle at all.
+    * Identical integer arithmetic (same literal LC table, the same
+    * DECIMAL(38,0) floor division).
+    */
+  private[graft] def perNodeEstimatesWide(regs: DataFrame): DataFrame = {
+    val lcArr = array(LcMicro.map(lit): _*)
+    val np = RegCols.map(c => when(col(c) > 0, 1).otherwise(0)).reduce(_ + _)
+    val z4 = RegCols.map(c =>
+      when(col(c) > 0,
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(56 - $c AS INT))"))
+        .otherwise(lit(TwoPow56))).reduce(_ + _)
+    regs.select(col("node"), np.as("__np"), z4.as("__z4"))
+      .withColumn("__raw",
+        expr(s"CAST('$RawNumer' AS DECIMAL(38,0)) div CAST(__z4 AS DECIMAL(38,0))"))
+      .select(col("node"),
+        when(col("__np") < M && col("__raw") <= lit(2500000L * M),
+          lit(M.toLong) *
+            element_at(lcArr, greatest(lit(M) - col("__np").cast("int"), lit(1))))
+          .otherwise(col("__raw")).as("est"))
+  }
+
   /** Per-node ball-size estimates in micro-units: the HLL estimate
     * with the literal-table linear-counting branch. (node, est).
     */
@@ -289,12 +443,14 @@ object HyperAnf {
     require(rounds >= 1 && rounds <= 8, "rounds must be in [1, 8]")
     val e = graft.Caching.materialize(
       GraphEdges.symmetricDistinct(edges, srcCol, dstCol, canonical))
-    def nfValue(regs: DataFrame, t: Int): java.math.BigDecimal =
-      nfEstimate(regs, t).collect()(0).getDecimal(1)
+    def nfValue(regs: DataFrame): java.math.BigDecimal =
+      perNodeEstimatesWide(regs)
+        .agg(sum(col("est").cast("decimal(38,0)")).as("nf_micro"))
+        .collect()(0).getDecimal(0)
     val curve = scala.collection.mutable.ArrayBuffer.empty[java.math.BigDecimal]
-    runRounds(e, rounds, switchFrac) { (regs, t, changed) =>
+    runRoundsWide(e, rounds, switchFrac) { (regs, t, changed) =>
       // unchanged state ⇒ N(t) = N(t−1) exactly — skip the agg scan
-      curve += (if (changed) nfValue(regs, t) else curve.last)
+      curve += (if (changed) nfValue(regs) else curve.last)
     }
     e.unpersist()
     curve.toSeq
@@ -424,13 +580,13 @@ object HyperAnf {
     val e = graft.Caching.materialize(
       GraphEdges.symmetricDistinct(edges, srcCol, dstCol, canonical))
     var acc: DataFrame = null
-    runRounds(e, rounds, switchFrac) { (regs, t, changed) =>
+    runRoundsWide(e, rounds, switchFrac) { (regs, t, changed) =>
       if (t == 0) {
-        acc = graft.Caching.checkpointed(perNodeEstimates(regs)
+        acc = graft.Caching.checkpointed(perNodeEstimatesWide(regs)
           .select(col("node"), col("est").as("prev"), lit(0L).as("smass")))
       } else if (changed) {
         val nextAcc = graft.Caching.checkpointed(
-          acc.join(perNodeEstimates(regs), "node")
+          acc.join(perNodeEstimatesWide(regs), "node")
             .select(col("node"), col("est").as("prev"),
               (col("smass") + lit(t.toLong) * (col("est") - col("prev")))
                 .as("smass")))

@@ -132,6 +132,65 @@ class HyperAnfSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("wide register layout equals the row layout, round by round") {
+    // the production wide loop (16 register COLUMNS) must reproduce the
+    // sparse row-layout reference EXACTLY: registers (via wideToRows),
+    // the free delta, and the row-local per-node estimates, for both
+    // the full (stepCombinedWide) and systolic (stepDeltaWide) branches,
+    // past the diameter into the empty-frontier regime
+    val edges = barbell.toDF("item_a", "item_b")
+    val e = graft.analytics.GraphEdges
+      .symmetricDistinct(edges, "item_a", "item_b")
+    val nodes = e.select($"src".as("node")).distinct()
+    var rowRegs = graft.Caching.checkpointed(HyperAnf.registers0(nodes))
+    var wide = graft.Caching.checkpointed(HyperAnf.registers0Wide(nodes))
+    var wideDelta = wide
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rowsOf(HyperAnf.wideToRows(wide)) === rowsOf(rowRegs),
+      "round 0: wide init != row init")
+    for (t <- 1 to 6) {
+      val rowNext = graft.Caching.checkpointed(HyperAnf.step(rowRegs, e))
+      val full = graft.Caching.checkpointed(HyperAnf.stepCombinedWide(wide, e))
+      val sys = HyperAnf.stepDeltaWide(wide, wideDelta, e)
+      assert(rowsOf(HyperAnf.wideToRows(HyperAnf.wideRegs(full))) ===
+        rowsOf(rowNext), s"round $t: wide full regs != row step")
+      assert(rowsOf(HyperAnf.wideToRows(HyperAnf.wideRegs(sys))) ===
+        rowsOf(rowNext), s"round $t: wide systolic regs != row step")
+      // deltas agree between the two wide branches (changed node sets)
+      val fd = HyperAnf.wideDelta(full).select("node").as[Long].collect().toSet
+      val sd = HyperAnf.wideDelta(sys).select("node").as[Long].collect().toSet
+      assert(fd === sd, s"round $t: full vs systolic changed sets differ")
+      // row-local estimates equal the row-layout groupBy estimates
+      val er = perNodeEstRows(rowNext)
+      val ew = HyperAnf.perNodeEstimatesWide(HyperAnf.wideRegs(full))
+        .collect().map { r =>
+          val est = r.get(1) match {
+            case d: java.math.BigDecimal => d.longValueExact()
+            case l: java.lang.Long => l.longValue()
+          }
+          (r.getLong(0), est)
+        }.toMap
+      assert(ew === er, s"round $t: wide estimates != row estimates")
+      wideDelta = graft.Caching.checkpointed(HyperAnf.wideDelta(full))
+      wide = graft.Caching.checkpointed(HyperAnf.wideRegs(full))
+      rowRegs = rowNext
+    }
+    assert(wideDelta.isEmpty, "past the diameter the wide frontier must be empty")
+    spark.catalog.clearCache()
+  }
+
+  private def perNodeEstRows(regs: org.apache.spark.sql.DataFrame)
+      : Map[Long, Long] =
+    HyperAnf.perNodeEstimates(regs)
+      .collect().map { r =>
+        val est = r.get(1) match {
+          case d: java.math.BigDecimal => d.longValueExact()
+          case l: java.lang.Long => l.longValue()
+        }
+        (r.getLong(0), est)
+      }.toMap
+
   test("frontier guard: both dispatch branches yield the identical curve") {
     val edges = barbell.toDF("item_a", "item_b")
     // switchFrac = 0.0 forces the FULL branch every round; 1.0 forces
