@@ -29,6 +29,32 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
                            byte_mean: Double, byte_entropy: Double, phash: Long)
 
+  /** Ids for a codec pass. The documents scan is a SINGLE parquet split
+    * at test scale (one row group, well under maxPartitionBytes), which
+    * would serialize every CPU-bound encode/decode stage downstream onto
+    * one core of local[32] — measured 10 s for the PNG aHash pass that
+    * should take well under one. Repartitioning the (tiny, ids-only)
+    * relation makes codec stages scale with the CLUSTER, not with the
+    * source file's row-group geometry — the same discipline a real
+    * 100 TB corpus needs when payload files arrive as few huge objects.
+    * All payloads are id-keyed and deterministic, so partitioning cannot
+    * affect any value.
+    */
+  private def codecIds(documents: DataFrame)
+      : org.apache.spark.sql.Dataset[Long] = {
+    import org.apache.spark.sql.Encoders.scalaLong
+    // EXPLICIT partition count: a keyless repartition(col) is eligible
+    // for AQE partition coalescing, and the ids-only map output is so
+    // small (8 B/row) that AQE folds it back to ONE partition — which
+    // re-serializes the downstream codec stage this shuffle exists to
+    // parallelize (AQE sizes by shuffle BYTES; the cost here is CPU per
+    // row). An explicit count pins it; numShufflePartitions is the
+    // session's cluster-sized knob, not a hardcoded local[32] fact.
+    val n = documents.sparkSession.sessionState.conf.numShufflePartitions
+    documents.select(col("doc_id")).repartition(n, col("doc_id"))
+      .as[Long](scalaLong)
+  }
+
   /** Pack a deterministic synthetic media table from `documents`: UTF-8
     * bytes of the text play the role of the encoded payload, with
     * kind/format/dimensions derived from doc_id. At 100 TB the same shape
@@ -249,7 +275,7 @@ object Multimodal {
   def packSyntheticWavs(documents: DataFrame): Dataset[AudioRecord] = {
     implicit val enc = Encoders.product[AudioRecord]
     import org.apache.spark.sql.Encoders.scalaLong
-    documents.select(col("doc_id")).as[Long](scalaLong)
+    codecIds(documents)
       .mapPartitions(_.map(id => AudioRecord(id, packWavBytes(synthPcm(id)))))
   }
 
@@ -272,7 +298,7 @@ object Multimodal {
   def packSyntheticNearDupWavs(documents: DataFrame): Dataset[AudioRecord] = {
     implicit val enc = Encoders.product[AudioRecord]
     import org.apache.spark.sql.Encoders.scalaLong
-    documents.select(col("doc_id")).as[Long](scalaLong)
+    codecIds(documents)
       .mapPartitions(_.map(id => AudioRecord(id, packWavBytes(synthPcmPair(id)))))
   }
 
@@ -525,7 +551,7 @@ object Multimodal {
   def packSyntheticNearDupGifs(documents: DataFrame): Dataset[VideoRecord] = {
     implicit val enc = Encoders.product[VideoRecord]
     import org.apache.spark.sql.Encoders.scalaLong
-    documents.select(col("doc_id")).as[Long](scalaLong)
+    codecIds(documents)
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map(id => VideoRecord(id, packGifBytes(synthFramesPair(id))))
@@ -682,7 +708,7 @@ object Multimodal {
   def packSyntheticGifs(documents: DataFrame): Dataset[VideoRecord] = {
     implicit val enc = Encoders.product[VideoRecord]
     import org.apache.spark.sql.Encoders.scalaLong
-    documents.select(col("doc_id")).as[Long](scalaLong)
+    codecIds(documents)
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map(id => VideoRecord(id, packGifBytes(synthFrames(id))))
@@ -830,7 +856,7 @@ object Multimodal {
   def packSyntheticPngs(documents: DataFrame): Dataset[ImageRecord] = {
     implicit val enc = Encoders.product[ImageRecord]
     import org.apache.spark.sql.Encoders.scalaLong
-    documents.select(col("doc_id")).as[Long](scalaLong)
+    codecIds(documents)
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map(id => ImageRecord(id, packPngBytes(synthGrayImage(id))))
@@ -843,7 +869,7 @@ object Multimodal {
                          quality: Float = 0.9f): Dataset[ImageRecord] = {
     implicit val enc = Encoders.product[ImageRecord]
     import org.apache.spark.sql.Encoders.scalaLong
-    documents.select(col("doc_id")).as[Long](scalaLong)
+    codecIds(documents)
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map(id => ImageRecord(id, packJpegBytes(synthGrayImage(id), quality)))
@@ -905,7 +931,7 @@ object Multimodal {
                          quality: Float = 0.9f): DataFrame = {
     implicit val enc = Encoders.product[ImageDrift]
     import org.apache.spark.sql.Encoders.scalaLong
-    documents.select(col("doc_id")).as[Long](scalaLong)
+    codecIds(documents)
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.flatMap { id =>
@@ -954,7 +980,7 @@ object Multimodal {
   def jpegVerdicts(documents: DataFrame, quality: Float = 0.9f): DataFrame = {
     implicit val enc = Encoders.product[JpegAudit]
     import org.apache.spark.sql.Encoders.scalaLong
-    val audits = documents.select(col("doc_id")).as[Long](scalaLong)
+    val audits = codecIds(documents)
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         val fail = JpegAudit(0, 64, 0, 255, 64)
