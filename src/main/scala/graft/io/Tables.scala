@@ -84,8 +84,29 @@ object Tables {
       case _ => raw
     }
   }
-  def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  /** documents/embeddings feed CPU-heavy PER-ROW stages (tokenization,
+    * shingle/md5 chains, winnowing folds, codecs, vector arithmetic)
+    * whose parallelism is otherwise capped by the SCAN's split count —
+    * and a single-row-group parquet file is ONE unsplittable partition
+    * no matter its size, serializing all of that work onto one core.
+    * When the scan is narrower than the session's shuffle width, spread
+    * it by key with an EXPLICIT partition count (a keyless repartition
+    * would be AQE-coalesced right back: coalescing sizes by shuffle
+    * BYTES, which is the wrong objective for a shuffle that exists to
+    * spread per-row CPU). At real corpus scale the scan arrives as many
+    * splits and this is a no-op — the condition, not the repartition,
+    * is the contract.
+    */
+  private def cpuSpread(df: DataFrame, key: String): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= n) df
+    else df.repartition(n, org.apache.spark.sql.functions.col(key))
+  }
+
+  def documents(spark: SparkSession, dir: String): DataFrame  =
+    cpuSpread(table(spark, dir, "documents"), "doc_id")
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    cpuSpread(table(spark, dir, "embeddings"), "vec_id")
 
   /** CSV source with an explicit schema. Schema inference is deliberately
     * not offered: at 100 TB inference costs an extra full scan and can
