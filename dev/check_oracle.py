@@ -77,7 +77,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir: str, out_dir: str) -> None:
+def main(sf_dir: str, out_dir: str, only=None) -> None:
     con = duckdb.connect()
     con.execute(f"SET memory_limit='{MEM_LIMIT}'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -89,13 +89,14 @@ def main(sf_dir: str, out_dir: str) -> None:
     timings = {}
     skipped = []
     for name, sql in sorted(oracle.items()):
-        # a FILTERED Verify dump (graft.Verify <sf> <out> q1,q2) only
-        # writes the requested queries; skip the rest instead of
-        # reporting missing-file FAIL noise (full dumps are unaffected:
-        # a query that SHOULD have been dumped but errored leaves a
-        # _missing_ dir only if Verify itself failed, which Verify
-        # reports on its own exit code)
-        if not os.path.isdir(f"{out_dir}/{name}"):
+        # targeted mode (3rd arg = the SAME comma list passed to
+        # graft.Verify): queries outside the filter are skipped; a
+        # missing dump INSIDE the filter — or any missing dump in full
+        # mode — stays a loud FAIL + exit 1. (A first cut skipped every
+        # missing dump, which would let a full run with a silently
+        # undumped query pass the gate — the exact failure mode this
+        # round's hardening exists to prevent; review finding.)
+        if only is not None and name not in only:
             skipped.append(name)
             continue
         t0 = time.monotonic()
@@ -147,10 +148,7 @@ def main(sf_dir: str, out_dir: str) -> None:
         print(f"SLOW oracles (>{TIMEOUT_SEC / 4:.0f}s of {TIMEOUT_SEC:.0f}s "
               f"budget): {slow}")
     if skipped:
-        # visible so a FULL run with a silently-undumped query can't
-        # masquerade as a clean sweep — compare "N ok" to the expected
-        # query count, or pass the same filter to Verify and here
-        print(f"SKIPPED {len(skipped)} (no dump in {out_dir}): "
+        print(f"SKIPPED {len(skipped)} outside the query filter: "
               f"{skipped[:8]}{'...' if len(skipped) > 8 else ''}")
     print(f"\n{n_ok} ok, {n_bad} failed "
           f"(memory_limit={MEM_LIMIT}, timeout={TIMEOUT_SEC:.0f}s/query)")
@@ -158,4 +156,5 @@ def main(sf_dir: str, out_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2],
+         set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None)

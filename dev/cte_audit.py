@@ -20,14 +20,18 @@ CTE_DEF = re.compile(r"(?:WITH|,)\s*([A-Za-z_][A-Za-z0-9_$]*)\s+AS\s+(MATERIALIZ
 
 
 def audit(sql: str):
-    defs = [(m.group(1), bool(m.group(2)), m.start()) for m in CTE_DEF.finditer(sql)]
+    # m.end() is past "<sep> <name> AS [MATERIALIZED] (", so the slice
+    # excludes the definition's own name occurrence and every later
+    # \b-match is a real reference. (The previous pos+len(name) slice
+    # started at the SEPARATOR, cutting into the name for any name
+    # longer than the separator token and then subtracting 1 — it
+    # undercounted every CTE by one and missed exact 2-reference bombs.)
+    defs = [(m.group(1), bool(m.group(2)), m.end()) for m in CTE_DEF.finditer(sql)]
     flagged = []
-    for name, mat, pos in defs:
+    for name, mat, end in defs:
         if mat:
             continue
-        # references strictly after this definition's opening paren
-        tail = sql[pos + len(name):]
-        refs = len(re.findall(rf"\b{re.escape(name)}\b", tail)) - 1
+        refs = len(re.findall(rf"\b{re.escape(name)}\b", sql[end:]))
         if refs >= 2:
             flagged.append((name, refs))
     # chain depth: count flagged CTEs that transitively reference another

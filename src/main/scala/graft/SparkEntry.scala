@@ -2332,9 +2332,12 @@ object SparkEntry {
     "q_ktruss" -> graft.analytics.Triangles.kTrussOracleSql(),
     // converged peel: the engine iterates to fixpoint; the oracle stays
     // a BOUNDED unrolled replay because peeling is idempotent past the
-    // fixpoint (sf0.01 co-bought graph converges at round 2; 6 rounds
-    // is a 3x margin, ~0.6 s/round under the materialized CTEs)
-    "q_ktruss_converged" -> graft.analytics.Triangles.kTrussOracleSql(rounds = 6),
+    // fixpoint — PROVIDED the unroll covers the convergence depth.
+    // Measured (dev/ExplainTrussRounds): sf0.01 converges at round 2,
+    // sf0.1 at round 7 — so the first 6-round unroll would have
+    // mismatched at sf0.1 (review finding). 10 rounds = margin over the
+    // deepest measured SF at ~0.65 s/round under the materialized CTEs.
+    "q_ktruss_converged" -> graft.analytics.Triangles.kTrussOracleSql(rounds = 10),
     // ten HUGEINT power sums -> one shared Cramer/IEEE expression tree
     "q_ols" -> graft.analytics.Ols.priceModelOracleSql,
     "q_trend_slope" ->

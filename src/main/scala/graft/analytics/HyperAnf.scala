@@ -27,17 +27,20 @@ import org.apache.spark.sql.functions._
   * computed ONCE in Scala and embedded in both engines' plans — so
   * every register, estimate, and the d90 flag replay bit-for-bit.
   *
-  * Scale shape: state is m rows per node (the sparse register
-  * relation); rounds dispatch on the MEASURED frontier fraction
-  * ([[runRounds]]): the cheap full union-agg ([[stepCombined]], which
-  * yields the round's delta for free) while most registers are still
-  * flowing, the SYSTOLIC delta ([[stepDelta]]) once the frontier drops
-  * below [[SystolicSwitchFrac]] — so the dominant |E|-side join shrinks
-  * with the frontier in exactly the rounds where that pays, and an
-  * empty frontier short-circuits the remaining rounds outright (the
-  * fixpoint is exact). All shuffles are key-partitioned, sized
-  * ≤ |V|·m, never |V|². Rounds are lineage-truncated with the
-  * BFS/PageRank checkpoint discipline.
+  * Scale shape: the production round loop ([[runRoundsWide]]) stores
+  * all m = 16 registers as COLUMNS (one row per node), so the dominant
+  * edge join carries |E| rows — not |E|·registers — and the per-node
+  * estimate is a row-local projection; rounds dispatch on the MEASURED
+  * frontier fraction: the cheap full union-agg ([[stepCombinedWide]],
+  * which yields the round's delta for free) while most registers are
+  * still flowing, the SYSTOLIC delta ([[stepDeltaWide]]) once the
+  * frontier drops below [[SystolicSwitchFrac]], and an empty frontier
+  * short-circuits the remaining rounds outright (the fixpoint is
+  * exact). The sparse row layout ([[registers0]]/[[step]]/
+  * [[stepDelta]]/[[stepCombined]]) is the spec-pinned REFERENCE the
+  * wide rounds are differentially checked against. All shuffles are
+  * key-partitioned, sized ≤ |V|·m, never |V|². Rounds are
+  * lineage-truncated with the BFS/PageRank checkpoint discipline.
   */
 object HyperAnf {
 
@@ -99,7 +102,7 @@ object HyperAnf {
     * and the measured frontier on the co-bought graph is ≥91% for
     * rounds 1–2 then 0.2%→0 after (`PLANS.md` round-8 note). The round
     * loops therefore dispatch on the MEASURED frontier fraction
-    * ([[runRounds]]): full [[stepCombined]] while frontier/state >
+    * ([[runRoundsWide]]): the full combined step while frontier/state >
     * `switchFrac`, systolic below, exact short-circuit at zero.
     *
     * Returns (nextRegs, nextDelta). Scale shape per round:
@@ -167,75 +170,6 @@ object HyperAnf {
   private[graft] def combinedDelta(c: DataFrame): DataFrame =
     c.filter(col("__rold").isNull || col("r") > col("__rold"))
       .select("node", "j", "r")
-
-  /** The guarded round driver shared by [[nfCurve]] and
-    * [[closenessTopK]]: runs `rounds` register rounds over the
-    * symmetric edge relation `e`, dispatching each round on the
-    * MEASURED frontier fraction (both counts are O(1) scans of the
-    * checkpointed round state):
-    *
-    *  - frontier = 0 → exact fixpoint: no register changed, so no
-    *    future round can change any (max-propagation is monotone and
-    *    a kept value was already delivered to every neighbour) — the
-    *    remaining rounds emit the SAME state without touching edges;
-    *  - frontier/state > `switchFrac` → full [[stepCombined]] (one
-    *    union-agg; delta falls out free);
-    *  - otherwise → systolic [[stepDelta]] (edge join carries only the
-    *    frontier).
-    *
-    * `onRound(regs, t, changed)` fires for t = 0..rounds with
-    * `changed` = false exactly when regs is identical to round t−1's
-    * (callers skip their per-round fold — the skip is exact, not an
-    * approximation). `switchFrac` = 0.0 forces the full branch every
-    * round, 1.0 forces the systolic branch (frontier ≤ state always)
-    * — the spec drives both.
-    */
-  private[graft] def runRounds(e: DataFrame, rounds: Int,
-                               switchFrac: Double)
-                              (onRound: (DataFrame, Int, Boolean) => Unit)
-      : Unit = {
-    val nodes = e.select(col("src").as("node")).distinct()
-    // `owned` = the checkpointed relations backing regs/delta this
-    // round; replaced (and the predecessors released) only AFTER the
-    // successors are eagerly materialized
-    var owned: Seq[DataFrame] = Nil
-    def own(dfs: DataFrame*): Unit = {
-      val prev = owned
-      owned = dfs.toList
-      prev.foreach(graft.Caching.releaseCheckpoint)
-    }
-    val r0 = graft.Caching.checkpointed(registers0(nodes))
-    own(r0)
-    var regs = r0
-    var delta = r0 // round 1's frontier is every initial register
-    var stateRows = regs.count()
-    var frontierRows = stateRows
-    onRound(regs, 0, true)
-    for (t <- 1 to rounds) {
-      if (frontierRows == 0L) {
-        onRound(regs, t, false)
-      } else if (frontierRows.toDouble > switchFrac * stateRows) {
-        val combined = graft.Caching.checkpointed(stepCombined(regs, e))
-        regs = combinedRegs(combined)
-        delta = combinedDelta(combined)
-        own(combined)
-        stateRows = combined.count()
-        frontierRows = delta.count()
-        onRound(regs, t, frontierRows > 0)
-      } else {
-        val (nr, nd) = stepDelta(regs, delta, e)
-        val nextR = graft.Caching.checkpointed(nr)
-        val nextD = graft.Caching.checkpointed(nd)
-        regs = nextR
-        delta = nextD
-        own(nextR, nextD)
-        stateRows = regs.count()
-        frontierRows = delta.count()
-        onRound(regs, t, frontierRows > 0)
-      }
-    }
-    own() // release the final round's state
-  }
 
   // ------------------------------------------------------------------
   // WIDE register layout — the production round loop.
@@ -328,7 +262,7 @@ object HyperAnf {
       .filter(col("col") > 0)
       .select(col("node"), col("pos").cast("long").as("j"), col("col").as("r"))
 
-  /** [[runRounds]] on the wide layout — same frontier-fraction dispatch
+  /** The guarded round driver (wide layout) — frontier-fraction dispatch
     * (state is |V| rows, frontier is changed NODES), same exact
     * short-circuit at an empty frontier, same checkpoint ownership.
     */

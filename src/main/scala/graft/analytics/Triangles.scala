@@ -261,9 +261,17 @@ object Triangles {
       } else {
         val next =
           if (dCount > maxDeltaBroadcast) {
-            // huge peel round: one full recompute beats broadcasting it
+            // huge peel round: one full recompute beats broadcasting it.
+            // LEFT join: a surviving edge in no triangle of the new
+            // subgraph must stay (sup 0) until the NEXT threshold drops
+            // it — the inner join dropped it one round early, diverging
+            // from the bounded reference exactly when maxRounds stops
+            // here (review finding; delta branch already keeps sup-0
+            // rows). It produces no decrements next round (0 triangles).
             val kept = keep.select("u", "v")
-            kept.join(support(kept), Seq("u", "v"))
+            kept.join(support(kept), Seq("u", "v"), "left")
+              .select(col("u"), col("v"),
+                coalesce(col("sup"), lit(0L)).as("sup"))
           } else {
             val d = dropped.select("u", "v")
             // wedges from the deleted edge's u-side against the CURRENT

@@ -97,7 +97,7 @@ object Tables {
     * splits and this is a no-op — the condition, not the repartition,
     * is the contract.
     */
-  private def cpuSpread(df: DataFrame, key: String): DataFrame = {
+  private[graft] def cpuSpread(df: DataFrame, key: String): DataFrame = {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions >= n) df
     else df.repartition(n, org.apache.spark.sql.functions.col(key))

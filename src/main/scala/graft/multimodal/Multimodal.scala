@@ -43,15 +43,12 @@ object Multimodal {
   private def codecIds(documents: DataFrame)
       : org.apache.spark.sql.Dataset[Long] = {
     import org.apache.spark.sql.Encoders.scalaLong
-    // EXPLICIT partition count: a keyless repartition(col) is eligible
-    // for AQE partition coalescing, and the ids-only map output is so
-    // small (8 B/row) that AQE folds it back to ONE partition — which
-    // re-serializes the downstream codec stage this shuffle exists to
-    // parallelize (AQE sizes by shuffle BYTES; the cost here is CPU per
-    // row). An explicit count pins it; numShufflePartitions is the
-    // session's cluster-sized knob, not a hardcoded local[32] fact.
-    val n = documents.sparkSession.sessionState.conf.numShufflePartitions
-    documents.select(col("doc_id")).repartition(n, col("doc_id"))
+    // the narrow-scan contract lives in ONE place — Tables.cpuSpread
+    // (explicit partition count, AQE-coalescing-proof, no-op when the
+    // input is already at least shuffle-width, e.g. when it arrived via
+    // Tables.documents). Re-applied here because codec passes also run
+    // over caller-built relations that never went through Tables.
+    graft.io.Tables.cpuSpread(documents.select(col("doc_id")), "doc_id")
       .as[Long](scalaLong)
   }
 

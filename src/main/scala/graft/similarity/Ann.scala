@@ -786,9 +786,14 @@ object Ann {
     */
   def ivfMaintainPostings(postings: DataFrame, changes: DataFrame,
                           cents: DataFrame): DataFrame = {
-    val dels = changes.filter(col("is_delete")).select("vec_id")
+    // anti-join on ALL change ids, not just deletes: an insert whose id
+    // is already indexed is an UPSERT — retracting the stale posting
+    // here keeps the relation keyed by vec_id (the old inner behavior
+    // left BOTH rows, and searchPostings' dropDuplicates then kept an
+    // arbitrary one — a silent break of maintained-equals-rebuild on
+    // update-shaped batches; review finding, upsert spec-pinned)
     val ins = changes.filter(!col("is_delete")).select("vec_id", "v")
-    postings.join(dels, Seq("vec_id"), "left_anti")
+    postings.join(changes.select("vec_id"), Seq("vec_id"), "left_anti")
       .unionByName(nearestCentroids(cents, ins, "vec_id", "v", 1)
         .select("vec_id", "v", "cent_id"))
   }

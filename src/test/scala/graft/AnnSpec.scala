@@ -123,6 +123,25 @@ class AnnSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("ivm ivf: an insert for an already-indexed id is an UPSERT") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // id 1 is already in postings (stale vector, cent 0); the batch
+    // re-inserts it with a new vector that assigns to cent 9. The
+    // maintained relation must hold EXACTLY ONE row for id 1, carrying
+    // the new vector's assignment — not both (the pre-fix behavior left
+    // the stale row beside the new one).
+    val postings = Seq((1L, Seq(1.0, 0.0), 0L), (2L, Seq(1.0, 0.1), 0L))
+      .toDF("vec_id", "v", "cent_id")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (9L, Seq(0.0, 1.0)))
+      .toDF("cent_id", "cv")
+    val changes = Seq((1L, Seq(0.0, 1.0), false)).toDF("vec_id", "v", "is_delete")
+    val got = Ann.ivfMaintainPostings(postings, changes, cents)
+      .select("vec_id", "cent_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(got === Seq((1L, 9L), (2L, 0L)),
+      s"upsert must replace the stale posting, got $got")
+    spark.catalog.clearCache()
+  }
+
   test("ivm ivf streaming: micro-batched CDC folds land on the fresh rebuild") {
     // the arrival-time twin of q_ivm_ann (the IvmSpec foreachBatch
     // discipline applied to the ANN index): a CDC stream of
