@@ -112,14 +112,16 @@ object Triangles {
     * across rounds.
     */
   def kTruss(edges: DataFrame, uCol: String, vCol: String, k: Int = 4,
-             rounds: Int = 2, canonical: Boolean = false): DataFrame = {
+             rounds: Int = 2, canonical: Boolean = false,
+             maxDeltaBroadcast: Long = 1000000L): DataFrame = {
     require(k >= 3 && rounds >= 1, "k-truss needs k >= 3 and rounds >= 1")
     // the bounded peel ALSO runs on the incremental loop (one full
     // support pass + delta rounds instead of `rounds`+1 full passes):
     // maintained sup equals the fresh in-graph support every round, and
     // the early fixpoint exit is idempotence-safe for a bounded count —
     // output is identical to the full-recompute reference (spec-pinned)
-    peelIncremental(canonicalEdges(edges, uCol, vCol, canonical), k, rounds)
+    peelIncremental(canonicalEdges(edges, uCol, vCol, canonical), k, rounds,
+      maxDeltaBroadcast)
   }
 
   /** Full-recompute bounded peel — the differential reference for the

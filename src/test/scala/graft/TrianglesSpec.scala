@@ -211,6 +211,27 @@ class TrianglesSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("bounded stop on a fallback round keeps zero-support survivors") {
+    // the review-finding scenario: triangle chain {1,2,3},{2,3,4} —
+    // round 1 (k=4) drops the four support-1 edges, leaving (2,3) with
+    // its support decremented to 0. A bounded rounds=1 peel must emit
+    // (2,3, support 0) like the full-recompute reference does, in BOTH
+    // dispatch regimes: the delta branch (default) and the large-delta
+    // FALLBACK branch (maxDeltaBroadcast=0), whose original inner
+    // support join dropped the zero-support survivor one round early.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val ref = rows(Triangles.kTrussReference(edges, "u", "v", k = 4, rounds = 1))
+    assert(ref === Map((2L, 3L) -> 0L), s"reference shape changed: $ref")
+    val delta = rows(Triangles.kTruss(edges, "u", "v", k = 4, rounds = 1))
+    val fallback = rows(Triangles.kTruss(edges, "u", "v", k = 4, rounds = 1,
+      maxDeltaBroadcast = 0L))
+    assert(delta === ref, "delta branch drops the zero-support survivor")
+    assert(fallback === ref, "fallback branch drops the zero-support survivor")
+    spark.catalog.clearCache()
+  }
+
   test("kTruss peeling cascades: removing weak edges can strip later rounds") {
     // triangle chain: {1,2,3} and {2,3,4} share edge (2,3); edge (3,4) and
     // (2,4) support 1, (2,3) support 2. k=4 (threshold 2): round 1 drops
