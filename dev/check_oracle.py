@@ -43,19 +43,31 @@ TIMEOUT_SEC = float(os.environ.get("ORACLE_TIMEOUT_SEC", "120"))
 
 
 def run_with_budget(con, sql: str):
-    """Run `sql` under the per-query wall budget; raises on timeout/OOM."""
+    """Run `sql` under the per-query wall budget; raises on timeout/OOM.
+
+    The query runs on its OWN cursor (a duckdb cursor is a sibling
+    connection over the same database, so the session's views stay
+    visible): the watchdog has an inherent race — the timeout can elapse
+    just as execute() returns, firing interrupt() after completion — and
+    on a shared connection that stray interrupt would spuriously cancel
+    the NEXT query in the loop (round-9 advice finding). Scoped to a
+    per-query cursor that is closed before returning, a late interrupt
+    has nothing to land on. The watchdog is also joined after done.set()
+    so it can never outlive its query.
+    """
+    cur = con.cursor()
     done = threading.Event()
     timed_out = []
 
     def watchdog():
         if not done.wait(TIMEOUT_SEC):
             timed_out.append(True)
-            con.interrupt()
+            cur.interrupt()
 
     w = threading.Thread(target=watchdog, daemon=True)
     w.start()
     try:
-        df = con.execute(sql).df()
+        df = cur.execute(sql).df()
     except Exception as e:  # noqa: BLE001 - re-raise with budget context
         if timed_out:
             raise RuntimeError(
@@ -63,6 +75,8 @@ def run_with_budget(con, sql: str):
         raise
     finally:
         done.set()
+        w.join()
+        cur.close()
     return df
 
 

@@ -69,6 +69,14 @@ object SparkEntry {
       s"replace($acc, '($l)($r)', '($m)')"
     }
 
+  /** Unrolled threshold rounds in the q_ktruss_converged DuckDB oracle —
+    * ONE constant ties the oracle replay depth to the engine's
+    * convergence budget (engine runs maxRounds = this + 1 with
+    * requireConverged = true, so "peel deeper than the oracle unroll"
+    * is a loud dump-time error, never a silent gate mismatch).
+    */
+  private val ktrussOracleRounds = 10
+
   /** Session-scoped memo of the CANONICAL co-bought-parts edge relation
     * (distinct item_a < item_b pairs), shared by all seven graph queries
     * (triangles, clustering coef, LPA, modularity, BFS, k-core,
@@ -682,10 +690,15 @@ object SparkEntry {
       graft.analytics.Triangles.kTruss(
         coBoughtEdges(s, d), "item_a", "item_b", canonical = true)),
     // --- k-truss peeled to FIXPOINT (unchanged-count early exit): the
-    // TRUE maximal 4-truss, not a bounded demonstration ---
+    // TRUE maximal 4-truss, not a bounded demonstration. maxRounds is
+    // TIED to the oracle unroll (ktrussOracleRounds threshold rounds +
+    // the fixpoint-confirming round) and requireConverged makes a peel
+    // deeper than the oracle's idempotence margin a LOUD engine error
+    // instead of a silent hash mismatch (round-9 advice finding) ---
     "q_ktruss_converged" -> ((s, d) =>
       graft.analytics.Triangles.kTrussConverged(
-        coBoughtEdges(s, d), "item_a", "item_b", canonical = true)),
+        coBoughtEdges(s, d), "item_a", "item_b", canonical = true,
+        maxRounds = ktrussOracleRounds + 1, requireConverged = true)),
     // --- per-part local clustering coefficient over the co-bought graph ---
     "q_clustering_coef" -> ((s, d) =>
       graft.analytics.Triangles.clusteringCoefficient(
@@ -2334,10 +2347,14 @@ object SparkEntry {
     // a BOUNDED unrolled replay because peeling is idempotent past the
     // fixpoint — PROVIDED the unroll covers the convergence depth.
     // Measured (dev/ExplainTrussRounds): sf0.01 converges at round 2,
-    // sf0.1 at round 7 — so the first 6-round unroll would have
-    // mismatched at sf0.1 (review finding). 10 rounds = margin over the
+    // sf0.1 at round 7; ktrussOracleRounds = 10 is margin over the
     // deepest measured SF at ~0.65 s/round under the materialized CTEs.
-    "q_ktruss_converged" -> graft.analytics.Triangles.kTrussOracleSql(rounds = 10),
+    // The margin is no longer an unchecked empirical constant: the
+    // engine side runs with maxRounds = ktrussOracleRounds + 1 and
+    // requireConverged = true, so a dataset whose peel outruns this
+    // unroll throws at dump time instead of hash-mismatching here.
+    "q_ktruss_converged" ->
+      graft.analytics.Triangles.kTrussOracleSql(rounds = ktrussOracleRounds),
     // ten HUGEINT power sums -> one shared Cramer/IEEE expression tree
     "q_ols" -> graft.analytics.Ols.priceModelOracleSql,
     "q_trend_slope" ->

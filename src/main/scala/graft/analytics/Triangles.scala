@@ -149,10 +149,11 @@ object Triangles {
   def kTrussConverged(edges: DataFrame, uCol: String, vCol: String,
                       k: Int = 4, maxRounds: Int = 30,
                       canonical: Boolean = false,
-                      maxDeltaBroadcast: Long = 1000000L): DataFrame = {
+                      maxDeltaBroadcast: Long = 1000000L,
+                      requireConverged: Boolean = false): DataFrame = {
     require(k >= 3 && maxRounds >= 1, "k-truss needs k >= 3 and maxRounds >= 1")
     peelIncremental(canonicalEdges(edges, uCol, vCol, canonical), k, maxRounds,
-      maxDeltaBroadcast)
+      maxDeltaBroadcast, requireConverged)
   }
 
   /** The full-recompute converged peel — the differential REFERENCE for
@@ -232,11 +233,17 @@ object Triangles {
     * edge relation is STREAMED twice per round and never reshuffled.
     * A triangle with 2–3 deleted edges is found once per D-edge and
     * deduplicated by its sorted vertex triple before decrementing the
-    * SURVIVING member edges. When a round deletes more than
-    * `maxDeltaBroadcast` edges the round falls back to one full
-    * recompute (the [[graft.operators.SkewJoin.autoSaltedJoin]]
-    * dispatch pattern): on adversarial graphs the delta machinery never
-    * broadcasts an unbounded relation.
+    * SURVIVING member edges. TWO guards gate the delta path (the
+    * [[graft.operators.SkewJoin.autoSaltedJoin]] dispatch pattern),
+    * falling back to one full recompute when either trips: the deleted
+    * edge COUNT must not exceed `maxDeltaBroadcast` (cheap, checked
+    * first), and the WEDGE CANDIDATE count — ∝ the summed degree of the
+    * dropped endpoints, which a small peel round touching hub vertices
+    * can blow up arbitrarily — must not either. The wedge relation
+    * itself is built distributed (D broadcast onto streamed adjacency)
+    * and only counted before `cand` is allowed onto the driver, so on
+    * adversarial graphs the delta machinery never broadcasts an
+    * unbounded relation.
     *
     * Maintained support EQUALS a fresh per-round recompute (the
     * triangle-counting identity above — spec-pinned against
@@ -245,7 +252,8 @@ object Triangles {
     * whole-graph pass either.
     */
   private def peelIncremental(e0: DataFrame, k: Int, maxRounds: Int,
-                              maxDeltaBroadcast: Long = 1000000L): DataFrame = {
+                              maxDeltaBroadcast: Long = 1000000L,
+                              requireConverged: Boolean = false): DataFrame = {
     val thr = k - 2
     // invariant: cur = (u, v, sup) — the current graph's edges with their
     // EXACT in-graph support (edges in no triangle have no sup row in
@@ -261,56 +269,82 @@ object Triangles {
       if (dCount == 0L) {
         out = cur // fixpoint: maintained sup IS the in-graph support
       } else {
+        // full recompute — the bounded fallback for rounds whose delta
+        // machinery would broadcast too much. LEFT join: a surviving
+        // edge in no triangle of the new subgraph must stay (sup 0)
+        // until the NEXT threshold drops it — the inner join dropped it
+        // one round early, diverging from the bounded reference exactly
+        // when maxRounds stops here (review finding; delta branch
+        // already keeps sup-0 rows). It produces no decrements next
+        // round (0 triangles).
+        def fullRecompute(): DataFrame = {
+          val kept = keep.select("u", "v")
+          kept.join(support(kept), Seq("u", "v"), "left")
+            .select(col("u"), col("v"),
+              coalesce(col("sup"), lit(0L)).as("sup"))
+        }
+        var roundWedges: DataFrame = null // persisted gate input, freed below
         val next =
           if (dCount > maxDeltaBroadcast) {
-            // huge peel round: one full recompute beats broadcasting it.
-            // LEFT join: a surviving edge in no triangle of the new
-            // subgraph must stay (sup 0) until the NEXT threshold drops
-            // it — the inner join dropped it one round early, diverging
-            // from the bounded reference exactly when maxRounds stops
-            // here (review finding; delta branch already keeps sup-0
-            // rows). It produces no decrements next round (0 triangles).
-            val kept = keep.select("u", "v")
-            kept.join(support(kept), Seq("u", "v"), "left")
-              .select(col("u"), col("v"),
-                coalesce(col("sup"), lit(0L)).as("sup"))
+            // huge peel round: one full recompute beats broadcasting it
+            fullRecompute()
           } else {
             val d = dropped.select("u", "v")
             // wedges from the deleted edge's u-side against the CURRENT
             // graph (all three edges of any lost triangle are triangle
-            // edges, hence present in cur)
+            // edges, hence present in cur) — built DISTRIBUTED (d
+            // broadcast onto the streamed adjacency) and materialized,
+            // because its COUNT gates the next broadcast: dCount bounds
+            // only the deleted-edge rows, while the wedge relation is
+            // ∝ Σ deg(endpoint) and a few dropped hub edges can make it
+            // arbitrarily larger than dCount (round-9 advice finding)
             val adj = cur.select(col("u").as("a"), col("v").as("b"))
               .unionByName(cur.select(col("v").as("a"), col("u").as("b")))
             val wedges = adj.join(broadcast(d), col("a") === col("u"))
               .filter(col("b") =!= col("v"))
               .select(col("u"), col("v"), col("b").as("w"))
-            // closing check: (min(v,w), max(v,w)) must be a current edge;
-            // candidates are delta-sized — broadcast them, stream cur
-            val cand = wedges.select(col("u"), col("v"), col("w"),
-              least(col("v"), col("w")).as("cu"),
-              greatest(col("v"), col("w")).as("cv"))
-            val tri = cur.select(col("u").as("cu"), col("v").as("cv"))
-              .join(broadcast(cand), Seq("cu", "cv"))
-            // dedupe multi-deleted-edge triangles by sorted vertex triple
-            val lost = tri.select(array_sort(array(col("u"), col("v"),
-              col("w"))).as("t")).distinct()
-              .select(col("t").getItem(0).as("x"),
-                col("t").getItem(1).as("y"), col("t").getItem(2).as("z"))
-            val dec = lost.select(explode(array(
-                struct(col("x").as("u"), col("y").as("v")),
-                struct(col("x").as("u"), col("z").as("v")),
-                struct(col("y").as("u"), col("z").as("v")))).as("ed"))
-              .select(col("ed.u").as("u"), col("ed.v").as("v"))
-              .groupBy("u", "v").agg(count(lit(1)).as("lost_tris"))
-            keep.join(broadcast(dec), Seq("u", "v"), "left")
-              .select(col("u"), col("v"),
-                (col("sup") - coalesce(col("lost_tris"), lit(0L))).as("sup"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val wCount = wedges.count()
+            if (wCount > maxDeltaBroadcast) {
+              wedges.unpersist(blocking = false)
+              fullRecompute()
+            } else {
+              roundWedges = wedges
+              // closing check: (min(v,w), max(v,w)) must be a current
+              // edge; candidates are gated-delta-sized — broadcast them,
+              // stream cur
+              val cand = wedges.select(col("u"), col("v"), col("w"),
+                least(col("v"), col("w")).as("cu"),
+                greatest(col("v"), col("w")).as("cv"))
+              val tri = cur.select(col("u").as("cu"), col("v").as("cv"))
+                .join(broadcast(cand), Seq("cu", "cv"))
+              // dedupe multi-deleted-edge triangles by sorted vertex triple
+              val lost = tri.select(array_sort(array(col("u"), col("v"),
+                col("w"))).as("t")).distinct()
+                .select(col("t").getItem(0).as("x"),
+                  col("t").getItem(1).as("y"), col("t").getItem(2).as("z"))
+              val dec = lost.select(explode(array(
+                  struct(col("x").as("u"), col("y").as("v")),
+                  struct(col("x").as("u"), col("z").as("v")),
+                  struct(col("y").as("u"), col("z").as("v")))).as("ed"))
+                .select(col("ed.u").as("u"), col("ed.v").as("v"))
+                .groupBy("u", "v").agg(count(lit(1)).as("lost_tris"))
+              keep.join(broadcast(dec), Seq("u", "v"), "left")
+                .select(col("u"), col("v"),
+                  (col("sup") - coalesce(col("lost_tris"), lit(0L))).as("sup"))
+            }
           }
         val nextC = graft.Caching.checkpointed(next)
         graft.Caching.releaseCheckpoint(cur)
+        if (roundWedges != null) roundWedges.unpersist(blocking = false)
         cur = nextC
       }
     }
+    if (out == null && requireConverged)
+      throw new IllegalStateException(
+        s"k-truss peel did not reach fixpoint within $maxRounds rounds — " +
+          s"an unrolled oracle of ${maxRounds - 1} threshold rounds would NOT " +
+          "match this output; raise maxRounds and the oracle unroll together")
     val fin = if (out != null) out else cur // maxRounds bound hit
     fin.select(col("u").as("src"), col("v").as("dst"),
       col("sup").as("support"))

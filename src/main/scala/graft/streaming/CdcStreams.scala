@@ -87,6 +87,49 @@ object CdcStreams {
       snapshotAsOf(spark, tableDir, fromV),
       snapshotAsOf(spark, tableDir, toV), key)
 
+  /** Streaming CDC maintenance of an IVF ANN index — the arrival-time
+    * twin of `q_ivm_ann` ([[graft.similarity.Ann.ivfMaintainPostings]]
+    * folded per micro-batch, exactly like [[cdcApply]] folds
+    * [[Merge.scd1Merge]]): a change stream of (vec_id, v, is_delete)
+    * rows maintains versioned posting-list snapshots under FROZEN
+    * centroids (the FAISS incremental-ingest protocol — the coarse
+    * quantizer never moves between scheduled rebuilds).
+    *
+    * Per-batch work is ∝ |batch| (the plan AnnSpec pins: broadcast
+    * anti-join delete leg, delta-only assignment insert leg — the
+    * corpus-sized posting relation is streamed, never reshuffled), and
+    * the same versioned-directory idempotence as [[cdcApply]] makes a
+    * replayed batch overwrite its own version. `centroids` (cent_id,
+    * cv) is collected ONCE here — bounded k×dim model state, the
+    * [[graft.similarity.Ann]] driver-state discipline — and re-localized
+    * per batch, so batch plans never reference the caller's analysis-
+    * time plan. The maintained relation after any batch EQUALS a fresh
+    * assignment of the merged corpus (spec-pinned batch twin), so reads
+    * via [[snapshot]] can feed `Ann.searchPostings` directly.
+    */
+  def ivfCdcApply(changeStream: DataFrame, initialPostings: DataFrame,
+                  centroids: DataFrame, tableDir: String,
+                  checkpointDir: String): StreamingQuery = {
+    Files.createDirectories(Paths.get(tableDir))
+    initialPostings.write.mode("overwrite").parquet(s"$tableDir/${VersionPrefix}0")
+    val centRows = centroids.collect() // frozen quantizer, k×dim bounded
+    val centSchema = centroids.schema
+    changeStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // batch k reads vk and writes v(k+1) — NOT latestVersion (see
+        // cdcApply: a replayed batch must never source its own output)
+        val current = spark.read.parquet(s"$tableDir/$VersionPrefix$batchId")
+        val cents = spark.createDataFrame(
+          java.util.Arrays.asList(centRows: _*), centSchema)
+        graft.similarity.Ann.ivfMaintainPostings(current, batch, cents)
+          .write.mode("overwrite")
+          .parquet(s"$tableDir/$VersionPrefix${batchId + 1}")
+      }
+      .start()
+  }
+
   /** Start folding `changeStream` into a versioned snapshot table seeded
     * with `initial` at version 0. Returns the running query; callers stop
     * it and read [[snapshot]].

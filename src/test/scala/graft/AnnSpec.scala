@@ -144,13 +144,16 @@ class AnnSpec extends AnyFunSuite {
 
   test("ivm ivf streaming: micro-batched CDC folds land on the fresh rebuild") {
     // the arrival-time twin of q_ivm_ann (the IvmSpec foreachBatch
-    // discipline applied to the ANN index): a CDC stream of
-    // (vec_id, v, is_delete) batches maintains versioned posting-list
-    // snapshots via ivfMaintainPostings under the SAME frozen
-    // centroids; after two batches the maintained postings must equal
-    // a from-scratch assignment of the merged corpus — per-batch work
-    // stays ∝ batch (the batch-side plan is the one the per-delta plan
-    // test above pins).
+    // discipline applied to the ANN index), via the MAIN-SOURCE entry
+    // point graft.streaming.CdcStreams.ivfCdcApply (promoted from this
+    // spec in round 10 — a user wiring real ingest calls the library,
+    // not a test): a CDC stream of (vec_id, v, is_delete) batches
+    // maintains versioned posting-list snapshots via
+    // ivfMaintainPostings under the SAME frozen centroids; after two
+    // batches the maintained postings must equal a from-scratch
+    // assignment of the merged corpus — per-batch work stays ∝ batch
+    // (the batch-side plan is the one the per-delta plan test above
+    // pins).
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, round, row_number, asc, desc}
     implicit val sqlCtx = spark.sqlContext
@@ -170,19 +173,10 @@ class AnnSpec extends AnyFunSuite {
     }
     val tableDir = java.nio.file.Files.createTempDirectory("graft_ivf_tbl").toString
     val chk = java.nio.file.Files.createTempDirectory("graft_ivf_chk").toString
-    assign(old).write.mode("overwrite").parquet(s"$tableDir/v0")
-    val centRows = cents.collect() // frozen quantizer, re-localized per batch
     val stream = MemoryStream[(Long, Seq[Double], Boolean)]
-    val q = stream.toDF().toDF("vec_id", "v", "is_delete")
-      .writeStream.option("checkpointLocation", chk)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-        val ss = batch.sparkSession
-        val cur = ss.read.parquet(s"$tableDir/v$id")
-        val cs = ss.createDataFrame(
-          java.util.Arrays.asList(centRows: _*), cents.schema)
-        Ann.ivfMaintainPostings(cur, batch, cs)
-          .write.mode("overwrite").parquet(s"$tableDir/v${id + 1}")
-      }.start()
+    val q = graft.streaming.CdcStreams.ivfCdcApply(
+      stream.toDF().toDF("vec_id", "v", "is_delete"),
+      assign(old), cents, tableDir, chk)
     val insRows = e.filter(pmod(col("vec_id"), lit(13)) === 0)
       .select("vec_id", "v").as[(Long, Seq[Double])].collect()
     val delRows = old.filter(pmod(col("vec_id"), lit(17)) === 3)
