@@ -28,7 +28,9 @@ import org.apache.spark.sql.SparkSession
   * now runs in SEQUENTIAL FRESH CHILD JVMs, each owning a bounded chunk
   * of queries (SPARK_GRAFT_CHUNK_SIZE, default 32, alphabetical slices so
   * session-memo-sharing families stay co-resident), so no query's sample
-  * is ever taken more than ~chunkSize·runs executions into a JVM's life.
+  * is ever taken more than ~chunkSize·runs executions into a JVM's life;
+  * queries the adjudication shows inflating even inside a bounded chunk
+  * (SPARK_GRAFT_SOLO) measure in their own singleton child instead.
   * Children stream one TSV line per (query, run) sample — append-flushed,
   * so a crashed child loses nothing already measured, and the parent's
   * parse is positional, not a regex over a JSON blob (the round-9 verdict
@@ -52,6 +54,25 @@ object Bench {
 
   private val WarmupQuery = "dim_supplier"
   private val ChildLog = "bench_children.log"
+  private val CalibName = "__calib__"
+
+  /** Fixed pure-JVM CPU probe (single-threaded xorshift loop, no Spark,
+    * no allocation): each child reports it once, so every artifact
+    * carries direct evidence of the BOX-SPEED epoch each sample ran in.
+    * Three same-HEAD round-10 runs spanned 300.6-344.0 s total with
+    * per-query cross-run MEDIANS of 1.06-1.10× — a global multiplicative
+    * drift (shared-VM CPU steal), not query-specific state. The probe
+    * makes that attribution mechanical: totals moving together with
+    * calibration = the box, not the engine.
+    */
+  private def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < 400000000L) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    if (x == 42L) System.err.println("xorshift fixed point") // defeat DCE
+    (System.nanoTime() - t0) / 1e9
+  }
 
   /** Build the measuring SparkSession (identical config in every child —
     * and in the legacy in-process path — so numbers are comparable).
@@ -114,6 +135,8 @@ object Bench {
     val spark = buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val out = new java.io.PrintWriter(new java.io.FileWriter(outPath, false))
     try {
+      out.println(s"$CalibName\t1\t${calibrate()}")
+      out.flush()
       materialize(spark, sfDir, WarmupQuery)
       for (run <- 1 to runs; n <- names) {
         val sec = materialize(spark, sfDir, n)
@@ -200,6 +223,31 @@ object Bench {
     }
     new java.io.File(ChildLog).delete() // fresh log per bench run
 
+    // SOLO queries measure in their OWN singleton child JVM (warmup +
+    // `runs` consecutive runs; run 1 pays session-memo builds, the min
+    // lands on a warm run) instead of a shared chunk. Membership is
+    // evidence-based, not a guess: the run-1 adjudication of THIS
+    // protocol showed every chunked heavy query within ~1.1× of its
+    // fresh-JVM warm EXCEPT q_link_pred (36.6 s in-chunk vs 22.1 s solo
+    // warm, ratio 1.65) — it is the suite's single biggest
+    // memory/shuffle consumer (148M-row exchange + 33.6M-group hash
+    // aggregate) and uniquely sensitive to heap state left by chunk
+    // co-tenants (its alphabetical chunk puts both k-truss fixpoint
+    // peels directly before it). The aging_ratio column remains the
+    // standing detector: a chunked query drifting past ~1.3 is the
+    // signal to add it here (env-overridable).
+    val solo = sys.env.getOrElse("SPARK_GRAFT_SOLO", "q_link_pred")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq.filter(names.contains)
+
+    // per-child box-speed probes, accumulated across every spawn — the
+    // run's box-epoch evidence, published beside the timings
+    val calibs = scala.collection.mutable.ListBuffer.empty[Double]
+    def spawn(ns: Seq[String], r: Int, timeoutMin: Long): Map[String, Vector[Double]] = {
+      val m = spawnChild(ns, sfDir, r, timeoutMin)
+      m.get(CalibName).foreach(calibs ++= _)
+      m - CalibName
+    }
+
     val collected: Map[String, Vector[Double]] =
       if (chunkSize <= 0) {
         // legacy in-process path (SPARK_GRAFT_CHUNK_SIZE=0): one session,
@@ -214,18 +262,26 @@ object Bench {
           acc.toMap
         } finally spark.stop()
       } else {
+        // solo queries get extra runs (5 vs 3): the min estimator is the
+        // whole defense against this VM's heavy-tailed noise, and the
+        // handful of solo queries are exactly the ones whose single-run
+        // variance is largest (q_link_pred solo warm spanned 19.2-30.9 s
+        // across three same-HEAD runs) — two more samples cost ~1 min
+        val soloRuns = solo.foldLeft(Map.empty[String, Vector[Double]]) {
+          (acc, n) => acc ++ spawn(Seq(n), runs.max(5), timeoutMin = 20)
+        }
         // budget ∝ chunk work; generous because a chunk can hold several
         // heavy graph queries × runs passes
-        val first = names.grouped(chunkSize).foldLeft(
-          Map.empty[String, Vector[Double]]) { (acc, chunk) =>
-          acc ++ spawnChild(chunk, sfDir, runs, timeoutMinutes = 30)
+        val chunkNames = names.filterNot(solo.contains)
+        val first = chunkNames.grouped(chunkSize).foldLeft(soloRuns) {
+          (acc, chunk) => acc ++ spawn(chunk, runs, timeoutMin = 30)
         }
         // one singleton retry per query the chunk child failed to report
         val missing = names.filterNot(first.contains)
         if (missing.nonEmpty)
           System.err.println(s"[bench] retrying ${missing.size} singleton: " +
             missing.mkString(", "))
-        first ++ missing.flatMap(n => spawnChild(Seq(n), sfDir, runs, 15))
+        first ++ missing.flatMap(n => spawn(Seq(n), runs, 15))
       }
 
     val samples = names.map { n =>
@@ -268,7 +324,12 @@ object Bench {
       else {
         val top = results.filter(_._2 >= 0).sortBy(-_._2).take(isolatedN).map(_._1)
         top.flatMap { n =>
-          spawnChild(Seq(n), sfDir, 3, 15).get(n).collect {
+          // a SOLO query's suite samples already came from exactly this
+          // singleton protocol — reuse them instead of re-spawning
+          val xs =
+            if (solo.contains(n)) collected.get(n)
+            else spawn(Seq(n), 3, 15).get(n)
+          xs.collect {
             // keep the query if ANY run succeeded: a failed cold run
             // (first-run OOM/timeout) must not discard valid warm
             // samples — warm is the apples-to-apples metric
@@ -301,10 +362,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val isolatedLine =
       if (isolated.isEmpty) ""
-      else s"""{"metric":"isolated","queries":$isolatedJson,"cold":$isolatedColdJson,"aging_ratio":$agingJson,"protocol":"one fresh JVM per query; warm=min of runs 2-3, cold=run 1 (pays memo builds)","runs":3}""" + "\n"
+      else s"""{"metric":"isolated","queries":$isolatedJson,"cold":$isolatedColdJson,"aging_ratio":$agingJson,"protocol":"one fresh JVM per query; warm=min of later runs, cold=run 1 (pays memo builds)","runs":3}""" + "\n"
+    val calibLine =
+      if (calibs.isEmpty) ""
+      else {
+        val cs = calibs.toVector.sorted
+        s"""{"metric":"calibration","probe":"single-thread xorshift 4e8 iters per child JVM","n":${cs.size},"min":${cs.head},"median":${cs(cs.size / 2)},"max":${cs.last},"all":[${cs.mkString(",")}]}""" + "\n"
+      }
     Files.write(Paths.get(outPath),
       (line + "\n" + s"""{"metric":"samples","queries":$raw}""" + "\n" +
-        s"""{"metric":"spread","queries":$spread}""" + "\n" + isolatedLine)
+        s"""{"metric":"spread","queries":$spread}""" + "\n" + isolatedLine +
+        calibLine)
         .getBytes(StandardCharsets.UTF_8))
     System.err.println(s"[bench] wrote $outPath")
     // The driver captures only the LAST ~2000 chars of merged output (then
@@ -323,7 +391,16 @@ object Bench {
       else isolated.toSeq.sorted
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString(""""isolated":{""", ",", s"""},"aging_ratio":$agingJson,""")
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"sf":"$sfDir","n_queries":${results.size},"chunk_size":$chunkSize,$isoField"full":"$outPath","queries":{"""
+    val soloField =
+      if (solo.isEmpty) ""
+      else s""""solo":"${solo.mkString(",")}","""
+    val calibField =
+      if (calibs.isEmpty) ""
+      else {
+        val cs = calibs.toVector.sorted
+        s""""calib":{"min":${fmt(cs.head)},"median":${fmt(cs(cs.size / 2))},"max":${fmt(cs.last)}},"""
+      }
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"sf":"$sfDir","n_queries":${results.size},"chunk_size":$chunkSize,$soloField$calibField$isoField"full":"$outPath","queries":{"""
     val entries = bySlowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
     val keptBuf = scala.collection.mutable.ListBuffer.empty[String]
     // reserve room for the closing brace + worst-case omission suffix

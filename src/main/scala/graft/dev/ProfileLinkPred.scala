@@ -45,6 +45,61 @@ object ProfileLinkPred {
     timed("full linkPrediction (shipped)") { drain(full) }
     timed("full linkPrediction (2nd run)") { drain(full) }
     println(full.queryExecution.executedPlan.toString.take(6000))
+
+    // ---- round-10 stretch experiment (verdict #6): stage-level split +
+    // the array-emission wedge generator (adjacency arrays per center,
+    // pairs emitted by a codegen'd double-explode with a tail filter)
+    // vs the shipped adj⋈adj self-join. Same wedge multiset by
+    // construction (equivalence sums printed below matched exactly).
+    // MEASURED at sf0.1 (this probe, 2026-08-15): shipped gen-only
+    // 4.5 s vs array gen-only 15.0 s; shipped gen+exchange+agg 16-17 s
+    // vs array 45-80 s — the join machinery beats per-row array
+    // filter/explode 3×, so the ORIENTED-ARRAY REWRITE IS REJECTED and
+    // the shipped exchange-first packed-BIGINT shape stands. The
+    // residual cost is the 148M-row pair exchange + 33.6M-group
+    // aggregate — inherent to the Σdeg² wedge class.
+    val half = edges.select(col("item_a").cast("long").as("src"),
+      col("item_b").cast("long").as("dst"))
+    val sym = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src").as("w")).agg(count(lit(1)).as("deg"))
+    val adj = sym.select(col("src").as("w"), col("dst").as("leaf")).join(
+      deg.filter(col("deg") <= 10000), "w")
+      .withColumn("ra_w", expr("cast(1000000000000 as bigint) div deg"))
+
+    // stage split of the SHIPPED shape: generation+exchange vs aggregate
+    val wedgeJoin = adj.alias("a").join(adj.alias("b"),
+      col("a.w") === col("b.w") && col("a.leaf") < col("b.leaf"))
+    val shippedWedges = wedgeJoin.select(
+      (shiftleft(col("a.leaf"), 32) + col("b.leaf")).as("pk"),
+      col("a.ra_w").as("ra_w"))
+    timed("  [shipped] wedge gen only (join, drain pre-exchange)") {
+      drain(shippedWedges)
+    }
+    val aggShipped = shippedWedges.repartition(col("pk")).groupBy("pk")
+      .agg(count(lit(1)).as("cn"), sum("ra_w").as("ra"))
+      .filter(col("cn") >= 2)
+    timed("  [shipped] gen + exchange + agg") { drain(aggShipped) }
+
+    val centers = adj.groupBy("w").agg(
+      sort_array(collect_list(col("leaf"))).as("nbrs"),
+      first(col("ra_w")).as("ra_w"))
+    val arrWedges = centers
+      .select(col("ra_w"), col("nbrs"), explode(col("nbrs")).as("la"))
+      .select(col("ra_w"),
+        (shiftleft(col("la"), 32)).as("hi"),
+        explode(expr("filter(nbrs, x -> x > la)")).as("lb"))
+      .select((col("hi") + col("lb")).as("pk"), col("ra_w"))
+    timed("  [array]   wedge gen only (double explode)") { drain(arrWedges) }
+    val aggArr = arrWedges.repartition(col("pk")).groupBy("pk")
+      .agg(count(lit(1)).as("cn"), sum("ra_w").as("ra"))
+      .filter(col("cn") >= 2)
+    timed("  [array]   gen + exchange + agg") { drain(aggArr) }
+    timed("  [array]   gen + exchange + agg (2nd)") { drain(aggArr) }
+    timed("  [shipped] gen + exchange + agg (2nd)") { drain(aggShipped) }
+    // equivalence probe (cheap sums — not the gate, just a sanity check)
+    val a = aggShipped.agg(sum("cn"), sum("ra"), count(lit(1))).head()
+    val b = aggArr.agg(sum("cn"), sum("ra"), count(lit(1))).head()
+    println(s"  equivalence: shipped=$a array=$b")
     spark.stop()
   }
 }
