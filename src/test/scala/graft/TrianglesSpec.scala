@@ -232,6 +232,58 @@ class TrianglesSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("wedge-count gate: a hub-heavy small delta falls back, output unchanged") {
+    // the round-10 advice scenario: dCount alone under-gates the
+    // broadcast, because a couple of dropped edges touching a hub spawn
+    // wedge candidates ∝ the hub's degree. K5 (survives 4-truss) + hub
+    // edges 100-{1..5} (each in >= 4 triangles, survive) + the pendant
+    // triangle {1,100,200}: edges (1,200) and (100,200) have support 1
+    // < threshold, so round 1 drops exactly those two (dCount=2 <= cap
+    // 3) — but their wedge candidates run through hub 100 (degree 7)
+    // and vertex 1 (degree 7), ~12 wedges > cap 3, so the round must
+    // take the NEW wedge-gated fallback — and produce exactly the
+    // reference peel either way.
+    val k5 = for { i <- 1L to 5L; j <- (i + 1) to 5L } yield (i, j)
+    val hub = (1L to 5L).map(i => (i, 100L))
+    val edges = (k5 ++ hub ++ Seq((100L, 200L), (1L, 200L))).toDF("u", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val ref = rows(Triangles.kTrussConvergedReference(edges, "u", "v", k = 4))
+    val wedgeGated = rows(Triangles.kTrussConverged(edges, "u", "v", k = 4,
+      maxDeltaBroadcast = 3L))
+    val deltaPath = rows(Triangles.kTrussConverged(edges, "u", "v", k = 4))
+    assert(wedgeGated === ref, "wedge-gated fallback diverges from reference")
+    assert(deltaPath === ref, "delta path diverges from reference")
+    assert(ref.contains((1L, 100L)) && !ref.contains((100L, 200L)),
+      s"fixture lost its shape: $ref")
+    spark.catalog.clearCache()
+  }
+
+  test("requireConverged: outrunning the round budget throws, converging within it returns") {
+    // triangle chain {1,2,3},{2,3,4} needs 2 peel rounds + the
+    // fixpoint-confirming round (3 loop iterations). maxRounds=2 with
+    // requireConverged must THROW (the oracle-unroll contract: a peel
+    // deeper than the unrolled replay is a loud dump-time error, not a
+    // silent hash mismatch); maxRounds=3 converges and returns empty.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
+    val e = intercept[IllegalStateException] {
+      Triangles.kTrussConverged(edges, "u", "v", k = 4, maxRounds = 2,
+        requireConverged = true).collect()
+    }
+    assert(e.getMessage.contains("fixpoint"), e.getMessage)
+    val ok = Triangles.kTrussConverged(edges, "u", "v", k = 4, maxRounds = 3,
+      requireConverged = true).collect()
+    assert(ok.isEmpty, s"cascade should empty the graph, got ${ok.mkString(",")}")
+    // without the flag, the bound-hit run still RETURNS the round-2
+    // state (bounded-peel semantics unchanged — here the cascade has
+    // already emptied the graph by round 2)
+    val bounded = Triangles.kTrussConverged(edges, "u", "v", k = 4, maxRounds = 2)
+      .collect()
+    assert(bounded.isEmpty,
+      s"2 peel rounds empty this graph; got ${bounded.mkString(",")}")
+    spark.catalog.clearCache()
+  }
+
   test("kTruss peeling cascades: removing weak edges can strip later rounds") {
     // triangle chain: {1,2,3} and {2,3,4} share edge (2,3); edge (3,4) and
     // (2,4) support 1, (2,3) support 2. k=4 (threshold 2): round 1 drops
