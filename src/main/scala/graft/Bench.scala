@@ -325,9 +325,13 @@ object Bench {
         val top = results.filter(_._2 >= 0).sortBy(-_._2).take(isolatedN).map(_._1)
         top.flatMap { n =>
           // a SOLO query's suite samples already came from exactly this
-          // singleton protocol — reuse them instead of re-spawning
+          // singleton protocol — reuse them instead of re-spawning. ONLY
+          // in chunked mode: the legacy in-process path (chunkSize=0)
+          // measured solo queries in the shared aged JVM, and reusing
+          // those samples would fabricate the isolated/cold columns the
+          // adjudication exists to provide (review finding)
           val xs =
-            if (solo.contains(n)) collected.get(n)
+            if (chunkSize > 0 && solo.contains(n)) collected.get(n)
             else spawn(Seq(n), 3, 15).get(n)
           xs.collect {
             // keep the query if ANY run succeeded: a failed cold run
@@ -362,7 +366,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val isolatedLine =
       if (isolated.isEmpty) ""
-      else s"""{"metric":"isolated","queries":$isolatedJson,"cold":$isolatedColdJson,"aging_ratio":$agingJson,"protocol":"one fresh JVM per query; warm=min of later runs, cold=run 1 (pays memo builds)","runs":3}""" + "\n"
+      // no fixed "runs" field: solo-reused entries carry runs.max(5)
+      // samples while re-spawned ones carry 3 — the samples line is the
+      // per-query ground truth
+      else s"""{"metric":"isolated","queries":$isolatedJson,"cold":$isolatedColdJson,"aging_ratio":$agingJson,"protocol":"one fresh JVM per query; warm=min of later runs, cold=run 1 (pays memo builds)"}""" + "\n"
     val calibLine =
       if (calibs.isEmpty) ""
       else {

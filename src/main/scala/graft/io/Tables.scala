@@ -97,16 +97,22 @@ object Tables {
     * splits and this is a no-op — the condition, not the repartition,
     * is the contract.
     */
-  /** Memoized scan split counts, keyed by (session, path): the split
+  /** Memoized scan split counts, keyed by (sessionUUID, path): the split
     * count is a property of the file layout + the session's read conf,
     * not of the consuming query, but reading it off `df.rdd` forces full
     * physical planning + RDD lineage construction — a measurable
     * per-call driver cost when every documents/embeddings load probes it
     * (round-9 advice finding). First call per (session, path) pays the
-    * probe; the rest read the cache.
+    * probe; the rest read the cache. Keys are (session identity hash,
+    * path) STRINGS, not the session object, so stopped sessions are
+    * never pinned; the residual entries are two boxed values per
+    * (session, fixture table) — bounded noise. Known, accepted staleness: rewriting the parquet
+    * at a memoized path within one session keeps the old split count
+    * (the driver fixtures are immutable; a rewriting caller should use a
+    * fresh session or the uncached overload).
     */
   private val scanSplits =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Integer]()
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** `cacheKey = null` (caller-built relations whose split count is a
     * property of the upstream plan, not a stable file layout) probes on
@@ -118,7 +124,11 @@ object Tables {
     val n = spark.sessionState.conf.numShufflePartitions
     val splits =
       if (cacheKey == null) df.rdd.getNumPartitions
-      else scanSplits.computeIfAbsent((spark, cacheKey),
+      // identity hash, not the session object: no pinning of stopped
+      // sessions; a (vanishingly rare) hash collision merely reuses
+      // another session's split count for one decision — benign
+      else scanSplits.computeIfAbsent(
+        s"${System.identityHashCode(spark).toHexString}:$cacheKey",
         _ => Integer.valueOf(df.rdd.getNumPartitions)).intValue()
     if (splits >= n) df
     else df.repartition(n, org.apache.spark.sql.functions.col(key))

@@ -29,10 +29,13 @@ import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
   * exchange shows up as a one-line diff in `PlanSnapshotSpec` at review
   * time instead of in a bench postmortem.
   *
-  * Fingerprints read the STATIC plan (AQE disabled in the calling
-  * session): the pre-runtime plan is the deterministic artifact —
-  * AQE's runtime re-plans (auto-broadcast, skew splits) are measured
-  * by the bench, not pinned here.
+  * Fingerprints read the STATIC pre-runtime plan — the deterministic
+  * artifact; AQE's runtime re-plans (auto-broadcast, skew splits) are
+  * measured by the bench, not pinned here. PlanSnapshotSpec pins with
+  * AQE disabled on a dedicated session; calling from an AQE-on session
+  * still works (the adaptive wrapper is descended into its initial
+  * plan, never fingerprinted as a leaf), but pinned snapshots should
+  * stay AQE-off for stability.
   */
 object PlanFingerprint {
 
@@ -45,6 +48,14 @@ object PlanFingerprint {
     // snapshot churn on unrelated operator-support changes
     case w: WholeStageCodegenExec => render(w.child, depth)
     case i: InputAdapter => render(i.child, depth)
+    // AdaptiveSparkPlanExec is a LEAF node (its plan is not a child), so
+    // without this case an AQE-enabled caller would get a one-line
+    // fingerprint for every query and the gate would pass vacuously
+    // (review finding). Descend into executedPlan — before execution
+    // that is the deterministic INITIAL physical plan, so fingerprints
+    // from an AQE-on session match the AQE-off static plan.
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      render(a.executedPlan, depth)
     case _ =>
       (("  " * depth) + label(p)) +: p.children.flatMap(render(_, depth + 1))
   }

@@ -110,20 +110,37 @@ object CdcStreams {
   def ivfCdcApply(changeStream: DataFrame, initialPostings: DataFrame,
                   centroids: DataFrame, tableDir: String,
                   checkpointDir: String): StreamingQuery = {
-    Files.createDirectories(Paths.get(tableDir))
-    initialPostings.write.mode("overwrite").parquet(s"$tableDir/${VersionPrefix}0")
     val centRows = centroids.collect() // frozen quantizer, k×dim bounded
     val centSchema = centroids.schema
+    versionedFold(changeStream, initialPostings, tableDir, checkpointDir) {
+      (current, batch) =>
+        val cents = batch.sparkSession.createDataFrame(
+          java.util.Arrays.asList(centRows: _*), centSchema)
+        graft.similarity.Ann.ivfMaintainPostings(current, batch, cents)
+    }
+  }
+
+  /** The shared versioned-fold skeleton behind [[cdcApply]] and
+    * [[ivfCdcApply]]: seed v0, then fold each micro-batch through
+    * `merge(current-version, batch)` into the NEXT version directory.
+    * Batch k reads vk and writes v(k+1) — NOT latestVersion: a replayed
+    * batch must source the version before itself, never its own
+    * (possibly partial) output. That version-by-batchId naming is the
+    * whole idempotence contract; keeping it in ONE place means the next
+    * fix to the replay/versioning discipline lands in every CDC fold.
+    */
+  private def versionedFold(changeStream: DataFrame, initial: DataFrame,
+                            tableDir: String, checkpointDir: String)
+                           (merge: (DataFrame, DataFrame) => DataFrame)
+      : StreamingQuery = {
+    Files.createDirectories(Paths.get(tableDir))
+    initial.write.mode("overwrite").parquet(s"$tableDir/${VersionPrefix}0")
     changeStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        // batch k reads vk and writes v(k+1) — NOT latestVersion (see
-        // cdcApply: a replayed batch must never source its own output)
-        val current = spark.read.parquet(s"$tableDir/$VersionPrefix$batchId")
-        val cents = spark.createDataFrame(
-          java.util.Arrays.asList(centRows: _*), centSchema)
-        graft.similarity.Ann.ivfMaintainPostings(current, batch, cents)
+        val current = batch.sparkSession.read
+          .parquet(s"$tableDir/$VersionPrefix$batchId")
+        merge(current, batch)
           .write.mode("overwrite")
           .parquet(s"$tableDir/$VersionPrefix${batchId + 1}")
       }
@@ -137,21 +154,8 @@ object CdcStreams {
   def cdcApply(changeStream: DataFrame, initial: DataFrame, tableDir: String,
                checkpointDir: String, key: String,
                deleteCol: String = "is_delete",
-               seqCol: Option[String] = None): StreamingQuery = {
-    Files.createDirectories(Paths.get(tableDir))
-    initial.write.mode("overwrite").parquet(s"$tableDir/${VersionPrefix}0")
-    changeStream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        // batch k reads vk and writes v(k+1) — NOT latestVersion: a
-        // replayed batch must source the version before itself, never
-        // its own (possibly partial) output
-        val current = spark.read.parquet(s"$tableDir/$VersionPrefix$batchId")
-        Merge.scd1Merge(current, batch, key, deleteCol, seqCol)
-          .write.mode("overwrite")
-          .parquet(s"$tableDir/$VersionPrefix${batchId + 1}")
-      }
-      .start()
-  }
+               seqCol: Option[String] = None): StreamingQuery =
+    versionedFold(changeStream, initial, tableDir, checkpointDir) {
+      (current, batch) => Merge.scd1Merge(current, batch, key, deleteCol, seqCol)
+    }
 }
