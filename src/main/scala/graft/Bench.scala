@@ -54,7 +54,7 @@ object Bench {
 
   private val WarmupQuery = "dim_supplier"
   private val ChildLog = "bench_children.log"
-  private val CalibName = "__calib__"
+  private[graft] val CalibName = "__calib__"
 
   /** Fixed pure-JVM CPU probe (single-threaded xorshift loop, no Spark,
     * no allocation): each child reports it once, so every artifact
@@ -125,22 +125,51 @@ object Bench {
     }
   }
 
+  /** One sample with its attribution columns: wall seconds, GC seconds
+    * spent inside the measured window, shuffle/agg spill bytes reported
+    * by task-end events during the window, and the box-speed calibration
+    * of the child JVM that produced it (NaN on the legacy in-process
+    * path, which has no child probe).
+    */
+  private[graft] final case class Sample(sec: Double, gcS: Double, spillB: Long,
+                                         calib: Double)
+
   /** CHILD MODE: measure the arg-listed queries in THIS fresh JVM —
     * warmup first (untimed), then `runs` interleaved passes — streaming
-    * one flushed TSV line `name<TAB>runIdx<TAB>seconds` per sample to
-    * SPARK_GRAFT_CHILD_OUT. A child never spawns children.
+    * one flushed TSV line `name<TAB>runIdx<TAB>seconds<TAB>gcSec<TAB>
+    * spillBytes` per sample to SPARK_GRAFT_CHILD_OUT. GC is the JVM
+    * collector-time delta across the measured window; spill sums
+    * memory+disk bytes from task-end events (a straggler task finishing
+    * after the action returns can leak into the NEXT query's window —
+    * acceptable for attribution, the columns are evidence not billing).
+    * A child never spawns children.
     */
   private def childMain(names: Seq[String], sfDir: String, runs: Int,
                         outPath: String): Unit = {
     val spark = buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val spill = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    })
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
     val out = new java.io.PrintWriter(new java.io.FileWriter(outPath, false))
     try {
       out.println(s"$CalibName\t1\t${calibrate()}")
       out.flush()
       materialize(spark, sfDir, WarmupQuery)
       for (run <- 1 to runs; n <- names) {
+        val gc0 = gcMillis(); val sp0 = spill.get()
         val sec = materialize(spark, sfDir, n)
-        out.println(s"$n\t$run\t$sec")
+        val gcS = (gcMillis() - gc0) / 1e3
+        val spB = spill.get() - sp0
+        out.println(f"$n\t$run\t$sec\t$gcS%.3f\t$spB")
         out.flush()
       }
     } finally {
@@ -154,8 +183,8 @@ object Bench {
     * partial on crash/timeout, empty on total failure; the caller
     * decides on retries. stdout/stderr append to [[ChildLog]].
     */
-  private def spawnChild(names: Seq[String], sfDir: String, runs: Int,
-                         timeoutMinutes: Long): Map[String, Vector[Double]] = {
+  private[graft] def spawnChild(names: Seq[String], sfDir: String, runs: Int,
+                                timeoutMinutes: Long): Map[String, Vector[Sample]] = {
     val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -188,16 +217,29 @@ object Bench {
         System.err.println(s"[bench] child timed out after ${timeoutMinutes}m")
       } else if (p.exitValue() != 0)
         System.err.println(s"[bench] child rc=${p.exitValue()}")
-      // positional TSV parse; malformed tail lines (crash mid-write) drop
+      // positional TSV parse; malformed tail lines (crash mid-write)
+      // drop. Both the legacy 3-column and the gc/spill 5-column layout
+      // parse (a stale-classpath child writes 3 columns — metrics then
+      // read 0/NaN instead of poisoning the run)
       val src = scala.io.Source.fromFile(tsv, "UTF-8")
-      val samples =
+      val rows =
         try src.getLines().map(_.split('\t')).collect {
-          case Array(n, r, s) if r.nonEmpty && r.forall(_.isDigit) &&
-            scala.util.Try(s.toDouble).isSuccess => (n, r.toInt, s.toDouble)
+          case Array(n, r, s, rest @ _*) if r.nonEmpty && r.forall(_.isDigit) &&
+            scala.util.Try(s.toDouble).isSuccess =>
+            val gc = rest.headOption.flatMap(x => scala.util.Try(x.toDouble).toOption)
+              .getOrElse(Double.NaN)
+            val sp = rest.lift(1).flatMap(x => scala.util.Try(x.toLong).toOption)
+              .getOrElse(0L)
+            (n, r.toInt, Sample(s.toDouble, gc, sp, Double.NaN))
         }.toVector
         finally src.close()
-      samples.groupBy(_._1).map { case (n, xs) =>
-        n -> xs.sortBy(_._2).map(_._3)
+      // attach this child's box-speed probe to every sample it produced —
+      // the per-sample column the calibration-normalized aging ratio needs
+      val childCalib = rows.collectFirst {
+        case (CalibName, _, s) => s.sec
+      }.getOrElse(Double.NaN)
+      rows.groupBy(_._1).map { case (n, xs) =>
+        n -> xs.sortBy(_._2).map(_._3.copy(calib = childCalib))
       }
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] child spawn failed: ${e.getMessage}")
@@ -242,23 +284,25 @@ object Bench {
     // per-child box-speed probes, accumulated across every spawn — the
     // run's box-epoch evidence, published beside the timings
     val calibs = scala.collection.mutable.ListBuffer.empty[Double]
-    def spawn(ns: Seq[String], r: Int, timeoutMin: Long): Map[String, Vector[Double]] = {
+    def spawn(ns: Seq[String], r: Int, timeoutMin: Long): Map[String, Vector[Sample]] = {
       val m = spawnChild(ns, sfDir, r, timeoutMin)
-      m.get(CalibName).foreach(calibs ++= _)
+      m.get(CalibName).foreach(v => calibs ++= v.map(_.sec).filter(_ > 0))
       m - CalibName
     }
 
-    val collected: Map[String, Vector[Double]] =
+    val collected: Map[String, Vector[Sample]] =
       if (chunkSize <= 0) {
         // legacy in-process path (SPARK_GRAFT_CHUNK_SIZE=0): one session,
-        // whole suite — kept for quick local iteration on few queries
+        // whole suite — kept for quick local iteration on few queries.
+        // No child probe here, so calib/gc/spill columns read NaN/0.
         val spark = buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
         try {
           materialize(spark, sfDir, WarmupQuery)
-          val acc = scala.collection.mutable.Map.empty[String, Vector[Double]]
+          val acc = scala.collection.mutable.Map.empty[String, Vector[Sample]]
             .withDefaultValue(Vector.empty)
           for (_ <- 1 to runs; n <- names)
-            acc(n) = acc(n) :+ materialize(spark, sfDir, n)
+            acc(n) = acc(n) :+ Sample(materialize(spark, sfDir, n),
+              Double.NaN, 0L, Double.NaN)
           acc.toMap
         } finally spark.stop()
       } else {
@@ -267,7 +311,7 @@ object Bench {
         // handful of solo queries are exactly the ones whose single-run
         // variance is largest (q_link_pred solo warm spanned 19.2-30.9 s
         // across three same-HEAD runs) — two more samples cost ~1 min
-        val soloRuns = solo.foldLeft(Map.empty[String, Vector[Double]]) {
+        val soloRuns = solo.foldLeft(Map.empty[String, Vector[Sample]]) {
           (acc, n) => acc ++ spawn(Seq(n), runs.max(5), timeoutMin = 20)
         }
         // budget ∝ chunk work; generous because a chunk can hold several
@@ -277,16 +321,21 @@ object Bench {
           (acc, chunk) => acc ++ spawn(chunk, runs, timeoutMin = 30)
         }
         // one singleton retry per query the chunk child failed to report
-        val missing = names.filterNot(first.contains)
+        // a single USABLE sample for — absent entirely, OR present with
+        // every run errored (all -1: e.g. co-tenant heap pressure OOMing
+        // each attempt — the very failure mode chunking targets)
+        val missing = names.filterNot(n =>
+          first.get(n).exists(_.exists(_.sec >= 0)))
         if (missing.nonEmpty)
           System.err.println(s"[bench] retrying ${missing.size} singleton: " +
             missing.mkString(", "))
         first ++ missing.flatMap(n => spawn(Seq(n), runs, 15))
       }
 
-    val samples = names.map { n =>
-      val xs = collected.getOrElse(n, Vector.fill(runs)(-1.0))
-      System.err.println(s"[bench] $n: ${xs.map(x => f"$x%.3f").mkString(", ")}")
+    val samples: Seq[(String, Vector[Sample])] = names.map { n =>
+      val xs = collected.getOrElse(n,
+        Vector.fill(runs)(Sample(-1.0, Double.NaN, 0L, Double.NaN)))
+      System.err.println(s"[bench] $n: ${xs.map(x => f"${x.sec}%.3f").mkString(", ")}")
       n -> xs
     }
     def best(xs: Seq[Double]): Double = {
@@ -299,14 +348,66 @@ object Bench {
       else if (ok.size % 2 == 1) ok(ok.size / 2)
       else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
     }
-    val results = samples.map { case (n, xs) => n -> best(xs) }
+    // --- calibration normalization (round-10 verdict #2): each child's
+    // xorshift probe measures the BOX-SPEED epoch its samples ran in; a
+    // sample from a 1.27×-slow epoch is 1.27× inflated for reasons that
+    // have nothing to do with the engine or JVM aging. Normalized seconds
+    // rescale every sample to the run's median box speed
+    // (sec · medianCalib / childCalib), so the normalized aging ratio
+    // compares suite and isolated samples AS IF both ran in the same
+    // epoch — a box-speed excursion can no longer masquerade as JVM aging
+    // (BENCH_r10's q_ktruss 1.343 false alarm). Raw ratios stay published
+    // beside the normalized ones; official per-query numbers stay RAW
+    // mins (the min estimator already lands on the fastest epoch).
+    val refCalib = {
+      val cs = calibs.toVector.filter(c => !c.isNaN && c > 0).sorted
+      if (cs.isEmpty) Double.NaN else cs(cs.size / 2)
+    }
+    def normSec(s: Sample): Double =
+      if (s.sec < 0 || refCalib.isNaN || s.calib.isNaN || s.calib <= 0) s.sec
+      else s.sec * refCalib / s.calib
+    val results = samples.map { case (n, xs) => n -> best(xs.map(_.sec)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // no fixed "runs" field anywhere (round-10 advice): solo queries carry
+    // runs.max(5) samples, chunked ones `runs` — the samples line is the
+    // per-query ground truth for sample counts
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val raw = samples.map { case (k, xs) =>
-      "\"" + k + "\":[" + xs.mkString(",") + "]"
+      "\"" + k + "\":[" + xs.map(_.sec).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // --- fixed-protocol comparable subtotals (round-10 verdict #4): bare
+    // totals across rounds are incommensurable when the protocol shifts,
+    // so publish the two subtotals WITH the protocol knobs that make them
+    // comparable — rounds whose (chunk_size, solo, sf) match compare
+    // chunked_total to chunked_total and solo_total to solo_total
+    // mechanically, no manual adjudication.
+    val (soloTot, chunkedTot) = {
+      val (s, c) = results.filter(_._2 >= 0).partition(r => solo.contains(r._1))
+      (s.map(_._2).sum, c.map(_._2).sum)
+    }
+    val comparableLine =
+      s"""{"metric":"comparable","protocol":{"chunk_size":$chunkSize,"solo":"${solo.mkString(",")}","sf":"$sfDir"},"chunked_total":$chunkedTot,"chunked_n":${results.count(r => r._2 >= 0 && !solo.contains(r._1))},"solo_total":$soloTot,"solo_n":${results.count(r => r._2 >= 0 && solo.contains(r._1))}}""" + "\n"
+    // --- per-run gc/spill/calib attribution for SOLO queries (round-10
+    // verdict #6): their singleton-child variance (q_link_pred solo warm
+    // spanned 19.2-30.9 s across same-HEAD runs) is blamed on box epochs
+    // by inference — these columns attribute each run mechanically: high
+    // gc_s/spill_mb with flat calib = heap/shuffle pressure; inflated sec
+    // with inflated calib = the box.
+    val soloDetailLine =
+      if (solo.isEmpty || chunkSize <= 0) ""
+      else {
+        val det = solo.flatMap(n => collected.get(n).map(n -> _)).map { case (n, xs) =>
+          def arr(f: Sample => String) = xs.map(f).mkString("[", ",", "]")
+          "\"" + n + "\":{" +
+            s""""sec":${arr(s => f"${s.sec}%.3f")},""" +
+            s""""gc_s":${arr(s => if (s.gcS.isNaN) "null" else f"${s.gcS}%.3f")},""" +
+            s""""spill_mb":${arr(s => (s.spillB / (1 << 20)).toString)},""" +
+            s""""calib":${arr(s => if (s.calib.isNaN) "null" else f"${s.calib}%.3f")}}"""
+        }.mkString("{", ",", "}")
+        s"""{"metric":"solo_detail","queries":$det}""" + "\n"
+      }
 
     // --- suite-vs-isolated adjudication (round-7 verdict #3, kept under
     // the chunked protocol as the invariant CHECK): the top-N heaviest
@@ -318,8 +419,10 @@ object Bench {
     // read ≈ 1; a ratio drifting past ~1.3 means the chunk protocol has
     // stopped tracking solo-warm plan cost and needs re-tuning.
     val isolatedN = sys.env.getOrElse("SPARK_GRAFT_ISOLATED_N", "6").toInt
-    val suiteMedians = samples.map { case (n, xs) => n -> medianOf(xs) }.toMap
-    val isolatedBoth: Map[String, (Double, Double)] =
+    val suiteMedians = samples.map { case (n, xs) => n -> medianOf(xs.map(_.sec)) }.toMap
+    val suiteMediansNorm = samples.map { case (n, xs) => n -> medianOf(xs.map(normSec)) }.toMap
+    // (cold, warm, warmNorm) per adjudicated query
+    val isolatedBoth: Map[String, (Double, Double, Double)] =
       if (only.nonEmpty || isolatedN <= 0) Map.empty
       else {
         val top = results.filter(_._2 >= 0).sortBy(-_._2).take(isolatedN).map(_._1)
@@ -337,16 +440,25 @@ object Bench {
             // keep the query if ANY run succeeded: a failed cold run
             // (first-run OOM/timeout) must not discard valid warm
             // samples — warm is the apples-to-apples metric
-            case xs if xs.exists(_ >= 0) =>
-              val warmRuns = xs.tail.filter(_ >= 0)
-              val warm = if (warmRuns.isEmpty) xs.head else warmRuns.min
-              n -> (xs.head, warm)
+            case xs if xs.exists(_.sec >= 0) =>
+              val warmRuns = xs.tail.filter(_.sec >= 0)
+              val warm = if (warmRuns.isEmpty) xs.head else warmRuns.minBy(_.sec)
+              val warmNormRuns = xs.tail.filter(_.sec >= 0).map(normSec)
+              val warmNorm =
+                if (warmNormRuns.isEmpty) normSec(xs.head) else warmNormRuns.min
+              n -> (xs.head.sec, warm.sec, warmNorm)
           }
         }.toMap
       }
     val isolated: Map[String, Double] = isolatedBoth.map { case (k, cw) => k -> cw._2 }
     val agingJson = isolated.toSeq.sorted.map { case (k, iso) =>
       val ratio = if (iso > 0) suiteMedians.getOrElse(k, -1.0) / iso else -1.0
+      "\"" + k + "\":" + f"$ratio%.3f"
+    }.mkString("{", ",", "}")
+    // normalized twin: same ratio over box-speed-rescaled samples — the
+    // adjudication that survives box epochs (see normSec above)
+    val agingNormJson = isolatedBoth.toSeq.sortBy(_._1).map { case (k, cww) =>
+      val ratio = if (cww._3 > 0) suiteMediansNorm.getOrElse(k, -1.0) / cww._3 else -1.0
       "\"" + k + "\":" + f"$ratio%.3f"
     }.mkString("{", ",", "}")
     val isolatedJson = isolated.toSeq.sorted.map { case (k, v) =>
@@ -360,16 +472,16 @@ object Bench {
     // estimate on this VM — the spread line makes round-over-round deltas
     // judgeable against run variance without re-deriving from the raws
     val spread = samples.map { case (k, xs) =>
-      val ok = xs.filter(_ >= 0)
+      val ok = xs.map(_.sec).filter(_ >= 0)
       val (mn, mx) = if (ok.isEmpty) (-1.0, -1.0) else (ok.min, ok.max)
-      "\"" + k + s"""\":{"min":$mn,"median":${medianOf(xs)},"max":$mx}"""
+      "\"" + k + s"""\":{"min":$mn,"median":${medianOf(xs.map(_.sec))},"max":$mx}"""
     }.mkString("{", ",", "}")
     val isolatedLine =
       if (isolated.isEmpty) ""
       // no fixed "runs" field: solo-reused entries carry runs.max(5)
       // samples while re-spawned ones carry 3 — the samples line is the
       // per-query ground truth
-      else s"""{"metric":"isolated","queries":$isolatedJson,"cold":$isolatedColdJson,"aging_ratio":$agingJson,"protocol":"one fresh JVM per query; warm=min of later runs, cold=run 1 (pays memo builds)"}""" + "\n"
+      else s"""{"metric":"isolated","queries":$isolatedJson,"cold":$isolatedColdJson,"aging_ratio":$agingJson,"aging_ratio_norm":$agingNormJson,"protocol":"one fresh JVM per query; warm=min of later runs, cold=run 1 (pays memo builds); _norm divides each sample by its child's xorshift calibration before the median/min"}""" + "\n"
     val calibLine =
       if (calibs.isEmpty) ""
       else {
@@ -378,8 +490,8 @@ object Bench {
       }
     Files.write(Paths.get(outPath),
       (line + "\n" + s"""{"metric":"samples","queries":$raw}""" + "\n" +
-        s"""{"metric":"spread","queries":$spread}""" + "\n" + isolatedLine +
-        calibLine)
+        s"""{"metric":"spread","queries":$spread}""" + "\n" + comparableLine +
+        soloDetailLine + isolatedLine + calibLine)
         .getBytes(StandardCharsets.UTF_8))
     System.err.println(s"[bench] wrote $outPath")
     // The driver captures only the LAST ~2000 chars of merged output (then
@@ -397,7 +509,7 @@ object Bench {
       if (isolated.isEmpty) ""
       else isolated.toSeq.sorted
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-        .mkString(""""isolated":{""", ",", s"""},"aging_ratio":$agingJson,""")
+        .mkString(""""isolated":{""", ",", s"""},"aging_ratio":$agingJson,"aging_ratio_norm":$agingNormJson,""")
     val soloField =
       if (solo.isEmpty) ""
       else s""""solo":"${solo.mkString(",")}","""
@@ -407,7 +519,9 @@ object Bench {
         val cs = calibs.toVector.sorted
         s""""calib":{"min":${fmt(cs.head)},"median":${fmt(cs(cs.size / 2))},"max":${fmt(cs.last)}},"""
       }
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"sf":"$sfDir","n_queries":${results.size},"chunk_size":$chunkSize,$soloField$calibField$isoField"full":"$outPath","queries":{"""
+    val comparableField =
+      s""""comparable":{"chunked_total":${fmt(chunkedTot)},"solo_total":${fmt(soloTot)}},"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"chunk_size":$chunkSize,$soloField$comparableField$calibField$isoField"full":"$outPath","queries":{"""
     val entries = bySlowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
     val keptBuf = scala.collection.mutable.ListBuffer.empty[String]
     // reserve room for the closing brace + worst-case omission suffix

@@ -237,13 +237,16 @@ object Triangles {
     * [[graft.operators.SkewJoin.autoSaltedJoin]] dispatch pattern),
     * falling back to one full recompute when either trips: the deleted
     * edge COUNT must not exceed `maxDeltaBroadcast` (cheap, checked
-    * first), and the WEDGE CANDIDATE count — ∝ the summed degree of the
+    * first), and an UPPER BOUND on the wedge-candidate count — the
+    * un-filtered D⋈adjacency join count, ∝ the summed degree of the
     * dropped endpoints, which a small peel round touching hub vertices
-    * can blow up arbitrarily — must not either. The wedge relation
-    * itself is built distributed (D broadcast onto streamed adjacency)
-    * and only counted before `cand` is allowed onto the driver, so on
-    * adversarial graphs the delta machinery never broadcasts an
-    * unbounded relation.
+    * can blow up arbitrarily — must not either. The bound is one
+    * streamed pass over the current edges with zero materialization
+    * (round-10 advice: the earlier exact gate persisted + counted the
+    * potentially unbounded wedge relation before discarding it), and
+    * bound ≤ cap implies the filtered wedge relation is ≤ cap, so on
+    * adversarial graphs the delta machinery never builds — let alone
+    * broadcasts — an unbounded relation.
     *
     * Maintained support EQUALS a fresh per-round recompute (the
     * triangle-counting identity above — spec-pinned against
@@ -283,36 +286,41 @@ object Triangles {
             .select(col("u"), col("v"),
               coalesce(col("sup"), lit(0L)).as("sup"))
         }
-        var roundWedges: DataFrame = null // persisted gate input, freed below
         val next =
           if (dCount > maxDeltaBroadcast) {
             // huge peel round: one full recompute beats broadcasting it
             fullRecompute()
           } else {
             val d = dropped.select("u", "v")
-            // wedges from the deleted edge's u-side against the CURRENT
-            // graph (all three edges of any lost triangle are triangle
-            // edges, hence present in cur) — built DISTRIBUTED (d
-            // broadcast onto the streamed adjacency) and materialized,
-            // because its COUNT gates the next broadcast: dCount bounds
-            // only the deleted-edge rows, while the wedge relation is
-            // ∝ Σ deg(endpoint) and a few dropped hub edges can make it
-            // arbitrarily larger than dCount (round-9 advice finding)
+            // wedges come from the deleted edge's u-side against the
+            // CURRENT graph (all three edges of any lost triangle are
+            // triangle edges, hence present in cur) — d broadcast onto
+            // the streamed adjacency. dCount bounds only the deleted-edge
+            // rows, while the wedge relation is ∝ Σ deg(endpoint) and a
+            // few dropped hub edges can make it arbitrarily larger than
+            // dCount (round-9 advice finding) — so the broadcast is
+            // PRE-GATED on the count of the UN-FILTERED join, a strict
+            // upper bound on the wedge count that costs one streamed
+            // pass over cur with ZERO materialization. The old exact
+            // gate persisted + counted the potentially unbounded wedge
+            // relation before deciding to DISCARD it, so an adversarial
+            // hub round paid both the wedge build/spill and the full
+            // recompute (round-10 advice finding); bound ≤ cap implies
+            // wedges ≤ cap, so the good path needs no second count.
             val adj = cur.select(col("u").as("a"), col("v").as("b"))
               .unionByName(cur.select(col("v").as("a"), col("u").as("b")))
-            val wedges = adj.join(broadcast(d), col("a") === col("u"))
-              .filter(col("b") =!= col("v"))
-              .select(col("u"), col("v"), col("b").as("w"))
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            val wCount = wedges.count()
-            if (wCount > maxDeltaBroadcast) {
-              wedges.unpersist(blocking = false)
+            val joined = adj.join(broadcast(d), col("a") === col("u"))
+            val wedgeBound = joined.count()
+            if (wedgeBound > maxDeltaBroadcast) {
               fullRecompute()
             } else {
-              roundWedges = wedges
+              val wedges = joined
+                .filter(col("b") =!= col("v"))
+                .select(col("u"), col("v"), col("b").as("w"))
               // closing check: (min(v,w), max(v,w)) must be a current
               // edge; candidates are gated-delta-sized — broadcast them,
-              // stream cur
+              // stream cur (the broadcast build re-evaluates the bounded
+              // wedge join once — cheaper than the persist it replaces)
               val cand = wedges.select(col("u"), col("v"), col("w"),
                 least(col("v"), col("w")).as("cu"),
                 greatest(col("v"), col("w")).as("cv"))
@@ -336,7 +344,6 @@ object Triangles {
           }
         val nextC = graft.Caching.checkpointed(next)
         graft.Caching.releaseCheckpoint(cur)
-        if (roundWedges != null) roundWedges.unpersist(blocking = false)
         cur = nextC
       }
     }

@@ -103,16 +103,31 @@ object Tables {
     * physical planning + RDD lineage construction — a measurable
     * per-call driver cost when every documents/embeddings load probes it
     * (round-9 advice finding). First call per (session, path) pays the
-    * probe; the rest read the cache. Keys are (session identity hash,
-    * path) STRINGS, not the session object, so stopped sessions are
-    * never pinned; the residual entries are two boxed values per
-    * (session, fixture table) — bounded noise. Known, accepted staleness: rewriting the parquet
+    * probe; the rest read the cache. Keys are (sessionUUID, path)
+    * STRINGS, not the session object, so stopped sessions are never
+    * pinned — and unlike an identity hash (which the JVM can reuse after
+    * a stopped session is GC'd) the UUID never aliases two sessions, so
+    * a new session with different read conf can't inherit a stale split
+    * count (round-10 advice finding). The residual entries are two boxed
+    * values per (session, fixture table) — bounded noise. Known, accepted staleness: rewriting the parquet
     * at a memoized path within one session keeps the old split count
     * (the driver fixtures are immutable; a rewriting caller should use a
     * fresh session or the uncached overload).
     */
   private val scanSplits =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Stable per-session key for the split-count memo. Classic sessions
+    * carry a true UUID (`sessionUUID` — Scala-private[sql] but
+    * bytecode-public, hence the reflective read); any runtime without it
+    * falls back to the identity hash (same no-pinning property, with the
+    * documented reuse caveat — acceptable because such runtimes don't
+    * share this JVM-local memo across session restarts in practice).
+    */
+  private def sessionUuid(spark: SparkSession): String =
+    try spark.getClass.getMethod("sessionUUID").invoke(spark).toString
+    catch { case _: ReflectiveOperationException | _: ClassCastException =>
+      System.identityHashCode(spark).toHexString }
 
   /** `cacheKey = null` (caller-built relations whose split count is a
     * property of the upstream plan, not a stable file layout) probes on
@@ -124,11 +139,11 @@ object Tables {
     val n = spark.sessionState.conf.numShufflePartitions
     val splits =
       if (cacheKey == null) df.rdd.getNumPartitions
-      // identity hash, not the session object: no pinning of stopped
-      // sessions; a (vanishingly rare) hash collision merely reuses
-      // another session's split count for one decision — benign
+      // sessionUUID, not the session object (no pinning of stopped
+      // sessions) and not an identity hash (reusable after GC — a fresh
+      // session could silently inherit a stale split count)
       else scanSplits.computeIfAbsent(
-        s"${System.identityHashCode(spark).toHexString}:$cacheKey",
+        s"${sessionUuid(spark)}:$cacheKey",
         _ => Integer.valueOf(df.rdd.getNumPartitions)).intValue()
     if (splits >= n) df
     else df.repartition(n, org.apache.spark.sql.functions.col(key))
