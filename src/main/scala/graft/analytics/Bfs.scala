@@ -47,18 +47,28 @@ object Bfs {
     // the driver stalls between jobs (Caching.checkpointed)
     var dist = graft.Caching.checkpointed(seeds)
     for (r <- 1 to rounds) {
-      val frontier = dist.filter(col("dist") === r - 1)
-        .select(col("node").as("src"))
-      val expanded = e.join(frontier, "src")
-        .select(col("dst").as("node"), lit(r).as("dist"))
-      val next = graft.Caching.checkpointed(dist.unionByName(expanded)
-        .groupBy("node").agg(min("dist").as("dist")))
+      val next = graft.Caching.checkpointed(bfsRound(e, dist, r))
       // RDD-level release: Dataset.unpersist() would be a no-op on a
       // localCheckpointed frame (Caching.releaseCheckpoint)
       graft.Caching.releaseCheckpoint(dist)
       dist = next
     }
     dist
+  }
+
+  /** One BFS frontier round BODY: only the NEWEST frontier (dist = r−1)
+    * joins the edge relation — per-round work is Σ frontier-degree, not
+    * Σ visited-degree — then one min-agg merges the expansion into the
+    * visited set. Factored out (round-10 verdict #3) so PlanSnapshotSpec
+    * pins the INNER-LOOP plan shape the per-round checkpoint hides.
+    */
+  private[graft] def bfsRound(e: DataFrame, dist: DataFrame, r: Int): DataFrame = {
+    val frontier = dist.filter(col("dist") === r - 1)
+      .select(col("node").as("src"))
+    val expanded = e.join(frontier, "src")
+      .select(col("dst").as("node"), lit(r).as("dist"))
+    dist.unionByName(expanded)
+      .groupBy("node").agg(min("dist").as("dist"))
   }
 
   /** DuckDB replay over the co-bought-parts graph: same degree-ordered

@@ -59,27 +59,36 @@ object LabelProp {
       .withColumn("lbl", col("id"))
     var prev: DataFrame = null
     for (_ <- 1 to rounds) {
-      val votes = e
-        .join(labels.select(col("id").as("src"), col("lbl")), "src")
-        .groupBy(col("dst").as("id"), col("lbl"))
-        .agg(count(lit(1)).as("c"))
-      // argmax by (count desc, label asc) — min of struct(-c, lbl); the
-      // symmetric edge list gives every node ≥ 1 neighbor, so this
-      // covers all nodes each round.
       // Checkpoint each round BEFORE releasing the previous one: the
       // final labels feed TWO consumers (output + sizes) and each
       // round's labels feed the next round's join — left lazy, every
       // consumer recomputes the whole chain, and left merely PERSISTED
       // the rendered plan doubles per round (Caching.checkpointed)
-      labels = graft.Caching.checkpointed(votes.groupBy("id")
-        .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
-        .select(col("id"), col("m.lbl").as("lbl")))
+      labels = graft.Caching.checkpointed(lpaRound(e, labels))
       // RDD-level release of the superseded round: Dataset.unpersist()
       // is a no-op on localCheckpointed frames (Caching.releaseCheckpoint)
       if (prev != null) graft.Caching.releaseCheckpoint(prev)
       prev = labels
     }
     labels
+  }
+
+  /** One synchronous LPA round BODY: the label map attaches to the edge
+    * relation with one src-keyed hash join, neighbor votes aggregate per
+    * (dst, lbl), and the argmax is min of struct(-count, label) — the
+    * symmetric edge list gives every node ≥ 1 neighbor, so this covers
+    * all nodes each round. Factored out (round-10 verdict #3) so
+    * PlanSnapshotSpec pins the INNER-LOOP plan shape the per-round
+    * checkpoint hides.
+    */
+  private[graft] def lpaRound(e: DataFrame, labels: DataFrame): DataFrame = {
+    val votes = e
+      .join(labels.select(col("id").as("src"), col("lbl")), "src")
+      .groupBy(col("dst").as("id"), col("lbl"))
+      .agg(count(lit(1)).as("c"))
+    votes.groupBy("id")
+      .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
+      .select(col("id"), col("m.lbl").as("lbl"))
   }
 
   /** Newman modularity of the LPA partition (Newman & Girvan, "Finding

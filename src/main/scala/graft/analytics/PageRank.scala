@@ -126,6 +126,23 @@ object PageRank {
     (edgesDeg, deg)
   }
 
+  /** One synchronous PageRank round BODY: contributions stream along the
+    * degree-attached edges (rank join keyed on src), the dst-keyed hash
+    * aggregate map-side-combines, and teleport + damping stay exact
+    * integer `div` arithmetic. Factored out (round-10 verdict #3) so
+    * PlanSnapshotSpec pins the INNER-LOOP plan — the per-round
+    * checkpoint means the returned-DF fingerprint covers only the tail.
+    */
+  private[graft] def pagerankStep(edgesDeg: DataFrame, prev: DataFrame,
+                                  teleport: Long): DataFrame =
+    edgesDeg
+      .join(prev, edgesDeg("src") === prev("id"))
+      .select(col("dst"), expr("r div od").as("contrib"))
+      .groupBy(col("dst").as("id"))
+      .agg(sum(col("contrib")).as("s"))
+      .select(col("id"),
+        (lit(teleport) + expr("(85 * s) div 100")).as("r"))
+
   /** [[pagerank]] over caller-prepared walk state ([[prepareWalk]] or a
     * session-shared checkpointed equivalent).
     */
@@ -142,13 +159,7 @@ object PageRank {
     var converged = false
     while (round <= iters && !converged) {
       val prev = ranks
-      var next = edgesDeg
-        .join(prev, edgesDeg("src") === prev("id"))
-        .select(col("dst"), expr("r div od").as("contrib"))
-        .groupBy(col("dst").as("id"))
-        .agg(sum(col("contrib")).as("s"))
-        .select(col("id"),
-          (lit(teleport) + expr("(85 * s) div 100")).as("r"))
+      var next = pagerankStep(edgesDeg, prev, teleport)
       if (round % checkpointEvery == 0) next = next.localCheckpoint()
       if (tolUnits >= 0L) {
         // one exact scalar per round: Σ|Δ| in 1e-12 units, long arithmetic

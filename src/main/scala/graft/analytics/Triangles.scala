@@ -36,7 +36,7 @@ object Triangles {
     * [[Baskets.coOccurrenceEdges]]) — skip the extra full-relation
     * shuffle + dedup with `canonical = true`.
     */
-  private def canonicalEdges(edges: DataFrame, uCol: String, vCol: String,
+  private[graft] def canonicalEdges(edges: DataFrame, uCol: String, vCol: String,
                              canonical: Boolean): DataFrame = {
     val cast = edges.select(
       col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
@@ -169,7 +169,7 @@ object Triangles {
       converge = true)
 
   /** Per-canonical-edge triangle support of a canonical edge set. */
-  private def support(e: DataFrame): DataFrame = {
+  private[graft] def support(e: DataFrame): DataFrame = {
     val (_, closers) = edgeIterator(e, "u", "v", canonical = true)
     val tri = closers
       .select(col("src"), col("dst"), explode(col("closing")).as("x"))
@@ -254,6 +254,49 @@ object Triangles {
     * "no edge below threshold" and the OUTPUT sup needs no final
     * whole-graph pass either.
     */
+  /** The gated-delta peel round BODY (runs only after both broadcast
+    * gates pass): wedges from the deleted edges against the current
+    * graph, the closing-edge check as a broadcast of the gated-delta-
+    * sized candidates onto streamed `cur`, triangle dedup by sorted
+    * vertex triple, and the support decrement LEFT-joined back onto the
+    * survivors. Factored out (round-10 verdict #3) so PlanSnapshotSpec
+    * can pin the INNER-LOOP plan shape — per-round checkpoints mean the
+    * returned-DF fingerprint covers only the post-loop tail, and a
+    * broadcast→SMJ flip inside this body would otherwise surface only
+    * in bench.
+    */
+  private[graft] def deltaPeelRound(cur: DataFrame, keep: DataFrame,
+                                    d: DataFrame): DataFrame = {
+    val adj = cur.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(cur.select(col("v").as("a"), col("u").as("b")))
+    val wedges = adj.join(broadcast(d), col("a") === col("u"))
+      .filter(col("b") =!= col("v"))
+      .select(col("u"), col("v"), col("b").as("w"))
+    // closing check: (min(v,w), max(v,w)) must be a current edge;
+    // candidates are gated-delta-sized — broadcast them, stream cur
+    // (the broadcast build re-evaluates the bounded wedge join once —
+    // cheaper than the persist it replaces)
+    val cand = wedges.select(col("u"), col("v"), col("w"),
+      least(col("v"), col("w")).as("cu"),
+      greatest(col("v"), col("w")).as("cv"))
+    val tri = cur.select(col("u").as("cu"), col("v").as("cv"))
+      .join(broadcast(cand), Seq("cu", "cv"))
+    // dedupe multi-deleted-edge triangles by sorted vertex triple
+    val lost = tri.select(array_sort(array(col("u"), col("v"),
+      col("w"))).as("t")).distinct()
+      .select(col("t").getItem(0).as("x"),
+        col("t").getItem(1).as("y"), col("t").getItem(2).as("z"))
+    val dec = lost.select(explode(array(
+        struct(col("x").as("u"), col("y").as("v")),
+        struct(col("x").as("u"), col("z").as("v")),
+        struct(col("y").as("u"), col("z").as("v")))).as("ed"))
+      .select(col("ed.u").as("u"), col("ed.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("lost_tris"))
+    keep.join(broadcast(dec), Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        (col("sup") - coalesce(col("lost_tris"), lit(0L))).as("sup"))
+  }
+
   private def peelIncremental(e0: DataFrame, k: Int, maxRounds: Int,
                               maxDeltaBroadcast: Long = 1000000L,
                               requireConverged: Boolean = false): DataFrame = {
@@ -313,34 +356,7 @@ object Triangles {
             val wedgeBound = joined.count()
             if (wedgeBound > maxDeltaBroadcast) {
               fullRecompute()
-            } else {
-              val wedges = joined
-                .filter(col("b") =!= col("v"))
-                .select(col("u"), col("v"), col("b").as("w"))
-              // closing check: (min(v,w), max(v,w)) must be a current
-              // edge; candidates are gated-delta-sized — broadcast them,
-              // stream cur (the broadcast build re-evaluates the bounded
-              // wedge join once — cheaper than the persist it replaces)
-              val cand = wedges.select(col("u"), col("v"), col("w"),
-                least(col("v"), col("w")).as("cu"),
-                greatest(col("v"), col("w")).as("cv"))
-              val tri = cur.select(col("u").as("cu"), col("v").as("cv"))
-                .join(broadcast(cand), Seq("cu", "cv"))
-              // dedupe multi-deleted-edge triangles by sorted vertex triple
-              val lost = tri.select(array_sort(array(col("u"), col("v"),
-                col("w"))).as("t")).distinct()
-                .select(col("t").getItem(0).as("x"),
-                  col("t").getItem(1).as("y"), col("t").getItem(2).as("z"))
-              val dec = lost.select(explode(array(
-                  struct(col("x").as("u"), col("y").as("v")),
-                  struct(col("x").as("u"), col("z").as("v")),
-                  struct(col("y").as("u"), col("z").as("v")))).as("ed"))
-                .select(col("ed.u").as("u"), col("ed.v").as("v"))
-                .groupBy("u", "v").agg(count(lit(1)).as("lost_tris"))
-              keep.join(broadcast(dec), Seq("u", "v"), "left")
-                .select(col("u"), col("v"),
-                  (col("sup") - coalesce(col("lost_tris"), lit(0L))).as("sup"))
-            }
+            } else deltaPeelRound(cur, keep, d)
           }
         val nextC = graft.Caching.checkpointed(next)
         graft.Caching.releaseCheckpoint(cur)

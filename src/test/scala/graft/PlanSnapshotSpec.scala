@@ -54,10 +54,59 @@ class PlanSnapshotSpec extends AnyFunSuite {
     s
   }
 
+  /** INNER-LOOP round bodies (round-10 verdict #3): iterative operators
+    * checkpoint per round, so their returned-DF fingerprint covers only
+    * the post-loop tail — a broadcast→SMJ flip INSIDE the k-truss /
+    * HyperANF / PageRank / BFS / LPA round bodies would otherwise
+    * surface only in bench. Each family's factored step function is
+    * fingerprinted on representative checkpointed state built from the
+    * sf0.001 co-bought graph (checkpointed inputs render as stable
+    * ExistingRDD leaves — exactly what the real loop's round N sees).
+    */
+  private def loopFingerprints(): Seq[(String, String)] = {
+    import graft.analytics._
+    val s = planSession
+    val co = Baskets.coOccurrenceCounts(
+      graft.io.Tables.lineitem(s, sfDir), "l_orderkey", "l_partkey")
+      .select(col("item_a"), col("item_b"))
+    // k-truss gated-delta peel round: cur with maintained supports,
+    // round-1 threshold split (k=4 ⇒ thr=2)
+    val e0 = Triangles.canonicalEdges(co, "item_a", "item_b", canonical = true)
+    val cur = graft.Caching.checkpointed(
+      e0.join(Triangles.support(e0), Seq("u", "v")))
+    val keep = cur.filter(col("sup") >= 2)
+    val d = cur.filter(col("sup") < 2).select("u", "v")
+    // frontier-style operators share the symmetric edge relation
+    val sym = GraphEdges.symmetricDistinct(co, "item_a", "item_b",
+      canonical = true)
+    val (edgesDeg, deg) = PageRank.prepareWalk(sym)
+    val ranks = graft.Caching.checkpointed(
+      deg.select(col("src").as("id"), lit(1000000L).as("r")))
+    val dist = graft.Caching.checkpointed(
+      sym.select(col("src").as("node")).distinct().limit(10)
+        .select(col("node"), lit(0).as("dist")))
+    val labels = graft.Caching.checkpointed(
+      sym.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))
+    val regs = graft.Caching.checkpointed(
+      HyperAnf.registers0Wide(sym.select(col("src").as("node")).distinct()))
+    val out = Seq(
+      "loop:ktruss_delta_peel_round" ->
+        Triangles.deltaPeelRound(cur, keep, d),
+      "loop:pagerank_step" -> PageRank.pagerankStep(edgesDeg, ranks, 1L),
+      "loop:bfs_round" -> Bfs.bfsRound(sym, dist, 1),
+      "loop:lpa_round" -> LabelProp.lpaRound(sym, labels),
+      "loop:hyperanf_combined_wide_step" -> HyperAnf.stepCombinedWide(regs, sym)
+    ).map { case (n, df) => n -> PlanFingerprint.fingerprint(df) }
+    // free the representative state (materialize/persist + checkpoints)
+    Seq(cur, ranks, dist, labels, regs).foreach(graft.Caching.releaseCheckpoint)
+    edgesDeg.unpersist(false); sym.unpersist(false); deg.unpersist(false)
+    out
+  }
+
   private def currentFingerprints(): Seq[(String, String)] =
     pinned.map { n =>
       n -> PlanFingerprint.fingerprint(SparkEntry.queries(n)(planSession, sfDir))
-    }
+    } ++ loopFingerprints()
 
   private def renderSnapshot(fps: Seq[(String, String)]): String =
     fps.map { case (n, fp) => s"== $n ==\n$fp\n" }.mkString("\n")
@@ -101,7 +150,7 @@ class PlanSnapshotSpec extends AnyFunSuite {
           "regenerate with GRAFT_REGEN_PLANS=1 sbt 'testOnly " +
           "graft.PlanSnapshotSpec' and commit; diffs:\n" +
           diffs.mkString("\n"))
-      val stale = want.keySet -- pinned.toSet
+      val stale = want.keySet -- got.map(_._1).toSet
       assert(stale.isEmpty, s"snapshot pins queries no longer listed: $stale")
     }
   }
@@ -116,6 +165,35 @@ class PlanSnapshotSpec extends AnyFunSuite {
     assert(broadcasted.contains("BroadcastHashJoin"))
     assert(shuffled.contains("SortMergeJoin"))
     assert(broadcasted !== shuffled)
+  }
+
+  test("a deliberate plan change INSIDE a loop round body fails the pin (gate demo)") {
+    // the verdict-#3 scenario: flip the rank join inside the PageRank
+    // round body from the shuffled plan the fixture selects to a forced
+    // broadcast — the loop's OUTPUT is identical, the per-round
+    // checkpoint hides it from the tail fingerprint, but the round-body
+    // fingerprint sees the flip as a line diff
+    import graft.analytics._
+    val co = Baskets.coOccurrenceCounts(
+      graft.io.Tables.lineitem(planSession, sfDir), "l_orderkey", "l_partkey")
+      .select(col("item_a"), col("item_b"))
+    val sym = GraphEdges.symmetricDistinct(co, "item_a", "item_b",
+      canonical = true)
+    val (edgesDeg, deg) = PageRank.prepareWalk(sym)
+    val ranks = graft.Caching.checkpointed(
+      deg.select(col("src").as("id"), lit(1000000L).as("r")))
+    val asShipped = PlanFingerprint.fingerprint(
+      PageRank.pagerankStep(edgesDeg, ranks, 1L))
+    // at the pin fixture's scale the rank relation broadcasts; the flip
+    // under test is broadcast→shuffled (the expensive direction at 100 TB)
+    val flipped = PlanFingerprint.fingerprint(
+      PageRank.pagerankStep(edgesDeg, ranks.hint("merge"), 1L))
+    assert(asShipped.contains("BroadcastHashJoin"))
+    assert(flipped.contains("SortMergeJoin"))
+    assert(asShipped !== flipped,
+      "an intra-round join-strategy flip must change the round-body fingerprint")
+    graft.Caching.releaseCheckpoint(ranks)
+    edgesDeg.unpersist(false); sym.unpersist(false); deg.unpersist(false)
   }
 
   test("the fingerprint detects a single-partition window sneaking in (gate demo)") {
