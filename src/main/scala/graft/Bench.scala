@@ -55,6 +55,7 @@ object Bench {
   private val WarmupQuery = "dim_supplier"
   private val ChildLog = "bench_children.log"
   private[graft] val CalibName = "__calib__"
+  private[graft] val CalibMtName = "__calib_mt__"
 
   /** Fixed pure-JVM CPU probe (single-threaded xorshift loop, no Spark,
     * no allocation): each child reports it once, so every artifact
@@ -72,6 +73,57 @@ object Bench {
     while (i < 400000000L) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
     if (x == 42L) System.err.println("xorshift fixed point") // defeat DCE
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Parallel-efficiency probe (round 11): the single-thread xorshift
+    * probe is register-only — it never enters the kernel, so it reads
+    * "healthy" straight through the shared-VM preemption storms this
+    * class of box exhibits (round-11 vmstat during q_link_pred: 58-84%
+    * SYSTEM time across all 32 CPUs with near-zero user and 2-5% steal
+    * — lock-holder preemption inflating 32-thread Spark stages 2-4×
+    * while calib read a normal 0.85-1.0 s). This probe runs the same
+    * fixed allocate-touch-read workload on one thread (baseline), then
+    * on N threads concurrently, and reports wall_mt / wall_st: fresh
+    * 32 MB arrays per rep keep the mmap/zeroing/GC kernel paths hot —
+    * the paths Spark's parallel stages actually contend on.
+    *
+    * READING IT: the workload is DRAM-bandwidth-bound at 32 threads, so
+    * even a perfectly healthy box has a floor well above 1 (this box
+    * class: ~2.1, the min observed across the first full run's
+    * children). The signal is ELEVATION ABOVE THE RUN'S FLOOR, not
+    * distance from 1 — a child in a preemption epoch reads 2-3× the
+    * floor (observed spread 2.1-6.6 within one suite run whose storm
+    * epochs were confirmed by vmstat). Published per child beside
+    * `calib`, so slow totals and garbled aging ratios can be attributed
+    * to multithreaded box degradation mechanically instead of by
+    * vmstat inference.
+    */
+  private def calibrateMtRatio(threads: Int): Double = {
+    def work(seed: Long): Long = {
+      var s = 0L
+      var rep = 0
+      while (rep < 6) {
+        val a = new Array[Long](4 << 20) // 32 MB, fresh per rep: faults + zeroing
+        var x = 0x9E3779B97F4A7C15L ^ (seed + rep)
+        var i = 0
+        while (i < a.length) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; a(i) = x; i += 1 }
+        i = 0
+        while (i < a.length) { s += a(i); i += 1 }
+        rep += 1
+      }
+      s
+    }
+    val sink = new java.util.concurrent.atomic.AtomicLong(0L)
+    sink.addAndGet(work(-1L)) // untimed JIT warmup
+    val t0 = System.nanoTime()
+    sink.addAndGet(work(0L))
+    val st = System.nanoTime() - t0
+    val ts = (1 to threads).map(n => new Thread(() => { sink.addAndGet(work(n.toLong)); () }))
+    val t1 = System.nanoTime()
+    ts.foreach(_.start()); ts.foreach(_.join())
+    val mt = System.nanoTime() - t1
+    if (sink.get() == 42L) System.err.println("mt fixed point") // defeat DCE
+    if (st <= 0) Double.NaN else mt.toDouble / st.toDouble
   }
 
   /** Build the measuring SparkSession (identical config in every child —
@@ -146,7 +198,8 @@ object Bench {
     */
   private def childMain(names: Seq[String], sfDir: String, runs: Int,
                         outPath: String): Unit = {
-    val spark = buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = buildSession(cpus)
     val spill = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
@@ -162,6 +215,7 @@ object Bench {
     val out = new java.io.PrintWriter(new java.io.FileWriter(outPath, false))
     try {
       out.println(s"$CalibName\t1\t${calibrate()}")
+      out.println(s"$CalibMtName\t1\t${calibrateMtRatio(cpus.toIntOption.getOrElse(32))}")
       out.flush()
       materialize(spark, sfDir, WarmupQuery)
       for (run <- 1 to runs; n <- names) {
@@ -282,12 +336,17 @@ object Bench {
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq.filter(names.contains)
 
     // per-child box-speed probes, accumulated across every spawn — the
-    // run's box-epoch evidence, published beside the timings
+    // run's box-epoch evidence, published beside the timings. calibs is
+    // the single-thread CPU probe; calibMts the N-thread parallel-
+    // efficiency ratio (the preemption-storm detector the ST probe is
+    // structurally blind to — see calibrateMtRatio)
     val calibs = scala.collection.mutable.ListBuffer.empty[Double]
+    val calibMts = scala.collection.mutable.ListBuffer.empty[Double]
     def spawn(ns: Seq[String], r: Int, timeoutMin: Long): Map[String, Vector[Sample]] = {
       val m = spawnChild(ns, sfDir, r, timeoutMin)
       m.get(CalibName).foreach(v => calibs ++= v.map(_.sec).filter(_ > 0))
-      m - CalibName
+      m.get(CalibMtName).foreach(v => calibMts ++= v.map(_.sec).filter(_ > 0))
+      m - CalibName - CalibMtName
     }
 
     val collected: Map[String, Vector[Sample]] =
@@ -486,7 +545,13 @@ object Bench {
       if (calibs.isEmpty) ""
       else {
         val cs = calibs.toVector.sorted
-        s"""{"metric":"calibration","probe":"single-thread xorshift 4e8 iters per child JVM","n":${cs.size},"min":${cs.head},"median":${cs(cs.size / 2)},"max":${cs.last},"all":[${cs.mkString(",")}]}""" + "\n"
+        val mtField =
+          if (calibMts.isEmpty) ""
+          else {
+            val ms = calibMts.toVector.sorted
+            s""","mt_probe":"${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}-thread fresh-32MB allocate/touch/read vs 1 thread, wall_mt/wall_st per child JVM (DRAM-bandwidth-bound: healthy floor on this box class ~2.1; a preemption epoch reads 2-3x that floor — the degradation the register-only ST probe cannot see; compare children within/across runs, not against 1)","mt_ratio":{"n":${ms.size},"min":${ms.head},"median":${ms(ms.size / 2)},"max":${ms.last},"all":[${ms.mkString(",")}]}"""
+          }
+        s"""{"metric":"calibration","probe":"single-thread xorshift 4e8 iters per child JVM","n":${cs.size},"min":${cs.head},"median":${cs(cs.size / 2)},"max":${cs.last},"all":[${cs.mkString(",")}]$mtField}""" + "\n"
       }
     Files.write(Paths.get(outPath),
       (line + "\n" + s"""{"metric":"samples","queries":$raw}""" + "\n" +
@@ -517,7 +582,13 @@ object Bench {
       if (calibs.isEmpty) ""
       else {
         val cs = calibs.toVector.sorted
-        s""""calib":{"min":${fmt(cs.head)},"median":${fmt(cs(cs.size / 2))},"max":${fmt(cs.last)}},"""
+        val mt =
+          if (calibMts.isEmpty) ""
+          else {
+            val ms = calibMts.toVector.sorted
+            s""""calib_mt_ratio":{"min":${fmt(ms.head)},"median":${fmt(ms(ms.size / 2))},"max":${fmt(ms.last)}},"""
+          }
+        s""""calib":{"min":${fmt(cs.head)},"median":${fmt(cs(cs.size / 2))},"max":${fmt(cs.last)}},$mt"""
       }
     val comparableField =
       s""""comparable":{"chunked_total":${fmt(chunkedTot)},"solo_total":${fmt(soloTot)}},"""
