@@ -160,6 +160,28 @@ object Breadth4 {
     *
     * `edges` must be the canonical DISTINCT (src < dst) half-edge
     * relation (the session-shared co-bought cache).
+    *
+    * ADAPTIVE PAIR-EXCHANGE WIDTH (round 11): the exchange-first shape
+    * moves |wedges| rows through one hash exchange, and |wedges| grows
+    * with Σ deg² while `spark.sql.shuffle.partitions` stays fixed — the
+    * sf1.0 scale probe measured exactly this failure: 1.48B wedge rows
+    * over 32 partitions spilled 255 GB per run and bent the cost curve
+    * to 17.7× at 10× data (SCALE_PROBE_r11.json; sf0.1 spills zero).
+    * The exact wedge count Σ d(d−1)/2 over hub-capped degrees is one
+    * node-sized aggregate on the `deg` relation we already build, so
+    * the exchange width is computed from it: `wedges / 2M` rows per
+    * partition. 2M was CALIBRATED, not guessed: at 8M rows/partition
+    * (184 partitions at sf1.0) the post-exchange stage still spilled
+    * ~240 GB — the ~1.8M-group hash-agg map (~200 MB) times 32
+    * concurrent tasks, next to the anti-join's broadcast build, still
+    * exhausts the execution pool and triggers the sort-based agg
+    * fallback; at 2M rows (~450K groups, ~40 MB map per task) the
+    * fallback can't trigger. Floored at the session shuffle default so
+    * small inputs keep their pinned plan (sf0.01 stays at the session
+    * width), capped at 4096 (the width a 1000-executor cluster would
+    * also use; beyond it per-task scheduling overhead dominates).
+    * Downstream stages (the anti-join on the same key) inherit the
+    * width via ENSURE_REQUIREMENTS instead of re-exchanging.
     */
   def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
                      k: Int = 50, minCommon: Int = 2,
@@ -180,6 +202,17 @@ object Breadth4 {
     val packable = !bounds.isNullAt(0) &&
       bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << 31)
 
+    // exact wedge count (node-sized agg over hub-capped degrees) sizes
+    // the pair exchange so per-partition pre-agg rows stay ~8M
+    val wedgeCount = deg.filter(col("deg") <= maxWedgeDegree)
+      .agg(sum(col("deg") * (col("deg") - 1) / 2).cast("long")).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r                  => r.getLong(0)
+    }
+    val sessionParts = adj.sparkSession.sessionState.conf.numShufflePartitions
+    val pairParts = math.min(4096L,
+      math.max(sessionParts.toLong, wedgeCount / 2000000L)).toInt
+
     val wedgeJoin = adj.alias("a")
       .join(adj.alias("b"),
         col("a.w") === col("b.w") && col("a.leaf") < col("b.leaf"))
@@ -189,7 +222,7 @@ object Breadth4 {
         wedgeJoin
           .select((shiftleft(col("a.leaf"), 32) + col("b.leaf")).as("pk"),
             col("a.ra_w").as("ra_w"))
-          .repartition(col("pk"))
+          .repartition(pairParts, col("pk"))
           .groupBy("pk")
           .agg(count(lit(1)).as("common_neighbors"), sum("ra_w").as("ra_micro"))
           .filter(col("common_neighbors") >= minCommon)
@@ -202,7 +235,7 @@ object Breadth4 {
         wedgeJoin
           .select(col("a.leaf").as("item_a"), col("b.leaf").as("item_b"),
             col("a.ra_w").as("ra_w"))
-          .repartition(col("item_a"), col("item_b"))
+          .repartition(pairParts, col("item_a"), col("item_b"))
           .groupBy("item_a", "item_b")
           .agg(count(lit(1)).as("common_neighbors"), sum("ra_w").as("ra_micro"))
           .filter(col("common_neighbors") >= minCommon)
