@@ -184,7 +184,7 @@ object Bench {
     * path, which has no child probe).
     */
   private[graft] final case class Sample(sec: Double, gcS: Double, spillB: Long,
-                                         calib: Double)
+                                         calib: Double, mt: Double = Double.NaN)
 
   /** CHILD MODE: measure the arg-listed queries in THIS fresh JVM —
     * warmup first (untimed), then `runs` interleaved passes — streaming
@@ -292,8 +292,11 @@ object Bench {
       val childCalib = rows.collectFirst {
         case (CalibName, _, s) => s.sec
       }.getOrElse(Double.NaN)
+      val childMt = rows.collectFirst {
+        case (CalibMtName, _, s) => s.sec
+      }.getOrElse(Double.NaN)
       rows.groupBy(_._1).map { case (n, xs) =>
-        n -> xs.sortBy(_._2).map(_._3.copy(calib = childCalib))
+        n -> xs.sortBy(_._2).map(_._3.copy(calib = childCalib, mt = childMt))
       }
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] child spawn failed: ${e.getMessage}")
@@ -463,7 +466,8 @@ object Bench {
             s""""sec":${arr(s => f"${s.sec}%.3f")},""" +
             s""""gc_s":${arr(s => if (s.gcS.isNaN) "null" else f"${s.gcS}%.3f")},""" +
             s""""spill_mb":${arr(s => (s.spillB / (1 << 20)).toString)},""" +
-            s""""calib":${arr(s => if (s.calib.isNaN) "null" else f"${s.calib}%.3f")}}"""
+            s""""calib":${arr(s => if (s.calib.isNaN) "null" else f"${s.calib}%.3f")},""" +
+            s""""mt_ratio":${arr(s => if (s.mt.isNaN) "null" else f"${s.mt}%.2f")}}"""
         }.mkString("{", ",", "}")
         s"""{"metric":"solo_detail","queries":$det}""" + "\n"
       }
@@ -480,8 +484,8 @@ object Bench {
     val isolatedN = sys.env.getOrElse("SPARK_GRAFT_ISOLATED_N", "6").toInt
     val suiteMedians = samples.map { case (n, xs) => n -> medianOf(xs.map(_.sec)) }.toMap
     val suiteMediansNorm = samples.map { case (n, xs) => n -> medianOf(xs.map(normSec)) }.toMap
-    // (cold, warm, warmNorm) per adjudicated query
-    val isolatedBoth: Map[String, (Double, Double, Double)] =
+    // (cold, warm, warmNorm, isolated-child mt_ratio) per adjudicated query
+    val isolatedBoth: Map[String, (Double, Double, Double, Double)] =
       if (only.nonEmpty || isolatedN <= 0) Map.empty
       else {
         val top = results.filter(_._2 >= 0).sortBy(-_._2).take(isolatedN).map(_._1)
@@ -505,7 +509,7 @@ object Bench {
               val warmNormRuns = xs.tail.filter(_.sec >= 0).map(normSec)
               val warmNorm =
                 if (warmNormRuns.isEmpty) normSec(xs.head) else warmNormRuns.min
-              n -> (xs.head.sec, warm.sec, warmNorm)
+              n -> (xs.head.sec, warm.sec, warmNorm, warm.mt)
           }
         }.toMap
       }
@@ -519,6 +523,18 @@ object Bench {
     val agingNormJson = isolatedBoth.toSeq.sortBy(_._1).map { case (k, cww) =>
       val ratio = if (cww._3 > 0) suiteMediansNorm.getOrElse(k, -1.0) / cww._3 else -1.0
       "\"" + k + "\":" + f"$ratio%.3f"
+    }.mkString("{", ",", "}")
+    // parallel-efficiency context for each aging entry: the mt_ratio of
+    // the chunk child(ren) that produced the suite samples vs the
+    // isolated child's — an aging_ratio far from 1 whose two mt readings
+    // differ by 2x+ is a preemption-storm artifact (one side ran in a
+    // storm), NOT protocol aging; only an elevated ratio with BOTH
+    // children near the run's mt floor indicts the protocol
+    val agingMtJson = isolatedBoth.toSeq.sortBy(_._1).map { case (k, cww) =>
+      val suiteMt = samples.find(_._1 == k)
+        .map(p => medianOf(p._2.map(_.mt).filter(!_.isNaN))).getOrElse(Double.NaN)
+      def j(v: Double) = if (v.isNaN || v < 0) "null" else f"$v%.2f"
+      "\"" + k + s"""\":{"suite_child":${j(suiteMt)},"isolated_child":${j(cww._4)}}"""
     }.mkString("{", ",", "}")
     val isolatedJson = isolated.toSeq.sorted.map { case (k, v) =>
       "\"" + k + "\":" + v
@@ -540,7 +556,7 @@ object Bench {
       // no fixed "runs" field: solo-reused entries carry runs.max(5)
       // samples while re-spawned ones carry 3 — the samples line is the
       // per-query ground truth
-      else s"""{"metric":"isolated","queries":$isolatedJson,"cold":$isolatedColdJson,"aging_ratio":$agingJson,"aging_ratio_norm":$agingNormJson,"protocol":"one fresh JVM per query; warm=min of later runs, cold=run 1 (pays memo builds); _norm divides each sample by its child's xorshift calibration before the median/min"}""" + "\n"
+      else s"""{"metric":"isolated","queries":$isolatedJson,"cold":$isolatedColdJson,"aging_ratio":$agingJson,"aging_ratio_norm":$agingNormJson,"aging_mt_context":$agingMtJson,"protocol":"one fresh JVM per query; warm=min of later runs, cold=run 1 (pays memo builds); _norm divides each sample by its child's xorshift calibration before the median/min; aging_mt_context gives each side's child mt_ratio — a garbled aging entry whose two mt readings differ 2x+ is a box storm, not aging"}""" + "\n"
     val calibLine =
       if (calibs.isEmpty) ""
       else {
