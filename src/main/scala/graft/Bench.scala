@@ -39,6 +39,15 @@ import org.apache.spark.sql.SparkSession
   * queries publish as -1. The parent JVM never starts Spark — the 32
   * local cores belong to exactly one measuring child at a time.
   *
+  * STORM RE-SPAWN (round 12): singleton children (solo + isolated) whose
+  * parallel-efficiency probe reads a preemption storm (> 2× the run's mt
+  * floor) are re-spawned up to SPARK_GRAFT_STORM_RESPAWNS times; the
+  * attempt with the best warm min becomes the official vector and every
+  * attempt's mt reading is published (`storm_respawns` line). Round 11
+  * published q_link_pred from a child that read the run's WORST epoch
+  * (mt 11.2 vs floor 2.1) on all 5 runs because the protocol detected
+  * storms but never acted on them.
+  *
   * After the suite, the top-N heaviest queries re-run in their OWN fresh
   * singleton child (cold = run 1, which pays session-memo builds + that
   * query's codegen; warm = min of the later runs) — the suite-vs-isolated
@@ -352,6 +361,56 @@ object Bench {
       m - CalibName - CalibMtName
     }
 
+    // STORM-AWARE SINGLETON SPAWN (round-11 verdict #1): the r11 official
+    // q_link_pred number was published from a child whose mt-probe read
+    // 11.2 — 5.3× the run's floor, the worst epoch of all 15 children —
+    // because the protocol DETECTED storms but never acted on them. A
+    // singleton child whose parallel-efficiency probe reads above
+    // stormFactor× the run's mt floor is now re-spawned (bounded), the
+    // calmest-warm attempt's samples become the official vector, and
+    // every attempt's mt reading is published (`storm_respawns`) so the
+    // artifact shows the adjudication instead of implying one child. The
+    // floor is min(observed child mts so far, SPARK_GRAFT_MT_FLOOR) —
+    // the ~2.1 DRAM-bandwidth floor this box class reads when healthy;
+    // using the observed-only min would under-detect on a run whose
+    // every child stormed.
+    val mtFloorCfg = sys.env.getOrElse("SPARK_GRAFT_MT_FLOOR", "2.1").toDouble
+    val stormFactor = sys.env.getOrElse("SPARK_GRAFT_MT_STORM_FACTOR", "2.0").toDouble
+    val maxRespawns = sys.env.getOrElse("SPARK_GRAFT_STORM_RESPAWNS", "2").toInt
+    val stormAttempts = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    def runMtFloor(): Double = {
+      val obs = calibMts.filter(v => !v.isNaN && v > 0)
+      if (obs.isEmpty) mtFloorCfg else math.min(obs.min, mtFloorCfg)
+    }
+    def spawnSingleton(n: String, r: Int, timeoutMin: Long): Map[String, Vector[Sample]] = {
+      var vecs = Vector.empty[Vector[Sample]]
+      var tries = 0
+      var calm = false
+      while (tries <= maxRespawns && !calm) {
+        val m = spawn(Seq(n), r, timeoutMin)
+        m.get(n).filter(_.nonEmpty).foreach(v => vecs :+= v)
+        val mt = m.get(n).flatMap(_.headOption).map(_.mt).getOrElse(Double.NaN)
+        stormAttempts(n) = stormAttempts.getOrElse(n, Vector.empty) :+ mt
+        calm = mt.isNaN || mt <= stormFactor * runMtFloor()
+        tries += 1
+        if (!calm && tries <= maxRespawns)
+          System.err.println(f"[bench] $n singleton child mt=$mt%.2f > " +
+            f"$stormFactor%.1fx floor ${runMtFloor()}%.2f — re-spawning ($tries/$maxRespawns)")
+      }
+      if (vecs.isEmpty) Map.empty
+      else {
+        // official vector = the attempt with the best WARM min (warm is
+        // the apples-to-apples metric; cold keeps that attempt's run 1)
+        def warmMin(v: Vector[Sample]): Double = {
+          val ws = v.tail.filter(_.sec >= 0)
+          if (ws.nonEmpty) ws.map(_.sec).min
+          else if (v.head.sec >= 0) v.head.sec
+          else Double.MaxValue
+        }
+        Map(n -> vecs.minBy(warmMin))
+      }
+    }
+
     val collected: Map[String, Vector[Sample]] =
       if (chunkSize <= 0) {
         // legacy in-process path (SPARK_GRAFT_CHUNK_SIZE=0): one session,
@@ -374,7 +433,7 @@ object Bench {
         // variance is largest (q_link_pred solo warm spanned 19.2-30.9 s
         // across three same-HEAD runs) — two more samples cost ~1 min
         val soloRuns = solo.foldLeft(Map.empty[String, Vector[Sample]]) {
-          (acc, n) => acc ++ spawn(Seq(n), runs.max(5), timeoutMin = 20)
+          (acc, n) => acc ++ spawnSingleton(n, runs.max(5), timeoutMin = 20)
         }
         // budget ∝ chunk work; generous because a chunk can hold several
         // heavy graph queries × runs passes
@@ -498,7 +557,7 @@ object Bench {
           // adjudication exists to provide (review finding)
           val xs =
             if (chunkSize > 0 && solo.contains(n)) collected.get(n)
-            else spawn(Seq(n), 3, 15).get(n)
+            else spawnSingleton(n, 3, 15).get(n)
           xs.collect {
             // keep the query if ANY run succeeded: a failed cold run
             // (first-run OOM/timeout) must not discard valid warm
@@ -530,11 +589,17 @@ object Bench {
     // differ by 2x+ is a preemption-storm artifact (one side ran in a
     // storm), NOT protocol aging; only an elevated ratio with BOTH
     // children near the run's mt floor indicts the protocol
+    // solo queries' isolated entries REUSE the suite's singleton samples
+    // (see isolatedBoth above), so their two mt readings come from the
+    // same child — flagged "reused" so the artifact doesn't imply an
+    // independent cross-check where the 2x-differ storm rule is
+    // vacuously 1:1 (round-11 advice)
     val agingMtJson = isolatedBoth.toSeq.sortBy(_._1).map { case (k, cww) =>
       val suiteMt = samples.find(_._1 == k)
         .map(p => medianOf(p._2.map(_.mt).filter(!_.isNaN))).getOrElse(Double.NaN)
       def j(v: Double) = if (v.isNaN || v < 0) "null" else f"$v%.2f"
-      "\"" + k + s"""\":{"suite_child":${j(suiteMt)},"isolated_child":${j(cww._4)}}"""
+      val reused = if (chunkSize > 0 && solo.contains(k)) ""","reused":true""" else ""
+      "\"" + k + s"""\":{"suite_child":${j(suiteMt)},"isolated_child":${j(cww._4)}$reused}"""
     }.mkString("{", ",", "}")
     val isolatedJson = isolated.toSeq.sorted.map { case (k, v) =>
       "\"" + k + "\":" + v
@@ -557,6 +622,20 @@ object Bench {
       // samples while re-spawned ones carry 3 — the samples line is the
       // per-query ground truth
       else s"""{"metric":"isolated","queries":$isolatedJson,"cold":$isolatedColdJson,"aging_ratio":$agingJson,"aging_ratio_norm":$agingNormJson,"aging_mt_context":$agingMtJson,"protocol":"one fresh JVM per query; warm=min of later runs, cold=run 1 (pays memo builds); _norm divides each sample by its child's xorshift calibration before the median/min; aging_mt_context gives each side's child mt_ratio — a garbled aging entry whose two mt readings differ 2x+ is a box storm, not aging"}""" + "\n"
+    // every singleton child's mt reading, per query, in spawn order —
+    // when a storm re-spawn fired, this line SHOWS the adjudication
+    // (which epoch each attempt ran in) instead of silently publishing
+    // whichever child happened to run (round-11 verdict #1)
+    val stormLine =
+      if (stormAttempts.isEmpty) ""
+      else {
+        val det = stormAttempts.toSeq.sortBy(_._1).map { case (n, mts) =>
+          val arr = mts.map(v => if (v.isNaN) "null" else f"$v%.2f")
+            .mkString("[", ",", "]")
+          "\"" + n + "\":" + arr
+        }.mkString("{", ",", "}")
+        s"""{"metric":"storm_respawns","mt_floor":${f"${runMtFloor()}%.2f"},"storm_factor":$stormFactor,"max_respawns":$maxRespawns,"mt_attempts":$det,"protocol":"singleton children whose mt-probe reads > storm_factor x the run's mt floor are re-spawned (bounded); official samples come from the attempt with the best warm min; one entry per attempt in spawn order"}""" + "\n"
+      }
     val calibLine =
       if (calibs.isEmpty) ""
       else {
@@ -572,7 +651,7 @@ object Bench {
     Files.write(Paths.get(outPath),
       (line + "\n" + s"""{"metric":"samples","queries":$raw}""" + "\n" +
         s"""{"metric":"spread","queries":$spread}""" + "\n" + comparableLine +
-        soloDetailLine + isolatedLine + calibLine)
+        soloDetailLine + isolatedLine + stormLine + calibLine)
         .getBytes(StandardCharsets.UTF_8))
     System.err.println(s"[bench] wrote $outPath")
     // The driver captures only the LAST ~2000 chars of merged output (then

@@ -182,6 +182,30 @@ object Breadth4 {
     * also use; beyond it per-task scheduling overhead dominates).
     * Downstream stages (the anti-join on the same key) inherit the
     * width via ENSURE_REQUIREMENTS instead of re-exchanging.
+    *
+    * ADAPTIVE GENERATION WIDTH (round 12): the round-11 fix left one
+    * named residual — the wedge-GENERATION stage (the adjacency
+    * self-join on the center `w`) still ran at the session width, so at
+    * sf1.0 each of its 32 tasks wrote |wedges|/32 ≈ 46M pair rows
+    * through the shuffle WRITER's single-pass external sort: the
+    * remaining ~62 GB of spill was exactly that writer sort
+    * (SCALE_PROBE_r11 postmortem, PLANS.md §Round 11). The same
+    * wedge-count-derived width now sizes the adjacency exchange too —
+    * when `pairParts` exceeds the session width, `adj` is explicitly
+    * repartitioned on `w` to `pairParts`, so generation tasks each emit
+    * ~2M pair rows and the writer sort stays in memory. The condition
+    * keeps small inputs IDENTICAL to their pinned plans (no explicit
+    * exchange is inserted when pairParts == session width), and the
+    * hub cap bounds any single center's output at d(d−1)/2 ≤ ~5·10^7,
+    * so hash-partitioning by `w` cannot concentrate unbounded skew in
+    * one generation task.
+    *
+    * The wedge count itself is gated on a zero-cost upper bound folded
+    * into the id-bounds scan the operator already runs: Σ d(d−1)/2 ≤
+    * |E|·(maxWedgeDegree−1), so when that bound cannot push the width
+    * past the session floor the counting job is skipped entirely —
+    * plan-construction on test fixtures costs one aggregate scan, not
+    * two (round-11 advice).
     */
   def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
                      k: Int = 50, minCommon: Int = 2,
@@ -195,26 +219,42 @@ object Breadth4 {
       .join(deg.filter(col("deg") <= maxWedgeDegree), "w")
       .withColumn("ra_w", expr("cast(1000000000000 as bigint) div deg"))
 
-    // runtime id-bounds probe: one scan of the (cached) edge relation
+    // runtime id-bounds probe: one scan of the (cached) edge relation,
+    // carrying the edge count so the wedge-count job below can be
+    // skipped when its upper bound can't move the width off the floor
     val bounds = edges.agg(
       min(least(col(srcCol), col(dstCol)).cast("long")).as("lo"),
-      max(greatest(col(srcCol), col(dstCol)).cast("long")).as("hi")).head()
+      max(greatest(col(srcCol), col(dstCol)).cast("long")).as("hi"),
+      count(lit(1)).as("n")).head()
     val packable = !bounds.isNullAt(0) &&
       bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << 31)
+    val edgeCount = bounds.getLong(2)
 
-    // exact wedge count (node-sized agg over hub-capped degrees) sizes
-    // the pair exchange so per-partition pre-agg rows stay ~8M
-    val wedgeCount = deg.filter(col("deg") <= maxWedgeDegree)
-      .agg(sum(col("deg") * (col("deg") - 1) / 2).cast("long")).head() match {
-      case r if r.isNullAt(0) => 0L
-      case r                  => r.getLong(0)
-    }
     val sessionParts = adj.sparkSession.sessionState.conf.numShufflePartitions
+    val RowsPerPart = 2000000L
+    // Σ d(d−1)/2 ≤ |E|·(dmax−1): if even the bound keeps pairParts at
+    // the session floor, don't pay the counting aggregate at all
+    val wedgeBound = edgeCount * math.max(1L, maxWedgeDegree - 1L)
+    // exact wedge count (node-sized agg over hub-capped degrees) sizes
+    // the pair exchange so per-partition pre-agg rows stay ~2M
+    // (calibrated round 11 — 8M still hit the sort-agg fallback)
+    val wedgeCount =
+      if (wedgeBound <= sessionParts * RowsPerPart) 0L
+      else deg.filter(col("deg") <= maxWedgeDegree)
+        .agg(sum(col("deg") * (col("deg") - 1) / 2).cast("long")).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r                  => r.getLong(0)
+        }
     val pairParts = math.min(4096L,
-      math.max(sessionParts.toLong, wedgeCount / 2000000L)).toInt
+      math.max(sessionParts.toLong, wedgeCount / RowsPerPart)).toInt
 
-    val wedgeJoin = adj.alias("a")
-      .join(adj.alias("b"),
+    // size the GENERATION stage from the same wedge count: only when the
+    // width actually grows (small inputs keep their pinned plan shape)
+    val adjW =
+      if (pairParts > sessionParts) adj.repartition(pairParts, col("w"))
+      else adj
+    val wedgeJoin = adjW.alias("a")
+      .join(adjW.alias("b"),
         col("a.w") === col("b.w") && col("a.leaf") < col("b.leaf"))
 
     val scored =

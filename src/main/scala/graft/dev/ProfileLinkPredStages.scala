@@ -43,15 +43,31 @@ object ProfileLinkPredStages {
     def drain(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
+    // The listener bus is async: stage-completed events from a finished
+    // action can still be in flight when the action returns, so reading
+    // or clearing `stages` immediately would mis-attribute trailing
+    // stages across runs. LiveListenerBus.waitUntilEmpty() is
+    // private[spark] (public in bytecode) — reflection, with a sleep
+    // fallback if the accessor shape ever changes.
+    def drainListenerBus(): Unit =
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+        ()
+      } catch { case scala.util.control.NonFatal(_) => Thread.sleep(1000) }
+
     val li = graft.io.Tables.lineitem(spark, sf)
     drain(li.groupBy("l_orderkey").count()) // warmup
 
     val q = graft.SparkEntry.queries("q_link_pred")
     for (r <- 1 to runs) {
+      drainListenerBus() // flush any events still in flight from run r-1
       stages.clear()
       val t0 = System.nanoTime()
       drain(q(spark, sf))
       val wall = (System.nanoTime() - t0) / 1e9
+      drainListenerBus() // this run's trailing stage events
       println(f"%nrun $r: $wall%.1f s wall — stages by spill:")
       import scala.jdk.CollectionConverters._
       val sts = stages.asScala.toVector.sortBy(s => -(s.memSpill + s.diskSpill))

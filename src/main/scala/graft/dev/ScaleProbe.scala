@@ -69,22 +69,43 @@ object ScaleProbe {
 
   /** One measured point. warm = min of runs 2+; cold = run 1 (pays
     * session-memo builds); gc/spill taken from the warm-min run.
+    * `head` is the git commit the measuring child's classpath was built
+    * from (round-11 advice: without it the cumulative min-warm merge
+    * mixes pre-fix and post-fix rows into one curve, and a stale fast
+    * row masks any later regression forever). Legacy 10-column rows
+    * parse with head="legacy".
     */
   private case class Row(q: String, k: Int, dir: String, cold: Double,
                          warm: Double, warmNorm: Double, gcS: Double,
-                         spillMb: Long, calib: Double, calibMt: Double)
+                         spillMb: Long, calib: Double, calibMt: Double,
+                         head: String = "legacy")
 
   private def rowLine(r: Row): String =
     Seq(r.q, r.k, r.dir, r.cold, r.warm, r.warmNorm, r.gcS, r.spillMb,
-      r.calib, r.calibMt).mkString("\t")
+      r.calib, r.calibMt, r.head).mkString("\t")
 
   private def parseRow(l: String): Option[Row] = {
     val f = l.split("\t", -1)
     if (f.length < 10) None
     else scala.util.Try(Row(f(0), f(1).toInt, f(2), f(3).toDouble,
       f(4).toDouble, f(5).toDouble, f(6).toDouble, f(7).toLong,
-      f(8).toDouble, f(9).toDouble)).toOption
+      f(8).toDouble, f(9).toDouble,
+      if (f.length > 10 && f(10).nonEmpty) f(10) else "legacy")).toOption
   }
+
+  /** The git HEAD this probe measures (env-overridable so a dirty tree
+    * can be labeled explicitly); "unknown" when git is unavailable.
+    */
+  private def gitHead(): String =
+    sys.env.get("SPARK_GRAFT_PROBE_HEAD").getOrElse {
+      try {
+        val p = new ProcessBuilder("git", "rev-parse", "--short=12", "HEAD")
+          .redirectErrorStream(true).start()
+        val out = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
+        if (p.waitFor() == 0 && out.nonEmpty && !out.contains(' ')) out
+        else "unknown"
+      } catch { case scala.util.control.NonFatal(_) => "unknown" }
+    }
 
   def main(args: Array[String]): Unit = {
     val scales = sys.env.getOrElse("SPARK_GRAFT_PROBE_SCALES",
@@ -98,7 +119,8 @@ object ScaleProbe {
     val runs = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "4").toInt.max(2)
     val rowsPath = Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_PROBE_ROWS", "scale_probe_rows.tsv"))
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "SCALE_PROBE_r11.json")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "SCALE_PROBE_r12.json")
+    val head = gitHead()
 
     for ((k, dir) <- scales; q <- queries) {
       // timeout ∝ scale: a k=10 child runs `runs` passes of a query whose
@@ -117,14 +139,14 @@ object ScaleProbe {
       val ok = xs.filter(_.sec >= 0)
       val row =
         if (ok.isEmpty) Row(q, k, dir, -1.0, -1.0, Double.NaN, Double.NaN,
-          -1L, calib, calibMt)
+          -1L, calib, calibMt, head)
         else {
           val cold = xs.head.sec
           val warmRuns = xs.drop(1).filter(_.sec >= 0)
           val warmS = if (warmRuns.isEmpty) xs.head else warmRuns.minBy(_.sec)
           val warmNorm = if (calib.isNaN || calib <= 0) warmS.sec else warmS.sec / calib
           Row(q, k, dir, cold, warmS.sec, warmNorm, warmS.gcS,
-            warmS.spillB >> 20, calib, calibMt)
+            warmS.spillB >> 20, calib, calibMt, head)
         }
       Files.write(rowsPath, (rowLine(row) + "\n").getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
@@ -139,27 +161,53 @@ object ScaleProbe {
       else Seq.empty
     val allQueries = (queries ++ all.map(_.q)).distinct
 
+    // storm adjudication over the accumulated rows (round-11 advice: the
+    // published q_link_pred exponent was superlinear ONLY because two
+    // rungs' min-warm rows carried measured preemption storms) — the mt
+    // floor is min(observed, 2.1-healthy-floor for this box class), a
+    // row is a storm point when its parallel-efficiency probe reads
+    // > 2x that floor or its scalar calibration reads > 1.3
+    val validMts = all.map(_.calibMt).filter(v => !v.isNaN && v > 0)
+    val mtFloor =
+      if (validMts.isEmpty) 2.1 else math.min(validMts.min, 2.1)
+    def isStorm(r: Row): Boolean =
+      (!r.calibMt.isNaN && r.calibMt > 2.0 * mtFloor) ||
+        (!r.calib.isNaN && r.calib > 1.3)
+
     val perQuery = allQueries.map { q =>
       // best (min-warm) row per k across every invocation — robust to
-      // rungs re-run after landing in a preemption epoch
-      val best = all.filter(r => r.q == q && r.warm > 0)
-        .groupBy(_.k).map { case (_, rs) => rs.minBy(_.warm) }
-        .toSeq.sortBy(_.k)
+      // rungs re-run after landing in a preemption epoch. Rows from the
+      // CURRENT git HEAD take absolute precedence (round-11 advice: a
+      // stale fast row from a pre-regression build would otherwise win
+      // the min forever and blind the probe); older-HEAD rows are used
+      // only when a rung has no fresh row, and are flagged stale_head.
+      val rows = all.filter(r => r.q == q && r.warm > 0)
+      val best = rows.groupBy(_.k).map { case (_, rs) =>
+        val fresh = rs.filter(_.head == head)
+        if (fresh.nonEmpty) fresh.minBy(_.warm) else rs.minBy(_.warm)
+      }.toSeq.sortBy(_.k)
       val expRaw = slope(best.map(r => (r.k.toDouble, r.warm)))
       val expNorm = slope(best.map(r => (r.k.toDouble, r.warmNorm)))
+      // the engine verdict, fitted over calm points only — storm points
+      // stay published (flagged) but don't bend the headline exponent
+      val calm = best.filterNot(isStorm)
+      val expCalm = slope(calm.map(r => (r.k.toDouble, r.warm)))
       val base = best.find(_.k == 1).map(_.warm).getOrElse(Double.NaN)
       val ratioTop = best.lastOption
         .map(t => if (base > 0) t.warm / base else Double.NaN)
         .getOrElse(Double.NaN)
       val scalesJson = best.map { r =>
-        s""""${r.k}":{"dir":"${r.dir}","cold":${fmt(r.cold)},"warm":${fmt(r.warm)},"warm_norm":${fmt(r.warmNorm)},"gc_s":${fmt(r.gcS)},"spill_mb":${r.spillMb},"calib":${fmt(r.calib)},"calib_mt_ratio":${fmt(r.calibMt)}}"""
+        val flags = (if (isStorm(r)) List(""""storm":true""") else Nil) ++
+          (if (r.head != head) List(s""""stale_head":"${r.head}"""") else Nil)
+        val flagStr = if (flags.isEmpty) "" else flags.mkString(",", ",", "")
+        s""""${r.k}":{"dir":"${r.dir}","cold":${fmt(r.cold)},"warm":${fmt(r.warm)},"warm_norm":${fmt(r.warmNorm)},"gc_s":${fmt(r.gcS)},"spill_mb":${r.spillMb},"calib":${fmt(r.calib)},"calib_mt_ratio":${fmt(r.calibMt)}$flagStr}"""
       }.mkString("{", ",", "}")
-      s""""$q":{"scales":$scalesJson,"exponent":${fmt(expRaw)},"exponent_norm":${fmt(expNorm)},"ratio_max_vs_1":${fmt(ratioTop)}}"""
+      s""""$q":{"scales":$scalesJson,"exponent":${fmt(expRaw)},"exponent_norm":${fmt(expNorm)},"exponent_calm":${fmt(expCalm)},"calm_points":${calm.size},"ratio_max_vs_1":${fmt(ratioTop)}}"""
     }.mkString("{", ",", "}")
 
     val json =
-      s"""{"metric":"scale_probe","runs_per_point":$runs,""" +
-        s""""protocol":"one fresh child JVM per (query, scale); cold=run 1, warm=min of later runs across ALL invocations of a rung; warm_norm=warm/child xorshift calib; calib_mt_ratio=32-thread/1-thread parallel-efficiency probe (DRAM-bandwidth-bound: healthy floor ~2.1 on this box class, preemption epoch 2-3x the floor); exponent=least-squares slope of ln(warm) vs ln(k)",""" +
+      s"""{"metric":"scale_probe","runs_per_point":$runs,"head":"$head","mt_floor":${fmt(mtFloor)},""" +
+        s""""protocol":"one fresh child JVM per (query, scale); cold=run 1, warm=min of later runs across ALL invocations of a rung (rows from the current git HEAD take precedence; older-HEAD fallbacks are flagged stale_head); warm_norm=warm/child xorshift calib; calib_mt_ratio=32-thread/1-thread parallel-efficiency probe (DRAM-bandwidth-bound: healthy floor ~2.1 on this box class, preemption epoch 2-3x the floor); a point is storm-flagged when mt > 2x the run floor or calib > 1.3; exponent=least-squares slope of ln(warm) vs ln(k); exponent_calm=same fit over non-storm points only (the engine verdict)",""" +
         s""""generator":"graft.dev.ScaleUp disjoint key-offset replication of sf0.1 (ground-truth work ~ k^1; exponent >> 1 = engine bottleneck)",""" +
         s""""queries":$perQuery}"""
     Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
