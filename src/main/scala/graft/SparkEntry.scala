@@ -436,6 +436,19 @@ object SparkEntry {
     // A-ES weighted sampling: longer documents oversampled ∝ n_chars
     "q_weighted_sample" -> ((s, d) => graft.operators.Sampling.weightedSample(
       Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id", "n_chars", 100)),
+    // stratified A-ES: k docs PER SOURCE (WindowGroupLimit, no global sort)
+    "q_weighted_sample_group" -> ((s, d) =>
+      graft.operators.Sampling.weightedSamplePerGroup(
+        Tables.documents(s, d).select("source", "doc_id", "n_chars"),
+        "source", "doc_id", "n_chars", 20)),
+    // ANN training-set assembly: kmeans assignment -> per-cluster A-ES
+    // reservoir, far-from-centroid points oversampled (diversity sample)
+    "ann_cluster_sample" -> ((s, d) =>
+      graft.operators.Sampling.weightedSamplePerGroup(
+          Ann.kmeansAssign(Tables.embeddings(s, d))
+            .withColumn("w", col("dist") + lit(1.0)),
+          "cid", "vec_id", "w", 25)
+        .select("vec_id", "cid", "dist")),
     "embed_quantize" -> ((s, d) => Ann.quantizeInt8(Tables.embeddings(s, d))),
     "embed_equidepth" -> ((s, d) => Ann.quantizeEquiDepth(Tables.embeddings(s, d))),
     // eigenvectors are corpus-dependent model state — the checked output
@@ -3287,6 +3300,31 @@ object SparkEntry {
         |  FROM documents) t
         |ORDER BY es_key DESC, doc_id
         |LIMIT 100""".stripMargin,
+    // same A-ES keys ranked per stratum (row_number <= k within source)
+    "q_weighted_sample_group" ->
+      """SELECT source, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY es_key DESC, doc_id) AS rn
+        |  FROM (
+        |    SELECT source, doc_id, n_chars,
+        |           round(ln((('0x' || substring(md5('wsg:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT::DOUBLE + 1.0)
+        |                 / 1152921504606846976.0) / n_chars, 6) AS es_key
+        |    FROM documents) t) t2
+        |WHERE rn <= 20""".stripMargin,
+    // replay the identical kmeans run (shared CTEs), then the per-cluster
+    // A-ES reservoir over (dist + 1) weights
+    "ann_cluster_sample" ->
+      s"""WITH ${graft.similarity.Ann.kmeansOracleCtes()},
+        |keyed AS (
+        |  SELECT vec_id, cid, d,
+        |         round(ln((('0x' || substring(md5('wsg:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT::DOUBLE + 1.0)
+        |               / 1152921504606846976.0) / (d + 1.0), 6) AS es_key
+        |  FROM afinal)
+        |SELECT vec_id, CAST(cid AS INTEGER) AS cid, d AS dist FROM (
+        |  SELECT vec_id, cid, d,
+        |         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY es_key DESC, vec_id) AS rn
+        |  FROM keyed) t
+        |WHERE rn <= 25""".stripMargin,
     // per-dim exact quartile bins; strict-< on identical doubles replays
     "embed_equidepth" ->
       """WITH e AS (

@@ -204,6 +204,36 @@ object Sampling {
       .drop("__es_key")
   }
 
+  /** Stratified weighted reservoir: [[weightedSample]] PER GROUP — the
+    * k largest Efraimidis–Spirakis keys within every value of
+    * `groupCol`. This is the training-set assembly primitive "take k
+    * docs per source, oversampling high quality" (or, composed with a
+    * cluster assignment, "take k diverse points per cluster") that a
+    * global top-k cannot express: a global sample starves small strata,
+    * a per-stratum uniform sample ignores quality.
+    *
+    * Same determinism discipline as [[weightedSample]] (seeded-md5
+    * uniforms, round-before-rank at 1e-6, id tie-break). Scale shape:
+    * one hash exchange on the group key, then `row_number() <= k` plans
+    * as WindowGroupLimit — only k rows per group survive each
+    * partition's sort buffer, so per-task memory is bounded by
+    * k·|groups per partition| regardless of stratum skew; no global
+    * sort, no driver state.
+    */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+                             weightCol: String, k: Int,
+                             seed: String = "wsg"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (conv(substring(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("double") + 1.0) / lit((1L << 60).toDouble)
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("__es_key").desc, col(idCol))
+    df.withColumn("__es_key", round(log(u) / col(weightCol), 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__es_key", "__rn")
+  }
+
   def hashSplit(df: DataFrame, idCol: String,
                 splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
                 seed: String = "split"): DataFrame = {

@@ -72,6 +72,44 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedSamplePerGroup: k per stratum, weight-biased, partition-invariant") {
+    // two strata; in each, ids ending 9x are heavy (w=50) vs light (w=1)
+    val pop = ((1L to 100L).map(i => (i, "a", if (i > 90) 50.0 else 1.0)) ++
+      (101L to 200L).map(i => (i, "b", if (i > 190) 50.0 else 1.0)))
+      .toDF("id", "g", "w")
+    val got = Sampling.weightedSamplePerGroup(pop, "g", "id", "w", 15)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    // exactly k per group (groups larger than k)
+    val perGroup = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perGroup === Map("a" -> 15, "b" -> 15))
+    // the 10 heavy rows per stratum carry 500/590 of its weight — most
+    // must be drawn into a 15-row stratum sample
+    assert(got.count { case ("a", i) => i > 90; case _ => false } >= 7)
+    assert(got.count { case ("b", i) => i > 190; case _ => false } >= 7)
+    // deterministic under repartitioning; fresh under a new seed
+    val again = Sampling.weightedSamplePerGroup(pop.repartition(13), "g", "id", "w", 15)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(again === got)
+    val reseeded = Sampling.weightedSamplePerGroup(pop, "g", "id", "w", 15, seed = "other")
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(reseeded !== got)
+    // a group smaller than k survives whole
+    val tiny = Sampling.weightedSamplePerGroup(
+      Seq((1L, "solo", 2.0)).toDF("id", "g", "w"), "g", "id", "w", 15)
+    assert(tiny.count() === 1L)
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSamplePerGroup(pop, "g", "id", "w", 0)
+    }
+  }
+
+  test("weightedSamplePerGroup plans as a window group limit, not a global sort") {
+    val pop = (1L to 500L).map(i => (i, (i % 7).toString, 1.0 + (i % 3)))
+      .toDF("id", "g", "w")
+    val plan = Sampling.weightedSamplePerGroup(pop, "g", "id", "w", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
   test("temperatureMix: smallest source keeps all, heads shrink toward sqrt rates") {
     // sources with 900 / 400 / 100 rows
     val pop = ((1L to 900L).map(i => (i, "web")) ++
