@@ -96,8 +96,13 @@ def main(sf_dir: str, out_dir: str, only=None) -> None:
     con.execute(f"SET memory_limit='{MEM_LIMIT}'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
+        # driver fixtures are single files; Spark-written scale fixtures
+        # (dev/ScaleUp output) are directories of part files
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     timings = {}

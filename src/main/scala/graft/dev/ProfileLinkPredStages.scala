@@ -11,12 +11,15 @@ import org.apache.spark.sql.SparkSession
   * stage: wall/task time, shuffle read/write bytes, and memory/disk
   * spill, sorted by spill, with the stage's callsite name.
   *
-  * Usage: runMain graft.dev.ProfileLinkPredStages [sfDir] [runs]
+  * Usage: runMain graft.dev.ProfileLinkPredStages [sfDir] [runs] [query]
+  * (third arg generalizes the tool to ANY SparkEntry query — added for
+  * the round-12 dedup_cosine_pairs postmortem.)
   */
 object ProfileLinkPredStages {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("scale_fixtures/sf1.0")
     val runs = args.lift(1).map(_.toInt).getOrElse(2)
+    val queryName = args.lift(2).getOrElse("q_link_pred")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("profile-linkpred-stages")
@@ -60,7 +63,7 @@ object ProfileLinkPredStages {
     val li = graft.io.Tables.lineitem(spark, sf)
     drain(li.groupBy("l_orderkey").count()) // warmup
 
-    val q = graft.SparkEntry.queries("q_link_pred")
+    val q = graft.SparkEntry.queries(queryName)
     for (r <- 1 to runs) {
       drainListenerBus() // flush any events still in flight from run r-1
       stages.clear()
