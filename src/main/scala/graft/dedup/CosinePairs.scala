@@ -39,17 +39,67 @@ import org.apache.spark.sql.functions._
   * join 16-byte (hash, weight) pairs. Prefix indexing keeps the join's
   * posting lists to the high-impact features — the same df-style skew
   * armor as PPJoin's rare-first prefixes, since high-maxw tokens are the
-  * high-idf (rare) ones.
+  * high-idf (rare) ones. Every width past the feature stage is derived,
+  * not configured (round 12, after the sf1.0 probe measured a 53×
+  * cost bend): the exact candidate-multiset count Σ c(c−1)/2 sizes the
+  * generation and distinct exchanges, and the verify joins pick
+  * broadcast vs shuffled-hash from exact (row, feature) counts read off
+  * the materialized vector cache — never from optimizer byte estimates.
   */
 object CosinePairs {
 
   private val Micro = 1e6
   private val PicoPerUnit = 1e12
 
+  /** Candidate rows per distinct-exchange partition. Same calibrated
+    * constant as Breadth4.linkPrediction's pair exchange (round 11:
+    * 8M rows/partition still tripped the sort-based hash-agg fallback
+    * next to concurrent tasks; 2M keeps every per-task map ~tens of MB).
+    * The sf1.0 probe measured exactly that fallback here: 399M raw
+    * candidate rows into a 32-partition distinct spilled 106 GB in ONE
+    * stage and bent the cost curve to 53x at 10x data
+    * (SCALE_PROBE_r12.json, calm children; stage attribution in
+    * PLANS.md round 12).
+    */
+  private val DistinctRowsPerPart = 2000000L
+
+  /** Below this measured vector-relation size the optimizer's own
+    * broadcast decision is already correct (and pinned in
+    * plan_snapshots.txt) — no hints, test fixtures keep their plan.
+    */
+  private val SmallVerifyBytes = 8L << 20
+
+  /** Up to this measured size the packed-vector relation is broadcast
+    * DELIBERATELY for the verify joins. The round-4 broadcast revert
+    * (see cosinePairs body) was about the OPTIMIZER mis-estimating an
+    * unmeasured relation and re-dotting the pre-distinct multiset; this
+    * gate instead reads exact (row, feature) counts off the materialized
+    * cache, and the sf1.0 cliff it guards is real: at ~19 MB the
+    * relation crosses Spark's 10 MB autoBroadcast estimate and the
+    * verify joins silently fall to sort-merge, sorting the whole
+    * pair+vector stream.
+    */
+  private val BroadcastVerifyBytes = 256L << 20
+
+  /** Streamed bytes per partition for the shuffled-hash verify tier
+    * (vectors too big to broadcast — the 100 TB path). SHJ never sorts
+    * the streamed side, so this only bounds task granularity.
+    */
+  private val StreamBytesPerPart = 256L << 20
+
   /** Document pairs with TF-IDF cosine similarity ≥ `threshold`.
     * Output: (doc_a, doc_b, cosine), doc_a < doc_b.
     */
-  def cosinePairs(documents: DataFrame, threshold: Double = 0.9): DataFrame = {
+  def cosinePairs(documents: DataFrame, threshold: Double = 0.9): DataFrame =
+    cosinePairs(documents, threshold, SmallVerifyBytes, BroadcastVerifyBytes)
+
+  /** Tier thresholds exposed for the scale spec: forcing
+    * `broadcastBytes = 0` exercises the shuffled-hash verify tier on a
+    * test fixture; production callers use the calibrated defaults.
+    */
+  private[graft] def cosinePairs(documents: DataFrame, threshold: Double,
+                                 smallBytes: Long,
+                                 broadcastBytes: Long): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       "threshold must be in (0, 1] — the prefix bound is undefined at 0")
     // round, not ceil: 0.9*1e12 lands a hair ABOVE 9e11 in binary, and
@@ -58,6 +108,26 @@ object CosinePairs {
     val tPico = math.round(threshold * PicoPerUnit)
     val feats = features(documents)
     val prefixes = prefixFeatures(feats, tPico)
+
+    // ADAPTIVE DISTINCT WIDTH (round 12): the candidate multiset is
+    // Σ c(c−1)/2 over prefix posting lists — an EXACT pre-prune row
+    // count for the self-join's output, one ms-scale aggregate over the
+    // materialized prefix relation (the probe corpus: 266k cached rows).
+    // It sizes (a) the generation side of the candidate join, so each
+    // map task's shuffle-writer sort stays bounded at ~2M rows, and
+    // (b) the distinct exchange, so the per-task hash-agg map can never
+    // hit the sort-based fallback that spilled 106 GB at sf1.0. Floored
+    // at the session width so small inputs keep their pinned plan (no
+    // explicit exchange inserted), capped at 4096 like every adaptive
+    // width in the library.
+    val sessionParts = documents.sparkSession.sessionState.conf.numShufflePartitions
+    val rawBound = prefixes.groupBy("hv").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * (col("c") - 1) / 2).cast("long")).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r                  => r.getLong(0)
+      }
+    val distinctParts = math.min(4096L,
+      math.max(sessionParts.toLong, rawBound / DistinctRowsPerPart)).toInt
 
     // Pairwise Cauchy–Schwarz prune inside the join predicate: each prefix
     // row carries tn = ⌈√(Σ_tail wn²)⌉ at its feature. For any qualifying
@@ -72,7 +142,10 @@ object CosinePairs {
     // features sit high in both prefixes, so the measured prune is ~1 %
     // (10.84 M → 10.75 M) — kept because it is free (two longs already in
     // the join row) and corpus-shape insurance.
-    val rawPairs = prefixes.as("a")
+    val prefixGen =
+      if (distinctParts > sessionParts) prefixes.repartition(distinctParts, col("hv"))
+      else prefixes
+    val rawPairs = prefixGen.as("a")
       .join(prefixes.as("b"),
         col("a.hv") === col("b.hv") && col("a.doc_id") < col("b.doc_id") &&
           col("a.tn") * col("b.tn") >= tPico)
@@ -87,31 +160,68 @@ object CosinePairs {
     val docVecs = graft.Caching.materialize(feats.groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("hv"), col("wn")))).as("fv")))
 
-    // Distinct FIRST, then shuffled verify joins: each candidate pair is
-    // verified exactly once. A broadcast-verify variant (probe the raw
-    // 26 M-row pre-distinct multiset against broadcast vectors, dedup
-    // the survivors) was tried and REVERTED: the optimizer's
+    // Distinct FIRST, then verify joins: each candidate pair is verified
+    // exactly once. A broadcast-verify variant (probe the raw 26 M-row
+    // pre-distinct multiset against broadcast vectors, dedup the
+    // survivors) was tried and REVERTED in round 4: the optimizer's
     // sizeInBytes estimate for the packed-vector table wildly
     // understates the in-memory hash-relation (arrays of structs), so
     // the "under budget" branch built a multi-hundred-MB broadcast and
     // re-dotted 2.4× the pairs — BENCH_r04 measured it at 22.6 s
-    // steady-state / 237 s cold vs 3.96 s for this formulation.
-    val verified = verifyDot(rawPairs.distinct(), docVecs)
-      .filter(col("dot_pico") >= tPico)
-    verified.select(col("doc_a"), col("doc_b"),
-      (col("dot_pico").cast("double") / PicoPerUnit).as("cosine"))
-  }
+    // steady-state / 237 s cold vs 3.96 s for this formulation. The
+    // round-12 tiers below are the opposite discipline: exact counts
+    // off the materialized caches, POST-distinct verify, and the
+    // explicit broadcast only up to a measured budget.
+    val preDistinct =
+      if (distinctParts > sessionParts)
+        rawPairs.repartition(distinctParts, col("doc_a"), col("doc_b"))
+      else rawPairs
+    val cand = preDistinct.distinct()
 
-  /** The exact-dot verify join: attach both packed vectors to each
-    * candidate row and compute the pico dot with the codegen merge-walk.
-    */
-  private def verifyDot(pairs: DataFrame, docVecs: DataFrame): DataFrame = {
-    pairs
-      .join(docVecs.select(col("doc_id").as("doc_a"), col("fv").as("fva")), "doc_a")
-      .join(docVecs.select(col("doc_id").as("doc_b"), col("fv").as("fvb")), "doc_b")
+    // exact vector-relation size off the materialized cache: one agg
+    // over n_docs cached rows (never an optimizer estimate — see the
+    // round-4 revert above)
+    val vstats = docVecs.agg(count(lit(1)).as("n"),
+      sum(size(col("fv"))).as("nf")).head()
+    val nDocsV = if (vstats.isNullAt(0)) 0L else vstats.getLong(0)
+    val nFeatsV = if (vstats.isNullAt(1)) 0L else vstats.getLong(1)
+    val vecBytes = nFeatsV * 16L + nDocsV * 48L
+
+    val vA = docVecs.select(col("doc_id").as("doc_a"), col("fv").as("fva"))
+    val vB = docVecs.select(col("doc_id").as("doc_b"), col("fv").as("fvb"))
+    val joined =
+      if (vecBytes <= smallBytes) {
+        // tiny corpus: the optimizer broadcasts on its own — the pinned
+        // test-fixture plan, untouched
+        cand.join(vA, "doc_a").join(vB, "doc_b")
+      } else if (vecBytes <= broadcastBytes) {
+        // measured-size broadcast: keeps both verify joins BHJ across
+        // the 10 MB autoBroadcast estimate cliff (the sf1.0 probe sat
+        // at ~19 MB — sort-merge there sorts the whole pair+vector
+        // stream)
+        cand.join(broadcast(vA), "doc_a").join(broadcast(vB), "doc_b")
+      } else {
+        // 100 TB tier: vectors exceed any sane broadcast. Shuffled-hash
+        // joins build on the (bounded) vector side and STREAM the pair
+        // rows — no sort of the wide pair+vector stream, ever. Widths
+        // keep streamed bytes per task bounded; the doc_b re-key is the
+        // one unavoidable wide exchange (each pair must meet its second
+        // vector somewhere).
+        val avgVec = 16L * nFeatsV / math.max(1L, nDocsV)
+        val streamParts = math.min(4096L, math.max(sessionParts.toLong,
+          rawBound * (24L + avgVec) / StreamBytesPerPart)).toInt
+        cand.repartition(streamParts, col("doc_a"))
+          .join(vA.hint("shuffle_hash"), "doc_a")
+          .repartition(streamParts, col("doc_b"))
+          .join(vB.hint("shuffle_hash"), "doc_b")
+      }
+    val verified = joined
       .select(col("doc_a"), col("doc_b"),
         graft.functions.VectorFunctions.sorted_weight_dot(
           col("fva"), col("fvb")).as("dot_pico"))
+      .filter(col("dot_pico") >= tPico)
+    verified.select(col("doc_a"), col("doc_b"),
+      (col("dot_pico").cast("double") / PicoPerUnit).as("cosine"))
   }
 
   /** L2-normalized micro-unit TF-IDF features (doc_id, hv, wn) — the

@@ -101,6 +101,40 @@ class CosinePairsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("shuffled-hash verify tier (100 TB path) matches the default tier") {
+    // force the largest tier: vectors "too big to broadcast" → the
+    // verify joins must become shuffled-hash (streaming, no sort of the
+    // pair+vector rows) and produce the identical result set
+    val shj = CosinePairs.cosinePairs(docs, 0.9, 0L, 0L)
+    val plan = shj.queryExecution.executedPlan.toString
+    // both verify joins (pair keys doc_a / doc_b) must be shuffled-hash;
+    // the doc_id-keyed joins inside the cached feature build may stay
+    // sort-merge (per-doc bounded rows, built once, cached)
+    assert(plan.contains("ShuffledHashJoin [doc_a") &&
+      plan.contains("ShuffledHashJoin [doc_b"),
+      s"forced tier did not plan shuffled-hash verify joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin [doc_a") &&
+      !plan.contains("SortMergeJoin [doc_b"),
+      s"verify join fell back to sort-merge (would sort the pair+vector stream):\n$plan")
+    val ref = CosinePairs.cosinePairs(docs, 0.9)
+    assert(shj.exceptAll(ref).isEmpty && ref.exceptAll(shj).isEmpty,
+      "shuffled-hash tier diverges from the default tier")
+    spark.catalog.clearCache()
+  }
+
+  test("measured-broadcast verify tier matches the default tier") {
+    // force the middle tier (smallBytes=0 so the deliberate broadcast
+    // hint path runs even on the tiny fixture)
+    val bc = CosinePairs.cosinePairs(docs, 0.9, 0L, Long.MaxValue)
+    val plan = bc.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"broadcast tier did not plan BHJ verify joins:\n$plan")
+    val ref = CosinePairs.cosinePairs(docs, 0.9)
+    assert(bc.exceptAll(ref).isEmpty && ref.exceptAll(bc).isEmpty,
+      "broadcast tier diverges from the default tier")
+    spark.catalog.clearCache()
+  }
+
   test("degenerate corpora return empty, not NPE") {
     // all-duplicates: every token appears in every doc, df == N, every
     // idf-0 weight filters out — the feature relation is EMPTY and the
