@@ -599,6 +599,10 @@ object SparkEntry {
     "embed_kcenter" -> ((s, d) => graft.similarity.Kcenter.kcenterSelect(Tables.embeddings(s, d))),
     // trained-centroid path: 2 Lloyd iterations, fully oracle-replayed
     "ann_kmeans" -> ((s, d) => Ann.kmeansAssign(Tables.embeddings(s, d))),
+    // --- k-means|| seeding (Bahmani VLDB'12): O(rounds) passes, md5-tape
+    // sampling, weighted farthest-point recluster — the 100 TB init path ---
+    "ann_kmeanspp_init" -> ((s, d) =>
+      Ann.kmeansParallelInit(Tables.embeddings(s, d))),
     // --- simplified silhouette: the internal quality number that picks k ---
     "embed_silhouette" -> ((s, d) => Ann.kmeansSilhouette(Tables.embeddings(s, d))),
     // --- SemDeDup: within-cluster semantic dedup, farthest-from-centroid
@@ -2917,6 +2921,8 @@ object SparkEntry {
     // the k-means training loop replayed end-to-end (seeding, rounded
     // argmin, fixed-point means) — generated CTE-per-iteration
     "ann_kmeans" -> graft.similarity.Ann.kmeansOracleSql(),
+    // k-means|| replay: rounds + greedy steps unrolled, HUGEINT margins
+    "ann_kmeanspp_init" -> graft.similarity.Ann.kmeansParallelInitOracleSql(),
     // identical training CTEs; b = min distance over OTHER centroids
     "embed_silhouette" -> graft.similarity.Ann.silhouetteOracleSql(),
     // identical kmeans replay + within-cluster pair filter + survivor rule

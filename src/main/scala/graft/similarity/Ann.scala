@@ -178,6 +178,216 @@ object Ann {
     cents
   }
 
+  /** k-means|| initialization (Bahmani, Moseley, Vattani, Kumar &
+    * Vassilvitskii, "Scalable K-Means++", VLDB'12): the O(log n)-pass
+    * seeding that replaces k-means++'s k SEQUENTIAL corpus passes — the
+    * difference between seeding in `rounds`+2 scans and k scans at
+    * 100 TB. Per round, every point is sampled INDEPENDENTLY with
+    * probability min(1, ℓ·d²(x,C)/φ) (φ = Σ d²(x,C)), the sampled
+    * points join the candidate set C, and after `rounds` rounds each
+    * candidate is weighted by the number of points nearest to it; the
+    * ≤ 1+rounds·cap candidates are then reclustered on the driver
+    * (bounded model state, the centroid idiom of [[kmeansAssign]]).
+    *
+    * Determinism (every random draw is an md5 tape, the library rule):
+    *  - the first center is the [[trainCentroids]] tape head — min
+    *    (md5(vec_id), vec_id);
+    *  - round r's uniform for x is u = md5(vec_id ':' r) folded to 60
+    *    bits; x is sampled iff u·φ < ℓ·d6·2⁶⁰ where d6 is the 1e-6
+    *    fixed-point min squared distance — an EXACT integer inequality
+    *    (DECIMAL(38) here, HUGEINT in the oracle), never a float
+    *    compare; already-chosen candidates have d6 = 0 and can't
+    *    re-sample;
+    *  - the per-round sample is capped at `cap` by the most-negative
+    *    sampling margin u·φ − ℓ·d6·2⁶⁰ (again exact integers; ties by
+    *    vec_id) via orderBy+limit — TakeOrderedAndProject, never a
+    *    single-partition window. E[sample] = ℓ so the cap (default 8ℓ)
+    *    is slack insurance that bounds the driver collect at any scale;
+    *  - the final recluster is deterministic weighted farthest-point:
+    *    start from the heaviest candidate (ties by vec_id), then argmax
+    *    weight·d6min-to-chosen (exact BigInt products; ties by vec_id).
+    *    The paper allows any weighted clusterer here; greedy
+    *    farthest-point is chosen BECAUSE it is sequentially
+    *    deterministic, so the DuckDB oracle can replay it unrolled.
+    *
+    * Scale shape: each round is one corpus pass of |C| fold expressions
+    * (candidates broadcast as literals — model state), one long-sum agg
+    * (φ) and one TakeOrderedAndProject; the weight pass is one hash agg
+    * keyed by candidate id. 2·rounds+2 passes total, zero data shuffles
+    * beyond scalar aggs. Candidate count is capped at 1+rounds·cap
+    * driver rows regardless of corpus size.
+    *
+    * Returns (seed_rank, vec_id, weight): the k chosen seed ids in selection
+    * order with their attraction weights.
+    */
+  def kmeansParallelInit(embeddings: DataFrame, k: Int = 4, ell: Int = 3,
+                         rounds: Int = 3): DataFrame = {
+    require(k > 0 && ell > 0 && rounds >= 0, "need k, ell > 0, rounds >= 0")
+    val spark = embeddings.sparkSession
+    val cap = 8 * ell
+    val e = corpus(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+    val head = e
+      .select(col("vec_id"), col("v"), md5(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v")).collect()
+    if (head.nonEmpty) {
+      var cands: Vector[(Long, Array[Double])] = Vector(
+        (head(0).getLong(0), head(0).getSeq[Double](1).toArray))
+
+      // 1e-6 fixed-point min squared distance to the candidate set —
+      // the same round-then-quantize fold the kmeans family oracles on
+      def d6min(cs: Seq[(Long, Array[Double])]): Column = {
+        val ds = cs.map { case (_, c) =>
+          val lits = array(c.map(lit): _*)
+          floor(round(aggregate(zip_with(col("v"), lits,
+            (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d), 6)
+            * 1e6 + 0.5).cast("long")
+        }
+        if (ds.size == 1) ds.head else least(ds: _*)
+      }
+
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        val withD = e.withColumn("d6", d6min(cands))
+        val phi = withD.agg(sum(col("d6"))).head().getLong(0)
+        if (phi == 0L) exhausted = true // every point sits ON a candidate
+        else {
+          val dec = DecimalType(38, 0)
+          val u60 = graft.dedup.Dedup.md5Base60(
+            concat(col("vec_id").cast("string"), lit(":" + r)))
+          val margin = (u60.cast(dec) * lit(phi).cast(dec)) -
+            (lit(ell.toLong).cast(dec) * col("d6").cast(dec) *
+              lit(1152921504606846976L).cast(dec)) // 2^60
+          val sampled = withD.withColumn("m", margin)
+            .filter(col("m") < 0)
+            .orderBy(col("m"), col("vec_id"))
+            .limit(cap)
+            .select(col("vec_id"), col("v")).collect()
+          cands = cands ++ sampled.map(row =>
+            (row.getLong(0), row.getSeq[Double](1).toArray))
+          r += 1
+        }
+      }
+
+      // attraction weights: nearest candidate, (d6, cand id) lexicographic
+      val best = {
+        val structs = cands.map { case (cid, c) =>
+          val lits = array(c.map(lit): _*)
+          struct(
+            floor(round(aggregate(zip_with(col("v"), lits,
+              (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d), 6)
+              * 1e6 + 0.5).cast("long").as("d6"),
+            lit(cid).as("cid"))
+        }
+        if (structs.size == 1) structs.head else least(structs: _*)
+      }
+      val w: Map[Long, Long] = e.select(best.getField("cid").as("cid"))
+        .groupBy("cid").agg(count(lit(1)).as("w"))
+        .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+
+      // deterministic weighted farthest-point recluster (driver, ≤
+      // 1+rounds·cap rows). Exact integer scores: BigInt(weight)·d6min.
+      def dist6(a: Array[Double], b: Array[Double]): Long = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+        math.floor(BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble * 1e6 + 0.5).toLong
+      }
+      val weighted = cands.map { case (cid, v) => (cid, v, w.getOrElse(cid, 0L)) }
+      var chosen = Vector(weighted.maxBy { case (cid, _, wt) => (wt, -cid) })
+      out += ((1, chosen.head._1, chosen.head._3))
+      var rank = 2
+      while (rank <= k) {
+        val remaining = weighted.filterNot(c => chosen.exists(_._1 == c._1))
+        if (remaining.isEmpty) rank = k + 1
+        else {
+          val next = remaining.maxBy { case (cid, v, wt) =>
+            val dmin = chosen.map(ch => dist6(v, ch._2)).min
+            (BigInt(wt) * BigInt(dmin), -cid)
+          }
+          chosen = chosen :+ next
+          out += ((rank, next._1, next._3))
+          rank += 1
+        }
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("seed_rank", "vec_id", "weight")
+  }
+
+  /** DuckDB replay of [[kmeansParallelInit]]: rounds and greedy steps
+    * unrolled CTE-per-step, HUGEINT sampling margins, identical md5
+    * tapes, quantization and tie-breaks.
+    */
+  def kmeansParallelInitOracleSql(k: Int = 4, ell: Int = 3, rounds: Int = 3,
+                                  dim: Int = 64): String = {
+    val cap = 8 * ell
+    val two60 = "1152921504606846976"
+    def d6(vl: String, vr: String) =
+      s"CAST(FLOOR(round(list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"i -> ($vl[i] - $vr[i]) * ($vl[i] - $vr[i]))), 6) * 1e6 + 0.5) AS BIGINT)"
+    val roundCtes = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT e.vec_id, MIN(${d6("e.v", "c.v")}) AS d6
+         |  FROM e CROSS JOIN cand${r - 1} c GROUP BY 1),
+         |phi$r AS (SELECT SUM(d6) AS phi FROM d$r),
+         |s$r AS (
+         |  SELECT vec_id, v FROM (
+         |    SELECT e.vec_id, e.v,
+         |           CAST(('0x' || substring(md5(CAST(e.vec_id AS VARCHAR) || ':$r'), 1, 15)) AS BIGINT)::HUGEINT
+         |             * p.phi - $ell::HUGEINT * d.d6 * $two60 AS m
+         |    FROM e JOIN d$r d USING (vec_id) CROSS JOIN phi$r p
+         |    WHERE p.phi > 0) t
+         |  WHERE m < 0
+         |  ORDER BY m, vec_id LIMIT $cap),
+         |cand$r AS MATERIALIZED (SELECT * FROM cand${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
+    }
+    val greedySteps = (2 to k).map { i =>
+      s"""sc$i AS (
+         |  SELECT c.vec_id, c.v, c.w, MIN(${d6("c.v", "ch.v")}) AS dmin
+         |  FROM cw c CROSS JOIN ch${i - 1} ch
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM ch${i - 1})
+         |  GROUP BY c.vec_id, c.v, c.w),
+         |g$i AS MATERIALIZED (
+         |  SELECT vec_id, v, w FROM sc$i
+         |  ORDER BY w::HUGEINT * dmin DESC, vec_id LIMIT 1),
+         |ch$i AS MATERIALIZED (SELECT * FROM ch${i - 1} UNION ALL SELECT * FROM g$i)""".stripMargin
+    }
+    val finalUnion = (1 to k).map { i =>
+      val src = if (i == 1) "g1" else s"g$i"
+      s"SELECT $i AS seed_rank, vec_id, w FROM $src"
+    }.mkString(" UNION ALL ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cand0 AS MATERIALIZED (
+       |  SELECT vec_id, v FROM (
+       |    SELECT vec_id, v,
+       |           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |    FROM e) t WHERE rn = 1),
+       |${roundCtes.mkString(",\n")},
+       |asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.vec_id AS cid,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${d6("e.v", "c.v")}, c.vec_id) AS rn
+       |    FROM e CROSS JOIN cand$rounds c) t WHERE rn = 1),
+       |cw AS MATERIALIZED (
+       |  SELECT c.vec_id, c.v, COALESCE(w.w, 0) AS w
+       |  FROM cand$rounds c LEFT JOIN
+       |    (SELECT cid, COUNT(*) AS w FROM asg GROUP BY 1) w ON w.cid = c.vec_id),
+       |g1 AS MATERIALIZED (SELECT vec_id, v, w FROM cw ORDER BY w DESC, vec_id LIMIT 1),
+       |ch1 AS MATERIALIZED (SELECT * FROM g1),
+       |${greedySteps.mkString(",\n")}
+       |SELECT CAST(seed_rank AS INTEGER) AS seed_rank, vec_id,
+       |       CAST(w AS BIGINT) AS weight
+       |FROM ($finalUnion) t""".stripMargin
+  }
+
   /** Simplified (centroid-based) silhouette of the trained k-means
     * partition (Kaufman & Rousseeuw, "Finding Groups in Data", 1990,
     * §2.5 — the O(n·k) variant production clustering evals use, since
