@@ -1257,6 +1257,10 @@ object SparkEntry {
     // --- token-budget sampler: per-source corpus slice in md5 tape order ---
     "q_token_budget" -> ((s, d) =>
       graft.operators.Sampling.tokenBudgetSample(Tables.documents(s, d))),
+    // --- water-filling mixture allocation: uniform target shares under
+    // per-source availability caps, saturation surplus redistributed ---
+    "q_mix_waterfill" -> ((s, d) =>
+      graft.operators.Sampling.waterfillAllocate(Tables.documents(s, d))),
     // --- exact two-sample KS drift of n_chars between even/odd sources ---
     "q_ks_drift" -> ((s, d) => graft.analytics.Drift.ksDrift(Tables.documents(s, d))),
     // --- PSI over binned doc lengths between the same corpus halves ---
@@ -3868,6 +3872,8 @@ object SparkEntry {
         |UNION ALL SELECT 4, 'stop_ge_5pct', n_docs - k1 - k2 - k3, k4, f4, m4 FROM a""".stripMargin,
     // take-while under a per-source token budget: exclusive running total
     // in (md5, doc_id) order must stay under budget for the doc to survive
+    // rounds + final share unrolled CTE-per-step, integer floor divisions
+    "q_mix_waterfill" -> graft.operators.Sampling.waterfillOracleSql(),
     "q_token_budget" ->
       """WITH t AS (
         |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h,

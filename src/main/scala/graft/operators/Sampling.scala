@@ -257,6 +257,102 @@ object Sampling {
     * re-running, re-partitioning, or growing a source never changes
     * which existing rows survive. Unknown sources are dropped (rate 0).
     */
+  /** Water-filling mixture allocation: split a total token `budget`
+    * across sources at UNIFORM target shares under per-source
+    * availability caps — the feasibility solver that runs before
+    * [[mixSources]] realizes the rates (every multi-source training-data
+    * build does this step: a source that cannot meet its share
+    * saturates, takes everything it has, and its surplus redistributes
+    * among the rest).
+    *
+    * All-integer fixed-round iteration (exactly `rounds` rounds, both
+    * engines — the fixpoint is idempotent, so running past it changes
+    * nothing): each round, share = ⌊remaining_budget / #unsaturated⌋;
+    * any unsaturated source with n ≤ share joins the saturated set.
+    * Saturation can cascade at most #sources times, so `rounds` ≥
+    * #sources reaches the exact fixpoint; the default 8 covers the
+    * fixture's 20 sources in practice because whole strata saturate
+    * together. Allocations and micro-rates are floor divisions of
+    * longs — no float crosses an engine boundary.
+    *
+    * Scale shape: ONE corpus pass (token-count hash agg keyed by
+    * source); the allocator itself is #sources rows of driver model
+    * state — the centroid idiom. Output: (source, n_tokens, allocated,
+    * rate_micro, saturated); feed rate_micro/1e6 into [[mixSources]]
+    * for the realized per-document filter.
+    */
+  def waterfillAllocate(documents: DataFrame, budget: Long = 26000L,
+                        rounds: Int = 8): DataFrame = {
+    require(budget >= 0 && rounds >= 1, "need budget >= 0, rounds >= 1")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val avail: Seq[(String, Long)] = documents
+      .select(col("source"),
+        size(graft.text.TextOps.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy("source").agg(sum(col("nt")).as("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    var sat = Set.empty[String]
+    def shareOf(satNow: Set[String]): Long = {
+      val unsatN = avail.count(a => !satNow(a._1))
+      if (unsatN == 0) 0L
+      else math.max(0L,
+        budget - avail.filter(a => satNow(a._1)).map(_._2).sum) / unsatN
+    }
+    for (_ <- 1 to rounds) {
+      val share = shareOf(sat)
+      sat = sat ++ avail.filter(a => !sat(a._1) && a._2 <= share).map(_._1)
+    }
+    val share = shareOf(sat)
+    avail.map { case (s, n) =>
+      val isSat = sat(s)
+      val alloc = if (isSat) n else math.min(n, share)
+      val rate = if (n == 0L) 0L else alloc * 1000000L / n
+      (s, n, alloc, rate, isSat)
+    }.toDF("source", "n_tokens", "allocated", "rate_micro", "saturated")
+  }
+
+  /** DuckDB replay of [[waterfillAllocate]] — rounds unrolled
+    * CTE-per-step, identical integer floor divisions.
+    */
+  def waterfillOracleSql(budget: Long = 26000L, rounds: Int = 8): String = {
+    def shareCte(name: String, satCte: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT CASE WHEN u.u = 0 THEN 0
+         |              ELSE GREATEST($budget - COALESCE(s.t, 0), 0) // u.u END AS share
+         |  FROM (SELECT COUNT(*) AS u FROM avail
+         |        WHERE source NOT IN (SELECT source FROM $satCte)) u
+         |  CROSS JOIN (SELECT SUM(n) AS t FROM avail
+         |              WHERE source IN (SELECT source FROM $satCte)) s)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      shareCte(s"st$r", s"sat${r - 1}") + ",\n" +
+        s"""sat$r AS MATERIALIZED (
+           |  SELECT source FROM sat${r - 1}
+           |  UNION
+           |  SELECT a.source FROM avail a CROSS JOIN st$r
+           |  WHERE a.source NOT IN (SELECT source FROM sat${r - 1})
+           |    AND a.n <= st$r.share)""".stripMargin
+    }
+    s"""WITH avail AS MATERIALIZED (
+       |  SELECT source,
+       |         CAST(SUM(len(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |           ELSE regexp_split_to_array(trim(text), '\\s+') END)) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1),
+       |sat0 AS MATERIALIZED (SELECT source FROM avail WHERE false),
+       |${roundCtes.mkString(",\n")},
+       |${shareCte("stf", s"sat$rounds")},
+       |fin AS MATERIALIZED (
+       |  SELECT a.source, a.n,
+       |         a.source IN (SELECT source FROM sat$rounds) AS sat,
+       |         CASE WHEN a.source IN (SELECT source FROM sat$rounds) THEN a.n
+       |              ELSE LEAST(a.n, stf.share) END AS took
+       |  FROM avail a CROSS JOIN stf)
+       |SELECT source, n AS n_tokens, CAST(took AS BIGINT) AS allocated,
+       |       CAST(CASE WHEN n = 0 THEN 0 ELSE took * 1000000 // n END AS BIGINT)
+       |         AS rate_micro,
+       |       sat AS saturated
+       |FROM fin""".stripMargin
+  }
+
   def mixSources(df: DataFrame, sourceCol: String, idCol: String,
                  rates: Map[String, Double], seed: String = "mix"): DataFrame = {
     require(rates.nonEmpty && rates.values.forall(r => r >= 0 && r <= 1),

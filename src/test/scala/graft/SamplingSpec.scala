@@ -192,4 +192,40 @@ class SamplingSpec extends AnyFunSuite {
     assert(got.agg(sum("alloc_n")).head.getLong(0) === 0L)
     assert(got.count() === 2)
   }
+
+  test("waterfillAllocate: saturation cascade redistributes exactly") {
+    // budget 100 over 4 sources, uniform targets (25 each):
+    //   a has 10 -> saturates round 1; share becomes (100-10)/3 = 30
+    //   b has 28 -> saturates round 2; share becomes (100-38)/2 = 31
+    //   c, d have 40/50 -> unsaturated at 31 each
+    val docs = Seq(
+      ("a", 1L, "w " * 10), ("b", 2L, "w " * 28),
+      ("c", 3L, "w " * 40), ("d", 4L, "w " * 50)
+    ).map { case (s0, i, t) => (i, s0, t.trim) }.toDF("doc_id", "source", "text")
+    val got = graft.operators.Sampling.waterfillAllocate(docs, budget = 100L)
+      .orderBy("source")
+      .select("source", "n_tokens", "allocated", "rate_micro", "saturated")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq(
+      ("a", 10L, 10L, 1000000L, true),
+      ("b", 28L, 28L, 1000000L, true),
+      ("c", 40L, 31L, 775000L, false),
+      ("d", 50L, 31L, 620000L, false)))
+  }
+
+  test("waterfillAllocate: budget above total availability saturates all") {
+    val docs = Seq((1L, "a", "x y"), (2L, "b", "x y z")).toDF("doc_id", "source", "text")
+    val got = graft.operators.Sampling.waterfillAllocate(docs, budget = 1000L)
+      .select("allocated", "saturated")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(got.forall(_._2) && got.map(_._1).sum === 5L)
+  }
+
+  test("waterfillAllocate: zero budget allocates zero everywhere") {
+    val docs = Seq((1L, "a", "x y"), (2L, "b", "")).toDF("doc_id", "source", "text")
+    val got = graft.operators.Sampling.waterfillAllocate(docs, budget = 0L)
+      .orderBy("source")
+      .select("allocated", "rate_micro").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 0L), (0L, 0L)))
+  }
 }
