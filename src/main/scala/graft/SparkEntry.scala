@@ -981,6 +981,38 @@ object SparkEntry {
       graft.operators.Ivm.applyDelta(base, changes, Seq("month_start"), "v")
         .select(col("month_start"), col("cnt"), col("total").cast("double").as("total"))
     }),
+    // --- IVM power sums (cnt, Σx, Σx²): AVG/VAR views under exact decimal
+    // retraction — same delta recipe as q_ivm_monthly, variance derived
+    // at read time with the identical double shape as the oracle ---
+    "q_ivm_variance" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{count, date_trunc, lit, sum}
+      import org.apache.spark.sql.types.DecimalType
+      val ord = Tables.orders(s, d)
+      val price = col("o_totalprice").cast(DecimalType(18, 2))
+      val month = date_trunc("month", col("o_orderdate")).cast("date").as("month_start")
+      val base = ord.groupBy(month)
+        .agg(count(lit(1)).as("cnt"), sum(price).as("sx"),
+          sum(price * price).as("sx2"))
+      val upd = ord.filter(col("o_orderkey") % 10 === 3)
+      val bump = lit(new java.math.BigDecimal("100.00"))
+      val changes = upd.select(month, price.as("v"), lit(true).as("is_delete"))
+        .unionByName(upd.select(month,
+          (price + bump).cast(DecimalType(18, 2)).as("v"), lit(false).as("is_delete")))
+        .unionByName(ord.filter(col("o_orderkey") % 10 === 7)
+          .select(month, price.as("v"), lit(true).as("is_delete")))
+        .unionByName(ord.filter(col("o_orderkey") % 10 === 5)
+          .select(month, price.as("v"), lit(false).as("is_delete")))
+      val n = col("cnt").cast("double")
+      // variance numerator n·Σx² − (Σx)² stays EXACT decimal (≤ 24 digits)
+      // and converts via string: decimal→double of a > 2⁵³-quanta value
+      // double-rounds in DuckDB, while a decimal STRING parses correctly
+      // rounded on both engines (Σx itself is < 2⁵³ quanta — plain cast)
+      val varNum = col("cnt") * col("sx2") - col("sx") * col("sx")
+      graft.operators.Ivm.applyDeltaStats(base, changes, Seq("month_start"), "v")
+        .select(col("month_start"), col("cnt"),
+          (col("sx").cast("double") / n).as("mean"),
+          (varNum.cast("string").cast("double") / (n * n)).as("var_pop"))
+    }),
     // --- IVM for NON-self-maintainable aggregates: min/max under deletes
     // that hit the stored extremum (guaranteed: every month's max rows are
     // deleted), repaired per dirty group from the post-batch base ---
@@ -3564,6 +3596,30 @@ object SparkEntry {
         |       CAST(SUM(p) AS DOUBLE) AS total
         |FROM merged
         |GROUP BY 1""".stripMargin,
+    // full recompute over the same merged snapshot as q_ivm_monthly —
+    // the incremental decimal power sums must land exactly on it; the
+    // derived mean/variance doubles share the expression shape
+    "q_ivm_variance" ->
+      """WITH merged AS (
+        |  SELECT o_orderdate, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders WHERE o_orderkey % 10 NOT IN (3, 7)
+        |  UNION ALL
+        |  SELECT o_orderdate, CAST(o_totalprice AS DECIMAL(18,2)) + 100.00
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderdate, CAST(o_totalprice AS DECIMAL(18,2))
+        |  FROM orders WHERE o_orderkey % 10 = 5),
+        |sums AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |         COUNT(*) AS cnt,
+        |         SUM(p) AS sx,
+        |         SUM(p * p) AS sx2
+        |  FROM merged GROUP BY 1)
+        |SELECT month_start, cnt,
+        |       CAST(sx AS DOUBLE) / cnt AS mean,
+        |       CAST(CAST(cnt * sx2 - sx * sx AS VARCHAR) AS DOUBLE)
+        |         / (CAST(cnt AS DOUBLE) * cnt) AS var_pop
+        |FROM sums""".stripMargin,
     // full recompute over the merged snapshot: deletes remove every row
     // at its month's max price (forcing the retraction-repair path for
     // every group) plus non-max %10==7 rows; inserts duplicate %10==5

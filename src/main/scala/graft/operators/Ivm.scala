@@ -59,6 +59,50 @@ object Ivm {
       .filter(col(cntCol) > 0)
   }
 
+  /** Maintain exact power sums (cnt, Σx, Σx²) per group under inserts
+    * AND deletes — the self-maintainable core of AVG / VAR / STDDEV
+    * views. Unlike min/max (which need the retraction-repair pass of
+    * [[applyDeltaMinMax]]), power sums retract EXACTLY: a delete folds
+    * in as (−1, −x, −x²), so no group ever needs the base relation.
+    * The sums must be DECIMAL (exact): float power sums would drift
+    * from the recompute after enough retractions — the same reason the
+    * library's money sums go through DECIMAL(18,2).
+    *
+    * Derived mean/variance are the CALLER's one division at read time
+    * (keep the view in sums — deriving eagerly would lose exactness for
+    * the next delta). Per-batch cost: one hash agg over the batch plus
+    * one group-domain-sized null-safe full-outer join — never a base
+    * rescan; at 100 TB the view is group-cardinality-sized model state.
+    */
+  def applyDeltaStats(baseStats: DataFrame, changes: DataFrame,
+                      groupCols: Seq[String], valueCol: String,
+                      cntCol: String = "cnt", sumCol: String = "sx",
+                      sqCol: String = "sx2",
+                      deleteCol: String = "is_delete"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val v = col(valueCol)
+    val delta = changes.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(when(col(deleteCol), -1L).otherwise(1L)).as("__cnt_d"),
+        sum(when(col(deleteCol), -v).otherwise(v)).as("__sx_d"),
+        sum(when(col(deleteCol), -(v * v)).otherwise(v * v)).as("__sx2_d"))
+    val zeroSum = lit(0).cast(baseStats.schema(sumCol).dataType)
+    val zeroSq = lit(0).cast(baseStats.schema(sqCol).dataType)
+    val b = baseStats.alias("b"); val d = delta.alias("d")
+    // null-safe group equality — see applyDelta's note on NULL keys
+    val cond = groupCols.map(c => col(s"b.$c") <=> col(s"d.$c")).reduce(_ && _)
+    b.join(d, cond, "full_outer")
+      .select(
+        groupCols.map(c => coalesce(col(s"b.$c"), col(s"d.$c")).as(c)) ++ Seq(
+          (coalesce(col(cntCol), lit(0L)) + coalesce(col("__cnt_d"), lit(0L)))
+            .as(cntCol),
+          (coalesce(col(sumCol), zeroSum) + coalesce(col("__sx_d"), zeroSum))
+            .cast(baseStats.schema(sumCol).dataType).as(sumCol),
+          (coalesce(col(sqCol), zeroSq) + coalesce(col("__sx2_d"), zeroSq))
+            .cast(baseStats.schema(sqCol).dataType).as(sqCol)): _*)
+      .filter(col(cntCol) > 0)
+  }
+
   /** Maintain the per-(group, value) multiplicity SUPPORT relation that
     * makes COUNT(DISTINCT) incrementally maintainable under inserts AND
     * deletes. Count-distinct is famously NOT self-maintainable from the

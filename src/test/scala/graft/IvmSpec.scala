@@ -459,4 +459,45 @@ class IvmSpec extends AnyFunSuite {
     assert(got.filter($"g" === "a").isEmpty)
     spark.catalog.clearCache()
   }
+
+  test("applyDeltaStats equals recompute: exact power-sum retraction") {
+    def stats(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("v", $"v".cast("decimal(18,2)"))
+      .groupBy("g").agg(count(lit(1)).as("cnt"),
+        sum($"v").as("sx"), sum($"v" * $"v").as("sx2"))
+    val base = Seq(("a", 10.0), ("a", 20.0), ("b", 5.0), ("c", 7.0)).toDF("g", "v")
+    val changes = Seq(
+      ("a", 10.0, true), ("a", 15.0, false),  // update 10 -> 15
+      ("c", 7.0, true),                        // group vanishes
+      ("d", 9.0, false)                        // new group
+    ).toDF("g", "v", "is_delete").withColumn("v", $"v".cast("decimal(18,2)"))
+    val out = Ivm.applyDeltaStats(stats(base), changes, Seq("g"), "v")
+    val recompute = stats(Seq(("a", 15.0), ("a", 20.0), ("b", 5.0), ("d", 9.0)).toDF("g", "v"))
+    assert(out.exceptAll(recompute).isEmpty && recompute.exceptAll(out).isEmpty,
+      s"power sums diverged:\n${out.collect().mkString("\n")}")
+    assert(out.filter($"g" === "c").isEmpty)
+    // derived variance from the maintained sums is exact: group a holds
+    // {15, 20} -> mean 17.5, var_pop 6.25
+    val a = out.filter($"g" === "a")
+      .select(($"sx2".cast("double") * $"cnt" - $"sx".cast("double") * $"sx") /
+        ($"cnt" * $"cnt")).head.getDouble(0)
+    assert(math.abs(a - 6.25) < 1e-9)
+  }
+
+  test("applyDeltaStats: retraction after many folds stays exact (decimal, not float)") {
+    def stats(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("v", $"v".cast("decimal(18,2)"))
+      .groupBy("g").agg(count(lit(1)).as("cnt"),
+        sum($"v").as("sx"), sum($"v" * $"v").as("sx2"))
+    // fold 50 insert+delete pairs of an awkward decimal through the view:
+    // the sums must land bit-exactly back on the base (floats would drift)
+    var view = stats(Seq(("g", 0.1), ("g", 0.2)).toDF("g", "v"))
+    for (_ <- 1 to 50) {
+      val batch = Seq(("g", 123456.78, false), ("g", 123456.78, true))
+        .toDF("g", "v", "is_delete").withColumn("v", $"v".cast("decimal(18,2)"))
+      view = Ivm.applyDeltaStats(view, batch, Seq("g"), "v")
+    }
+    val expected = stats(Seq(("g", 0.1), ("g", 0.2)).toDF("g", "v"))
+    assert(view.exceptAll(expected).isEmpty && expected.exceptAll(view).isEmpty)
+  }
 }
