@@ -500,4 +500,38 @@ class IvmSpec extends AnyFunSuite {
     val expected = stats(Seq(("g", 0.1), ("g", 0.2)).toDF("g", "v"))
     assert(view.exceptAll(expected).isEmpty && expected.exceptAll(view).isEmpty)
   }
+
+  test("streaming stats folds per micro-batch equal the final recompute") {
+    // the streaming twin of applyDeltaStats: a versioned power-sum view
+    // maintained with foreachBatch lands on the recompute of the final
+    // snapshot after two CDC batches (delta-sized work per batch)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def stats(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("v", $"v".cast("decimal(18,2)"))
+      .groupBy("g").agg(count(lit(1)).as("cnt"),
+        sum($"v").as("sx"), sum($"v" * $"v").as("sx2"))
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_ivms_tbl").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_ivms_chk").toString
+    val base = Seq(("a", 10.0), ("a", 20.0), ("b", 5.0)).toDF("g", "v")
+    stats(base).write.mode("overwrite").parquet(s"$tableDir/v0")
+    val stream = MemoryStream[(String, Double, Boolean)]
+    val q = stream.toDF().toDF("g", "v", "is_delete")
+      .withColumn("v", $"v".cast("decimal(18,2)"))
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val cur = batch.sparkSession.read.parquet(s"$tableDir/v$id")
+        Ivm.applyDeltaStats(cur, batch, Seq("g"), "v")
+          .write.mode("overwrite").parquet(s"$tableDir/v${id + 1}")
+      }.start()
+    try {
+      stream.addData(("a", 10.0, true), ("a", 15.0, false)) // update a
+      q.processAllAvailable()
+      stream.addData(("b", 5.0, true), ("c", 9.0, false))   // delete b, insert c
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$tableDir/v2")
+    val recompute = stats(Seq(("a", 15.0), ("a", 20.0), ("c", 9.0)).toDF("g", "v"))
+    assert(got.exceptAll(recompute).isEmpty && recompute.exceptAll(got).isEmpty)
+  }
 }
