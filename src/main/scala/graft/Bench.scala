@@ -388,14 +388,20 @@ object Bench {
       var calm = false
       while (tries <= maxRespawns && !calm) {
         val m = spawn(Seq(n), r, timeoutMin)
+        val got = m.get(n).exists(_.nonEmpty)
         m.get(n).filter(_.nonEmpty).foreach(v => vecs :+= v)
         val mt = m.get(n).flatMap(_.headOption).map(_.mt).getOrElse(Double.NaN)
         stormAttempts(n) = stormAttempts.getOrElse(n, Vector.empty) :+ mt
-        calm = mt.isNaN || mt <= stormFactor * runMtFloor()
+        // a child that returned NO samples (timeout/OOM — the crash
+        // flavor of a storm) must consume the respawn budget too, not
+        // short-circuit as "calm" through the NaN arm
+        calm = got && (mt.isNaN || mt <= stormFactor * runMtFloor())
         tries += 1
         if (!calm && tries <= maxRespawns)
-          System.err.println(f"[bench] $n singleton child mt=$mt%.2f > " +
-            f"$stormFactor%.1fx floor ${runMtFloor()}%.2f — re-spawning ($tries/$maxRespawns)")
+          System.err.println(f"[bench] $n singleton child " +
+            (if (got) f"mt=$mt%.2f > $stormFactor%.1fx floor ${runMtFloor()}%.2f"
+             else "returned no samples (timeout/crash)") +
+            f" — re-spawning ($tries/$maxRespawns)")
       }
       if (vecs.isEmpty) Map.empty
       else {

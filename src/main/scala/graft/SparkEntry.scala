@@ -3926,10 +3926,10 @@ object SparkEntry {
         |UNION ALL SELECT 2, 'tok_ge_40', n_docs - k1, k2, f2, m2 FROM a
         |UNION ALL SELECT 3, 'punct_le_10pct', n_docs - k1 - k2, k3, f3, m3 FROM a
         |UNION ALL SELECT 4, 'stop_ge_5pct', n_docs - k1 - k2 - k3, k4, f4, m4 FROM a""".stripMargin,
-    // take-while under a per-source token budget: exclusive running total
-    // in (md5, doc_id) order must stay under budget for the doc to survive
     // rounds + final share unrolled CTE-per-step, integer floor divisions
     "q_mix_waterfill" -> graft.operators.Sampling.waterfillOracleSql(),
+    // take-while under a per-source token budget: exclusive running total
+    // in (md5, doc_id) order must stay under budget for the doc to survive
     "q_token_budget" ->
       """WITH t AS (
         |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h,

@@ -69,17 +69,21 @@ object CosinePairs {
     */
   private val SmallVerifyBytes = 8L << 20
 
-  /** Up to this measured size the packed-vector relation is broadcast
-    * DELIBERATELY for the verify joins. The round-4 broadcast revert
-    * (see cosinePairs body) was about the OPTIMIZER mis-estimating an
-    * unmeasured relation and re-dotting the pre-distinct multiset; this
-    * gate instead reads exact (row, feature) counts off the materialized
-    * cache, and the sf1.0 cliff it guards is real: at ~19 MB the
-    * relation crosses Spark's 10 MB autoBroadcast estimate and the
-    * verify joins silently fall to sort-merge, sorting the whole
-    * pair+vector stream.
+  /** Up to this measured DATA size the packed-vector relation is
+    * broadcast DELIBERATELY for the verify joins. The round-4 broadcast
+    * revert (see cosinePairs body) was about the OPTIMIZER
+    * mis-estimating an unmeasured relation and re-dotting the
+    * pre-distinct multiset; this gate instead reads exact (row, feature)
+    * counts off the materialized cache, and the sf1.0 cliff it guards is
+    * real: at ~19 MB the relation crosses Spark's 10 MB autoBroadcast
+    * estimate and the verify joins silently fall to sort-merge, sorting
+    * the whole pair+vector stream. The budget is DATA bytes, not
+    * relation bytes: the UnsafeRow array-of-struct encoding plus the
+    * HashedRelation map overhead cost ~3-4× the raw 16 B/feature, so
+    * 64 MB here bounds each of the two broadcast builds at ~a quarter
+    * GB in memory — conservative on any sane executor.
     */
-  private val BroadcastVerifyBytes = 256L << 20
+  private val BroadcastVerifyBytes = 64L << 20
 
   /** Streamed bytes per partition for the shuffled-hash verify tier
     * (vectors too big to broadcast — the 100 TB path). SHJ never sorts

@@ -164,14 +164,19 @@ object ScaleProbe {
     // storm adjudication over the accumulated rows (round-11 advice: the
     // published q_link_pred exponent was superlinear ONLY because two
     // rungs' min-warm rows carried measured preemption storms) — the mt
-    // floor is min(observed, 2.1-healthy-floor for this box class), a
-    // row is a storm point when its parallel-efficiency probe reads
-    // > 2x that floor or its scalar calibration reads > 1.3
+    // floor is min(observed, healthy-floor for this box class), a row is
+    // a storm point when its parallel-efficiency probe reads
+    // > stormFactor× that floor or its scalar calibration reads > 1.3.
+    // Floor and factor share Bench.scala's env knobs so the two
+    // artifacts adjudicate one run identically on any box class.
+    val mtFloorCfg = sys.env.getOrElse("SPARK_GRAFT_MT_FLOOR", "2.1").toDouble
+    val stormFactor =
+      sys.env.getOrElse("SPARK_GRAFT_MT_STORM_FACTOR", "2.0").toDouble
     val validMts = all.map(_.calibMt).filter(v => !v.isNaN && v > 0)
     val mtFloor =
-      if (validMts.isEmpty) 2.1 else math.min(validMts.min, 2.1)
+      if (validMts.isEmpty) mtFloorCfg else math.min(validMts.min, mtFloorCfg)
     def isStorm(r: Row): Boolean =
-      (!r.calibMt.isNaN && r.calibMt > 2.0 * mtFloor) ||
+      (!r.calibMt.isNaN && r.calibMt > stormFactor * mtFloor) ||
         (!r.calib.isNaN && r.calib > 1.3)
 
     val perQuery = allQueries.map { q =>

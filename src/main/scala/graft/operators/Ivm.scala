@@ -29,6 +29,36 @@ import org.apache.spark.sql.functions._
   */
 object Ivm {
 
+  /** The shared delta-merge core of [[applyDelta]] and
+    * [[applyDeltaStats]]: null-safe full-outer join of a view onto a
+    * pre-aggregated delta (count column `__cnt_d` plus `sumCols` as
+    * (viewColumn, deltaColumn) pairs), coalesce-add every measure back
+    * to the view's own column type, drop groups whose count reaches 0.
+    *
+    * NULL-SAFE group equality: SQL GROUP BY folds NULL keys into one
+    * group on both sides, but a plain USING join would never match the
+    * null group's base row to its delta row — a delete for g=NULL would
+    * silently drop and the view would diverge from the recompute forever.
+    */
+  private def mergeDelta(baseAgg: DataFrame, delta: DataFrame,
+                         groupCols: Seq[String], cntCol: String,
+                         sumCols: Seq[(String, String)]): DataFrame = {
+    val b = baseAgg.alias("b"); val d = delta.alias("d")
+    val cond = groupCols.map(c => col(s"b.$c") <=> col(s"d.$c")).reduce(_ && _)
+    b.join(d, cond, "full_outer")
+      .select(
+        groupCols.map(c => coalesce(col(s"b.$c"), col(s"d.$c")).as(c)) ++ Seq(
+          (coalesce(col(cntCol), lit(0L)) + coalesce(col("__cnt_d"), lit(0L)))
+            .as(cntCol)) ++
+          sumCols.map { case (viewCol, deltaCol) =>
+            val t = baseAgg.schema(viewCol).dataType
+            val zero = lit(0).cast(t)
+            (coalesce(col(viewCol), zero) + coalesce(col(deltaCol), zero))
+              .cast(t).as(viewCol)
+          }: _*)
+      .filter(col(cntCol) > 0)
+  }
+
   /** Maintain `baseAgg` (groupCols, cntCol, sumCol) with a changes batch
     * (groupCols, valueCol, deleteCol).
     */
@@ -42,21 +72,7 @@ object Ivm {
       .agg(sum(sign).as("__cnt_d"),
         sum(when(col(deleteCol), -col(valueCol)).otherwise(col(valueCol)))
           .as("__sum_d"))
-    val zeroSum = lit(0).cast(baseAgg.schema(sumCol).dataType)
-    // NULL-SAFE group equality: SQL GROUP BY folds NULL keys into one
-    // group on both sides, but a plain USING join would never match the
-    // null group's base row to its delta row — a delete for g=NULL would
-    // silently drop and the view would diverge from the recompute forever
-    val b = baseAgg.alias("b"); val d = delta.alias("d")
-    val cond = groupCols.map(c => col(s"b.$c") <=> col(s"d.$c")).reduce(_ && _)
-    b.join(d, cond, "full_outer")
-      .select(
-        groupCols.map(c => coalesce(col(s"b.$c"), col(s"d.$c")).as(c)) ++ Seq(
-          (coalesce(col(cntCol), lit(0L)) + coalesce(col("__cnt_d"), lit(0L)))
-            .as(cntCol),
-          (coalesce(col(sumCol), zeroSum) + coalesce(col("__sum_d"), zeroSum))
-            .as(sumCol)): _*)
-      .filter(col(cntCol) > 0)
+    mergeDelta(baseAgg, delta, groupCols, cntCol, Seq(sumCol -> "__sum_d"))
   }
 
   /** Maintain exact power sums (cnt, Σx, Σx²) per group under inserts
@@ -86,21 +102,8 @@ object Ivm {
         sum(when(col(deleteCol), -1L).otherwise(1L)).as("__cnt_d"),
         sum(when(col(deleteCol), -v).otherwise(v)).as("__sx_d"),
         sum(when(col(deleteCol), -(v * v)).otherwise(v * v)).as("__sx2_d"))
-    val zeroSum = lit(0).cast(baseStats.schema(sumCol).dataType)
-    val zeroSq = lit(0).cast(baseStats.schema(sqCol).dataType)
-    val b = baseStats.alias("b"); val d = delta.alias("d")
-    // null-safe group equality — see applyDelta's note on NULL keys
-    val cond = groupCols.map(c => col(s"b.$c") <=> col(s"d.$c")).reduce(_ && _)
-    b.join(d, cond, "full_outer")
-      .select(
-        groupCols.map(c => coalesce(col(s"b.$c"), col(s"d.$c")).as(c)) ++ Seq(
-          (coalesce(col(cntCol), lit(0L)) + coalesce(col("__cnt_d"), lit(0L)))
-            .as(cntCol),
-          (coalesce(col(sumCol), zeroSum) + coalesce(col("__sx_d"), zeroSum))
-            .cast(baseStats.schema(sumCol).dataType).as(sumCol),
-          (coalesce(col(sqCol), zeroSq) + coalesce(col("__sx2_d"), zeroSq))
-            .cast(baseStats.schema(sqCol).dataType).as(sqCol)): _*)
-      .filter(col(cntCol) > 0)
+    mergeDelta(baseStats, delta, groupCols, cntCol,
+      Seq(sumCol -> "__sx_d", sqCol -> "__sx2_d"))
   }
 
   /** Maintain the per-(group, value) multiplicity SUPPORT relation that

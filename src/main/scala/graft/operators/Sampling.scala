@@ -193,12 +193,23 @@ object Sampling {
     * cannot change under re-runs, repartitioning, or cluster growth.
     * Changing `seed` draws a fresh sample. Weights must be > 0.
     */
+  /** The Efraimidis–Spirakis rank key ln(u)/w with the library's seeded
+    * 60-bit md5 uniform (shifted to (0, 1] so ln never sees 0), rounded
+    * to 1e-6 before ranking — the ONE definition both weighted samplers
+    * rank on, so a change to the determinism discipline (hash width,
+    * rounding scale) cannot diverge them or their oracles.
+    */
+  private def esKey(idCol: String, weightCol: String, seed: String) = {
+    val u = (conv(substring(md5(concat(lit(s"$seed:"),
+      col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("double") + 1.0) / lit((1L << 60).toDouble)
+    round(log(u) / col(weightCol), 6)
+  }
+
   def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
                      seed: String = "ws"): DataFrame = {
     require(k > 0, "k must be positive")
-    val u = (conv(substring(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), 1, 15), 16, 10)
-      .cast("double") + 1.0) / lit((1L << 60).toDouble)
-    df.withColumn("__es_key", round(log(u) / col(weightCol), 6))
+    df.withColumn("__es_key", esKey(idCol, weightCol, seed))
       .orderBy(col("__es_key").desc, col(idCol))
       .limit(k)
       .drop("__es_key")
@@ -224,11 +235,9 @@ object Sampling {
                              weightCol: String, k: Int,
                              seed: String = "wsg"): DataFrame = {
     require(k > 0, "k must be positive")
-    val u = (conv(substring(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), 1, 15), 16, 10)
-      .cast("double") + 1.0) / lit((1L << 60).toDouble)
     val w = Window.partitionBy(groupCol)
       .orderBy(col("__es_key").desc, col(idCol))
-    df.withColumn("__es_key", round(log(u) / col(weightCol), 6))
+    df.withColumn("__es_key", esKey(idCol, weightCol, seed))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__es_key", "__rn")

@@ -253,10 +253,18 @@ object Ann {
       var exhausted = false
       while (r <= rounds && !exhausted) {
         val withD = e.withColumn("d6", d6min(cands))
-        val phi = withD.agg(sum(col("d6"))).head().getLong(0)
-        if (phi == 0L) exhausted = true // every point sits ON a candidate
+        // φ as an exact DECIMAL sum (the oracle's SUM(BIGINT) is HUGEINT):
+        // a long sum would overflow past ~9e10 points × d6 ~1e8 — the
+        // corpus scale this operator exists for. Remaining headroom: the
+        // margin product u60·φ must fit DECIMAL(38) ⇒ φ ≤ ~8.7e19
+        // (~9e11 unit-scale points); past that, shard φ per partition
+        // range — the trainCentroids long-sum remedy.
+        val dec = DecimalType(38, 0)
+        val phi = Option(
+          withD.agg(sum(col("d6").cast(dec))).head().getDecimal(0))
+          .getOrElse(java.math.BigDecimal.ZERO)
+        if (phi.signum == 0) exhausted = true // every point sits ON a candidate
         else {
-          val dec = DecimalType(38, 0)
           val u60 = graft.dedup.Dedup.md5Base60(
             concat(col("vec_id").cast("string"), lit(":" + r)))
           val margin = (u60.cast(dec) * lit(phi).cast(dec)) -
