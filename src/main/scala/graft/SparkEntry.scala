@@ -1007,7 +1007,17 @@ object SparkEntry {
       // and converts via string: decimal→double of a > 2⁵³-quanta value
       // double-rounds in DuckDB, while a decimal STRING parses correctly
       // rounded on both engines (Σx itself is < 2⁵³ quanta — plain cast)
-      val varNum = col("cnt") * col("sx2") - col("sx") * col("sx")
+      val varNumRaw = col("cnt") * col("sx2") - col("sx") * col("sx")
+      // a decimal overflow past the ~24-digit headroom returns NULL
+      // silently in Spark's non-ANSI mode while DuckDB's HUGEINT path
+      // errors loudly — fail loudly here too instead of publishing a
+      // null var_pop (null-from-non-null inputs IS the overflow signal)
+      val varNum = when(
+        varNumRaw.isNull && col("cnt").isNotNull &&
+          col("sx").isNotNull && col("sx2").isNotNull,
+        org.apache.spark.sql.functions.raise_error(concat(
+          lit("q_ivm_variance: decimal overflow in cnt*sx2 - sx*sx at month "),
+          col("month_start").cast("string")))).otherwise(varNumRaw)
       graft.operators.Ivm.applyDeltaStats(base, changes, Seq("month_start"), "v")
         .select(col("month_start"), col("cnt"),
           (col("sx").cast("double") / n).as("mean"),

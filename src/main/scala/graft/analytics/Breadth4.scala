@@ -231,22 +231,21 @@ object Breadth4 {
     val edgeCount = bounds.getLong(2)
 
     val sessionParts = adj.sparkSession.sessionState.conf.numShufflePartitions
-    val RowsPerPart = 2000000L
     // Σ d(d−1)/2 ≤ |E|·(dmax−1): if even the bound keeps pairParts at
     // the session floor, don't pay the counting aggregate at all
     val wedgeBound = edgeCount * math.max(1L, maxWedgeDegree - 1L)
     // exact wedge count (node-sized agg over hub-capped degrees) sizes
-    // the pair exchange so per-partition pre-agg rows stay ~2M
-    // (calibrated round 11 — 8M still hit the sort-agg fallback)
+    // the pair exchange via the house width discipline (Widths: 2M
+    // rows/partition, calibrated round 11 — 8M still hit the sort-agg
+    // fallback; floored at session width, capped 4096)
     val wedgeCount =
-      if (wedgeBound <= sessionParts * RowsPerPart) 0L
+      if (graft.operators.Widths.partitionsFor(wedgeBound, sessionParts) <= sessionParts) 0L
       else deg.filter(col("deg") <= maxWedgeDegree)
         .agg(sum(col("deg") * (col("deg") - 1) / 2).cast("long")).head() match {
           case r if r.isNullAt(0) => 0L
           case r                  => r.getLong(0)
         }
-    val pairParts = math.min(4096L,
-      math.max(sessionParts.toLong, wedgeCount / RowsPerPart)).toInt
+    val pairParts = graft.operators.Widths.partitionsFor(wedgeCount, sessionParts)
 
     // size the GENERATION stage from the same wedge count: only when the
     // width actually grows (small inputs keep their pinned plan shape)

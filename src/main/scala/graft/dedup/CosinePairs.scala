@@ -51,17 +51,13 @@ object CosinePairs {
   private val Micro = 1e6
   private val PicoPerUnit = 1e12
 
-  /** Candidate rows per distinct-exchange partition. Same calibrated
-    * constant as Breadth4.linkPrediction's pair exchange (round 11:
-    * 8M rows/partition still tripped the sort-based hash-agg fallback
-    * next to concurrent tasks; 2M keeps every per-task map ~tens of MB).
-    * The sf1.0 probe measured exactly that fallback here: 399M raw
-    * candidate rows into a 32-partition distinct spilled 106 GB in ONE
-    * stage and bent the cost curve to 53x at 10x data
-    * (SCALE_PROBE_r12.json, calm children; stage attribution in
-    * PLANS.md round 12).
-    */
-  private val DistinctRowsPerPart = 2000000L
+  // Candidate-distinct exchange width comes from the shared house
+  // discipline (graft.operators.Widths: 2M rows/partition calibrated
+  // round 11, session-width floor, 4096 cap). The sf1.0 probe measured
+  // the fixed-width failure mode here: 399M raw candidate rows into a
+  // 32-partition distinct spilled 106 GB in ONE stage and bent the cost
+  // curve to 53x at 10x data (SCALE_PROBE_r12.json, calm children;
+  // stage attribution in PLANS.md round 12).
 
   /** Below this measured vector-relation size the optimizer's own
     * broadcast decision is already correct (and pinned in
@@ -130,8 +126,7 @@ object CosinePairs {
         case r if r.isNullAt(0) => 0L
         case r                  => r.getLong(0)
       }
-    val distinctParts = math.min(4096L,
-      math.max(sessionParts.toLong, rawBound / DistinctRowsPerPart)).toInt
+    val distinctParts = graft.operators.Widths.partitionsFor(rawBound, sessionParts)
 
     // Pairwise Cauchy–Schwarz prune inside the join predicate: each prefix
     // row carries tn = ⌈√(Σ_tail wn²)⌉ at its feature. For any qualifying

@@ -93,18 +93,34 @@ object ScaleProbe {
       if (f.length > 10 && f(10).nonEmpty) f(10) else "legacy")).toOption
   }
 
+  /** Labels that can never satisfy the fresh-row precedence: rows
+    * carrying them were written by a build the probe cannot identify, so
+    * letting them match the current HEAD would silently reintroduce the
+    * stale-fast-row masking the head column exists to prevent
+    * (round-12 advice).
+    */
+  private val NeverFresh = Set("unknown", "legacy")
+
   /** The git HEAD this probe measures (env-overridable so a dirty tree
-    * can be labeled explicitly); "unknown" when git is unavailable.
+    * can be labeled explicitly). FAILS LOUDLY when git cannot resolve a
+    * HEAD (round-12 advice: writing head="unknown" rows would make
+    * different builds match each other as fresh) — set
+    * SPARK_GRAFT_PROBE_HEAD to label the run explicitly instead.
     */
   private def gitHead(): String =
     sys.env.get("SPARK_GRAFT_PROBE_HEAD").getOrElse {
-      try {
-        val p = new ProcessBuilder("git", "rev-parse", "--short=12", "HEAD")
-          .redirectErrorStream(true).start()
-        val out = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
-        if (p.waitFor() == 0 && out.nonEmpty && !out.contains(' ')) out
-        else "unknown"
-      } catch { case scala.util.control.NonFatal(_) => "unknown" }
+      val resolved =
+        try {
+          val p = new ProcessBuilder("git", "rev-parse", "--short=12", "HEAD")
+            .redirectErrorStream(true).start()
+          val out = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
+          if (p.waitFor() == 0 && out.nonEmpty && !out.contains(' ')) Some(out)
+          else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      resolved.getOrElse(sys.error(
+        "[probe] cannot resolve git HEAD (probe running outside the repo?) — " +
+          "refusing to write unlabeled rows; set SPARK_GRAFT_PROBE_HEAD to " +
+          "label this build explicitly"))
     }
 
   def main(args: Array[String]): Unit = {
@@ -188,7 +204,10 @@ object ScaleProbe {
       // only when a rung has no fresh row, and are flagged stale_head.
       val rows = all.filter(r => r.q == q && r.warm > 0)
       val best = rows.groupBy(_.k).map { case (_, rs) =>
-        val fresh = rs.filter(_.head == head)
+        // unknown/legacy-labeled rows can NEVER be fresh, even if the
+        // current run's head were somehow unlabeled too — they fall back
+        // to min-over-all and get the stale_head flag below
+        val fresh = rs.filter(r => r.head == head && !NeverFresh(r.head))
         if (fresh.nonEmpty) fresh.minBy(_.warm) else rs.minBy(_.warm)
       }.toSeq.sortBy(_.k)
       val expRaw = slope(best.map(r => (r.k.toDouble, r.warm)))

@@ -1,0 +1,117 @@
+package graft.dev
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Engine-side k-truss invariant check (round-12 verdict #4): the full
+  * DuckDB oracle is documented infeasible at sf1.0 (ORACLE_SF1_r12.json:
+  * 902 s / 798 s vs the 120 s driver envelope), so the scale rungs for
+  * the truss family stood on sf0.01/sf0.1 hash gates plus exponent
+  * evidence alone. This probe closes the residual trust gap with an
+  * oracle-free invariant asserted directly on the engine's sf1.0 output:
+  *
+  *  1. TRUSS PROPERTY (kTrussConverged): every surviving edge
+  *     participates in ≥ k−2 triangles WITHIN the surviving edge set —
+  *     which simultaneously proves one more peel round removes nothing
+  *     (a round deletes exactly the edges below threshold).
+  *  2. SUPPORT FIDELITY (both variants): the `support` column the engine
+  *     publishes equals an INDEPENDENT recomputation of per-edge
+  *     triangle support over the surviving set, built with the oracle's
+  *     id-ordered triple self-join — not the engine's degree-oriented
+  *     adjacency-array iterator — so a bug shared by the production
+  *     enumeration path cannot self-certify.
+  *
+  * Scale shape of the checker itself: the triple join runs over the
+  * PEELED edge set (orders of magnitude smaller than the input graph)
+  * with u<v<w orientation, so each triangle is enumerated exactly once;
+  * one explode + hash agg yields the independent supports.
+  *
+  * Run (defaults to the sf1.0 scale fixture; artifact committed per
+  * round):
+  *   SPARK_GRAFT_SF_DIR=scale_fixtures/sf1.0 \
+  *   SPARK_GRAFT_TRUSS_OUT=TRUSS_INVARIANT_r13.json \
+  *     sbt -batch "runMain graft.dev.TrussInvariant"
+  * NOT part of the shipped library.
+  */
+object TrussInvariant {
+
+  /** Independent per-edge support of a canonical (src<dst) edge set via
+    * the id-ordered triple self-join — the oracle's construction.
+    * Output: (u, v, sup_ind); edges in no triangle are absent.
+    */
+  private[graft] def independentSupport(truss: DataFrame): DataFrame = {
+    val e = truss.select(col("src").as("u"), col("dst").as("v"))
+    val tri = e.as("ab").join(e.as("bc"), col("ab.v") === col("bc.u"))
+      .join(e.as("ac"),
+        col("ab.u") === col("ac.u") && col("bc.v") === col("ac.v"))
+      .select(col("ab.u").as("a"), col("ab.v").as("b"), col("bc.v").as("c"))
+    tri.select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("a").as("u"), col("c").as("v")),
+        struct(col("b").as("u"), col("c").as("v")))).as("ed"))
+      .select(col("ed.u").as("u"), col("ed.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("sup_ind"))
+  }
+
+  /** (edges, minIndependentSupport, supportMismatchCount) of a truss
+    * result. minIndependentSupport ≥ k−2 IS the truss property AND the
+    * one-more-round-removes-nothing fixpoint witness; mismatches == 0
+    * certifies the published support column against the independent
+    * enumeration. An empty result reports (0, -1, 0) — vacuously valid.
+    */
+  private[graft] def check(truss: DataFrame): (Long, Long, Long) = {
+    val t = graft.Caching.materialize(truss)
+    val ind = independentSupport(t)
+    val row = t.select(col("src").as("u"), col("dst").as("v"), col("support"))
+      .join(ind, Seq("u", "v"), "left")
+      .select(col("support"), coalesce(col("sup_ind"), lit(0L)).as("sup_ind"))
+      .agg(count(lit(1)).as("n"), min(col("sup_ind")).as("mn"),
+        sum(when(col("support") =!= col("sup_ind"), 1L).otherwise(0L)).as("bad"))
+      .head()
+    val n = row.getLong(0)
+    if (n == 0L) (0L, -1L, 0L)
+    else (n, row.getLong(1), row.getLong(2))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "scale_fixtures/sf1.0")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_TRUSS_OUT",
+      "TRUSS_INVARIANT_r13.json")
+    val k = 4 // both SparkEntry truss queries run the default k
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val parts = Seq("q_ktruss", "q_ktruss_converged").map { q =>
+      val t0 = System.nanoTime()
+      val (n, mn, bad) = check(graft.SparkEntry.queries(q)(spark, sfDir))
+      val sec = (System.nanoTime() - t0) / 1e9
+      // the truss property (min ≥ k−2) is required of the CONVERGED
+      // variant only: a bounded peel may legitimately stop early
+      val trussOk =
+        if (q == "q_ktruss_converged") (n == 0L || mn >= k - 2) else true
+      val converged = q == "q_ktruss_converged"
+      System.err.println(f"[truss] $q: edges=$n min_sup=$mn mismatches=$bad ${sec}%.1fs")
+      (q, n, mn, bad, trussOk, converged, sec)
+    }
+    val ok = parts.forall(p => p._4 == 0L && p._5)
+    val det = parts.map { case (q, n, mn, bad, trussOk, converged, sec) =>
+      s""""$q":{"edges":$n,"min_support_independent":$mn,"support_mismatches":$bad""" +
+        (if (converged)
+           s""","truss_property_k_minus_2":${if (trussOk) "true" else "false"},"one_more_round_removes_nothing":${if (trussOk) "true" else "false"}"""
+         else "") +
+        f""","check_sec":$sec%.1f}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"truss_invariant","sf_dir":"$sfDir","k":$k,"ok":$ok,""" +
+        s""""protocol":"independent id-ordered triple self-join over the surviving edge set (the oracle construction, not the engine iterator) recomputes per-edge support; support_mismatches=0 certifies the published support column; min_support_independent >= k-2 on the converged variant is the truss property and proves one more peel round removes nothing","queries":$det}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}

@@ -274,15 +274,18 @@ object Sampling {
     * saturates, takes everything it has, and its surplus redistributes
     * among the rest).
     *
-    * All-integer fixed-round iteration (exactly `rounds` rounds, both
-    * engines — the fixpoint is idempotent, so running past it changes
-    * nothing): each round, share = ⌊remaining_budget / #unsaturated⌋;
-    * any unsaturated source with n ≤ share joins the saturated set.
-    * Saturation can cascade at most #sources times, so `rounds` ≥
-    * #sources reaches the exact fixpoint; the default 8 covers the
-    * fixture's 20 sources in practice because whole strata saturate
-    * together. Allocations and micro-rates are floor divisions of
-    * longs — no float crosses an engine boundary.
+    * All-integer iteration TO THE FIXPOINT (round-12 advice: a fixed
+    * round count can stop before the cascade settles, silently
+    * under-spending the budget — and a fixed-round oracle replay is
+    * structurally blind to the deviation): each round, share =
+    * ⌊remaining_budget / #unsaturated⌋; any unsaturated source with
+    * n ≤ share joins the saturated set; iteration stops when a round
+    * saturates nothing. Saturation can cascade at most #sources times,
+    * so the loop is bounded by the measured source count. The oracle
+    * unrolls a FIXED number of CTE rounds ≥ the cascade bound — the
+    * fixpoint is idempotent, so its extra rounds change nothing.
+    * Allocations and micro-rates are floor divisions of longs — no
+    * float crosses an engine boundary.
     *
     * Scale shape: ONE corpus pass (token-count hash agg keyed by
     * source); the allocator itself is #sources rows of driver model
@@ -290,9 +293,8 @@ object Sampling {
     * rate_micro, saturated); feed rate_micro/1e6 into [[mixSources]]
     * for the realized per-document filter.
     */
-  def waterfillAllocate(documents: DataFrame, budget: Long = 26000L,
-                        rounds: Int = 8): DataFrame = {
-    require(budget >= 0 && rounds >= 1, "need budget >= 0, rounds >= 1")
+  def waterfillAllocate(documents: DataFrame, budget: Long = 26000L): DataFrame = {
+    require(budget >= 0, "need budget >= 0")
     val spark = documents.sparkSession
     import spark.implicits._
     val avail: Seq[(String, Long)] = documents
@@ -307,9 +309,14 @@ object Sampling {
       else math.max(0L,
         budget - avail.filter(a => satNow(a._1)).map(_._2).sum) / unsatN
     }
-    for (_ <- 1 to rounds) {
+    // iterate until a round saturates nothing — the exact fixpoint;
+    // each productive round saturates ≥ 1 source, so ≤ #sources rounds
+    var settled = false
+    while (!settled) {
       val share = shareOf(sat)
-      sat = sat ++ avail.filter(a => !sat(a._1) && a._2 <= share).map(_._1)
+      val next = sat ++ avail.filter(a => !sat(a._1) && a._2 <= share).map(_._1)
+      settled = next == sat
+      sat = next
     }
     val share = shareOf(sat)
     avail.map { case (s, n) =>
@@ -321,9 +328,13 @@ object Sampling {
   }
 
   /** DuckDB replay of [[waterfillAllocate]] — rounds unrolled
-    * CTE-per-step, identical integer floor divisions.
+    * CTE-per-step, identical integer floor divisions. The unroll count
+    * must be ≥ the cascade bound (#sources) of the table it runs on so
+    * the replay reaches the engine's fixpoint; the default 32 covers the
+    * 20-source documents fixture with margin, and extra rounds are
+    * no-ops at the fixpoint.
     */
-  def waterfillOracleSql(budget: Long = 26000L, rounds: Int = 8): String = {
+  def waterfillOracleSql(budget: Long = 26000L, rounds: Int = 32): String = {
     def shareCte(name: String, satCte: String) =
       s"""$name AS MATERIALIZED (
          |  SELECT CASE WHEN u.u = 0 THEN 0

@@ -229,6 +229,11 @@ object Ann {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val out = new scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+    // every pass over `e` happens inside this try; the returned DataFrame
+    // is driver-built (out rows), so releasing the cache on exit is safe
+    // (round-12 advice: repeated calls in a long-lived session were
+    // accumulating cached corpus copies — Pq.scala's finally pattern)
+    try {
     val head = e
       .select(col("vec_id"), col("v"), md5(col("vec_id").cast("string")).as("h"))
       .orderBy(col("h"), col("vec_id")).limit(1)
@@ -323,6 +328,7 @@ object Ann {
         }
       }
     }
+    } finally { e.unpersist(); () }
     import spark.implicits._
     out.toSeq.toDF("seed_rank", "vec_id", "weight")
   }

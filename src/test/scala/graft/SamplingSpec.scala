@@ -228,4 +228,47 @@ class SamplingSpec extends AnyFunSuite {
       .select("allocated", "rate_micro").as[(Long, Long)].collect().toSeq
     assert(got === Seq((0L, 0L), (0L, 0L)))
   }
+
+  test("waterfillAllocate: many-source cascade reaches the exact fixpoint") {
+    // round-12 advice: a fixed round count could stop before the
+    // saturation fixpoint. Differential check against an INDEPENDENT
+    // plain-Scala fixpoint replaying the same integer rules, on a
+    // 15-source fixture whose cascade is several rounds deep.
+    val sizes = (1 to 15).map(i =>
+      (f"s$i%02d", 1L + (i * 37L) % 23 + (if (i % 3 == 0) 40L else 0L)))
+    val docs = sizes.zipWithIndex.map { case ((s, n), i) =>
+      (i.toLong, s, ("w " * n.toInt).trim)
+    }.toDF("doc_id", "source", "text")
+    val budget = 200L
+    val got = graft.operators.Sampling.waterfillAllocate(docs, budget = budget)
+      .orderBy("source")
+      .select("source", "n_tokens", "allocated", "rate_micro", "saturated")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    var sat = Set.empty[String]
+    def share(satNow: Set[String]): Long = {
+      val unsat = sizes.count(s => !satNow(s._1))
+      if (unsat == 0) 0L
+      else math.max(0L,
+        budget - sizes.filter(s => satNow(s._1)).map(_._2).sum) / unsat
+    }
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val s = share(sat)
+      val next = sat ++ sizes.filter(x => !sat(x._1) && x._2 <= s).map(_._1)
+      changed = next != sat
+      if (changed) rounds += 1
+      sat = next
+    }
+    val fin = share(sat)
+    val want = sizes.map { case (s, n) =>
+      val isSat = sat(s)
+      val alloc = if (isSat) n else math.min(n, fin)
+      (s, n, alloc, if (n == 0L) 0L else alloc * 1000000L / n, isSat)
+    }
+    assert(got === want)
+    assert(rounds >= 2, s"fixture should cascade (got $rounds rounds)")
+    // allocations never exceed the budget
+    assert(got.map(_._3).sum <= budget)
+  }
 }
