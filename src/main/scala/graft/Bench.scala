@@ -665,11 +665,19 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // epoch-normalized companion total (round-13, verdict missing #2):
+    // every sample rescaled to the run's median box speed before the
+    // per-query min — the headline that survives box-speed excursions.
+    // Official stays RAW; this makes the artifact self-sufficient when
+    // the run's epoch was elevated (r12's headline ran at mt median
+    // 3.68 vs floor ~1.8 and only prose said so).
+    val totalNorm = samples
+      .map { case (_, xs) => best(xs.map(normSec)) }.filter(_ >= 0).sum
     // no fixed "runs" field anywhere (round-10 advice): solo queries carry
     // runs.max(5) samples, chunked ones `runs` — the samples line is the
     // per-query ground truth for sample counts
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value_norm":${f"$totalNorm%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // --- fixed-protocol comparable subtotals (round-10 verdict #4): bare
     // totals across rounds are incommensurable when the protocol shifts,
     // so publish the two subtotals WITH the protocol knobs that make them
@@ -817,7 +825,7 @@ object Bench {
     val comparableField =
       s""""comparable":{"chunked_total":${fmt(chunkedTot)},"solo_total":${fmt(soloTot)}},""" +
         (if (stormSubs.isEmpty) "" else s""""storm_subs":${stormSubs.size},""")
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"chunk_size":$chunkSize,$soloField$comparableField$calibField$isoField"full":"$outPath","queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"value_norm":${fmt(totalNorm)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"chunk_size":$chunkSize,$soloField$comparableField$calibField$isoField"full":"$outPath","queries":{"""
     val entries = bySlowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
     val keptBuf = scala.collection.mutable.ListBuffer.empty[String]
     // reserve room for the closing brace + worst-case omission suffix

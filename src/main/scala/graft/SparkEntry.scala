@@ -346,6 +346,19 @@ object SparkEntry {
       graft.pipeline.EntityResolution.resolveParts(Tables.part(s, d))),
     "q_salted_join" -> ((s, d) =>
       Breadth3.saltedRevenue(Tables.lineitem(s, d), Tables.orders(s, d))),
+    // --- the same revenue join dispatched by the KMV join-cardinality
+    // sketch (correlated key sample -> output-pair skew advice) instead
+    // of an unconditional salt; both branches yield the identical row
+    // multiset, so the oracle is the plain-join SQL ---
+    "q_salted_join_sketch" -> ((s, d) =>
+      Breadth3.saltedRevenueSketch(Tables.lineitem(s, d), Tables.orders(s, d))),
+    // --- correlated-sampling join-size estimate (Vengerov VLDB'15) on
+    // the l_partkey self-join (the classic sum-of-squared-frequencies
+    // shape) — md5-exact, the estimate itself replays in DuckDB ---
+    "q_join_card_kmv" -> ((s, d) =>
+      graft.analytics.Kmv.joinCardinality(
+        Tables.lineitem(s, d), Tables.lineitem(s, d),
+        "l_partkey", "l_partkey")),
     // --- skew diagnostic: top join keys with skew factor + salt advice ---
     "q_skew_report" -> ((s, d) =>
       graft.operators.SkewJoin.skewReport(Tables.lineitem(s, d), "l_suppkey")),
@@ -1133,6 +1146,32 @@ object SparkEntry {
         ins.unionByName(del), Seq("l_partkey"), "qty")
       graft.operators.Ivm.medianView(sup2, Seq("l_partkey"), "qty",
         outCol = "median_qty")
+    }),
+    // --- maintained APPROXIMATE p50/p95 via a log-bucket histogram
+    // support (HDR-style digits+2-sig-digit buckets, <= 10% relative
+    // width): the BOUNDED-model-state sibling of the exact median view
+    // for scales where the per-distinct-value support is data-sized;
+    // same CDC stripes, refresh cost ∝ batch ---
+    "q_ivm_quantile" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{count, date_trunc, lit}
+      import org.apache.spark.sql.types.DecimalType
+      val ord = Tables.orders(s, d)
+      val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")
+      val month = date_trunc("month", col("o_orderdate")).cast("date")
+        .as("month_start")
+      val bucket = graft.operators.Ivm.logBucket(cents).as("bucket")
+      val old = ord.filter(col("o_orderkey") % 13 =!= 0)
+      val support = old.select(month, bucket)
+        .groupBy("month_start", "bucket").agg(count(lit(1)).as("cnt"))
+      val ins = ord.filter(col("o_orderkey") % 13 === 0)
+        .select(month, bucket, lit(false).as("is_delete"))
+      val del = ord.filter(col("o_orderkey") % 13 =!= 0 &&
+          col("o_orderkey") % 17 === 3)
+        .select(month, bucket, lit(true).as("is_delete"))
+      val sup2 = graft.operators.Ivm.applyDeltaDistinct(support,
+        ins.unionByName(del), Seq("month_start"), "bucket")
+      graft.operators.Ivm.quantileView(sup2, Seq("month_start"), "bucket")
     }),
     // --- Neyman-optimal stratified sample allocation (∝ N_h·σ_h) ---
     "q_neyman_alloc" -> ((s, d) =>
@@ -2504,6 +2543,18 @@ object SparkEntry {
         |       COUNT(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+    // dispatch is plan-only: whichever branch the sketch advice picks,
+    // the row multiset equals the plain join
+    "q_salted_join_sketch" ->
+      """SELECT o_orderpriority,
+        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                     * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)))
+        |            AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "q_join_card_kmv" -> graft.analytics.Kmv.joinCardinalityOracleSql(
+      "lineitem", "l_partkey", "lineitem", "l_partkey"),
     "q_transitions" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,
@@ -3715,6 +3766,48 @@ object SparkEntry {
         |       CAST(MIN(qty) AS BIGINT) AS median_qty
         |FROM cum WHERE cumc * 2 >= n_rows
         |GROUP BY l_partkey, n_rows""".stripMargin,
+    // full recompute of the log-bucket histogram from the merged
+    // snapshot (same stripes as q_ivm_monthly family), then the same
+    // integer cross-multiplied discrete-quantile read-out and the same
+    // string-built bucket lower bounds — the maintained view must land
+    // exactly on it
+    "q_ivm_quantile" ->
+      """WITH merged AS (
+        |  SELECT o_orderdate,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE o_orderkey % 13 = 0
+        |     OR (o_orderkey % 13 <> 0 AND o_orderkey % 17 <> 3)),
+        |hist AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |         CASE WHEN length(CAST(cents AS VARCHAR)) = 1
+        |              THEN 100 + cents * 10
+        |              ELSE length(CAST(cents AS VARCHAR)) * 100
+        |                   + CAST(substr(CAST(cents AS VARCHAR), 1, 2) AS BIGINT)
+        |         END AS bucket,
+        |         COUNT(*) AS cnt
+        |  FROM merged GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT month_start, bucket,
+        |         SUM(cnt) OVER (PARTITION BY month_start ORDER BY bucket
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+        |         SUM(cnt) OVER (PARTITION BY month_start) AS n
+        |  FROM hist),
+        |qb AS (
+        |  SELECT month_start, CAST(MAX(n) AS BIGINT) AS n_rows,
+        |         MIN(CASE WHEN c * 1000000 >= n * 500000 THEN bucket END) AS b50,
+        |         MIN(CASE WHEN c * 1000000 >= n * 950000 THEN bucket END) AS b95
+        |  FROM cum GROUP BY 1)
+        |SELECT month_start, n_rows,
+        |       CASE WHEN b50 < 200 THEN (b50 - 100) // 10
+        |            ELSE CAST(rpad(CAST(b50 % 100 AS VARCHAR),
+        |                           CAST(b50 // 100 AS INT), '0') AS BIGINT)
+        |       END AS q500000_lo,
+        |       CASE WHEN b95 < 200 THEN (b95 - 100) // 10
+        |            ELSE CAST(rpad(CAST(b95 % 100 AS VARCHAR),
+        |                           CAST(b95 // 100 AS INT), '0') AS BIGINT)
+        |       END AS q950000_lo
+        |FROM qb""".stripMargin,
     // τ=1/2 source rebalancing: rate = √(n_min/n_src) in micro-units
     // (sqrt is correctly rounded — the one cross-engine-safe power), keep
     // test on the seeded 60-bit md5 uniform, same as q_mix_sources

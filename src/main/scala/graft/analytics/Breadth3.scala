@@ -369,6 +369,26 @@ object Breadth3 {
         count(lit(1)).as("n_items"))
   }
 
+  /** [[saltedRevenue]] with the join dispatched by the SKETCH-based
+    * advice ([[SkewJoin.autoSaltedJoinSketch]]) instead of an
+    * unconditional salt: the correlated key sample estimates output-pair
+    * skew and either salts with the advised count or falls through to
+    * the plain join AQE already handles. Result multiset is identical
+    * on both branches (the dispatch contract), so the oracle is the
+    * plain-join SQL either way.
+    */
+  def saltedRevenueSketch(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val right = orders.select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    SkewJoin.autoSaltedJoinSketch(
+        lineitem.select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        right, "l_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(
+        sum((dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast(DecimalType(18, 4)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Time-series resampling to OHLC bars: open/high/low/close (+count,
     * decimal-exact volume) of `value` per (event_type, epoch-aligned
     * 15-minute bucket) — the downsampling shape every metrics/market

@@ -3,6 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.dedup.Dedup
 
@@ -126,6 +127,135 @@ object Kmv {
         col("est_union_micro"), col("est_inter_micro"),
         col("jaccard_est_micro"))
   }
+
+  /** Correlated-sampling join-cardinality estimate (Vengerov et al.,
+    * "Join Size Estimation Subject to Filter Conditions", VLDB 2015):
+    * |L ⋈ R on key| = Σ_v fL(v)·fR(v), estimated from the keys whose
+    * shared md5 hash falls at or below θ — the k-th smallest distinct
+    * hash over the key-domain UNION. Both sides sample the SAME keys
+    * (that is the correlated part: independent per-side samples miss
+    * matching keys with probability ≈ 1 − p², the classic join-sample
+    * failure), exact per-key frequencies are counted WITHIN the sample,
+    * and the sum of products scales by the inverse inclusion
+    * probability 2⁶⁰/θ. Fewer distinct keys than k ⇒ the sample is the
+    * whole domain and the estimate is EXACT.
+    *
+    * Everything is md5-derived and integer-exact (the [[kmvCompare]]
+    * discipline), so the estimate — not just a verdict — replays
+    * bit-identically in the DuckDB oracle.
+    *
+    * Beside the estimate, the sampled pair products yield the top hot
+    * JOIN KEY (max output pairs; ties by key desc — matching the
+    * oracle's ORDER BY p DESC, kv DESC) with the
+    * [[graft.operators.SkewJoin.skewReport]]-shaped advice derived from
+    * output-pair shares: skew_x_milli = 1000·p_top·n_joined div Σp and
+    * advised_salts = ⌈p_top·n_joined / Σp⌉. At 100 TB this is the point:
+    * skewReport's exact per-key count is itself a corpus-wide shuffle,
+    * while this sketch costs two distinct-shuffles of (key, hash), a
+    * ≤ k-row threshold probe, and two broadcast-semi-join frequency
+    * aggregates over sample-matched rows only.
+    *
+    * Headroom: in-sample Σ fL·fR ≤ ~10¹⁹ keeps Σp·2⁶⁰ inside
+    * DECIMAL(38,0) (HUGEINT in the oracle); beyond that the estimate
+    * nulls loudly in both engines rather than wrapping.
+    *
+    * Output (one row): k, theta, n_sampled, n_joined, est_pairs,
+    * top_key (string), top_pairs, skew_x_milli, advised_salts.
+    */
+  def joinCardinality(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      k: Int = 256): DataFrame = {
+    require(k >= 2, "join-cardinality KMV needs k >= 2")
+    val lk = left.select(col(leftKey).cast("string").as("kv"))
+      .filter(col("kv").isNotNull)
+    val rk = right.select(col(rightKey).cast("string").as("kv"))
+      .filter(col("kv").isNotNull)
+    // the sketch domain: distinct union keys hashed once — materialized,
+    // it feeds the threshold probe and the sample filter
+    val keys = graft.Caching.materialize(
+      lk.distinct().unionByName(rk.distinct()).distinct()
+        .select(col("kv"), Dedup.md5Base60(col("kv")).as("h")))
+    // θ = k-th smallest distinct hash (TakeOrderedAndProject + 1-row
+    // agg): bounded driver model state, the skew-advice dispatch idiom
+    val thRow = keys.select("h").distinct().orderBy(asc("h")).limit(k)
+      .agg(count(lit(1)).as("n"), max(col("h")).as("th")).head()
+    val nSampled = thRow.getLong(0)
+    val theta = if (thRow.isNullAt(1)) 0L else thRow.getLong(1)
+    val exact = nSampled < k // sample == whole domain ⇒ scale 1
+
+    val sample = keys.filter(col("h") <= lit(theta)).select("kv")
+    def freq(side: DataFrame, cName: String): DataFrame =
+      side.join(broadcast(sample), Seq("kv"))
+        .groupBy("kv").agg(count(lit(1)).as(cName))
+    // inner join: sampled keys absent from one side contribute 0 pairs
+    val pairs = freq(lk, "fl").join(freq(rk, "fr"), Seq("kv"))
+      .select(col("kv"),
+        expr("CAST(fl AS DECIMAL(38,0)) * fr").as("p"))
+    val est =
+      if (exact) "sum_p"
+      else s"sum_p * $HashSpace div $theta"
+    pairs.agg(
+        coalesce(sum(col("p")), lit(0).cast(DecimalType(38, 0))).as("sum_p"),
+        count(lit(1)).as("n_joined"),
+        max(struct(col("p"), col("kv"))).as("top"))
+      .select(lit(k).as("k"), lit(theta).as("theta"),
+        lit(nSampled).as("n_sampled"), col("n_joined"),
+        expr(s"CAST($est AS BIGINT)").as("est_pairs"),
+        coalesce(col("top.kv"), lit("")).as("top_key"),
+        coalesce(col("top.p").cast("long"), lit(0L)).as("top_pairs"),
+        expr("CAST(CASE WHEN n_joined = 0 THEN 0 " +
+          "ELSE 1000 * top.p * n_joined div sum_p END AS BIGINT)")
+          .as("skew_x_milli"),
+        expr("CAST(CASE WHEN n_joined = 0 THEN 0 " +
+          "ELSE (top.p * n_joined + sum_p - 1) div sum_p END AS BIGINT)")
+          .as("advised_salts"))
+  }
+
+  /** DuckDB replay of [[joinCardinality]] over `leftTable.leftKey` ⋈
+    * `rightTable.rightKey` — identical md5 tape, threshold, frequency
+    * restriction, HUGEINT products and floor divisions, and the same
+    * (p DESC, kv DESC) top-key tie-break.
+    */
+  def joinCardinalityOracleSql(leftTable: String, leftKey: String,
+                               rightTable: String, rightKey: String,
+                               k: Int = 256): String =
+    s"""WITH lk AS MATERIALIZED (SELECT CAST($leftKey AS VARCHAR) AS kv FROM $leftTable
+       |            WHERE $leftKey IS NOT NULL),
+       |rk AS MATERIALIZED (SELECT CAST($rightKey AS VARCHAR) AS kv FROM $rightTable
+       |       WHERE $rightKey IS NOT NULL),
+       |keys AS MATERIALIZED (
+       |  SELECT kv, ('0x' || substring(md5(kv), 1, 15))::BIGINT AS h
+       |  FROM (SELECT DISTINCT kv FROM (
+       |          SELECT kv FROM lk UNION SELECT kv FROM rk) u) d),
+       |th AS MATERIALIZED (SELECT COUNT(*) AS n, COALESCE(MAX(h), 0) AS theta
+       |       FROM (SELECT DISTINCT h FROM keys ORDER BY h LIMIT $k) t),
+       |sample AS MATERIALIZED (
+       |  SELECT kv FROM keys CROSS JOIN th WHERE h <= theta),
+       |fl AS MATERIALIZED (SELECT kv, COUNT(*) AS f FROM lk
+       |       WHERE kv IN (SELECT kv FROM sample) GROUP BY 1),
+       |fr AS MATERIALIZED (SELECT kv, COUNT(*) AS f FROM rk
+       |       WHERE kv IN (SELECT kv FROM sample) GROUP BY 1),
+       |pairs AS MATERIALIZED (
+       |  SELECT fl.kv, CAST(fl.f AS HUGEINT) * fr.f AS p
+       |  FROM fl JOIN fr USING (kv)),
+       |st AS MATERIALIZED (SELECT COALESCE(SUM(p), 0) AS sum_p,
+       |              CAST(COUNT(*) AS BIGINT) AS n_joined FROM pairs),
+       |top AS MATERIALIZED (SELECT kv AS top_kv, p AS top_p FROM pairs
+       |        ORDER BY p DESC, kv DESC LIMIT 1)
+       |SELECT $k AS k, th.theta AS theta, CAST(th.n AS BIGINT) AS n_sampled,
+       |       st.n_joined,
+       |       CAST(CASE WHEN th.n < $k THEN st.sum_p
+       |                 ELSE st.sum_p * $HashSpace // th.theta
+       |            END AS BIGINT) AS est_pairs,
+       |       COALESCE(top.top_kv, '') AS top_key,
+       |       CAST(COALESCE(top.top_p, 0) AS BIGINT) AS top_pairs,
+       |       CAST(CASE WHEN st.n_joined = 0 THEN 0
+       |                 ELSE 1000 * top.top_p * st.n_joined // st.sum_p
+       |            END AS BIGINT) AS skew_x_milli,
+       |       CAST(CASE WHEN st.n_joined = 0 THEN 0
+       |                 ELSE (top.top_p * st.n_joined + st.sum_p - 1) // st.sum_p
+       |            END AS BIGINT) AS advised_salts
+       |FROM th CROSS JOIN st LEFT JOIN top ON TRUE""".stripMargin
 
   /** DuckDB replay of [[kmvCompare]] — identical md5 hashing, ordering,
     * and HUGEINT `//` arithmetic.

@@ -135,7 +135,7 @@ object ScaleProbe {
     val runs = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "4").toInt.max(2)
     val rowsPath = Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_PROBE_ROWS", "scale_probe_rows.tsv"))
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "SCALE_PROBE_r12.json")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "SCALE_PROBE_r13.json")
     val head = gitHead()
 
     for ((k, dir) <- scales; q <- queries) {

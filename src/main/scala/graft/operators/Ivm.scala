@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Incremental view maintenance for distributive aggregates — the
@@ -183,6 +183,75 @@ object Ivm {
       .filter(col("__cum") * 2 >= col("n_rows"))
       .groupBy((groupCols :+ "n_rows").map(col): _*)
       .agg(min(col(valueCol)).as(outCol))
+  }
+
+  /** HDR-style log-bucket id of a non-negative integer quantity (cents,
+    * tokens, bytes): bucket = digits·100 + first-two-digits, i.e. a
+    * base-10 exponent with a two-significant-digit mantissa — ≤ 10%
+    * relative bucket width (exact below 10), ~90 buckets per decade,
+    * ≤ ~1700 buckets across the full long range. Pure string/integer
+    * arithmetic so the id replays bit-identically in DuckDB (no float
+    * log whose rounding could flip a boundary value's bucket).
+    *
+    * This is the APPROXIMATE-quantile counterpart of [[medianView]]'s
+    * exact support relation: keyed on the bucket instead of the raw
+    * value, the support is BOUNDED model state (groups × ≤1700) at any
+    * corpus size, while staying exactly incrementally maintainable —
+    * histogram counts add and retract like any count, so the same
+    * [[applyDeltaDistinct]] fold maintains it under CDC batches.
+    */
+  def logBucket(x: Column): Column =
+    when(length(x.cast("string")) === 1, x * 10 + 100)
+      .otherwise(length(x.cast("string")).cast("long") * 100 +
+        substring(x.cast("string"), 1, 2).cast("long"))
+
+  /** Inverse of [[logBucket]]: the bucket's inclusive lower bound — the
+    * deterministic value a quantile read-out reports. Built by string
+    * concatenation (mantissa ++ zeros), not float powers, for the same
+    * cross-engine exactness reason as [[logBucket]].
+    */
+  def logBucketLowerBound(b: Column): Column =
+    when(b < 200, floor((b - 100) / 10).cast("long"))
+      .otherwise(rpad((b % 100).cast("string"),
+        floor(b / 100).cast("int"), lit("0")).cast("long"))
+
+  /** Maintained APPROXIMATE-quantile view over a [[logBucket]] histogram
+    * support relation (groupCols, bucketCol, cnt) — the bounded-state
+    * sibling of [[medianView]] for the scales where the exact
+    * per-distinct-value support is itself data-sized. For each
+    * requested quantile q (micro units), reports the lower bound of the
+    * smallest bucket whose cumulative count reaches ⌈q·N/10⁶⌉ — the
+    * discrete-percentile definition over bucket lower bounds, ≤ 10%
+    * below the true quantile by the bucket-width guarantee. The
+    * comparison is cross-multiplied integers (10⁶·cum ≥ q·N), no
+    * division, no float.
+    *
+    * Output: (groupCols*, n_rows, q<micro>_lo*). Scale: the cumulative
+    * window partitions by group over ≤ ~1700 bucket rows; the view
+    * refresh is [[applyDeltaDistinct]] at CDC-batch cost.
+    */
+  def quantileView(support: DataFrame, groupCols: Seq[String],
+                   bucketCol: String, cntCol: String = "cnt",
+                   quantilesMicro: Seq[Long] = Seq(500000L, 950000L)): DataFrame = {
+    require(quantilesMicro.nonEmpty &&
+      quantilesMicro.forall(q => q > 0 && q <= 1000000L),
+      "quantiles must be in (0, 1] micro units")
+    val gcols = groupCols.map(col)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*).orderBy(col(bucketCol))
+    val tot = support.groupBy(gcols: _*).agg(sum(col(cntCol)).as("n_rows"))
+    val cum = support.withColumn("__cum", sum(col(cntCol)).over(w))
+      .join(tot, groupCols)
+    val qCols = quantilesMicro.map { q =>
+      min(when(col("__cum").cast(dec) * 1000000L >=
+          col("n_rows").cast(dec) * q, col(bucketCol)))
+        .as(s"__qb_$q")
+    }
+    cum.groupBy((groupCols :+ "n_rows").map(col): _*)
+      .agg(qCols.head, qCols.tail: _*)
+      .select((groupCols :+ "n_rows").map(col) ++ quantilesMicro.map(q =>
+        logBucketLowerBound(col(s"__qb_$q")).as(s"q${q}_lo")): _*)
   }
 
   /** Maintained TOP-K view refresh: fold the changes batch into the

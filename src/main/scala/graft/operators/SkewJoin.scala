@@ -120,6 +120,36 @@ object SkewJoin {
       left.join(right, left(key) === right(key)).drop(right(key))
   }
 
+  /** [[autoSaltedJoin]] with the diagnostic pre-job replaced by the
+    * sketch-based join-cardinality estimate
+    * ([[graft.analytics.Kmv.joinCardinality]]): the dispatch reads
+    * OUTPUT-PAIR skew (p_top·n/Σp over the correlated key sample — the
+    * quantity a salted join actually spreads) instead of an exact
+    * full-domain key count. Same contract as [[autoSaltedJoin]]:
+    * identical row multiset and column order on both branches, the
+    * guard is plan-only. This is the 100 TB-preferred advice source —
+    * skewReport's exact pre-job is a corpus-wide hash agg over the key
+    * domain, while the sketch pre-job hashes distinct keys once and
+    * counts frequencies over sample-matched rows only.
+    */
+  def autoSaltedJoinSketch(left: DataFrame, right: DataFrame, key: String,
+                           k: Int = 256,
+                           skewThresholdMilli: Long = 4000L,
+                           maxSalts: Int = 64): DataFrame = {
+    require(skewThresholdMilli >= 1000L,
+      "a skew threshold below 1000 milli (the uniform mean) would salt everything")
+    require(maxSalts >= 1, "maxSalts must be positive")
+    val top = graft.analytics.Kmv.joinCardinality(left, right, key, key, k)
+      .select("skew_x_milli", "advised_salts").collect()
+    val salty = top.headOption.exists(r =>
+      r.getLong(0) >= skewThresholdMilli && r.getLong(1) > 1L)
+    if (salty)
+      saltedJoin(left, right, key,
+        math.min(top(0).getLong(1), maxSalts.toLong).toInt)
+    else
+      left.join(right, left(key) === right(key)).drop(right(key))
+  }
+
   /** Skew DIAGNOSTIC for a join/aggregation key — the report a
     * warehouse engineer reads BEFORE choosing between broadcast, AQE
     * splitting, and [[saltedJoin]]: the top keys by row count with
