@@ -208,7 +208,18 @@ object ScaleProbe {
         // current run's head were somehow unlabeled too — they fall back
         // to min-over-all and get the stale_head flag below
         val fresh = rs.filter(r => r.head == head && !NeverFresh(r.head))
-        if (fresh.nonEmpty) fresh.minBy(_.warm) else rs.minBy(_.warm)
+        val pool = if (fresh.nonEmpty) fresh else rs
+        // prefer CALM evidence within the precedence pool (round 13):
+        // exponent_calm is the artifact's own engine verdict, so a
+        // rung's representative should be a calm measurement whenever
+        // one was ever taken — before this, a storm row with a faster
+        // min-warm displaced an accumulated calm row and erased the
+        // rung from the calm fit (min-warm storm rows remain safe
+        // UPPER bounds, so a calm row can only be a tighter-or-equal
+        // honest reading). Fresh-first still wins overall: a stale
+        // calm row never displaces fresh evidence of a regression.
+        val calmPool = pool.filterNot(isStorm)
+        if (calmPool.nonEmpty) calmPool.minBy(_.warm) else pool.minBy(_.warm)
       }.toSeq.sortBy(_.k)
       val expRaw = slope(best.map(r => (r.k.toDouble, r.warm)))
       val expNorm = slope(best.map(r => (r.k.toDouble, r.warmNorm)))

@@ -61,16 +61,18 @@ object TrussInvariant {
     */
   private[graft] def check(truss: DataFrame): (Long, Long, Long) = {
     val t = graft.Caching.materialize(truss)
-    val ind = independentSupport(t)
-    val row = t.select(col("src").as("u"), col("dst").as("v"), col("support"))
-      .join(ind, Seq("u", "v"), "left")
-      .select(col("support"), coalesce(col("sup_ind"), lit(0L)).as("sup_ind"))
-      .agg(count(lit(1)).as("n"), min(col("sup_ind")).as("mn"),
-        sum(when(col("support") =!= col("sup_ind"), 1L).otherwise(0L)).as("bad"))
-      .head()
-    val n = row.getLong(0)
-    if (n == 0L) (0L, -1L, 0L)
-    else (n, row.getLong(1), row.getLong(2))
+    try {
+      val ind = independentSupport(t)
+      val row = t.select(col("src").as("u"), col("dst").as("v"), col("support"))
+        .join(ind, Seq("u", "v"), "left")
+        .select(col("support"), coalesce(col("sup_ind"), lit(0L)).as("sup_ind"))
+        .agg(count(lit(1)).as("n"), min(col("sup_ind")).as("mn"),
+          sum(when(col("support") =!= col("sup_ind"), 1L).otherwise(0L)).as("bad"))
+        .head()
+      val n = row.getLong(0)
+      if (n == 0L) (0L, -1L, 0L)
+      else (n, row.getLong(1), row.getLong(2))
+    } finally { t.unpersist(); () } // result is driver scalars — release
   }
 
   def main(args: Array[String]): Unit = {
