@@ -1340,8 +1340,16 @@ object SparkEntry {
       graft.operators.Sampling.tokenBudgetSample(Tables.documents(s, d))),
     // --- water-filling mixture allocation: uniform target shares under
     // per-source availability caps, saturation surplus redistributed ---
-    "q_mix_waterfill" -> ((s, d) =>
-      graft.operators.Sampling.waterfillAllocate(Tables.documents(s, d))),
+    "q_mix_waterfill" -> ((s, d) => {
+      val out = graft.operators.Sampling.waterfillAllocate(Tables.documents(s, d))
+      // the engine iterates to the fixpoint; the DuckDB twin unrolls 32
+      // rounds, enough iff #sources (= output rows, the cascade bound)
+      // <= 32 — fail loudly here instead of hash-mismatching at the gate
+      // if the fixture ever outgrows the unroll (self-review finding)
+      require(out.count() <= 32,
+        "waterfill oracle unroll (32 rounds) < #sources — bump waterfillOracleSql rounds")
+      out
+    }),
     // --- exact two-sample KS drift of n_chars between even/odd sources ---
     "q_ks_drift" -> ((s, d) => graft.analytics.Drift.ksDrift(Tables.documents(s, d))),
     // --- PSI over binned doc lengths between the same corpus halves ---

@@ -156,8 +156,11 @@ object Kmv {
     * aggregates over sample-matched rows only.
     *
     * Headroom: in-sample Σ fL·fR ≤ ~10¹⁹ keeps Σp·2⁶⁰ inside
-    * DECIMAL(38,0) (HUGEINT in the oracle); beyond that the estimate
-    * nulls loudly in both engines rather than wrapping.
+    * DECIMAL(38,0) (HUGEINT in the oracle); past the BIGINT read-out
+    * range Spark RAISES (a null est/top cast with non-empty pairs is
+    * the overflow signal — the q_ivm_variance guard pattern) where
+    * DuckDB's CAST errors natively, so both engines fail loudly rather
+    * than wrapping or publishing a silent 0/null.
     *
     * Output (one row): k, theta, n_sampled, n_joined, est_pairs,
     * top_key (string), top_pairs, skew_x_milli, advised_salts.
@@ -166,24 +169,37 @@ object Kmv {
                       leftKey: String, rightKey: String,
                       k: Int = 256): DataFrame = {
     require(k >= 2, "join-cardinality KMV needs k >= 2")
+    val spark = left.sparkSession
     val lk = left.select(col(leftKey).cast("string").as("kv"))
       .filter(col("kv").isNotNull)
     val rk = right.select(col(rightKey).cast("string").as("kv"))
       .filter(col("kv").isNotNull)
-    // the sketch domain: distinct union keys hashed once — materialized,
-    // it feeds the threshold probe and the sample filter
+    // the sketch domain: distinct union keys hashed once — cached only
+    // for the duration of this builder (threshold probe + sample
+    // collect are both driver-bounded), then released: the RETURNED
+    // plan references the sample as a ≤ k-row LOCAL relation, never the
+    // cached domain, so repeated calls in a long-lived session leak
+    // nothing (the round-12 Ann.kmeansParallelInit advice class)
     val keys = graft.Caching.materialize(
       lk.distinct().unionByName(rk.distinct()).distinct()
         .select(col("kv"), Dedup.md5Base60(col("kv")).as("h")))
-    // θ = k-th smallest distinct hash (TakeOrderedAndProject + 1-row
-    // agg): bounded driver model state, the skew-advice dispatch idiom
-    val thRow = keys.select("h").distinct().orderBy(asc("h")).limit(k)
-      .agg(count(lit(1)).as("n"), max(col("h")).as("th")).head()
-    val nSampled = thRow.getLong(0)
-    val theta = if (thRow.isNullAt(1)) 0L else thRow.getLong(1)
+    val (nSampled, theta, sampleKvs) =
+      try {
+        // θ = k-th smallest distinct hash (TakeOrderedAndProject + 1-row
+        // agg): bounded driver model state, the skew-advice dispatch idiom
+        val thRow = keys.select("h").distinct().orderBy(asc("h")).limit(k)
+          .agg(count(lit(1)).as("n"), max(col("h")).as("th")).head()
+        val th = if (thRow.isNullAt(1)) 0L else thRow.getLong(1)
+        // the sample itself is ≤ k keys (+ md5-collision ties) — model
+        // state, collected once so the cache can be released here
+        val kvs = keys.filter(col("h") <= lit(th)).select("kv")
+          .collect().map(_.getString(0)).toSeq
+        (thRow.getLong(0), th, kvs)
+      } finally { keys.unpersist(); () }
     val exact = nSampled < k // sample == whole domain ⇒ scale 1
 
-    val sample = keys.filter(col("h") <= lit(theta)).select("kv")
+    import spark.implicits._
+    val sample = sampleKvs.toDF("kv")
     def freq(side: DataFrame, cName: String): DataFrame =
       side.join(broadcast(sample), Seq("kv"))
         .groupBy("kv").agg(count(lit(1)).as(cName))
@@ -194,15 +210,30 @@ object Kmv {
     val est =
       if (exact) "sum_p"
       else s"sum_p * $HashSpace div $theta"
+    // overflow discipline (q_ivm_variance pattern): a BIGINT cast (or a
+    // DECIMAL(38) product) that nulls while its inputs are present IS
+    // the overflow — raise loudly (DuckDB's CAST already errors), never
+    // publish a silent 0/null. est's inputs (sum_p, theta) are never
+    // null, so ANY null there is overflow; top.p is legitimately null
+    // when no sampled key joins, so only a null CAST of a present value
+    // raises there (the empty case coalesces to 0 outside).
+    val estCast =
+      expr(s"CASE WHEN ($est) IS NULL OR CAST($est AS BIGINT) IS NULL " +
+        s"THEN raise_error('joinCardinality: est_pairs overflows BIGINT/DECIMAL(38)') " +
+        s"ELSE CAST($est AS BIGINT) END")
+    val topCast =
+      expr("CASE WHEN top.p IS NOT NULL AND CAST(top.p AS BIGINT) IS NULL " +
+        "THEN raise_error(CONCAT('joinCardinality: top_pairs overflows BIGINT: ', " +
+        "CAST(top.p AS STRING))) ELSE CAST(top.p AS BIGINT) END")
     pairs.agg(
         coalesce(sum(col("p")), lit(0).cast(DecimalType(38, 0))).as("sum_p"),
         count(lit(1)).as("n_joined"),
         max(struct(col("p"), col("kv"))).as("top"))
       .select(lit(k).as("k"), lit(theta).as("theta"),
         lit(nSampled).as("n_sampled"), col("n_joined"),
-        expr(s"CAST($est AS BIGINT)").as("est_pairs"),
+        estCast.as("est_pairs"),
         coalesce(col("top.kv"), lit("")).as("top_key"),
-        coalesce(col("top.p").cast("long"), lit(0L)).as("top_pairs"),
+        coalesce(topCast, lit(0L)).as("top_pairs"),
         expr("CAST(CASE WHEN n_joined = 0 THEN 0 " +
           "ELSE 1000 * top.p * n_joined div sum_p END AS BIGINT)")
           .as("skew_x_milli"),

@@ -185,7 +185,9 @@ object ScaleProbe {
     // > stormFactor× that floor or its scalar calibration reads > 1.3.
     // Floor and factor share Bench.scala's env knobs so the two
     // artifacts adjudicate one run identically on any box class.
-    val mtFloorCfg = sys.env.getOrElse("SPARK_GRAFT_MT_FLOOR", "2.1").toDouble
+    // default matches Bench.scala (1.9, the box class's measured
+    // healthy floor) so the two artifacts adjudicate one run identically
+    val mtFloorCfg = sys.env.getOrElse("SPARK_GRAFT_MT_FLOOR", "1.9").toDouble
     val stormFactor =
       sys.env.getOrElse("SPARK_GRAFT_MT_STORM_FACTOR", "2.0").toDouble
     val validMts = all.map(_.calibMt).filter(v => !v.isNaN && v > 0)

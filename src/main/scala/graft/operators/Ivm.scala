@@ -201,7 +201,12 @@ object Ivm {
     * [[applyDeltaDistinct]] fold maintains it under CDC batches.
     */
   def logBucket(x: Column): Column =
-    when(length(x.cast("string")) === 1, x * 10 + 100)
+    // negative inputs would silently mis-bucket ("-5" has length 2 and
+    // a "-" mantissa digit) — fail loudly instead, the library's
+    // overflow-guard discipline
+    when(x < 0, raise_error(concat(
+        lit("logBucket: negative input "), x.cast("string"))))
+      .when(length(x.cast("string")) === 1, x * 10 + 100)
       .otherwise(length(x.cast("string")).cast("long") * 100 +
         substring(x.cast("string"), 1, 2).cast("long"))
 

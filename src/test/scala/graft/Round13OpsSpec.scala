@@ -34,6 +34,14 @@ class Round13OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("logBucket: negative input raises loudly instead of mis-bucketing") {
+    val ex = intercept[Exception] {
+      Seq(-5L).toDF("x").select(Ivm.logBucket(col("x"))).collect()
+    }
+    assert(ex.getMessage.contains("logBucket") ||
+      Option(ex.getCause).exists(_.getMessage.contains("logBucket")))
+  }
+
   test("quantileView: p50/p95 land on the bucket holding the exact quantile") {
     // group g: values 1..100 once each -> p50 = 50 (bucket lo 50),
     // p95 = 95 (bucket lo 95); two-sig-digit buckets are EXACT here
