@@ -43,9 +43,11 @@ object Betweenness {
     */
   def landmarkBetweenness(edges: DataFrame, srcCol: String, dstCol: String,
                           nLandmarks: Int = 5, rounds: Int = 3,
-                          canonical: Boolean = false): DataFrame = {
+                          canonical: Boolean = false,
+                          symmetric: Boolean = false): DataFrame = {
     require(nLandmarks >= 1 && rounds >= 2, "need landmarks and rounds >= 2")
-    val e = GraphEdges.symmetricDistinct(edges, srcCol, dstCol, canonical)
+    val e = GraphEdges.symmetricDistinct(edges, srcCol, dstCol, canonical,
+      symmetric)
     val seeds = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("node").asc)

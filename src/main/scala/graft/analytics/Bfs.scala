@@ -29,12 +29,15 @@ object Bfs {
     */
   def hubDistances(edges: DataFrame, srcCol: String, dstCol: String,
                    nSeeds: Int = 10, rounds: Int = 3,
-                   canonical: Boolean = false): DataFrame = {
+                   canonical: Boolean = false,
+                   symmetric: Boolean = false): DataFrame = {
     require(nSeeds >= 1 && rounds >= 1, "need seeds and at least one round")
     // symmetric distinct edge relation, built via the half-edge-cached
     // union so the upstream pipeline runs once, not once per branch
-    // (canonical = true skips the symmetrization distinct — GraphEdges)
-    val e = GraphEdges.symmetricDistinct(edges, srcCol, dstCol, canonical)
+    // (canonical = true skips the symmetrization distinct; symmetric =
+    // true consumes the shared pre-built relation — GraphEdges)
+    val e = GraphEdges.symmetricDistinct(edges, srcCol, dstCol, canonical,
+      symmetric)
     val seeds = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("node").asc)

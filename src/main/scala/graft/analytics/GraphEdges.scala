@@ -31,9 +31,21 @@ import org.apache.spark.sql.functions._
   */
 object GraphEdges {
 
+  /** `symmetric = true`: the input ALREADY is the materialized symmetric
+    * distinct relation (e.g. the session-shared checkpointed co-bought
+    * sym cache in `SparkEntry`) — return it projected/cast only, with no
+    * per-query re-materialization. Round-13 optimization: eight graph
+    * queries each re-persisted + counted the identical 2|E| relation on
+    * every execution; a session computing several statistics over ONE
+    * graph symmetrizes it once.
+    */
   def symmetricDistinct(edges: DataFrame, srcCol: String, dstCol: String,
-                        canonical: Boolean = false): DataFrame = {
-    if (canonical) {
+                        canonical: Boolean = false,
+                        symmetric: Boolean = false): DataFrame = {
+    if (symmetric) {
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+    } else if (canonical) {
       val half = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       graft.Caching.materialize(

@@ -40,9 +40,11 @@ object GraphStats {
     * Output: (node, core_deg) over the round-`rounds` edge set.
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
-            k: Int = 3, rounds: Int = 3, canonical: Boolean = false): DataFrame = {
+            k: Int = 3, rounds: Int = 3, canonical: Boolean = false,
+            symmetric: Boolean = false): DataFrame = {
     require(k >= 1 && rounds >= 1, "need k >= 1 and at least one round")
-    var e = GraphEdges.symmetricDistinct(edges, srcCol, dstCol, canonical)
+    var e = GraphEdges.symmetricDistinct(edges, srcCol, dstCol, canonical,
+      symmetric)
     for (_ <- 1 to rounds) {
       // survivor set feeds BOTH endpoint joins — materialize first so
       // the degree agg runs once, not once per join branch
@@ -75,8 +77,10 @@ object GraphStats {
     */
   def degreeAssortativity(edges: DataFrame, srcCol: String,
                           dstCol: String,
-                          canonical: Boolean = false): DataFrame = {
-    val e = GraphEdges.symmetricDistinct(edges, srcCol, dstCol, canonical)
+                          canonical: Boolean = false,
+                          symmetric: Boolean = false): DataFrame = {
+    val e = GraphEdges.symmetricDistinct(edges, srcCol, dstCol, canonical,
+      symmetric)
     // degree relation feeds both endpoint joins
     val deg = graft.Caching.materialize(
       e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))

@@ -35,9 +35,11 @@ object Harmonic {
     */
   def landmarkHarmonic(edges: DataFrame, srcCol: String, dstCol: String,
                        nLandmarks: Int = 5, rounds: Int = 3,
-                       canonical: Boolean = false): DataFrame = {
+                       canonical: Boolean = false,
+                       symmetric: Boolean = false): DataFrame = {
     require(nLandmarks >= 1 && rounds >= 1, "need landmarks and rounds")
-    val e = GraphEdges.symmetricDistinct(edges, srcCol, dstCol, canonical)
+    val e = GraphEdges.symmetricDistinct(edges, srcCol, dstCol, canonical,
+      symmetric)
     val landmarks = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("node").asc)

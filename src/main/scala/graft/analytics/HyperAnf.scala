@@ -372,11 +372,15 @@ object HyperAnf {
     */
   def nfCurve(edges: DataFrame, srcCol: String, dstCol: String,
               rounds: Int = 4, canonical: Boolean = false,
-              switchFrac: Double = SystolicSwitchFrac)
+              switchFrac: Double = SystolicSwitchFrac,
+              symmetric: Boolean = false)
       : Seq[java.math.BigDecimal] = {
     require(rounds >= 1 && rounds <= 8, "rounds must be in [1, 8]")
-    val e = graft.Caching.materialize(
-      GraphEdges.symmetricDistinct(edges, srcCol, dstCol, canonical))
+    val e =
+      if (symmetric)
+        GraphEdges.symmetricDistinct(edges, srcCol, dstCol, canonical, symmetric)
+      else graft.Caching.materialize(
+        GraphEdges.symmetricDistinct(edges, srcCol, dstCol, canonical))
     def nfValue(regs: DataFrame): java.math.BigDecimal =
       perNodeEstimatesWide(regs)
         .agg(sum(col("est").cast("decimal(38,0)")).as("nf_micro"))
@@ -508,11 +512,17 @@ object HyperAnf {
   def closenessTopK(edges: DataFrame, srcCol: String, dstCol: String,
                     rounds: Int = 4, k: Int = 20,
                     canonical: Boolean = false,
-                    switchFrac: Double = SystolicSwitchFrac): DataFrame = {
+                    switchFrac: Double = SystolicSwitchFrac,
+                    symmetric: Boolean = false): DataFrame = {
     require(rounds >= 1 && rounds <= 8, "rounds must be in [1, 8]")
     require(k >= 1, "k must be positive")
-    val e = graft.Caching.materialize(
-      GraphEdges.symmetricDistinct(edges, srcCol, dstCol, canonical))
+    // symmetric = true: the shared relation is already checkpointed —
+    // don't re-persist the projection per query
+    val e =
+      if (symmetric)
+        GraphEdges.symmetricDistinct(edges, srcCol, dstCol, canonical, symmetric)
+      else graft.Caching.materialize(
+        GraphEdges.symmetricDistinct(edges, srcCol, dstCol, canonical))
     var acc: DataFrame = null
     runRoundsWide(e, rounds, switchFrac) { (regs, t, changed) =>
       if (t == 0) {

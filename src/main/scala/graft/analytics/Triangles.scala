@@ -113,7 +113,9 @@ object Triangles {
     */
   def kTruss(edges: DataFrame, uCol: String, vCol: String, k: Int = 4,
              rounds: Int = 2, canonical: Boolean = false,
-             maxDeltaBroadcast: Long = 1000000L): DataFrame = {
+             maxDeltaBroadcast: Long = 1000000L,
+             initialSupport: Option[DataFrame] = None,
+             maxDeltaDistributed: Long = 64000000L): DataFrame = {
     require(k >= 3 && rounds >= 1, "k-truss needs k >= 3 and rounds >= 1")
     // the bounded peel ALSO runs on the incremental loop (one full
     // support pass + delta rounds instead of `rounds`+1 full passes):
@@ -121,7 +123,8 @@ object Triangles {
     // the early fixpoint exit is idempotence-safe for a bounded count —
     // output is identical to the full-recompute reference (spec-pinned)
     peelIncremental(canonicalEdges(edges, uCol, vCol, canonical), k, rounds,
-      maxDeltaBroadcast)
+      maxDeltaBroadcast, initialSupport = initialSupport,
+      maxDeltaDistributed = maxDeltaDistributed)
   }
 
   /** Full-recompute bounded peel — the differential reference for the
@@ -150,10 +153,31 @@ object Triangles {
                       k: Int = 4, maxRounds: Int = 30,
                       canonical: Boolean = false,
                       maxDeltaBroadcast: Long = 1000000L,
-                      requireConverged: Boolean = false): DataFrame = {
+                      requireConverged: Boolean = false,
+                      initialSupport: Option[DataFrame] = None,
+                      maxDeltaDistributed: Long = 64000000L): DataFrame = {
     require(k >= 3 && maxRounds >= 1, "k-truss needs k >= 3 and maxRounds >= 1")
     peelIncremental(canonicalEdges(edges, uCol, vCol, canonical), k, maxRounds,
-      maxDeltaBroadcast, requireConverged)
+      maxDeltaBroadcast, requireConverged, initialSupport, maxDeltaDistributed)
+  }
+
+  /** The round-1 whole-graph support relation (u, v, sup) the incremental
+    * peel starts from: canonical edges inner-joined to their triangle
+    * support (edges in no triangle are absent — correctly dropped by the
+    * first threshold since k ≥ 3 ⇒ threshold ≥ 1).
+    *
+    * Exposed (round 13, optimization) so a session computing BOTH the
+    * bounded and the converged truss over the SAME graph can build this —
+    * the peel's single most expensive stage, one full degree-oriented
+    * triangle enumeration — once and pass it to each query via
+    * `initialSupport` (the same session-memo discipline as the co-bought
+    * edge cache). The caller owns the returned relation's lifetime; the
+    * peel never releases an injected initial support.
+    */
+  def initialSupportRelation(edges: DataFrame, uCol: String, vCol: String,
+                             canonical: Boolean = false): DataFrame = {
+    val e0 = canonicalEdges(edges, uCol, vCol, canonical)
+    e0.join(support(e0), Seq("u", "v"))
   }
 
   /** The full-recompute converged peel — the differential REFERENCE for
@@ -226,27 +250,26 @@ object Triangles {
     *
     *   S_{G∖D}(e) = S_G(e) − #{triangles of G containing e and ≥1 D-edge}
     *
-    * Lost triangles are found from the DELETED side only — D is
-    * broadcast onto the symmetric adjacency of the current graph (wedge
-    * candidates ∝ Σ_{(u,v)∈D} deg(u)), candidates are broadcast back
-    * onto the edge relation for the closing check — so the corpus-sized
-    * edge relation is STREAMED twice per round and never reshuffled.
-    * A triangle with 2–3 deleted edges is found once per D-edge and
-    * deduplicated by its sorted vertex triple before decrementing the
-    * SURVIVING member edges. TWO guards gate the delta path (the
+    * Lost triangles are found from the DELETED side only — D (bounded
+    * driver rows) is broadcast onto the symmetric adjacency of the
+    * current graph (wedge candidates ∝ Σ_{(u,v)∈D} deg(u)), the
+    * surviving candidates are broadcast back onto the edge relation for
+    * the closing check — so the corpus-sized edge relation is STREAMED
+    * per round and never reshuffled. A triangle with 2–3 deleted edges
+    * is found once per D-edge and deduplicated by its sorted vertex
+    * triple before decrementing the SURVIVING member edges. TWO guards
+    * gate the delta path (the
     * [[graft.operators.SkewJoin.autoSaltedJoin]] dispatch pattern),
     * falling back to one full recompute when either trips: the deleted
-    * edge COUNT must not exceed `maxDeltaBroadcast` (cheap, checked
-    * first), and an UPPER BOUND on the wedge-candidate count — the
-    * un-filtered D⋈adjacency join count, ∝ the summed degree of the
-    * dropped endpoints, which a small peel round touching hub vertices
-    * can blow up arbitrarily — must not either. The bound is one
-    * streamed pass over the current edges with zero materialization
-    * (round-10 advice: the earlier exact gate persisted + counted the
-    * potentially unbounded wedge relation before discarding it), and
-    * bound ≤ cap implies the filtered wedge relation is ≤ cap, so on
-    * adversarial graphs the delta machinery never builds — let alone
-    * broadcasts — an unbounded relation.
+    * edge COUNT must not exceed `maxDeltaBroadcast`, and neither must
+    * the wedge-candidate count. Since round 13 each gate IS its
+    * relation's bounded collect — `limit(cap + 1).collect()` returns
+    * the ≤ cap rows as driver-local model state or proves the gate
+    * tripped, so one job replaces the round-12 gate-count pass PLUS the
+    * three BroadcastExchange builds (d ×2, cand, dec) that each
+    * re-evaluated their upstream join against `cur`; on adversarial
+    * graphs the delta machinery still never builds — let alone
+    * collects — more than cap + 1 rows anywhere.
     *
     * Maintained support EQUALS a fresh per-round recompute (the
     * triangle-counting identity above — spec-pinned against
@@ -254,33 +277,73 @@ object Triangles {
     * "no edge below threshold" and the OUTPUT sup needs no final
     * whole-graph pass either.
     */
-  /** The gated-delta peel round BODY (runs only after both broadcast
-    * gates pass): wedges from the deleted edges against the current
-    * graph, the closing-edge check as a broadcast of the gated-delta-
-    * sized candidates onto streamed `cur`, triangle dedup by sorted
-    * vertex triple, and the support decrement LEFT-joined back onto the
-    * survivors. Factored out (round-10 verdict #3) so PlanSnapshotSpec
-    * can pin the INNER-LOOP plan shape — per-round checkpoints mean the
+  /** The three distributed plan pieces of the gated-delta peel round,
+    * factored (round-10 verdict #3) so PlanSnapshotSpec can pin the
+    * INNER-LOOP plan shapes — per-round checkpoints mean the
     * returned-DF fingerprint covers only the post-loop tail, and a
-    * broadcast→SMJ flip inside this body would otherwise surface only
-    * in bench.
+    * broadcast→SMJ flip inside these bodies would otherwise surface
+    * only in bench.
+    *
+    * ROUND-13 OPTIMIZATION (guide §1.2: fewer passes; §3.1 broadcast
+    * discipline): the delta relations (deleted edges, their wedge
+    * candidates, the confirmed lost triangles) are all ≤ the
+    * `maxDeltaBroadcast` cap by the same gates as before, so the round
+    * now collects each ONCE as bounded driver-local model state —
+    * `limit(cap + 1).collect()` fuses the gate and the build into one
+    * job — instead of paying a separate gate-count pass plus THREE
+    * BroadcastExchange builds (d twice, cand, dec) that each
+    * re-evaluated their upstream joins against the corpus-sized edge
+    * relation. Per round this cuts the jobs streaming `cur` from ~6 to
+    * 4 and the cache passes from ~7 to ~5; the triangle dedup + per-
+    * edge decrement over ≤ cap rows is O(cap) local arithmetic. The
+    * distributed fallback (full recompute) above the cap is unchanged,
+    * so adversarial rounds never collect unbounded state.
     */
-  private[graft] def deltaPeelRound(cur: DataFrame, keep: DataFrame,
-                                    d: DataFrame): DataFrame = {
+  private[graft] def wedgeScan(cur: DataFrame, dLocal: DataFrame): DataFrame = {
     val adj = cur.select(col("u").as("a"), col("v").as("b"))
       .unionByName(cur.select(col("v").as("a"), col("u").as("b")))
-    val wedges = adj.join(broadcast(d), col("a") === col("u"))
+    adj.join(broadcast(dLocal), col("a") === col("u"))
       .filter(col("b") =!= col("v"))
       .select(col("u"), col("v"), col("b").as("w"))
-    // closing check: (min(v,w), max(v,w)) must be a current edge;
-    // candidates are gated-delta-sized — broadcast them, stream cur
-    // (the broadcast build re-evaluates the bounded wedge join once —
-    // cheaper than the persist it replaces)
+  }
+
+  /** Closing-edge check: which candidate (cu, cv) pairs are edges of the
+    * current graph (cand carries the wedge (u, v, w) it came from).
+    */
+  private[graft] def closingScan(cur: DataFrame, candLocal: DataFrame): DataFrame =
+    cur.select(col("u").as("cu"), col("v").as("cv"))
+      .join(broadcast(candLocal), Seq("cu", "cv"))
+      .select(col("u"), col("v"), col("w"))
+
+  /** Decrement surviving edges by their lost-triangle counts. */
+  private[graft] def applyDecrements(keep: DataFrame, decLocal: DataFrame): DataFrame =
+    keep.join(broadcast(decLocal), Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        (col("sup") - coalesce(col("lost_tris"), lit(0L))).as("sup"))
+
+  /** DISTRIBUTED mid-tier delta round (round 13): for peel rounds whose
+    * wedge-candidate relation exceeds the driver-collect cap but is
+    * still far smaller than a full triangle re-enumeration — at sf0.1
+    * rounds 1-2 measure 5.96M / 2.55M wedges against the 1M cap, and
+    * the pre-round-13 peel paid a FULL support recompute for each
+    * (~3 s apiece, the two most expensive jobs left in the truss
+    * family). Same lost-triangle algebra as the local tier, but the
+    * wedge/candidate/decrement relations stay distributed: all joins
+    * are keyed (Catalyst/AQE picks the strategy from runtime sizes —
+    * the deleted edges are still a broadcast-size LocalRelation), so
+    * per-round cost stays ∝ the delta even when the delta is millions
+    * of wedges. Work ∝ Σ_{(u,v)∈D} deg(u) + |lost triangles| versus
+    * the full recompute's ∝ |E| + Σ outdeg² — the crossover is gated
+    * by `maxDeltaDistributed` on the exact wedge count.
+    */
+  private[graft] def distributedDeltaRound(cur: DataFrame, keep: DataFrame,
+                                           dLocal: DataFrame): DataFrame = {
+    val wedges = wedgeScan(cur, dLocal)
     val cand = wedges.select(col("u"), col("v"), col("w"),
       least(col("v"), col("w")).as("cu"),
       greatest(col("v"), col("w")).as("cv"))
     val tri = cur.select(col("u").as("cu"), col("v").as("cv"))
-      .join(broadcast(cand), Seq("cu", "cv"))
+      .join(cand, Seq("cu", "cv"))
     // dedupe multi-deleted-edge triangles by sorted vertex triple
     val lost = tri.select(array_sort(array(col("u"), col("v"),
       col("w"))).as("t")).distinct()
@@ -292,29 +355,45 @@ object Triangles {
         struct(col("y").as("u"), col("z").as("v")))).as("ed"))
       .select(col("ed.u").as("u"), col("ed.v").as("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("lost_tris"))
-    keep.join(broadcast(dec), Seq("u", "v"), "left")
+    keep.join(dec, Seq("u", "v"), "left")
       .select(col("u"), col("v"),
         (col("sup") - coalesce(col("lost_tris"), lit(0L))).as("sup"))
   }
 
   private def peelIncremental(e0: DataFrame, k: Int, maxRounds: Int,
                               maxDeltaBroadcast: Long = 1000000L,
-                              requireConverged: Boolean = false): DataFrame = {
+                              requireConverged: Boolean = false,
+                              initialSupport: Option[DataFrame] = None,
+                              maxDeltaDistributed: Long = 64000000L)
+      : DataFrame = {
     val thr = k - 2
     // invariant: cur = (u, v, sup) — the current graph's edges with their
     // EXACT in-graph support (edges in no triangle have no sup row in
-    // round 1 and are correctly dropped: k ≥ 3 ⇒ threshold ≥ 1)
-    var cur = graft.Caching.checkpointed(e0.join(support(e0), Seq("u", "v")))
+    // round 1 and are correctly dropped: k ≥ 3 ⇒ threshold ≥ 1).
+    // An injected initialSupport (session-shared, already checkpointed)
+    // is NOT owned by this peel: it must survive for the next caller, so
+    // it is never released below (ownsCur flips once round 1 replaces it)
+    var cur = initialSupport.getOrElse(
+      graft.Caching.checkpointed(e0.join(support(e0), Seq("u", "v"))))
+    var ownsCur = initialSupport.isEmpty
     var out: DataFrame = null
     var r = 0
+    val spark = e0.sparkSession
+    import spark.implicits._
+    // limit(cap + 1) fuses each bounded-collect's gate and build into
+    // one job: ≤ cap rows back = the relation, cap + 1 rows back = the
+    // gate tripped (collect never exceeds cap + 1 rows by construction)
+    val capP1 = (math.min(maxDeltaBroadcast, Int.MaxValue - 2L) + 1L).toInt
     while (out == null && r < maxRounds) {
       r += 1
       val dropped = cur.filter(col("sup") < thr)
       val keep = cur.filter(col("sup") >= thr)
-      val dCount = dropped.count()
-      if (dCount == 0L) {
+      val dRows = dropped.select(col("u"), col("v"))
+        .as[(Long, Long)].limit(capP1).collect()
+      if (dRows.isEmpty) {
         out = cur // fixpoint: maintained sup IS the in-graph support
       } else {
+        val dCount = dRows.length.toLong
         // full recompute — the bounded fallback for rounds whose delta
         // machinery would broadcast too much. LEFT join: a surviving
         // edge in no triangle of the new subgraph must stay (sup 0)
@@ -334,32 +413,62 @@ object Triangles {
             // huge peel round: one full recompute beats broadcasting it
             fullRecompute()
           } else {
-            val d = dropped.select("u", "v")
             // wedges come from the deleted edge's u-side against the
             // CURRENT graph (all three edges of any lost triangle are
-            // triangle edges, hence present in cur) — d broadcast onto
-            // the streamed adjacency. dCount bounds only the deleted-edge
-            // rows, while the wedge relation is ∝ Σ deg(endpoint) and a
-            // few dropped hub edges can make it arbitrarily larger than
-            // dCount (round-9 advice finding) — so the broadcast is
-            // PRE-GATED on the count of the UN-FILTERED join, a strict
-            // upper bound on the wedge count that costs one streamed
-            // pass over cur with ZERO materialization. The old exact
-            // gate persisted + counted the potentially unbounded wedge
-            // relation before deciding to DISCARD it, so an adversarial
-            // hub round paid both the wedge build/spill and the full
-            // recompute (round-10 advice finding); bound ≤ cap implies
-            // wedges ≤ cap, so the good path needs no second count.
-            val adj = cur.select(col("u").as("a"), col("v").as("b"))
-              .unionByName(cur.select(col("v").as("a"), col("u").as("b")))
-            val joined = adj.join(broadcast(d), col("a") === col("u"))
-            val wedgeBound = joined.count()
-            if (wedgeBound > maxDeltaBroadcast) {
-              fullRecompute()
-            } else deltaPeelRound(cur, keep, d)
+            // triangle edges, hence present in cur) — the deleted edges
+            // are already bounded driver rows, broadcast onto the
+            // streamed adjacency. The wedge relation is ∝ Σ deg(endpoint)
+            // and a few dropped hub edges can make it arbitrarily larger
+            // than dCount (round-9 advice finding) — the limit(cap + 1)
+            // collect IS the gate (round 13): at most cap + 1 rows ever
+            // reach the driver, and cap + 1 back means fall back to the
+            // full recompute, so adversarial hub rounds never build an
+            // unbounded relation anywhere.
+            val dLocal = dRows.toSeq.toDF("u", "v")
+            val wedges = wedgeScan(cur, dLocal)
+              .as[(Long, Long, Long)].limit(capP1).collect()
+            if (wedges.length > maxDeltaBroadcast) {
+              // too many wedge candidates for the driver-local tier —
+              // the DISTRIBUTED mid-tier still beats a full triangle
+              // re-enumeration by orders of magnitude while the delta
+              // is small next to the graph (sf0.1 rounds 1-2: 5.96M /
+              // 2.55M wedges vs a 1.19M-edge full recompute); above
+              // `maxDeltaDistributed` exact wedges, recompute wins
+              val wedgeCount = wedgeScan(cur, dLocal).count()
+              if (wedgeCount > maxDeltaDistributed) fullRecompute()
+              else distributedDeltaRound(cur, keep, dLocal)
+            } else {
+              // closing check: (min(v,w), max(v,w)) must be a current
+              // edge — ≤ |wedges| confirmed triangles come back
+              val candLocal = wedges.toSeq.map { case (u, v, w) =>
+                (u, v, w, math.min(v, w), math.max(v, w))
+              }.toDF("u", "v", "w", "cu", "cv")
+              val tri = closingScan(cur, candLocal)
+                .as[(Long, Long, Long)].collect()
+              // dedupe multi-deleted-edge triangles by sorted vertex
+              // triple, then count lost triangles per member edge —
+              // O(cap) local arithmetic replacing a distributed
+              // distinct + explode + agg chain over ≤ cap rows
+              val decMap = new scala.collection.mutable.HashMap[(Long, Long), Long]
+              tri.iterator.map { case (x, y, z) =>
+                val s = Seq(x, y, z).sorted; (s(0), s(1), s(2))
+              }.toSet[(Long, Long, Long)].foreach { case (x, y, z) =>
+                Seq((x, y), (x, z), (y, z)).foreach { e =>
+                  decMap(e) = decMap.getOrElse(e, 0L) + 1L
+                }
+              }
+              if (decMap.isEmpty) keep.select("u", "v", "sup")
+              else {
+                val decLocal = decMap.iterator
+                  .map { case ((u, v), c) => (u, v, c) }.toSeq
+                  .toDF("u", "v", "lost_tris")
+                applyDecrements(keep, decLocal)
+              }
+            }
           }
         val nextC = graft.Caching.checkpointed(next)
-        graft.Caching.releaseCheckpoint(cur)
+        if (ownsCur) graft.Caching.releaseCheckpoint(cur)
+        ownsCur = true
         cur = nextC
       }
     }

@@ -35,12 +35,36 @@ object Curation {
     * so it belongs in the shrink-first prefix of the pipeline. Empty =
     * no language filtering (the oracle-checked configuration).
     */
+  /** The quality-gate + exact-dedup PREFIX of [[curate]] (steps 1-2, no
+    * optional gates): (doc_id, text, source, n_chars, quality_score) for
+    * the exact-dedup survivors. Factored out (round-13 optimization) so
+    * a session running several curation composites over ONE corpus
+    * (pipeline_curate and pipeline_corpus_prep share this full-corpus
+    * scan + score + hash-dedup) builds it once and passes it via
+    * `exactPre` — each composite still runs its OWN near-dup vote,
+    * sampling, vocab/encode/pack per invocation, so only the shared
+    * intermediate is reused, never a query result. The caller owns the
+    * returned relation's lifetime.
+    */
+  def exactDedupedQuality(documents: DataFrame,
+                          minQuality: Double = 0.2): DataFrame = {
+    val scored = TextOps.quality(documents)
+      .filter(col("quality_score") >= minQuality)
+      .select("doc_id", "quality_score")
+    val quality = documents.join(scored, "doc_id")
+    val keepExact = Dedup.exactDedup(quality).select("doc_id")
+    quality.join(keepExact, "doc_id")
+  }
+
   def curate(documents: DataFrame,
              minQuality: Double = 0.2,
              nearDupThreshold: Double = 0.7,
              samplePerSource: Int = 1000000,
              langAllow: Seq[String] = Nil,
-             repetitionGate: Boolean = false): DataFrame = {
+             repetitionGate: Boolean = false,
+             exactPre: Option[DataFrame] = None): DataFrame = {
+    require(exactPre.isEmpty || (langAllow.isEmpty && !repetitionGate),
+      "exactPre is built without the optional gates; pass gates OR exactPre")
     // 0a. optional repetition gate (Gopher thresholds) — like the language
     // gate, a cheap projection+filter that belongs in the shrink-first
     // prefix; default-off is the oracle-checked configuration
@@ -58,20 +82,16 @@ object Curation {
           .filter(col("lang_pred").isin(langAllow: _*)).select("doc_id"),
         "doc_id")
 
-    // 1. quality gate (score carried through to the output)
-    val scored = TextOps.quality(base)
-      .filter(col("quality_score") >= minQuality)
-      .select("doc_id", "quality_score")
-    val quality = base.join(scored, "doc_id")
-
-    // 2. exact dedup: keep the surviving (min) doc_id per content hash
-    val keepExact = Dedup.exactDedup(quality).select("doc_id")
-    // persisted: the minhash band self-join + anti-join below reference
-    // this relation ~5×, and each reference would otherwise re-derive the
-    // whole quality+dedup lineage (at cluster scale: a stage-boundary
-    // write; locally: MEMORY_AND_DISK). Caller may clearCache() after.
-    val exact = quality.join(keepExact, "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 1-2. quality gate + exact dedup (the shared prefix; see
+    // exactDedupedQuality). When self-built: persisted, because the
+    // minhash band self-join + anti-join below reference this relation
+    // ~5×, and each reference would otherwise re-derive the whole
+    // quality+dedup lineage (at cluster scale: a stage-boundary write;
+    // locally: MEMORY_AND_DISK). Caller may clearCache() after. An
+    // injected exactPre is already materialized by its owner.
+    val exact = exactPre.getOrElse(
+      exactDedupedQuality(base, minQuality)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // 3. near-dup removal: minhash pairs vote out the larger doc_id
     val losers = Dedup.minhashDedup(exact, threshold = nearDupThreshold)
@@ -158,12 +178,14 @@ object Curation {
                     minQuality: Double = 0.2,
                     nearDupThreshold: Double = 0.7,
                     vocabSize: Int = 1 << 16,
-                    capacity: Int = 2048): DataFrame = {
+                    capacity: Int = 2048,
+                    exactPre: Option[DataFrame] = None): DataFrame = {
     // persisted, not eagerly materialized: the vocab build collects model
     // state (an action) before encode/pack consume the relation, so the
     // cache populates sequentially anyway — an extra materialize pass
     // measured ~1s slower at sf0.1 (see graft.Caching's doc)
-    val curated = curate(documents, minQuality, nearDupThreshold)
+    val curated = curate(documents, minQuality, nearDupThreshold,
+        exactPre = exactPre)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocabulary = TextOps.vocab(curated, vocabSize)
     val encoded = TextOps.encodeTokens(curated, vocabulary)

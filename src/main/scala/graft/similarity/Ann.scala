@@ -1052,24 +1052,53 @@ object Ann {
     * buckets must be computed anyway, any shared bucket makes a candidate)
     * then exact cosine ≥ threshold. doc pairs ordered vec_a < vec_b.
     */
-  def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
-                   tables: Int = 8, bits: Int = 8, dim: Int = 64): DataFrame = {
+  /** Deduped LSH candidate ID pairs (vec_a < vec_b) — the block/dedup
+    * half of [[nearDupPairs]], factored out (round-13 optimization) for
+    * two reasons, both guide-§8 "decide with small rows, move big rows
+    * once":
+    *
+    *  - the bucket self-join and the pair dedup used to carry BOTH
+    *    64-dim double vectors (~1 KB/row) through every exchange; on ID
+    *    pairs the same shuffles move 16-24 B/row, and the materialized
+    *    bucket cache drops the vector column too (~25× narrower);
+    *  - the candidate relation is THRESHOLD-INDEPENDENT, so a session
+    *    running several same-family queries over one embedding corpus
+    *    (embed_neardup + embed_dbscan both verify at 0.35) builds it
+    *    once and each query re-runs only its own attach + exact-cosine
+    *    verify + filter (the memo shares an intermediate, never a query
+    *    result).
+    */
+  def candidatePairs(embeddings: DataFrame, tables: Int = 8, bits: Int = 8,
+                     dim: Int = 64): DataFrame = {
     val e = corpus(embeddings)
     // eagerly materialized: both sides of the bucket self-join are
     // CONCURRENT shuffle-map stages — a bare persist would let each
     // re-run all tables × bits plane dot products (see graft.Caching)
-    val buckets = graft.Caching.materialize(e.select(col("vec_id"), col("v"),
+    val buckets = graft.Caching.materialize(e.select(col("vec_id"),
       explode(array((0 until tables).map { t =>
         struct(lit(t).as("t"), bucketCol(col("v"), t, bits, dim).as("bucket"))
       }: _*)).as("tb"))
-      .select(col("vec_id"), col("v"), col("tb.t").as("t"), col("tb.bucket").as("bucket")))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket")))
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+  }
+
+  def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
+                   tables: Int = 8, bits: Int = 8, dim: Int = 64,
+                   candidates: Option[DataFrame] = None): DataFrame = {
+    val e = corpus(embeddings)
+    val cand = candidates.getOrElse(candidatePairs(embeddings, tables, bits, dim))
+    // attach vectors to the DEDUPED id pairs only, exact-verify, filter:
+    // the cosine evaluates once per distinct pair (the old shape paid it
+    // per bucket-collision occurrence) and no wide vector row ever
+    // enters a pair exchange
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         round(cosine(col("va"), col("vb")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)

@@ -171,23 +171,40 @@ object Bm25 {
     * per query document (queries = doc_id < nQueries), scored by BM25
     * over the queries' distinct tokens. Self-matches excluded.
     */
-  def topK(documents: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
-    val (posting, toks) = postingAndTokens(documents)
+  def topK(documents: DataFrame, k: Int = 5, nQueries: Int = 10,
+           posting: Option[DataFrame] = None): DataFrame = {
+    val (p, toks) = posting match {
+      case Some(pp) => (pp, tokensOf(documents))
+      case None     => postingAndTokens(documents)
+    }
     val queryTerms = toks.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), col("token")).distinct()
-    rankedTopK(posting, queryTerms, k)
+    rankedTopK(p, queryTerms, k)
       .select(col("query_id"), col("doc_id"), col("score_micro"),
         (col("score_micro").cast("double") / 1.0e6).as("score"), col("rank"))
   }
+
+  /** The (doc, token, micro-score) BM25 posting relation alone — the
+    * index-build half shared by text_bm25_topk and text_prf_topk, which
+    * both ranked over an identically-built index (round-13 optimization:
+    * a session builds the index once and passes it via `posting`; each
+    * query still derives its own query terms and runs its own ranking
+    * per invocation). Caller owns the returned relation's lifetime.
+    */
+  def bm25Posting(documents: DataFrame): DataFrame =
+    postingAndTokens(documents)._1
+
+  /** The lowered non-empty (doc_id, token) explosion. */
+  private def tokensOf(documents: DataFrame): DataFrame = documents
+    .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("raw"))
+    .filter(col("raw") =!= "")
+    .select(col("doc_id"), lower(col("raw")).as("token"))
 
   /** The shared BM25 machinery: the (doc, token, micro-score) posting
     * relation plus the raw token explosion it came from.
     */
   private def postingAndTokens(documents: DataFrame): (DataFrame, DataFrame) = {
-    val toks = documents
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("raw"))
-      .filter(col("raw") =!= "")
-      .select(col("doc_id"), lower(col("raw")).as("token"))
+    val toks = tokensOf(documents)
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val docLen = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
@@ -256,10 +273,17 @@ object Bm25 {
     * `n_query_terms` the expanded term-set size, constant per query.
     */
   def prfTopK(documents: DataFrame, k: Int = 5, fbDocs: Int = 5,
-              fbTerms: Int = 3, nQueries: Int = 10): DataFrame = {
+              fbTerms: Int = 3, nQueries: Int = 10,
+              postingPre: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && fbDocs >= 1 && fbTerms >= 0, "need positive depths")
-    val (postingRaw, toks) = postingAndTokens(documents)
-    val posting = graft.Caching.materialize(postingRaw)
+    // an injected posting (session-shared, checkpointed) is already
+    // materialized; the self-built one must be — three consumers
+    val (posting, toks) = postingPre match {
+      case Some(pp) => (pp, tokensOf(documents))
+      case None =>
+        val (postingRaw, t) = postingAndTokens(documents)
+        (graft.Caching.materialize(postingRaw), t)
+    }
     val queryTerms = toks.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), col("token")).distinct()
     val fb = rankedTopK(posting, queryTerms, fbDocs)

@@ -44,18 +44,31 @@ object NaiveBayes {
     * non-empty doc; `score_micro` is the winning class's total log-score
     * in micro-units (prior + token likelihoods).
     */
-  def classifyBySource(documents: DataFrame): DataFrame = {
-    val toks = documents
-      .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), col("source"),
-        explode(split(trim(col("text")), "\\s+")).as("raw"))
-      .filter(col("raw") =!= "")
-      .select(col("doc_id"), col("source"), lower(col("raw")).as("token"))
+  /** The lowered non-empty (doc_id, source, token) explosion both the
+    * train and test sides read.
+    */
+  private def tokensOf(documents: DataFrame): DataFrame = documents
+    .filter(length(trim(col("text"))) > 0)
+    .select(col("doc_id"), col("source"),
+      explode(split(trim(col("text")), "\\s+")).as("raw"))
+    .filter(col("raw") =!= "")
+    .select(col("doc_id"), col("source"), lower(col("raw")).as("token"))
+
+  /** The trained NB model — (classes: cls, prior_micro, oov_micro;
+    * lik: lcls, ltoken, lik_micro) over the doc_id % 5 ≠ 0 train split.
+    * Factored out (round-13 optimization) so a session running both the
+    * classifier AND its evaluation over one corpus (text_nb_classify +
+    * text_nb_eval — the eval re-ran the whole train side) trains once
+    * and passes the model via `model`; each query still tokenizes and
+    * scores its own held-out split per invocation. Caller owns the
+    * returned relations' lifetime.
+    */
+  def trainBySource(documents: DataFrame): (DataFrame, DataFrame) = {
     // the train explosion feeds FIVE independent model subtrees (class
     // docs, class totals, token counts, vocab stats) — materialized so
     // the tokenize pass runs once, not per consumer
-    val train = graft.Caching.materialize(toks.filter(col("doc_id") % 5 =!= 0))
-    val test = toks.filter(col("doc_id") % 5 === 0)
+    val train = graft.Caching.materialize(
+      tokensOf(documents).filter(col("doc_id") % 5 =!= 0))
 
     // model: per-class doc counts (priors), per-class token totals,
     // per-(class, token) counts, and the 1-row vocab/doc-total stats
@@ -86,6 +99,14 @@ object NaiveBayes {
         floor(log((col("cnt") + 1.0).cast("double") /
           (col("n_c") + col("v_size")).cast("double")) * 1.0e6 + 0.5)
           .cast("long").as("lik_micro"))
+    (classes, lik)
+  }
+
+  def classifyBySource(documents: DataFrame,
+                       model: Option[(DataFrame, DataFrame)] = None)
+      : DataFrame = {
+    val test = tokensOf(documents).filter(col("doc_id") % 5 === 0)
+    val (classes, lik) = model.getOrElse(trainBySource(documents))
 
     // score every held-out token under every class; absent (class, token)
     // pairs fall to the class OOV floor
@@ -126,10 +147,12 @@ object NaiveBayes {
     *
     * Output: (cls, n_true, n_pred, n_correct, precision, recall, f1).
     */
-  def evaluateBySource(documents: DataFrame): DataFrame = {
+  def evaluateBySource(documents: DataFrame,
+                       model: Option[(DataFrame, DataFrame)] = None)
+      : DataFrame = {
     // the scored relation feeds three margin aggregates — materialized
     // so the classify pipeline runs once
-    val scored = graft.Caching.materialize(classifyBySource(documents))
+    val scored = graft.Caching.materialize(classifyBySource(documents, model))
     val nTrue = scored.groupBy(col("source").as("cls"))
       .agg(count(lit(1)).as("n_true"))
     val nPred = scored.groupBy(col("pred").as("cls"))

@@ -65,6 +65,27 @@ class CurationSpec extends AnyFunSuite {
     out1.unpersist()
   }
 
+  test("injected exactPre reproduces curate AND prepareCorpus default outputs") {
+    // the round-13 session-memo path: ONE checkpointed quality+exact-dedup
+    // prefix feeds both composites; outputs must equal the self-built path
+    val docs = Tables.documents(spark, sfDir)
+    val shared = graft.Caching.checkpointed(Curation.exactDedupedQuality(docs))
+    val cInj = Curation.curate(docs, exactPre = Some(shared))
+      .collect().map(_.toSeq).toSet
+    val cDef = Curation.curate(docs).collect().map(_.toSeq).toSet
+    assert(cInj === cDef)
+    val pInj = Curation.prepareCorpus(docs, exactPre = Some(shared))
+      .collect().map(_.toSeq).toSet
+    val pDef = Curation.prepareCorpus(docs).collect().map(_.toSeq).toSet
+    assert(pInj === pDef)
+    // gates and exactPre are mutually exclusive (the prefix skips them)
+    intercept[IllegalArgumentException] {
+      Curation.curate(docs, langAllow = Seq("en"), exactPre = Some(shared))
+    }
+    graft.Caching.releaseCheckpoint(shared)
+    spark.catalog.clearCache()
+  }
+
   test("curate langAllow gate: output equals curation of the pre-filtered corpus") {
     import org.apache.spark.sql.functions.col
     val docs = graft.io.Tables.documents(spark, sfDir)

@@ -44,6 +44,31 @@ class LabelPropSpec extends AnyFunSuite {
     assert(got === Map(7L -> 8L, 8L -> 7L, 9L -> 7L, 10L -> 7L))
   }
 
+  test("shared labelMap + symmetric edges reproduce both queries' default outputs") {
+    // the round-13 session-memo path: ONE checkpointed label map + ONE
+    // pre-symmetrized relation feed labelPropagation AND modularity;
+    // outputs must equal the self-built (canonical/default) path
+    val cliqueA = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val cliqueB = for (i <- 10L to 13L; j <- (i + 1) to 13L) yield (i, j)
+    val half = (cliqueA ++ cliqueB :+ (4L, 10L)).toDF("a", "b")
+    val sym = graft.Caching.checkpointed(
+      half.union(half.select(col("b").as("a"), col("a").as("b"))))
+    val labels = LabelProp.lpaLabelMap(sym, "a", "b", symmetric = true)
+    val lpGot = LabelProp.labelPropagation(sym, "a", "b", symmetric = true,
+      labelMap = Some(labels)).collect().map(_.toSeq).toSet
+    val lpDef = LabelProp.labelPropagation(half, "a", "b")
+      .collect().map(_.toSeq).toSet
+    assert(lpGot === lpDef)
+    val mGot = LabelProp.modularity(sym, "a", "b", symmetric = true,
+      labelMap = Some(labels)).collect().map(_.toSeq).toSet
+    val mDef = LabelProp.modularity(half, "a", "b")
+      .collect().map(_.toSeq).toSet
+    assert(mGot === mDef)
+    graft.Caching.releaseCheckpoint(labels)
+    graft.Caching.releaseCheckpoint(sym)
+    spark.catalog.clearCache()
+  }
+
   test("fixture graph: labels partition the node set, every label is a node") {
     val li = graft.io.Tables.lineitem(spark, sfDir)
     val g = graft.analytics.Baskets.coOccurrencePairs(li, "l_orderkey", "l_partkey")

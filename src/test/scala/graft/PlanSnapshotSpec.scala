@@ -75,7 +75,6 @@ class PlanSnapshotSpec extends AnyFunSuite {
     val cur = graft.Caching.checkpointed(
       e0.join(Triangles.support(e0), Seq("u", "v")))
     val keep = cur.filter(col("sup") >= 2)
-    val d = cur.filter(col("sup") < 2).select("u", "v")
     // frontier-style operators share the symmetric edge relation
     val sym = GraphEdges.symmetricDistinct(co, "item_a", "item_b",
       canonical = true)
@@ -89,9 +88,19 @@ class PlanSnapshotSpec extends AnyFunSuite {
       sym.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))
     val regs = graft.Caching.checkpointed(
       HyperAnf.registers0Wide(sym.select(col("src").as("node")).distinct()))
+    // bounded driver-local delta relations (round 13: the gated collects
+    // feed these as LocalRelations — representative single-row shapes)
+    import s.implicits._
+    val dLocal = Seq((1L, 2L)).toDF("u", "v")
+    val candLocal = Seq((1L, 2L, 3L, 2L, 3L)).toDF("u", "v", "w", "cu", "cv")
+    val decLocal = Seq((1L, 2L, 1L)).toDF("u", "v", "lost_tris")
     val out = Seq(
-      "loop:ktruss_delta_peel_round" ->
-        Triangles.deltaPeelRound(cur, keep, d),
+      "loop:ktruss_delta_wedge_scan" -> Triangles.wedgeScan(cur, dLocal),
+      "loop:ktruss_delta_closing_scan" -> Triangles.closingScan(cur, candLocal),
+      "loop:ktruss_delta_apply_decrements" ->
+        Triangles.applyDecrements(keep, decLocal),
+      "loop:ktruss_delta_distributed_round" ->
+        Triangles.distributedDeltaRound(cur, keep, dLocal),
       "loop:pagerank_step" -> PageRank.pagerankStep(edgesDeg, ranks, 1L),
       "loop:bfs_round" -> Bfs.bfsRound(sym, dist, 1),
       "loop:lpa_round" -> LabelProp.lpaRound(sym, labels),
